@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric": ..., "value": total_sec, "unit": "sec", "queries":
+{name: sec}, "sf": ...}.
+
+Each query is executed once after a shared warm-up action (JVM + parquet
+footer caches), timed end-to-end including the collect of results to the
+driver (bounded result sets only — aggregates / top-k)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# The headline set: one per operator family, weighted toward the
+# shuffle-heavy shapes that dominate at scale.
+HEADLINE = [
+    "q_pricing_summary",
+    "q_customer_total_spend",
+    "q_join_inner",
+    "q_join_left",
+    "q_agg_nunique",
+    "q_agg_stats",
+    "q_window_topk",
+    "q_window_rolling",
+    "q_latest_per_group",
+    "q_top10_global",
+    "q_tumbling_window",
+    "q_rollup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entrymod
+    from feature_store_implementation_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in qs if n.startswith("q_bench_") and n not in HEADLINE
+    ]
+
+    # warm-up: touch every table once so JIT/footer caches don't bill query 1
+    from feature_store_implementation_spark.sources.tables import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count() if df.isStreaming is False else -1
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,904 @@
+"""The named-query inventory: every operator class from SURVEY.md §2 as a
+(PySpark query, DuckDB oracle SQL) pair.
+
+The reference exposes its operator algebra through the ``computation_logic``
+``exec`` sandbox (reference compute.py:30-55) — arbitrary pandas restricted to
+per-entity programs. Here each operator class is a declared, Catalyst-
+optimizable query over the canonical tables (TESTDATA.md). The driver runs
+each ``queries()`` entry against its ``oracle_sql()`` twin in DuckDB and
+compares row count + schema + order-insensitive value hash.
+
+Determinism rules (so the value hash matches bit-for-bit):
+
+* **Exact arithmetic for aggregates.** Double summation is order-dependent;
+  Spark and DuckDB would disagree in the last ulp. So every SUM/AVG over a
+  floating column casts the *inputs* to DECIMAL(18,6) in BOTH engines,
+  aggregates exactly, rounds, and only then casts to DOUBLE.
+* **Integer outputs are BIGINT everywhere** (DuckDB's SUM(BIGINT) returns
+  HUGEINT and Spark's year() returns INT — both are normalized).
+* **Window orderings always carry a unique tie-break key** (the reference's
+  SQLite argmax pick is unstable, SURVEY.md §7 hard-part 3 — we tie-break on
+  primary keys and document the deviation).
+* **Timestamps are emitted as formatted strings or dates** to dodge
+  timezone/precision representation drift between engines.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str = ""
+
+
+SPECS: "OrderedDict[str, QuerySpec]" = OrderedDict()
+
+
+def query(name: str, oracle: str | None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        SPECS[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def QUERIES() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in SPECS.items()}
+
+
+def ORACLE_SQL() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in SPECS.items() if spec.oracle}
+
+
+# exact-arithmetic helpers -------------------------------------------------
+
+DEC = "decimal(18,6)"
+
+
+def dec(c) -> F.Column:
+    """Cast a (float) column to exact decimal before aggregation."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(DEC)
+
+
+def dsum(c, scale: int = 4) -> F.Column:
+    """Exact decimal sum rounded and emitted as double."""
+    return F.round(F.sum(dec(c)), scale).cast("double")
+
+
+def _t(sf_dir: str, name: str):
+    """Shared closure-friendly loader."""
+
+    def load(spark: SparkSession) -> DataFrame:
+        return load_table(spark, sf_dir, name)
+
+    return load
+
+
+# ---------------------------------------------------------------------------
+# §2.C — projection / filter / scalar expressions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_proj_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1995-04-01'
+      AND l_quantity > 45
+    """,
+)
+def q_proj_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column projection + conjunctive predicate; both push into the parquet
+    scan (PushedFilters + pruned ReadSchema). Reference: pandas boolean mask
+    idiom legal in compute.py:38 sandbox (SURVEY §2.C)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice").filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1995-04-01")
+        & (F.col("l_quantity") > 45)
+    )
+
+
+@query(
+    "q_scalar_arith",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(CAST(l_extendedprice AS {DEC}) * (1 - CAST(l_discount AS {DEC})), 4) AS DOUBLE) AS revenue,
+           CAST(ROUND(CAST(l_extendedprice AS {DEC}) * (1 - CAST(l_discount AS {DEC})) * (1 + CAST(l_tax AS {DEC})), 4) AS DOUBLE) AS charge
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    """,
+)
+def q_scalar_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level arithmetic expressions (+ - * parenthesized), exact decimal.
+    Reference: arithmetic Series exprs (SURVEY §2.C projection table)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    price, disc, tax = dec("l_extendedprice"), dec("l_discount"), dec("l_tax")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(price * (1 - disc), 4).cast("double").alias("revenue"),
+        F.round(price * (1 - disc) * (1 + tax), 4).cast("double").alias("charge"),
+    )
+
+
+@query(
+    "q_conditional",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 WHEN o_orderstatus = 'O' THEN 2 ELSE 0 END) AS BIGINT) AS status_score
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / otherwise conditionals (pandas Series.where/mask)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_totalprice") > 200000, 1).otherwise(0)).cast("long").alias("n_big"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", 1)
+            .when(F.col("o_orderstatus") == "O", 2)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("status_score"),
+    )
+
+
+@query(
+    "q_null_handling",
+    f"""
+    SELECT l_returnflag,
+           CAST(COUNT(NULLIF(l_discount, 0.0)) AS BIGINT) AS n_discounted,
+           CAST(ROUND(SUM(COALESCE(CAST(NULLIF(l_discount, 0.0) AS {DEC}), 0)), 4) AS DOUBLE) AS sum_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL creation (nullif), counting semantics (count skips nulls), and
+    coalesce — the fillna/dropna/isna family (SURVEY §2.C)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nn = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.groupBy("l_returnflag").agg(
+        F.count(nn).cast("long").alias("n_discounted"),
+        F.round(F.sum(F.coalesce(nn.cast(DEC), F.lit(0))), 4).cast("double").alias("sum_disc"),
+    )
+
+
+@query(
+    "q_casts",
+    """
+    SELECT l_orderkey,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_int,
+           CAST(l_linenumber AS VARCHAR) AS line_str,
+           CAST(CAST(l_quantity AS BIGINT) AS DOUBLE) AS qty_roundtrip
+    FROM lineitem
+    WHERE l_orderkey < 200
+    """,
+)
+def q_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast family (astype): double→int via explicit floor (Spark truncates,
+    DuckDB rounds — floor removes the ambiguity), int→string, int→double."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        F.floor("l_quantity").cast("long").alias("qty_int"),
+        F.col("l_linenumber").cast("string").alias("line_str"),
+        F.col("l_quantity").cast("long").cast("double").alias("qty_roundtrip"),
+    )
+
+
+@query(
+    "q_string_fns",
+    """
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           upper(p_brand) AS brand_upper,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           replace(p_type, ' ', '_') AS type_snake,
+           split_part(p_name, ' ', 1) AS first_word,
+           trim(p_name) AS name_trim,
+           CAST(p_name LIKE 'a%' AS BOOLEAN) AS starts_a,
+           substr(p_type, 1, 5) AS type_prefix
+    FROM part
+    WHERE p_name LIKE '%s%'
+    """,
+)
+def q_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family: lower/upper/length/contains/replace/split/
+    trim/startswith/substr (pandas .str.* in the reference sandbox)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("s"))
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.trim("p_name").alias("name_trim"),
+        F.col("p_name").startswith("a").alias("starts_a"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+    )
+
+
+@query(
+    "q_date_fns",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(month(o_orderdate) AS BIGINT) AS o_month,
+           CAST(day(o_orderdate) AS BIGINT) AS o_day,
+           CAST(dayofweek(o_orderdate) AS BIGINT) AS o_dow,
+           CAST(datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+           strftime(o_orderdate, '%Y-%m') AS o_ym
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+)
+def q_date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time extraction + difference + formatting (pandas .dt family).
+    DuckDB dayofweek is 0=Sun..6; Spark dayofweek is 1=Sun..7 → normalized."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("o_day"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("o_dow"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_ym"),
+    )
+
+
+@query(
+    "q_math_fns",
+    """
+    SELECT c_custkey,
+           CAST(ROUND(abs(c_acctbal), 2) AS DOUBLE) AS bal_abs,
+           CAST(ROUND(sqrt(abs(c_acctbal)), 6) AS DOUBLE) AS bal_sqrt,
+           CAST(ROUND(ln(abs(c_acctbal) + 1), 6) AS DOUBLE) AS bal_ln,
+           CAST(ROUND(power(c_acctbal / 1000, 2), 6) AS DOUBLE) AS bal_pow,
+           CAST(ROUND(greatest(c_acctbal, 0.0), 2) AS DOUBLE) AS bal_clip
+    FROM customer
+    """,
+)
+def q_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions: abs/round/sqrt/log/pow/greatest (clip). All are
+    single-value double ops — bit-identical across engines."""
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.round(F.abs(bal), 2).alias("bal_abs"),
+        F.round(F.sqrt(F.abs(bal)), 6).alias("bal_sqrt"),
+        F.round(F.log(F.abs(bal) + 1), 6).alias("bal_ln"),
+        F.round(F.pow(bal / 1000, 2), 6).alias("bal_pow"),
+        F.round(F.greatest(bal, F.lit(0.0)), 2).alias("bal_clip"),
+    )
+
+
+@query(
+    "q_json_fns",
+    f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over the events.props payload — the reference stores
+    dict/list values JSON-encoded (compute.py:76-79, main.py:321-325)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.max(k).cast("long").alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.C — aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS {DEC})), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS {DEC})), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS {DEC}) * (1 - CAST(l_discount AS {DEC}))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS {DEC}) * (1 - CAST(l_discount AS {DEC})) * (1 + CAST(l_tax AS {DEC}))), 2) AS DOUBLE) AS sum_charge,
+           CAST(ROUND(CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS avg_qty,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: multi-aggregate groupBy with exact
+    decimal sums; Spark executes partial+final hash aggregation (map-side
+    combine) automatically. The canonical per-entity aggregation of the
+    reference (compute.py groupby(level=0) idiom, SURVEY §2.C)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    price, disc, tax, qty = (
+        dec("l_extendedprice"),
+        dec("l_discount"),
+        dec("l_tax"),
+        dec("l_quantity"),
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
+        F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+        F.round(F.sum(price * (1 - disc)), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(price * (1 - disc) * (1 + tax)), 2).cast("double").alias("sum_charge"),
+        F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+        F.count(F.lit(1)).cast("long").alias("count_order"),
+    )
+
+
+@query(
+    "q_customer_total_spend",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS {DEC})), 2) AS DOUBLE) AS total_spend,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q_customer_total_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship feature query (SURVEY §7 Phase 0): total spend per
+    customer — orders ⋈ customer (broadcast dim), groupBy entity, sum."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum(dec("o_totalprice")), 2).cast("double").alias("total_spend"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q_agg_nunique",
+    """
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q_agg_nunique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count + count_distinct (pandas nunique)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.countDistinct("o_orderpriority").cast("long").alias("n_priorities"),
+        F.countDistinct("o_orderstatus").cast("long").alias("n_statuses"),
+    )
+
+
+@query(
+    "q_agg_stats",
+    f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_q,
+             CAST(SUM(CAST(l_quantity AS {DEC}) * CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_q2,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+             CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+             CAST(MEDIAN(l_quantity) AS DOUBLE) AS median_qty
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, min_qty, max_qty, median_qty,
+           CAST(ROUND((sum_q2 - sum_q * sum_q / n) / (n - 1), 6) AS DOUBLE) AS var_qty,
+           CAST(ROUND(sqrt((sum_q2 - sum_q * sum_q / n) / (n - 1)), 6) AS DOUBLE) AS std_qty
+    FROM s
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/median/variance/stddev. Variance is computed from exact
+    decimal sums via the textbook formula in BOTH engines so the double
+    arithmetic is bit-identical (native stddev is accumulation-order-
+    dependent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = dec("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.sum(q).cast("double").alias("sum_q"),
+        F.sum(q * q).cast("double").alias("sum_q2"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+        F.median("l_quantity").cast("double").alias("median_qty"),
+    )
+    var = (F.col("sum_q2") - F.col("sum_q") * F.col("sum_q") / F.col("n")) / (F.col("n") - 1)
+    return s.select(
+        "l_returnflag",
+        "min_qty",
+        "max_qty",
+        "median_qty",
+        F.round(var, 6).cast("double").alias("var_qty"),
+        F.round(F.sqrt(var), 6).cast("double").alias("std_qty"),
+    )
+
+
+@query(
+    "q_having",
+    f"""
+    SELECT l_suppkey,
+           CAST(ROUND(SUM(CAST(l_quantity AS {DEC})), 2) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING SUM(CAST(l_quantity AS {DEC})) > 100
+    """,
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(dec("l_quantity")).alias("_tq"))
+        .filter(F.col("_tq") > 100)
+        .select("l_suppkey", F.round("_tq", 2).cast("double").alias("total_qty"))
+    )
+
+
+@query(
+    "q_distinct",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus, l_shipmode
+    FROM (SELECT l_returnflag, l_linestatus, 'NA' AS l_shipmode FROM lineitem)
+    """,
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT / drop_duplicates over a projection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus", F.lit("NA").alias("l_shipmode")).distinct()
+
+
+@query(
+    "q_rollup",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS {DEC})), 2) AS DOUBLE) AS sum_qty,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS grouping_id
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (pivot_table margins idiom, SURVEY §2.C)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+        .cast("long")
+        .alias("grouping_id"),
+    )
+
+
+@query(
+    "q_cube",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS {DEC})), 2) AS DOUBLE) AS sum_price,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS grouping_id
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias("sum_price"),
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+        .cast("long")
+        .alias("grouping_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.C — joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_inner",
+    f"""
+    SELECT n.n_name,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS {DEC})), 2) AS DOUBLE) AS nation_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way inner equi-join with broadcast dims — the serving join shape
+    (reference main.py:270-277, B1) on analytic tables. customer and nation
+    are broadcast so the fact table never shuffles for the join."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(dec("o_totalprice")), 2).cast("double").alias("nation_revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q_join_left",
+    f"""
+    SELECT c.c_custkey,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(COALESCE(CAST(o.o_totalprice AS {DEC}), 0)), 2) AS DOUBLE) AS total_spend
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").cast("long").alias("n_orders"),
+            F.round(F.sum(F.coalesce(dec("o_totalprice"), F.lit(0))), 2)
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "q_join_semi",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "q_join_anti",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — the uniqueness-guard shape (A6)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_cross",
+    """
+    SELECT r.r_name, s.s_suppkey, s.s_name
+    FROM region r CROSS JOIN supplier s
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of two small dimensions."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return r.crossJoin(s)
+
+
+@query(
+    "q_in_list",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_totalprice BETWEEN 50000 AND 100000
+    """,
+)
+def q_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list + BETWEEN predicates (serving B3 name-filter shape)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_totalprice").between(50000, 100000)
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# §2.C — window / ordering / top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_window_topk",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number window (pandas nlargest/groupby-head).
+    Tie-break on the primary key for determinism."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+@query(
+    "q_window_rank",
+    """
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           CAST(RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS bal_rank,
+           CAST(DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS bal_dense_rank,
+           CAST(NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS bal_quartile
+    FROM customer
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile analytic functions."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
+    )
+
+
+@query(
+    "q_window_lag",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(o_totalprice - LAG(o_totalprice) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS DOUBLE) AS price_delta
+    FROM orders
+    """,
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/shift + diff (pandas .shift/.diff). Subtraction of identical
+    doubles is bit-identical; ordering tie-broken on the key."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias("price_delta"),
+    )
+
+
+@query(
+    "q_window_rolling",
+    f"""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(ROUND(SUM(CAST(l_quantity AS {DEC})) OVER
+                (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_qty
+    FROM lineitem
+    WHERE l_suppkey <= 5
+    """,
+)
+def q_window_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running/cumulative sum over a row frame (pandas .cumsum/.rolling).
+    Decimal accumulation keeps the prefix sums exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 5)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum(dec("l_quantity")).over(w), 2).cast("double").alias("running_qty"),
+    )
+
+
+@query(
+    "q_latest_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS latest_orderdate
+    FROM (
+      SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def q_latest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-group argmax — the serving 'latest active version'
+    operator (reference main.py:294-300, B4) done as ONE window plan instead
+    of the reference's N+1 loop."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_orderdate"),
+        )
+    )
+
+
+@query(
+    "q_top10_global",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_top10_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT — Spark plans TakeOrderedAndProject (no full
+    sort materialization)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.C — set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_set_union",
+    """
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    UNION
+    SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+    """,
+)
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two key sets."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+@query(
+    "q_set_intersect",
+    """
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    INTERSECT
+    SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+    """,
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@query(
+    "q_set_except",
+    """
+    SELECT o_custkey FROM orders
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference): customers with orders but no 'F' order."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_custkey").subtract(
+        o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming-shape (batch-checkable) — tumbling window over events
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tumbling_window",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS {DEC})), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation over the events stream shape —
+    identical semantics batch and streaming (Structured Streaming uses the
+    same window() expression; see streaming/features.py)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
