@@ -1,0 +1,263 @@
+"""Metadata catalog: raw_tables, features, feature_versions.
+
+Reference semantics (models.py:9-62, main.py:37-135, 140-230):
+
+* ``raw_tables``: id, name (unique), description, schema_definition (JSON),
+  created_at, updated_at.
+* ``features``: id, name, raw_table_id (FK), computation_logic, feature_type,
+  created_at.
+* ``feature_versions``: id, feature_id (FK), version (unique per feature),
+  status ∈ {active, deprecated, archived} (models.py:52), computed_at,
+  version_metadata (JSON).
+
+Uniqueness and FK checks are application-level pre-insert probes in the
+reference (main.py:47-52, 97-103, 156-172) — same here, but inside a single
+catalog mutation so there is no orphan-version window (the reference commits
+the version row before values and cannot roll it back, main.py:216 vs 224 —
+we write the version row only after values land; see
+``FeatureStore.compute_version``).
+
+Registry rows are metadata — a few thousand rows at most, mutated one row per
+API call. The reference keeps them in SQLite; the honest cluster-scale analog
+is a transactional metastore (Delta/Iceberg catalog tables — tiny, driver
+query cost ~0). Here they live in a JSON-lines file per table with atomic
+rename writes, loaded into Spark on demand via :meth:`Catalog.df` for
+one-plan serving joins. The offline store (feature VALUES — the part that
+scales to 100 TB) is Spark-written partitioned parquet in ``store/offline.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import asdict, dataclass, field
+from datetime import datetime, timezone
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..errors import ConflictError, NotFoundError
+
+VALID_STATUSES = ("active", "deprecated", "archived")
+
+
+def _now() -> str:
+    return datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S.%f")
+
+
+@dataclass
+class RawTableRow:
+    id: int
+    name: str
+    description: str | None
+    schema_definition: dict[str, Any]
+    created_at: str
+    updated_at: str
+
+
+@dataclass
+class FeatureRow:
+    id: int
+    name: str
+    raw_table_id: int
+    computation_logic: str
+    feature_type: str
+    created_at: str
+
+
+@dataclass
+class VersionRow:
+    id: int
+    feature_id: int
+    version: str
+    status: str = "active"
+    computed_at: str = field(default_factory=_now)
+    version_metadata: dict[str, Any] | None = None
+
+
+_TABLES = {"raw_tables": RawTableRow, "features": FeatureRow, "feature_versions": VersionRow}
+
+
+class Catalog:
+    """File-backed metadata catalog with reference-parity guards."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._rows: dict[str, list] = {t: self._load(t) for t in _TABLES}
+
+    # -- persistence -------------------------------------------------------
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, f"{table}.jsonl")
+
+    def _load(self, table: str) -> list:
+        cls, out = _TABLES[table], []
+        if os.path.exists(self._path(table)):
+            with open(self._path(table)) as f:
+                out = [cls(**json.loads(line)) for line in f if line.strip()]
+        return out
+
+    def _flush(self, table: str) -> None:
+        # atomic rename so a crashed write never truncates the catalog
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            for row in self._rows[table]:
+                f.write(json.dumps(asdict(row)) + "\n")
+        os.replace(tmp, self._path(table))
+
+    def _next_id(self, table: str) -> int:
+        rows = self._rows[table]
+        return (max(r.id for r in rows) + 1) if rows else 1
+
+    # -- raw tables (reference main.py:37-82) ------------------------------
+
+    def register_raw_table(
+        self, name: str, schema_definition: dict[str, Any], description: str | None = None
+    ) -> RawTableRow:
+        if any(r.name == name for r in self._rows["raw_tables"]):
+            raise ConflictError(f"Table with name '{name}' already exists")
+        row = RawTableRow(
+            id=self._next_id("raw_tables"),
+            name=name,
+            description=description,
+            schema_definition=schema_definition,
+            created_at=_now(),
+            updated_at=_now(),
+        )
+        self._rows["raw_tables"].append(row)
+        self._flush("raw_tables")
+        return row
+
+    def list_raw_tables(self, skip: int = 0, limit: int = 100) -> list[RawTableRow]:
+        return sorted(self._rows["raw_tables"], key=lambda r: r.id)[skip : skip + limit]
+
+    def get_raw_table(self, table_id: int) -> RawTableRow:
+        for r in self._rows["raw_tables"]:
+            if r.id == table_id:
+                return r
+        raise NotFoundError(f"Raw table {table_id} not found")
+
+    # -- features (reference main.py:87-135) -------------------------------
+
+    def create_feature(
+        self,
+        name: str,
+        raw_table_id: int,
+        computation_logic: str,
+        feature_type: str,
+    ) -> FeatureRow:
+        self.get_raw_table(raw_table_id)  # FK guard (main.py:97-103)
+        row = FeatureRow(
+            id=self._next_id("features"),
+            name=name,
+            raw_table_id=raw_table_id,
+            computation_logic=computation_logic,
+            feature_type=feature_type,
+            created_at=_now(),
+        )
+        self._rows["features"].append(row)
+        self._flush("features")
+        return row
+
+    def list_features(self, skip: int = 0, limit: int = 100) -> list[FeatureRow]:
+        return sorted(self._rows["features"], key=lambda r: r.id)[skip : skip + limit]
+
+    def get_feature(self, feature_id: int) -> FeatureRow:
+        for r in self._rows["features"]:
+            if r.id == feature_id:
+                return r
+        raise NotFoundError(f"Feature {feature_id} not found")
+
+    def get_feature_by_name(self, name: str) -> FeatureRow:
+        for r in self._rows["features"]:
+            if r.name == name:
+                return r
+        raise NotFoundError(f"Feature named {name!r} not found")
+
+    # -- versions (reference main.py:140-244) ------------------------------
+
+    def check_version_free(self, feature_id: int, version: str) -> None:
+        if any(
+            v.feature_id == feature_id and v.version == version
+            for v in self._rows["feature_versions"]
+        ):
+            raise ConflictError(f"Version '{version}' already exists for this feature")
+
+    def create_version(
+        self,
+        feature_id: int,
+        version: str,
+        metadata: dict[str, Any] | None = None,
+        status: str = "active",
+    ) -> VersionRow:
+        self.get_feature(feature_id)  # FK guard (main.py:156-161)
+        self.check_version_free(feature_id, version)  # main.py:163-172
+        if status not in VALID_STATUSES:
+            raise ValueError(f"status must be one of {VALID_STATUSES}")
+        row = VersionRow(
+            id=self._next_id("feature_versions"),
+            feature_id=feature_id,
+            version=version,
+            status=status,
+            version_metadata=metadata,
+        )
+        self._rows["feature_versions"].append(row)
+        self._flush("feature_versions")
+        return row
+
+    def set_version_status(self, version_id: int, status: str) -> VersionRow:
+        """Version lifecycle: active → deprecated → archived (models.py:52)."""
+        if status not in VALID_STATUSES:
+            raise ValueError(f"status must be one of {VALID_STATUSES}")
+        for v in self._rows["feature_versions"]:
+            if v.id == version_id:
+                v.status = status
+                self._flush("feature_versions")
+                return v
+        raise NotFoundError(f"Feature version {version_id} not found")
+
+    def list_versions(self, feature_id: int) -> list[VersionRow]:
+        return [v for v in self._rows["feature_versions"] if v.feature_id == feature_id]
+
+    def get_version(self, version_id: int) -> VersionRow:
+        for v in self._rows["feature_versions"]:
+            if v.id == version_id:
+                return v
+        raise NotFoundError(f"Feature version {version_id} not found")
+
+    def delete_version(self, version_id: int) -> None:
+        """Compensating delete used when a value write fails (fixes the
+        reference's orphan-version bug, main.py:216 vs 224)."""
+        self._rows["feature_versions"] = [
+            v for v in self._rows["feature_versions"] if v.id != version_id
+        ]
+        self._flush("feature_versions")
+
+    # -- Spark views for one-plan serving ----------------------------------
+
+    def df(self, spark: SparkSession, table: str) -> DataFrame:
+        """Registry table as a (tiny, broadcastable) Spark DataFrame with an
+        explicit schema: ids are long, timestamps stay strings (they are
+        catalog metadata, compared lexically — ISO format sorts correctly),
+        nested JSON is kept as a JSON string column."""
+        from pyspark.sql import types as T
+
+        cls = _TABLES[table]
+        cols = list(cls.__dataclass_fields__)
+        long_cols = {"id", "feature_id", "raw_table_id"}
+        schema = T.StructType(
+            [
+                T.StructField(c, T.LongType() if c in long_cols else T.StringType(), True)
+                for c in cols
+            ]
+        )
+        rows = []
+        for r in self._rows[table]:
+            d = asdict(r)
+            for k in ("schema_definition", "version_metadata"):
+                if k in d:
+                    d[k] = json.dumps(d[k]) if d[k] is not None else None
+            rows.append(tuple(d[c] for c in cols))
+        return spark.createDataFrame(rows, schema=schema)

@@ -1,0 +1,189 @@
+"""FeatureStore facade: the reference's API surface as one Spark-first class.
+
+Compute path (reference main.py:140-230 → compute.py): resolve feature →
+uniqueness check → schema-validate raw data → evaluate computation_logic →
+codec-encode → ONE distributed append of values → version row committed
+*after* values land (fixing the orphan-version bug, main.py:216 vs 224,
+while keeping observable success behavior identical).
+
+Serve path (reference main.py:249-336): ONE plan instead of the reference's
+N+1 loop —
+
+    feature_values ⋈ broadcast(feature_versions ⋈ features)
+      with either version == V                  (versioned branch, B1-B3)
+      or window row_number()==1 per feature     (latest branch, B4-B5)
+    filter entity_id → pivot name→value         (B7)
+
+behind the reference-parity TTL cache (B9). The registry side of the join is
+metadata (KBs) → broadcast; the values side is partition-pruned to exactly
+the named version ids before the scan."""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..compute.engine import compute_feature
+from ..errors import ComputationError, NotFoundError
+from ..registry.catalog import Catalog, VersionRow
+from ..registry.schema_validation import validate_raw_data_schema
+from ..store.codec import decode_value_py, encode_value_col
+from ..store.offline import OfflineStore
+from .cache import FeatureCache
+
+
+@dataclass
+class FeatureVector:
+    entity_id: str
+    features: dict[str, Any]
+    version: str | None
+    retrieved_at: str
+
+
+class FeatureStore:
+    def __init__(self, spark: SparkSession, root: str, cache: FeatureCache | None = None):
+        self.spark = spark
+        self.catalog = Catalog(f"{root}/catalog")
+        self.store = OfflineStore(spark, root)
+        self.cache = cache if cache is not None else FeatureCache(maxsize=1000, ttl=3600)
+
+    # -- compute path ------------------------------------------------------
+
+    def compute_version(
+        self,
+        feature_id: int,
+        version: str,
+        data: DataFrame | list[dict],
+        entity_id_column: str = "id",
+        metadata: dict[str, Any] | None = None,
+    ) -> VersionRow:
+        """POST /features/{id}/versions (main.py:140-230), Spark-first."""
+        feature = self.catalog.get_feature(feature_id)
+        self.catalog.check_version_free(feature_id, version)
+
+        df = (
+            data
+            if isinstance(data, DataFrame)
+            else self.spark.createDataFrame(data)  # JSON records (main.py:176)
+        )
+        raw_table = self.catalog.get_raw_table(feature.raw_table_id)
+        validate_raw_data_schema(df.schema, raw_table.schema_definition)
+
+        result = compute_feature(df, feature.computation_logic, entity_id_column)
+        value_type = result.schema["value"].dataType
+        encoded = result.select(
+            "entity_id", encode_value_col(F.col("value"), value_type).alias("value")
+        )
+
+        # reserve the id, write values FIRST, then commit the version row —
+        # no orphan-version window (§1.4/§1.5)
+        row = self.catalog.create_version(feature_id, version, metadata)
+        try:
+            n = self.store.write_values(row.id, encoded)
+            if n == 0:
+                raise ComputationError("computation produced no values")
+        except Exception:
+            self.catalog.delete_version(row.id)
+            raise
+        return row
+
+    # -- serve path --------------------------------------------------------
+
+    def _resolved_versions(self, version: str | None) -> DataFrame:
+        """(feature_id, feature_name, feature_version_id) for the requested
+        pin, or latest-active per feature via ONE window plan (B4)."""
+        versions = self.catalog.df(self.spark, "feature_versions")
+        features = self.catalog.df(self.spark, "features").select(
+            F.col("id").alias("feature_id_"), F.col("name").alias("feature_name")
+        )
+        if version is not None:
+            v = versions.filter(F.col("version") == version)
+        else:
+            w = W.partitionBy("feature_id").orderBy(
+                F.desc("computed_at"), F.desc("id")  # deterministic tie-break
+            )
+            v = (
+                versions.filter(F.col("status") == "active")
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+            )
+        return v.join(
+            features, v.feature_id == features.feature_id_
+        ).select(
+            "feature_id", "feature_name", F.col("id").alias("feature_version_id"), "version"
+        )
+
+    def serve_vector(
+        self,
+        entity_id: str,
+        feature_names: list[str] | None = None,
+        version: str | None = None,
+    ) -> FeatureVector:
+        """POST /feature-vectors (main.py:249-336): cache probe → one plan →
+        pivot → cache fill."""
+        key = FeatureCache.make_key(entity_id, feature_names, version)
+        cached = self.cache.get(key)
+        if cached is not None:
+            return cached
+
+        resolved = self._resolved_versions(version)
+        if feature_names:
+            resolved = resolved.filter(F.col("feature_name").isin(feature_names))  # B3
+
+        values = self.store.values().filter(F.col("entity_id") == entity_id)  # B2
+        rows = (
+            values.join(F.broadcast(resolved), "feature_version_id")  # B1
+            .select("feature_name", "value")
+            .collect()
+        )
+        if not rows:
+            raise NotFoundError(  # B8, main.py:312-316
+                f"No feature values found for entity '{entity_id}'"
+            )
+        feats = {r["feature_name"]: decode_value_py(r["value"]) for r in rows}  # B6
+        vec = FeatureVector(
+            entity_id=entity_id,
+            features=feats,
+            version=version,
+            retrieved_at=datetime.now(timezone.utc).isoformat(),
+        )
+        self.cache.set(key, vec)
+        return vec
+
+    def serve_matrix(
+        self, feature_names: list[str] | None = None, version: str | None = None
+    ) -> DataFrame:
+        """Batch serving: the full entity × feature matrix as ONE pivoted
+        DataFrame (the training-set export path — what the reference would
+        need N×M requests for)."""
+        resolved = self._resolved_versions(version)
+        if feature_names:
+            resolved = resolved.filter(F.col("feature_name").isin(feature_names))
+        names = [r["feature_name"] for r in resolved.select("feature_name").distinct().collect()]
+        return (
+            self.store.values()
+            .join(F.broadcast(resolved), "feature_version_id")
+            .groupBy("entity_id")
+            .pivot("feature_name", names)  # explicit values → no extra pass
+            .agg(F.first("value"))
+        )
+
+    # -- registry passthrough (reference main.py:37-135, 233-244) ---------
+
+    def register_raw_table(self, name, schema_definition, description=None):
+        return self.catalog.register_raw_table(name, schema_definition, description)
+
+    def create_feature(self, name, raw_table_id, computation_logic, feature_type):
+        return self.catalog.create_feature(name, raw_table_id, computation_logic, feature_type)
+
+    def feature_versions(self, feature_id: int):
+        return self.catalog.list_versions(feature_id)
+
+    def version_metadata_json(self, version_id: int) -> str:
+        return json.dumps(self.catalog.get_version(version_id).version_metadata)

@@ -1,0 +1,156 @@
+"""End-to-end feature-store scenario tests (SURVEY §5.4): the exact 3-step
+flow the reference demos — register raw table → create feature → compute
+versions → serve vectors — plus the registry guard unit tests (§5.3)."""
+
+import pytest
+
+from feature_store_implementation_spark.errors import (
+    ComputationError,
+    ConflictError,
+    NotFoundError,
+    SchemaValidationError,
+)
+
+RAW_SCHEMA = {
+    "required_columns": ["id", "amount", "ts"],
+    "column_types": {"id": "string", "amount": "numeric", "ts": "string"},
+}
+
+DATA = [
+    {"id": "u1", "amount": 10.5, "ts": "2026-01-01"},
+    {"id": "u1", "amount": 4.5, "ts": "2026-01-02"},
+    {"id": "u2", "amount": 7.0, "ts": "2026-01-01"},
+]
+
+
+def _setup_feature(fs, logic="SUM(amount)"):
+    t = fs.register_raw_table("user_transactions", RAW_SCHEMA, "per-user tx")
+    f = fs.create_feature("total_spend", t.id, logic, "numeric")
+    return t, f
+
+
+def test_e2e_compute_and_serve_latest(fs):
+    _, f = _setup_feature(fs)
+    v = fs.compute_version(f.id, "v1.0", DATA, entity_id_column="id")
+    assert v.status == "active"
+
+    vec = fs.serve_vector("u1", ["total_spend"])
+    # FIXTURES.md §B expected: u1 → 15.0 decoded as a number
+    assert vec.features == {"total_spend": 15.0}
+    assert fs.serve_vector("u2").features == {"total_spend": 7.0}
+
+
+def test_e2e_versioned_read_and_latest_pick(fs):
+    _, f = _setup_feature(fs)
+    fs.compute_version(f.id, "v1.0", DATA)
+    data2 = DATA + [{"id": "u2", "amount": 3.0, "ts": "2026-01-03"}]
+    fs.compute_version(f.id, "v2.0", data2)
+
+    assert fs.serve_vector("u2", version="v1.0").features == {"total_spend": 7.0}
+    assert fs.serve_vector("u2", version="v2.0").features == {"total_spend": 10.0}
+    # latest = v2.0 (argmax computed_at, id tie-break)
+    assert fs.serve_vector("u2").features == {"total_spend": 10.0}
+
+
+def test_deprecated_version_excluded_from_latest(fs):
+    _, f = _setup_feature(fs)
+    fs.compute_version(f.id, "v1.0", DATA)
+    v2 = fs.compute_version(f.id, "v2.0", DATA + [{"id": "u2", "amount": 1.0, "ts": "x"}])
+    fs.catalog.set_version_status(v2.id, "deprecated")
+    fs.cache.clear()
+    assert fs.serve_vector("u2").features == {"total_spend": 7.0}
+
+
+def test_serve_matrix_pivot(fs):
+    t, f = _setup_feature(fs)
+    f2 = fs.create_feature("n_tx", t.id, "COUNT(*)", "numeric")
+    fs.compute_version(f.id, "v1.0", DATA)
+    fs.compute_version(f2.id, "v1.0", DATA)
+    m = {r["entity_id"]: r for r in fs.serve_matrix().collect()}
+    assert m["u1"]["total_spend"] == "15.0" and m["u1"]["n_tx"] == "2"
+    assert m["u2"]["total_spend"] == "7.0" and m["u2"]["n_tx"] == "1"
+
+
+def test_uniqueness_guards(fs):
+    t, f = _setup_feature(fs)
+    with pytest.raises(ConflictError):  # raw-table name (main.py:47-52)
+        fs.register_raw_table("user_transactions", RAW_SCHEMA)
+    fs.compute_version(f.id, "v1.0", DATA)
+    with pytest.raises(ConflictError):  # (feature_id, version) (main.py:163-172)
+        fs.compute_version(f.id, "v1.0", DATA)
+
+
+def test_fk_guards(fs):
+    with pytest.raises(NotFoundError):  # main.py:97-103
+        fs.create_feature("x", 999, "SUM(amount)", "numeric")
+    with pytest.raises(NotFoundError):  # main.py:156-161
+        fs.compute_version(999, "v1.0", DATA)
+
+
+def test_schema_validation_missing_column(fs):
+    _, f = _setup_feature(fs)
+    bad = [{"id": "u1", "amount": 1.0}]  # no ts
+    with pytest.raises(SchemaValidationError, match="ts"):
+        fs.compute_version(f.id, "v1.0", bad)
+
+
+def test_schema_validation_type_mismatch(fs):
+    _, f = _setup_feature(fs)
+    bad = [{"id": "u1", "amount": "not-a-number", "ts": "2026-01-01"}]
+    with pytest.raises(SchemaValidationError, match="numeric"):
+        fs.compute_version(f.id, "v1.0", bad)
+
+
+def test_missing_entity_column(fs):
+    _, f = _setup_feature(fs)
+    with pytest.raises(ComputationError, match="user_id"):
+        fs.compute_version(f.id, "v1.0", DATA, entity_id_column="user_id")
+
+
+def test_failed_write_leaves_no_orphan_version(fs):
+    """The reference commits the version row before values and cannot roll
+    it back (main.py:216 vs 224). We must not exhibit that bug."""
+    _, f = _setup_feature(fs)
+    with pytest.raises(ComputationError):
+        fs.compute_version(f.id, "v1.0", DATA, entity_id_column="id", metadata=None) \
+            if False else fs.compute_version(
+                f.id, "v1.0", [{"id": None, "amount": 1.0, "ts": "x"}][:0] or
+                [{"id": "u1", "amount": 1.0, "ts": "x"}], entity_id_column="nope"
+            )
+    assert fs.catalog.list_versions(f.id) == []
+
+
+def test_row_and_transform_logic(fs):
+    t = fs.register_raw_table("t2", {"required_columns": ["id", "amount"]})
+    row_f = fs.create_feature("double_amount", t.id, "row: amount * 2", "numeric")
+    fs.compute_version(row_f.id, "v1", [{"id": "a", "amount": 2.5}])
+    assert fs.serve_vector("a", ["double_amount"]).features == {"double_amount": 5.0}
+
+    from feature_store_implementation_spark.compute.engine import register_transform
+    from pyspark.sql import functions as F
+
+    @register_transform("max_amount")
+    def _max_amount(df, entity_col):
+        return df.groupBy(F.col(entity_col).cast("string").alias("entity_id")).agg(
+            F.max("amount").alias("value")
+        )
+
+    tr_f = fs.create_feature("max_amount", t.id, "transform:max_amount", "numeric")
+    fs.compute_version(tr_f.id, "v1", [{"id": "a", "amount": 2.5}, {"id": "a", "amount": 9.0}])
+    assert fs.serve_vector("a", ["max_amount"]).features == {"max_amount": 9.0}
+
+
+def test_json_value_roundtrip(fs):
+    """dict/list values JSON-encode on write and decode on read
+    (compute.py:76-79 + main.py:321-325)."""
+    t = fs.register_raw_table("t3", {})
+    f = fs.create_feature("basket", t.id, "row: array(amount, amount * 2)", "json")
+    fs.compute_version(f.id, "v1", [{"id": "a", "amount": 1.5}])
+    assert fs.serve_vector("a").features == {"basket": [1.5, 3.0]}
+
+
+def test_pagination(fs):
+    for i in range(7):
+        fs.register_raw_table(f"t{i}", {})
+    page = fs.catalog.list_raw_tables(skip=2, limit=3)
+    assert [r.name for r in page] == ["t2", "t3", "t4"]
