@@ -1,0 +1,308 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five levels, all deterministic (fixed hash functions — no per-run RNG), all
+expressed as DataFrame plans that scale: the candidate-generation step is
+always a hash-bucket equi-join (shuffle on the bucket key), never an O(n²)
+crossJoin. Exact verification runs only inside candidate buckets.
+
+* :func:`exact_dedup` — hash-groupBy, keep the minimum id per key.
+* :func:`minhash_near_dup_pairs` — word-shingle MinHash signatures → banded
+  LSH buckets → exact Jaccard verify within buckets.
+* :func:`simhash_signatures` / :func:`simhash_near_dup_pairs` — 64-bit
+  SimHash; pigeonhole banding finds all pairs within a Hamming radius.
+* :func:`ngram_jaccard_pairs` — exact n-gram Jaccard within a blocking key
+  (small blocks only; the MinHash path is the 100 TB route).
+* :func:`embedding_near_dup_pairs` — cosine near-duplicates over an
+  embedding column (brute within-block or via the similarity module's LSH).
+
+The reference itself only has ``drop_duplicates`` reach (SURVEY §2.D) —
+these are north-star extensions (BASELINE.json)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfns import tokens_col, word_ngrams_col
+from ..functions.vector import cosine_col
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: one hash aggregation keyed on the duplicate-defining
+    columns; the surviving row id is ``min(id)`` (deterministic, unlike
+    ``dropDuplicates`` which keeps an arbitrary first)."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _minhash_signature(shingles: Column, k: int) -> Column:
+    """k seeded xxhash64 min-hashes as an array<bigint>. Seeding via a
+    leading literal column keeps everything JVM-side and run-deterministic."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, j=j: F.xxhash64(F.lit(j), s)))
+            for j in range(k)
+        ]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n_shingle: int = 3, k: int = 32
+) -> DataFrame:
+    toks = tokens_col(F.col(text_col))
+    sh = word_ngrams_col(toks, n_shingle)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        sh.alias("shingles"),
+        _minhash_signature(sh, k).alias("signature"),
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH.
+
+    Plan shape (scale-first):
+      signatures (1 pass) → explode bands (×bands rows) → groupBy band bucket
+      (ONE shuffle on the bucket hash) → in-bucket pair generation (skipping
+      pathological buckets > max_bucket) → exact Jaccard verify via shingle
+      arrays (join back, broadcast-friendly at candidate cardinality).
+
+    With k=32, bands=8 (r=4 rows/band), the LSH S-curve crosses ~0.5 at
+    s ≈ (1/8)^(1/4) ≈ 0.59 — candidates well below ``threshold`` are cheap
+    to verify away; true pairs ≥ 0.7 are found with high probability.
+    Returns (doc_id_a, doc_id_b, jaccard) with doc_id_a < doc_id_b.
+    """
+    r = k // bands
+    sigs = minhash_signatures(df, text_col, id_col, n_shingle, k).cache()
+
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b), *[F.col("signature")[b * r + i] for i in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    # in-bucket sorted-id pair generation, skipping degenerate buckets
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
+                            ),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b"))
+        .distinct()
+    )
+
+    sh = sigs.select("doc_id", "shingles")
+    verified = (
+        pairs.join(sh.withColumnsRenamed({"doc_id": "doc_id_a", "shingles": "sh_a"}), "doc_id_a")
+        .join(sh.withColumnsRenamed({"doc_id": "doc_id_b", "shingles": "sh_b"}), "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 64
+
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash over unigram tokens (count-weighted): explode tokens,
+    hash each once, then 64 conditional sums in ONE aggregation (single
+    shuffle per doc key — no per-bit passes)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for b in range(_SIMHASH_BITS):
+        bit = (1 << b) if b < 63 else -(1 << 63)  # two's-complement long literal
+        term = F.when(F.col(f"s{b}") > 0, F.lit(bit).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return bit_sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 10000,
+) -> DataFrame:
+    """All pairs within Hamming distance ``max_hamming`` of each other's
+    SimHash. Pigeonhole banding: split 64 bits into (d+1) bands — any pair
+    within distance d agrees exactly on ≥1 band → candidates come from a
+    bucket equi-join, verified with bit_count(xor)."""
+    nb = max_hamming + 1
+    width = _SIMHASH_BITS // nb
+    sigs = simhash_signatures(df, text_col, id_col).cache()
+
+    def band(col: Column, b: int) -> Column:
+        shift = b * width
+        w = width + (_SIMHASH_BITS % nb if b == nb - 1 else 0)
+        mask = F.lit(-1).cast("long") if w >= 64 else F.lit((1 << w) - 1).cast("long")
+        return F.shiftrightunsigned(col, shift).bitwiseAND(mask)
+
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band(F.col("simhash"), b).alias("bucket"))
+                    for b in range(nb)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_a", "doc_id_b", F.col("hamming").cast("long").alias("hamming"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (blocked) & embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for all pairs sharing a blocking key.
+    Quadratic INSIDE blocks — use only with a selective block_col (language,
+    near-dup cluster, LSH bucket); MinHash is the unblocked scale path."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(block_col) if block_col else F.lit(1)).alias("block"),
+        word_ngrams_col(tokens_col(F.col(text_col)), n).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("a.sh", "b.sh")) / F.size(F.array_union("a.sh", "b.sh")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates. Blocked-quadratic form; for
+    unblocked 100 TB corpora route candidates through
+    :func:`similarity.lsh_topk` buckets first."""
+    v = df.select(
+        F.col(id_col).alias("vid"),
+        (F.col(block_col) if block_col else F.lit(1)).alias("block"),
+        F.col(vec_col).alias("v"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.vid") < F.col("b.vid")))
+        .withColumn("cosine", cosine_col(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.vid").alias("vec_id_a"),
+            F.col("b.vid").alias("vec_id_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

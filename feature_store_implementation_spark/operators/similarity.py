@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (north-star extension,
+BASELINE.json): top-k nearest neighbors by cosine.
+
+Two strategies:
+
+* :func:`brute_force_topk` — the exact baseline. Broadcast the (small) query
+  set against the corpus: each executor scores its corpus partition against
+  every query, then a per-query window keeps k. Cost O(|corpus|·|queries|),
+  embarrassingly parallel, no corpus shuffle — the right *exact* plan even
+  at 100 TB when |queries| is modest.
+* :func:`lsh_topk` — the approximate scale path: deterministic random-
+  hyperplane (sign) LSH. Bucketing is a vectorized numpy matmul inside
+  ``mapInPandas`` (Arrow batches — the legitimate Pandas-UDF use: a dense
+  matrix product built-ins can't express); candidates come from bucket
+  equality (+ optional multi-probe at Hamming ≤ 1), re-ranked exactly.
+  Corpus shuffles ONCE on bucket id; queries broadcast."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.vector import cosine_col
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × corpus, deterministic ranking
+    on (rounded cosine desc, corpus id asc). Returns
+    (query_id, vec_id, cosine, rank)."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    scored = c.join(F.broadcast(q)).withColumn(
+        "cosine", F.round(cosine_col(F.col("cv"), F.col("qv")), 6)
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    return np.random.RandomState(seed).randn(n_planes, dim).astype(np.float64)
+
+
+def _bucket_mapper(planes: np.ndarray, vec_field: str):
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_field].to_numpy())  # (n, dim)
+            bits = (mat @ planes.T) > 0  # (n, n_planes)
+            bucket = np.zeros(len(pdf), dtype=np.int64)
+            for i in range(planes.shape[0]):
+                bucket |= bits[:, i].astype(np.int64) << i
+            out = pdf.drop(columns=[vec_field])
+            out["bucket"] = bucket
+            out[vec_field] = pdf[vec_field]
+            yield out
+
+    return mapper
+
+
+def assign_lsh_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Add a deterministic sign-LSH ``bucket`` column (int64 of n_planes
+    sign bits). One Arrow-batched pass, no shuffle."""
+    planes = _planes(dim, n_planes, seed)
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != vec_col]
+        + [T.StructField("bucket", T.LongType()), df.schema[vec_col]]
+    )
+    return df.mapInPandas(_bucket_mapper(planes, vec_col), schema=out_schema)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    n_planes: int = 12,
+    seed: int = 42,
+    dim: int = 64,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket with the query
+    (exact bucket + Hamming-1 probes by default), exact cosine re-rank.
+    Recall is tunable via n_planes/multiprobe; a ``rank`` column marks the
+    deterministic order. Candidate generation is a broadcast hash join on
+    bucket id — corpus never self-joins."""
+    cb = assign_lsh_buckets(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col)), vec_col, n_planes, seed, dim
+    )
+    qb = assign_lsh_buckets(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col)),
+        vec_col,
+        n_planes,
+        seed,
+        dim,
+    ).withColumnRenamed(vec_col, "qv")
+
+    if multiprobe:  # probe the exact bucket plus every Hamming-1 neighbor
+        probes = F.array(
+            F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+        )
+        qb = qb.select("query_id", "qv", F.explode(probes).alias("bucket"))
+
+    cands = cb.join(F.broadcast(qb), "bucket").withColumn(
+        "cosine", F.round(cosine_col(F.col(vec_col), F.col("qv")), 6)
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cands.select("query_id", "vec_id", "cosine")
+        .distinct()  # multiprobe can surface the same pair twice
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )

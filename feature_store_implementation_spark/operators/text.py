@@ -1,0 +1,118 @@
+"""Text-analysis operators (north-star extension): language ID, quality
+scoring, token counting, document fingerprinting.
+
+Everything is built from JVM-side expressions (regexp counts, higher-order
+array folds) so the hot path stays inside whole-stage codegen, and every
+formula is reproducible in ANSI SQL for the DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfns import tokens_col
+
+# Tiny per-language function-word lists for the n-gram/stopword heuristic.
+# Deliberately minimal and public-knowledge; ties broken by language-code
+# order for determinism.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "mit"],
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "es": ["el", "la", "de", "que", "y", "los", "es", "un"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "que"],
+    "zh": ["de", "shi", "bu", "zai", "you", "wo", "le", "ren"],
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"] + ["a", "for", "on", "with", "as", "was", "at", "by"]
+
+
+def _count_in(tokens: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token/char statistics: counts, average token length, punctuation and
+    whitespace ratios, uppercase ratio. Pure expressions; one pass."""
+    text = F.col(text_col)
+    toks = tokens_col(text, lowercase=False)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(text, r"[A-Z]", ""))
+    n_space = n_chars - F.length(F.regexp_replace(text, r"\s", ""))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(
+            (n_chars - n_space).cast("double") / F.greatest(n_tokens, F.lit(1)), 6
+        ).alias("avg_token_len"),
+        F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(n_upper.cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias("upper_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality in [0,1]: length sweet-spot, moderate
+    punctuation, healthy stopword density (the classic Gopher-style rules,
+    reduced to oracle-expressible arithmetic)."""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    stop_ratio = _count_in(toks, EN_STOPWORDS).cast("double") / F.greatest(n_tokens, F.lit(1))
+    punct_ratio = (
+        n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    ).cast("double") / F.greatest(n_chars, F.lit(1))
+    length_score = F.least(n_tokens.cast("double") / 50.0, F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio * 5.0, F.lit(1.0))
+    stop_score = F.least(stop_ratio * 4.0, F.lit(1.0))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(length_score, 6).alias("length_score"),
+        F.round(stop_score, 6).alias("stopword_score"),
+        F.round(
+            0.4 * length_score + 0.3 * punct_score + 0.3 * stop_score, 6
+        ).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Function-word-count language ID: score each candidate language by
+    marker hits per token, pick the argmax (ties → language-code order).
+    Scores ride along for calibration."""
+    toks = tokens_col(F.col(text_col))
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    scored = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[
+            F.round(_count_in(toks, words).cast("double") / n, 6).alias(f"score_{lang}")
+            for lang, words in sorted(LANG_MARKERS.items())
+        ],
+    )
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.lit(None).cast("string")
+    for lg in reversed(langs):  # earlier lang wins ties → apply in reverse
+        pred = F.when(F.col(f"score_{lg}") == best, F.lit(lg)).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        pred.alias("predicted_lang"),
+        *[f"score_{lg}" for lg in langs],
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-sensitive rolling hash over the token sequence — a cheap
+    content fingerprint for shift-tolerant exact matching. The token code
+    (first-char code × 131 + length × 7919) and the mod-2⁴⁰ accumulator are
+    chosen to be overflow-free and bit-identical in ANSI SQL."""
+    toks = tokens_col(F.col(text_col))
+    code = lambda t: (F.ascii(t).cast("long") * 131 + F.length(t).cast("long") * 7919)  # noqa: E731
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + code(t)) % F.lit(1099511627776).cast("long"),  # 2^40
+    )
+    return df.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))

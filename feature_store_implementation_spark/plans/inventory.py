@@ -902,3 +902,357 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.C joins — as-of (point-in-time) and range
+# ---------------------------------------------------------------------------
+
+# DuckDB-side exact double-precision fold helpers (bit-identical to the
+# Spark higher-order-function folds in functions/vector.py).
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, v) -> acc + v)"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+@query(
+    "q_asof_join",
+    """
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           p.value AS purchase_value,
+           s.value AS signup_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join — THE feature-store operator (SURVEY §2.C
+    joins, hard-part 1): for each purchase, the most recent prior signup's
+    value for the same user. Implemented as union + window carry-forward
+    (operators/asof.py) — one shuffle, no range explosion; oracled against
+    DuckDB's native ASOF JOIN."""
+    from ..operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    signups = e.filter(F.col("event_type") == "signup")
+    return asof_join(
+        purchases, signups, on="ts", by="user_id", value_cols=["value"]
+    ).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+        F.col("value_right").alias("signup_value"),
+    )
+
+
+@query(
+    "q_range_join",
+    """
+    SELECT b.band, p.p_partkey, p.p_retailprice
+    FROM part p
+    JOIN (VALUES ('budget', 0.0, 1000.0),
+                 ('mid', 1000.0, 1500.0),
+                 ('premium', 1500.0, 100000.0)) AS b(band, lo, hi)
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join against a small in-memory band dimension — Spark
+    executes broadcast-nested-loop, the right plan when one side is tiny."""
+    p = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 1000.0), ("mid", 1000.0, 1500.0), ("premium", 1500.0, 100000.0)],
+        schema="band string, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .select("band", "p_partkey", "p_retailprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# north-star: deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    """
+    SELECT lang, source,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on (lang, source): hash-groupBy keeping the minimum
+    doc_id (deterministic survivor, unlike dropDuplicates)."""
+    from ..operators.dedup import exact_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d, ["lang", "source"], "doc_id")
+
+
+@query("q_dedup_minhash", None)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs over documents.text (rows-only
+    check: banded LSH is not SQL-expressible; exactness is covered by
+    tests/test_dedup.py against a pure-Python oracle)."""
+    from ..operators.dedup import minhash_near_dup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(d, "text", "doc_id", threshold=0.5)
+
+
+@query("q_dedup_simhash", None)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs within Hamming distance 3 (rows-only;
+    tests verify against a Python SimHash oracle)."""
+    from ..operators.dedup import simhash_near_dup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, "text", "doc_id", max_hamming=3)
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id, lang,
+        CASE WHEN len(toks) >= 3 THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)])
+             ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM (SELECT doc_id, lang,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+            FROM documents)
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                      len(list_distinct(list_concat(a.sh, b.sh))), 6) AS DOUBLE) AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs blocked by language — the
+    verify-stage primitive behind MinHash, oracled exactly in SQL."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id", block_col="lang", n=3, threshold=0.2)
+
+
+@query(
+    "q_embedding_neardup",
+    f"""
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           CAST(ROUND({_cos('a.embedding', 'b.embedding')}, 6) AS DOUBLE) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_cos('a.embedding', 'b.embedding')} >= 0.45
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.45). The double
+    fold is bit-identical between Spark's aggregate() and DuckDB's
+    list_reduce, so no rounding ambiguity at the threshold."""
+    from ..operators.dedup import embedding_near_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, "embedding", "vec_id", threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# north-star: similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_similarity_topk",
+    f"""
+    SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+             ROUND({_cos('b.embedding', 'q.embedding')}, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY ROUND({_cos('b.embedding', 'q.embedding')}, 6) DESC,
+                                         b.vec_id) AS rank
+      FROM embeddings b, (SELECT * FROM embeddings WHERE vec_id < 5) q
+    ) WHERE rank <= 10
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for 5 query vectors: broadcast
+    queries, score corpus partitions in place, per-query window top-k —
+    no corpus shuffle (the exact-search plan that holds at scale)."""
+    from ..operators.similarity import brute_force_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return brute_force_topk(e, q, k=10)
+
+
+@query("q_similarity_lsh", None)
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via deterministic sign-LSH buckets + multiprobe +
+    exact re-rank (rows-only; recall vs brute force asserted in
+    tests/test_similarity.py)."""
+    from ..operators.similarity import lsh_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return lsh_topk(e, q, k=10)
+
+
+# ---------------------------------------------------------------------------
+# north-star: text analysis
+# ---------------------------------------------------------------------------
+
+_TOKS = "list_filter(regexp_split_to_array({t}, '\\s+'), x -> x <> '')"
+
+
+@query(
+    "q_text_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             {_TOKS.format(t='text')} AS toks,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+             length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+             length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace_removed
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(ROUND(CAST(n_chars - n_nonspace_removed AS DOUBLE) / greatest(len(toks), 1), 6) AS DOUBLE) AS avg_token_len,
+           CAST(ROUND(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6) AS DOUBLE) AS punct_ratio,
+           CAST(ROUND(CAST(n_upper AS DOUBLE) / greatest(n_chars, 1), 6) AS DOUBLE) AS upper_ratio
+    FROM t
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + char-class ratios, all as codegen'd expressions."""
+    from ..operators.text import text_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return text_stats(d, "text", "doc_id")
+
+
+@query("q_quality_score", None)  # oracle added below via SQL builder
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score in [0,1] from length/punctuation/stopword
+    signals (Gopher-style rules as plain arithmetic)."""
+    from ..operators.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return quality_score(d, "text", "doc_id")
+
+
+@query("q_lang_id", None)  # oracle added below via SQL builder
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-word language ID with deterministic argmax."""
+    from ..operators.text import language_id
+
+    d = load_table(spark, sf_dir, "documents")
+    return language_id(d, "text", "doc_id")
+
+
+@query(
+    "q_doc_fingerprint",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_concat([CAST(0 AS BIGINT)],
+               list_transform({_TOKS.format(t='lower(text)')},
+                 t -> CAST(ascii(t) AS BIGINT) * 131 + CAST(length(t) AS BIGINT) * 7919)),
+             (acc, c) -> (acc * 31 + c) % 1099511627776) AS fingerprint
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling token hash (mod 2⁴⁰, overflow-free in both
+    engines)."""
+    from ..operators.text import doc_fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    return doc_fingerprint(d, "text", "doc_id")
+
+
+# -- oracles for quality/lang-id, built from the same marker lists ----------
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _install_text_oracles() -> None:
+    from ..operators.text import EN_STOPWORDS, LANG_MARKERS
+
+    toks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+    hits = "len(list_filter(toks, t -> list_contains({lst}, t)))"
+
+    stop_ratio = (
+        f"CAST({hits.format(lst=_sql_list(EN_STOPWORDS))} AS DOUBLE) / greatest(len(toks), 1)"
+    )
+    punct_ratio = (
+        "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)"
+        " / greatest(length(text), 1)"
+    )
+    quality_sql = f"""
+    WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) AS length_score,
+             1.0 - least({punct_ratio} * 5.0, 1.0) AS punct_score,
+             least({stop_ratio} * 4.0, 1.0) AS stop_score
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(ROUND(length_score, 6) AS DOUBLE) AS length_score,
+           CAST(ROUND(stop_score, 6) AS DOUBLE) AS stopword_score,
+           CAST(ROUND(0.4 * length_score + 0.3 * punct_score + 0.3 * stop_score, 6) AS DOUBLE) AS quality
+    FROM s
+    """
+
+    langs = sorted(LANG_MARKERS)
+    score_exprs = ",\n             ".join(
+        f"CAST(ROUND(CAST({hits.format(lst=_sql_list(LANG_MARKERS[lg]))} AS DOUBLE)"
+        f" / greatest(len(toks), 1), 6) AS DOUBLE) AS score_{lg}"
+        for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lg} = {best} THEN '{lg}'" for lg in langs
+    ) + " END"
+    lang_sql = f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    s AS (SELECT doc_id,
+             {score_exprs}
+          FROM t)
+    SELECT doc_id, {case} AS predicted_lang,
+           {', '.join(f'score_{lg}' for lg in langs)}
+    FROM s
+    """
+
+    for name, sql in (("q_quality_score", quality_sql), ("q_lang_id", lang_sql)):
+        old = SPECS[name]
+        SPECS[name] = QuerySpec(name=old.name, fn=old.fn, oracle=sql, doc=old.doc)
+
+
+_install_text_oracles()

@@ -1,0 +1,114 @@
+"""As-of join vs the pandas merge_asof oracle (SURVEY §7 hard-part 1)."""
+
+import pandas as pd
+import numpy as np
+import pytest
+
+from feature_store_implementation_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def frames():
+    rng = np.random.RandomState(7)
+    n_left, n_right = 400, 150
+    left = pd.DataFrame(
+        {
+            "key": rng.randint(0, 10, n_left),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.randint(0, 10**6, n_left), unit="s"),
+            "lval": rng.randn(n_left).round(3),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "key": rng.randint(0, 10, n_right),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.randint(0, 10**6, n_right), unit="s"),
+            "rval": rng.randn(n_right).round(3),
+        }
+    )
+    # make right (key, ts) unique so the match is well-defined
+    right = right.drop_duplicates(["key", "ts"])
+    return left, right
+
+
+def test_asof_backward_matches_pandas(spark, frames):
+    left, right = frames
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="ts",
+            by="key",
+            value_cols=["rval"],
+        )
+        .toPandas()
+        .sort_values(["key", "ts", "lval"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.merge_asof(
+            left.sort_values("ts"),
+            right.sort_values("ts"),
+            on="ts",
+            by="key",
+            direction="backward",
+        )
+        .rename(columns={"rval": "rval_right"})
+        .sort_values(["key", "ts", "lval"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["key", "ts", "lval", "rval_right"]],
+        exp[["key", "ts", "lval", "rval_right"]],
+        check_dtype=False,
+    )
+
+
+def test_asof_tolerance(spark, frames):
+    left, right = frames
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="ts",
+            by="key",
+            value_cols=["rval"],
+            tolerance="3600 seconds",
+        )
+        .toPandas()
+        .sort_values(["key", "ts", "lval"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.merge_asof(
+            left.sort_values("ts"),
+            right.sort_values("ts"),
+            on="ts",
+            by="key",
+            direction="backward",
+            tolerance=pd.Timedelta("3600s"),
+        )
+        .rename(columns={"rval": "rval_right"})
+        .sort_values(["key", "ts", "lval"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["key", "ts", "lval", "rval_right"]],
+        exp[["key", "ts", "lval", "rval_right"]],
+        check_dtype=False,
+    )
+
+
+def test_asof_inclusive_equal_ts(spark):
+    """A right row at exactly the left timestamp must match (backward
+    inclusive, merge_asof default)."""
+    from datetime import datetime
+
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    left = [("a", t("2024-01-01 00:00:10"), 1.0)]
+    right = [("a", t("2024-01-01 00:00:10"), 99.0), ("a", t("2024-01-01 00:00:05"), 5.0)]
+    ldf = spark.createDataFrame(left, "key string, ts timestamp, lval double")
+    rdf = spark.createDataFrame(right, "key string, ts timestamp, rval double")
+    out = asof_join(ldf, rdf, on="ts", by="key", value_cols=["rval"]).collect()
+    assert out[0]["rval_right"] == 99.0

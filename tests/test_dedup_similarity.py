@@ -1,0 +1,166 @@
+"""Dedup + similarity operators vs Python/numpy oracles — these are the
+rows-only queries in the driver harness, so their exactness is proven here
+(SURVEY §5.1: non-SQL-expressible ops get library-level oracles)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_implementation_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+    embedding_near_dup_pairs,
+)
+from feature_store_implementation_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+
+BASE = (
+    "spark group query row data slow small filter customer line the batch value "
+    "merge line table data line join agg window sort scan hash part order stream"
+)
+
+
+def _docs(spark):
+    variants = [
+        (0, BASE),
+        (1, BASE),  # exact duplicate of 0
+        (2, BASE.replace("query", "plan").replace("sort", "topk")),  # near-dup
+        (3, "totally different words about cooking pasta with garlic and oil"),
+        (4, BASE.replace("spark", "flink")),  # near-dup of 0
+        (5, "another unrelated document mentioning mountains rivers and hiking"),
+    ]
+    return spark.createDataFrame(variants, "doc_id long, text string")
+
+
+def _py_shingles(text, n=3):
+    toks = [t for t in text.lower().split() if t]
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_exact_dedup_deterministic_survivor(spark):
+    df = _docs(spark)
+    out = {r["text"]: r for r in exact_dedup(df, ["text"], "doc_id").collect()}
+    assert out[BASE]["keep_id"] == 0 and out[BASE]["n_copies"] == 2
+
+
+def test_minhash_finds_planted_near_dups_with_exact_jaccard(spark):
+    df = _docs(spark)
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in minhash_near_dup_pairs(df, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 4) in pairs and (1, 4) in pairs  # one-word edit → high jaccard
+    # reported jaccard must equal the exact python-set jaccard
+    for (a, b), j in pairs.items():
+        sa, sb = _py_shingles(dict(_rows(df))[a]), _py_shingles(dict(_rows(df))[b])
+        exact = len(sa & sb) / len(sa | sb)
+        assert abs(j - exact) < 1e-6
+    # unrelated docs must not pair
+    assert not any({3, 5} & {a, b} for a, b in pairs)
+
+
+def _rows(df):
+    return [(r["doc_id"], r["text"]) for r in df.collect()]
+
+
+def test_simhash_near_dups(spark):
+    df = _docs(spark)
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    assert pairs[(0, 1)] == 0  # identical text → identical simhash
+    assert all(h <= 3 for h in pairs.values())
+    assert not any({3, 5} & {a, b} for a, b in pairs)
+
+
+def test_ngram_jaccard_blocked(spark):
+    df = _docs(spark).withColumn("blk", F.lit("x"))
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, block_col="blk", threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from feature_store_implementation_spark.sources.tables import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    pdf = emb.toPandas()
+    mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = brute_force_topk(emb, q, k=5).toPandas()
+    norms = np.linalg.norm(mat, axis=1)
+    for qid in range(3):
+        qi = np.where(ids == qid)[0][0]
+        cos = (mat @ mat[qi]) / (norms * norms[qi])
+        order = np.lexsort((ids, -cos.round(6)))[:5]
+        expect = [int(ids[i]) for i in order]
+        have = got[got.query_id == qid].sort_values("rank")["vec_id"].tolist()
+        assert have == expect, f"query {qid}: {have} != {expect}"
+
+
+def test_lsh_topk_recall_clustered(spark):
+    """Recall is measured on CLUSTERED vectors — the regime ANN is for.
+    (On uniformly random vectors nearest neighbors are nearly orthogonal and
+    every LSH family degrades to chance; the real embeddings table is random,
+    so it only gets the self-hit check below.)"""
+    rng = np.random.RandomState(3)
+    centers = rng.randn(8, 32) * 2
+    rows = [
+        (int(i), (centers[i % 8] + 0.15 * rng.randn(32)).tolist()) for i in range(400)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(corpus, q, k=5).toPandas()
+    approx = lsh_topk(corpus, q, k=5, n_planes=10, dim=32, multiprobe=True).toPandas()
+    hits = total = 0
+    for qid in range(8):
+        e = set(exact[exact.query_id == qid]["vec_id"])
+        a = set(approx[approx.query_id == qid]["vec_id"])
+        hits += len(e & a)
+        total += len(e)
+    recall = hits / total
+    assert recall >= 0.8, f"LSH recall@5 on clustered data too low: {recall}"
+
+
+def test_lsh_topk_self_hit(spark, emb):
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = lsh_topk(emb, q, k=5, n_planes=10, multiprobe=True).toPandas()
+    # rank-1 self-hit must always survive bucketing (identical vector)
+    self_hits = approx[(approx["rank"] == 1)]
+    assert all(self_hits["query_id"] == self_hits["vec_id"])
+
+
+def test_embedding_near_dup_planted(spark):
+    rng = np.random.RandomState(0)
+    base = rng.randn(16)
+    rows = [
+        (0, (base / np.linalg.norm(base)).tolist()),
+        (1, (base / np.linalg.norm(base) + 0.01 * rng.randn(16)).tolist()),  # near-dup
+        (2, rng.randn(16).tolist()),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["vec_id_a"], r["vec_id_b"]) for r in
+             embedding_near_dup_pairs(df, threshold=0.95).collect()}
+    assert (0, 1) in pairs and len(pairs) == 1
