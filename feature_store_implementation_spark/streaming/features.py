@@ -1,0 +1,175 @@
+"""Streaming feature pipelines (north-star extension; the reference has no
+streaming at all, SURVEY §2.D).
+
+Everything is written against the ``events`` table shape (TESTDATA.md):
+``event_id, ts, user_id, event_type, value, props``. Each transformation is a
+plain DataFrame→DataFrame function, so the SAME code runs in batch (for the
+oracle harness) and under ``readStream`` (Structured Streaming's unified
+semantics) — that equivalence is asserted in tests/test_streaming.py.
+
+Late data is handled by watermarks; output mode is left to the caller's
+``writeStream`` (append for windowed aggs once the watermark closes windows).
+At cluster scale the source would be Kafka/Delta; here the file source stands
+in (``trigger(availableNow=True)`` for deterministic test runs)."""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of events parquet (one-file-per-trigger keeps
+    tests deterministic; swap for Kafka/Delta in production)."""
+    return spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(path)
+
+
+def tumbling_features(
+    events: DataFrame, width: str = "1 hour", watermark: str | None = "2 hours"
+) -> DataFrame:
+    """Per-user tumbling-window aggregates with late-data watermark."""
+    src = (
+        events.withWatermark("ts", watermark)
+        if (events.isStreaming and watermark)
+        else events
+    )
+    return (
+        src.groupBy(F.window("ts", width).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_features(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Sliding-window event counts per type (each event lands in
+    width/slide windows)."""
+    src = (
+        events.withWatermark("ts", watermark)
+        if (events.isStreaming and watermark)
+        else events
+    )
+    return (
+        src.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_features(
+    events: DataFrame, gap: str = "30 minutes", watermark: str | None = "2 hours"
+) -> DataFrame:
+    """Session windows: activity bursts per user separated by ``gap`` of
+    silence — the canonical stateful streaming aggregation."""
+    src = (
+        events.withWatermark("ts", watermark)
+        if (events.isStreaming and watermark)
+        else events
+    )
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once by event_id within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` keeps state bounded — a plain
+    dropDuplicates would grow state forever on an unbounded stream)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
+_STATE_SCHEMA = "user_id LONG, total DOUBLE, n LONG"
+_OUT_SCHEMA = "user_id LONG, total DOUBLE, n LONG"
+
+
+def running_user_state(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful op via applyInPandasWithState: a running
+    (total, count) per user across triggers — the custom-operator escape
+    hatch for semantics window functions can't express on streams."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            total += float(pdf["value"].sum())
+            n += len(pdf)
+        state.update((total, n))
+        yield pd.DataFrame({"user_id": [key[0]], "total": [total], "n": [n]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType="total DOUBLE, n LONG",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_to_offline_store(
+    features: DataFrame,
+    path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Sink a streaming feature DataFrame into the offline store directory
+    (append-mode parquet; Delta upsert in production). Returns the query."""
+    writer = (
+        features.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

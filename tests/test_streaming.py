@@ -1,0 +1,114 @@
+"""Structured Streaming tests: the SAME transformation functions must
+produce identical results in batch and streaming (unified semantics), and
+the stateful/dedup operators must behave under incremental triggers."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_implementation_spark.sources.tables import load_table
+from feature_store_implementation_spark.streaming.features import (
+    EVENTS_SCHEMA,
+    dedup_events,
+    read_events_stream,
+    session_features,
+    sliding_features,
+    stream_to_offline_store,
+    tumbling_features,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """events split into several parquet files → several stream triggers."""
+    root = tmp_path_factory.mktemp("events_stream")
+    e = load_table(spark, SF, "events")
+    e.repartition(4).write.mode("overwrite").parquet(str(root / "in"))
+    return str(root / "in")
+
+
+def _run_stream(spark, stream_df, tmp_path, mode="append"):
+    out = str(tmp_path / "mem_out")
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(f"t_{abs(hash(out)) % 10**8}")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(q.name)
+
+
+@pytest.mark.parametrize(
+    "fn,keys",
+    [
+        (tumbling_features, ["window_start", "user_id"]),
+        (sliding_features, ["window_start", "event_type"]),
+        (session_features, ["session_start", "user_id"]),
+    ],
+)
+def test_stream_equals_batch(spark, events_dir, tmp_path, fn, keys):
+    """Unified semantics: the SAME transformation over readStream must equal
+    the batch result. Output mode 'complete' so the comparison is exact —
+    in append mode, out-of-order file triggers mean the watermark (a) drops
+    late rows and (b) holds not-yet-closed tail windows in state, which is
+    correct streaming behavior but not batch-comparable."""
+    batch_src = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    stream_src = read_events_stream(spark, events_dir)
+
+    expected = {tuple(r) for r in fn(batch_src).collect()}
+    # no watermark → nothing dropped: exact batch equivalence in complete mode
+    got_df = _run_stream(spark, fn(stream_src, watermark=None), tmp_path, mode="complete")
+    got = {tuple(r) for r in got_df.collect()}
+    assert got == expected and len(got) > 0
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event_ids across triggers are emitted once."""
+    e = load_table(spark, SF, "events").limit(200)
+    dup_dir = str(tmp_path / "dup_in")
+    e.repartition(2).write.mode("overwrite").parquet(dup_dir)
+    e.repartition(2).write.mode("append").parquet(dup_dir)  # same rows again
+
+    stream = read_events_stream(spark, dup_dir)
+    out = _run_stream(spark, dedup_events(stream), tmp_path)
+    n = out.select("event_id").distinct().count()
+    total = out.count()
+    assert n == 200 and total == 200
+
+
+def test_stream_to_offline_store_sink(spark, tmp_path):
+    """Append-mode sink over a TIME-ORDERED source (files written in
+    chronological order, as a real stream delivers data): every emitted
+    window must match the batch result exactly; only tail windows newer than
+    the final watermark may remain unemitted in state."""
+    import time
+
+    e = load_table(spark, SF, "events").withColumn(
+        "_us", F.unix_micros("ts")
+    )
+    src_dir = str(tmp_path / "ordered_in")
+    bounds = e.approxQuantile("_us", [0.25, 0.5, 0.75], 0.0)
+    lo = float("-inf")
+    for i, hi in enumerate([*bounds, float("inf")]):
+        part = e.filter((F.col("_us") > lo) & (F.col("_us") <= hi)).drop("_us")
+        part.coalesce(1).write.mode("append").parquet(src_dir)
+        time.sleep(0.05)  # distinct mtimes → file source replays in order
+        lo = hi
+
+    stream = read_events_stream(spark, src_dir)
+    q = stream_to_offline_store(
+        tumbling_features(stream), str(tmp_path / "out"), str(tmp_path / "ck2")
+    )
+    q.awaitTermination(120)
+    written = spark.read.parquet(str(tmp_path / "out"))
+    batch = tumbling_features(spark.read.schema(EVENTS_SCHEMA).parquet(src_dir))
+    assert 0 < written.count() <= batch.count()
+    # emitted rows are final: exact match against batch, no partials
+    assert written.exceptAll(batch).count() == 0
+    shutil.rmtree(str(tmp_path / "out"), ignore_errors=True)
