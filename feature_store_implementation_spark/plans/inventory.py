@@ -1255,4 +1255,407 @@ def _install_text_oracles() -> None:
         SPECS[name] = QuerySpec(name=old.name, fn=old.fn, oracle=sql, doc=old.doc)
 
 
+# ---------------------------------------------------------------------------
+# §2.C — sessionization, sliding windows, subqueries, grouping sets,
+# array/pivot/string-agg surfaces, token counting, multimodal metadata
+# ---------------------------------------------------------------------------
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@query(
+    "q_session_window",
+    f"""
+    WITH x AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    y AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS {DEC})), 2) AS DOUBLE) AS sum_value
+    FROM y GROUP BY user_id, sid
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) per user via
+    ``session_window`` — the same expression drives the streaming session
+    features in streaming/features.py; the oracle rebuilds sessions with the
+    classic gaps-and-islands SQL. Session assignment shuffles once on
+    user_id; state stays bounded by the gap at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_sliding_window",
+    f"""
+    SELECT strftime(make_timestamp((epoch_us(ts) // 1800000000) * 1800000000
+                                   - k.k * 1800000000),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS {DEC})), 2) AS DOUBLE) AS sum_value
+    FROM events, (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) k(k)
+    GROUP BY 1
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window with 30-min slide: every event lands in exactly
+    two epoch-aligned windows. The oracle materializes the same two buckets
+    arithmetically (window_start = 30-min bucket minus k*30min, k∈{0,1})."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(CAST(l_quantity AS {DEC})), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id disambiguation — one pass,
+    Spark expands to a single shuffle (no per-set rescan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    )
+
+
+@query(
+    "q_scalar_subquery",
+    f"""
+    WITH a AS (
+      SELECT CAST(ROUND(CAST(SUM(CAST(p_retailprice AS {DEC})) AS DOUBLE) / COUNT(*), 6)
+                  AS DOUBLE) AS avg_price
+      FROM part
+    )
+    SELECT p.p_partkey, p.p_retailprice, a.avg_price
+    FROM part p, a
+    WHERE p.p_retailprice > a.avg_price
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (parts above global average price):
+    the 1-row aggregate is broadcast — no shuffle of the fact side."""
+    p = load_table(spark, sf_dir, "part")
+    avg_row = p.agg(
+        F.round(F.sum(dec("p_retailprice")).cast("double") / F.count(F.lit(1)), 6)
+        .cast("double")
+        .alias("avg_price")
+    )
+    return (
+        p.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("p_retailprice") > F.col("avg_price"))
+        .select("p_partkey", "p_retailprice", "avg_price")
+    )
+
+
+@query(
+    "q_correlated_agg",
+    f"""
+    WITH n AS (
+      SELECT c_nationkey,
+             CAST(ROUND(CAST(SUM(CAST(c_acctbal AS {DEC})) AS DOUBLE) / COUNT(*), 6)
+                  AS DOUBLE) AS nation_avg
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT c.c_custkey, c.c_nationkey, c.c_acctbal, n.nation_avg
+    FROM customer c JOIN n ON c.c_nationkey = n.c_nationkey
+    WHERE c.c_acctbal > n.nation_avg
+    """,
+)
+def q_correlated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate filter (customers above their nation's average
+    balance), decorrelated into agg + broadcast join — the plan Catalyst's
+    subquery decorrelation would produce, written directly."""
+    c = load_table(spark, sf_dir, "customer")
+    nation_avg = c.groupBy("c_nationkey").agg(
+        F.round(F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1)), 6)
+        .cast("double")
+        .alias("nation_avg")
+    )
+    return (
+        c.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal", "nation_avg")
+    )
+
+
+@query(
+    "q_explode_array",
+    """
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM embeddings
+    WHERE vec_id < 50
+    """,
+)
+def q_explode_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode of the embedding array (UDTF surface, SURVEY §2.C):
+    lateral expansion stays partition-local — no shuffle."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return e.select("vec_id", F.posexplode("embedding").alias("pos", "val")).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("pos"),
+        F.col("val").cast("double").alias("val"),
+    )
+
+
+@query(
+    "q_string_agg",
+    """
+    SELECT r.r_name,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG) as sort_array(collect_list) —
+    deterministic regardless of partition arrival order."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+        )
+    )
+
+
+@query(
+    "q_percentiles",
+    """
+    SELECT l_returnflag,
+           CAST(ROUND(quantile_cont(l_quantity, 0.25), 6) AS DOUBLE) AS p25,
+           CAST(ROUND(quantile_cont(l_quantity, 0.50), 6) AS DOUBLE) AS p50,
+           CAST(ROUND(quantile_cont(l_quantity, 0.75), 6) AS DOUBLE) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (pandas .quantile parity).
+    At 100 TB swap percentile → approx_percentile; exact is the oracle-able
+    baseline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).cast("double").alias("p25"),
+        F.round(F.percentile("l_quantity", F.lit(0.50)), 6).cast("double").alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 6).cast("double").alias("p75"),
+    )
+
+
+@query(
+    "q_conditional_agg",
+    f"""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(COUNT(CASE WHEN c_acctbal < 0 THEN 1 END) AS BIGINT) AS n_negative,
+           CAST(ROUND(SUM(CASE WHEN c_acctbal > 5000 THEN CAST(c_acctbal AS {DEC})
+                               ELSE CAST(0 AS {DEC}) END), 2) AS DOUBLE) AS rich_balance
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: count_if + sum(case when) — filtered
+    aggregates in one pass instead of self-joins."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.count_if(F.col("c_acctbal") < 0).cast("long").alias("n_negative"),
+        F.round(
+            F.sum(
+                F.when(F.col("c_acctbal") > 5000, dec("c_acctbal")).otherwise(
+                    F.lit(0).cast(DEC)
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("rich_balance"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q_pivot",
+    "SELECT user_id,\n"
+    + ",\n".join(
+        f"       CAST(COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    + "\nFROM events GROUP BY user_id",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type → count columns per user (B7 vector pivot shape).
+    Explicit value list keeps it one pass — no distinct-scan first."""
+    e = load_table(spark, sf_dir, "events")
+    out = e.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return out.fillna(0, subset=_EVENT_TYPES)
+
+
+_BPE_RE = r"\w+|[^\w\s]"
+
+
+@query(
+    "q_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+                AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(ROUND(CAST(length(text) AS DOUBLE)
+                      / greatest(len(regexp_extract_all(text, '{_BPE_RE}')), 1), 6)
+                AS DOUBLE) AS chars_per_token
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (north-star text op): whitespace split and a
+    BPE-ish word/punct regex — all codegen'd expressions, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0))
+    return d.select(
+        "doc_id",
+        ws.cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
+        F.round(F.length("text").cast("double") / F.greatest(bpe, F.lit(1)), 6)
+        .cast("double")
+        .alias("chars_per_token"),
+    )
+
+
+@query(
+    "q_media_metadata",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256_hex,
+           md5(text) AS md5_hex
+    FROM documents
+    """,
+)
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata path (operators/multimodal.py) oracle-checked on
+    a real binary column: utf-8 bytes of documents.text stand in for the
+    opaque media blob; length + checksums are all JVM-side expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    b = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(b).cast("long").alias("n_bytes"),
+        F.sha2(b, 256).alias("sha256_hex"),
+        F.md5(b).alias("md5_hex"),
+    )
+
+
+@query(
+    "q_window_range_between",
+    f"""
+    SELECT event_id, user_id,
+           strftime(ts, '{_TS_FMT_DUCK}') AS ts,
+           CAST(ROUND(SUM(CAST(value AS {DEC})) OVER (
+                  PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2)
+                AS DOUBLE) AS rolling_1h_sum
+    FROM events
+    """,
+)
+def q_window_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range rolling window (trailing 1 hour by actual event time, not
+    row count) — rangeBetween over microsecond epoch."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        F.round(F.sum(dec("value")).over(w), 2).cast("double").alias("rolling_1h_sum"),
+    )
+
+
+@query(
+    "q_window_ntile",
+    """
+    SELECT c_custkey, c_acctbal,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           CAST(ROUND(percent_rank() OVER w, 6) AS DOUBLE) AS pct_rank,
+           CAST(ROUND(cume_dist() OVER w, 6) AS DOUBLE) AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist over a global ordering with a unique
+    tie-break key (determinism rule from the module docstring)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).cast("double").alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).cast("double").alias("cume"),
+    )
+
+
 _install_text_oracles()
