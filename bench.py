@@ -31,6 +31,14 @@ HEADLINE = [
     "q_top10_global",
     "q_tumbling_window",
     "q_rollup",
+    "q_asof_join",
+    "q_session_window",
+    "q_sliding_window",
+    "q_grouping_sets",
+    "q_dedup_exact",
+    "q_similarity_topk",
+    "q_token_count",
+    "q_doc_fingerprint",
 ]
 
 
