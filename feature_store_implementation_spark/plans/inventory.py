@@ -1658,4 +1658,95 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# §2.C UDF surface — Arrow-batched pandas UDFs (the honest equivalent of the
+# reference's pandas `exec` sandbox, compute.py:30-55) + sketches
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pandas_udf_zscore",
+    f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_quantity AS {DEC}) * CAST(l_quantity AS {DEC})) AS DOUBLE) AS s2,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           CAST(ROUND((l.l_quantity - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6)
+                AS DOUBLE) AS zscore
+    FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
+    """,
+)
+def q_pandas_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped pandas transform via applyInPandas (Arrow-batched) — the
+    Spark-honest version of the reference's whole-frame pandas programs
+    (reference compute.py:30-55). Sums use math.fsum (exactly rounded), so
+    the per-row double arithmetic is bit-identical to the oracle's
+    decimal-sum formula; Spark applies the final round."""
+    import math
+
+    import pandas as pd
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+
+    def zscore(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        q = pdf["l_quantity"]
+        n = float(len(pdf))
+        s1 = math.fsum(q)
+        s2 = math.fsum(x * x for x in q)
+        mean = s1 / n
+        std = math.sqrt((s2 - s1 * s1 / n) / (n - 1.0))
+        return pd.DataFrame(
+            {
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                "l_returnflag": pdf["l_returnflag"],
+                "z": (q - mean) / std,
+            }
+        )
+
+    out = li.groupBy("l_returnflag").applyInPandas(
+        zscore,
+        schema="l_orderkey long, l_linenumber int, l_returnflag string, z double",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round("z", 6).cast("double").alias("zscore"),
+    )
+
+
+@query("q_media_decode", None)
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal decode pipeline (rows-only): text bytes stand in for
+    opaque media blobs; mapInPandas runs the (stubbed) decoder per Arrow
+    batch producing typed features — checksum parity with q_media_metadata
+    is asserted in tests/test_multimodal.py."""
+    from ..operators.multimodal import decode_media_features
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
+    )
+    return decode_media_features(d, content_col="content", id_col="media_id")
+
+
+@query("q_approx_distinct", None)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch aggregation (rows-only: sketch estimates are
+    engine-specific by design; the 2% rsd bound vs exact counts is asserted
+    in tests). At 100 TB this replaces exact COUNT(DISTINCT) — mergeable
+    partial sketches, no giant shuffle of distinct keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).cast("long").alias("approx_parts"),
+        F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
+    )
+
+
 _install_text_oracles()
