@@ -1736,6 +1736,52 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_features(d, content_col="content", id_col="media_id")
 
 
+@query(
+    "q_salted_join",
+    f"""
+    SELECT e.user_id, c.c_name,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(e.value AS {DEC})), 2) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY e.user_id, c.c_name
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key salted join (operators/skew.py): identity-preserving vs the
+    plain equi-join — the oracle IS the un-salted SQL. Hot keys are spread
+    over 8 sub-partitions; the dimension rows for those keys are replicated
+    8×, everything else joins unsalted."""
+    from ..operators.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events").withColumnRenamed("user_id", "c_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    joined = salted_join(e, c, on="c_custkey", salt=8)
+    return (
+        joined.groupBy(F.col("c_custkey").alias("user_id"), "c_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum(dec("value")), 2).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "q_two_phase_distinct",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def q_two_phase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact salted two-phase COUNT(DISTINCT) (operators/skew.py): value
+    space hash-partitioned into disjoint buckets, partial distinct counts
+    summed — the skew-proof plan for one giant group at 100 TB."""
+    from ..operators.skew import two_phase_count_distinct
+
+    e = load_table(spark, sf_dir, "events")
+    return two_phase_count_distinct(e, ["event_type"], "user_id", salt=16)
+
+
 @query("q_approx_distinct", None)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ sketch aggregation (rows-only: sketch estimates are
