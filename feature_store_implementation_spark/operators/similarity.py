@@ -22,7 +22,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -137,6 +137,72 @@ def lsh_topk(
         cands.select("query_id", "vec_id", "cosine")
         .distinct()  # multiprobe can surface the same pair twice
         .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-flat ANN: coarse-quantize the corpus into ``n_cells`` Voronoi
+    cells (argmax cosine to a deterministic centroid set), search only the
+    ``n_probe`` cells nearest each query, exact cosine re-rank inside them.
+
+    Centroids are the first ``n_cells`` corpus vectors by id — deterministic
+    and good enough for candidate routing (a k-means refinement would slot in
+    here without changing the plan shape). Cell assignment is one
+    partition-local pass over the corpus (no shuffle); the probe join is a
+    broadcast of |queries| × n_probe rows. With ``n_probe == n_cells`` the
+    result equals :func:`brute_force_topk` exactly (asserted in tests).
+
+    At 100 TB the assigned corpus would be written bucketed by ``cell`` so
+    repeated query batches prune cells at scan time.
+    """
+    cents = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    )
+    cent_arrays = [
+        F.array(*[F.lit(float(v)) for v in row[vec_col]]) for row in cents
+    ]
+
+    def cell_scores(v: Column) -> Column:
+        return F.array(*[cosine_col(v, c) for c in cent_arrays])
+
+    # corpus side: argmax cell only (1-based, first-max tie-break)
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    scored = c.withColumn("__scores", cell_scores(F.col("cv")))
+    assigned = scored.withColumn(
+        "cell", F.expr("array_position(__scores, array_max(__scores))").cast("int")
+    ).drop("__scores")
+
+    # query side: top n_probe cells each
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    qs = q.select(
+        "query_id", "qv", F.posexplode(cell_scores(F.col("qv"))).alias("pos", "score")
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("pos"))
+    probes = (
+        qs.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= n_probe)
+        .select("query_id", "qv", (F.col("pos") + 1).cast("int").alias("cell"))
+    )
+
+    cands = assigned.join(F.broadcast(probes), "cell").withColumn(
+        "cosine", F.round(cosine_col(F.col("cv"), F.col("qv")), 6)
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )

@@ -1106,6 +1106,18 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, q, k=10)
 
 
+@query("q_similarity_ivf", None)
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN top-k (rows-only; exact-equivalence at full probe and
+    recall bounds asserted in tests/test_dedup_similarity.py): coarse
+    Voronoi cells + n_probe candidate cells + exact re-rank."""
+    from ..operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk(e, q, k=10, n_cells=16, n_probe=4)
+
+
 @query("q_similarity_lsh", None)
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via deterministic sign-LSH buckets + multiprobe +

@@ -164,3 +164,42 @@ def test_embedding_near_dup_planted(spark):
     pairs = {(r["vec_id_a"], r["vec_id_b"]) for r in
              embedding_near_dup_pairs(df, threshold=0.95).collect()}
     assert (0, 1) in pairs and len(pairs) == 1
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    from feature_store_implementation_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    from feature_store_implementation_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {tuple(r) for r in brute_force_topk(e, q, k=10).collect()}
+    full_probe = {
+        tuple(r) for r in ivf_topk(e, q, k=10, n_cells=8, n_probe=8).collect()
+    }
+    assert full_probe == exact
+
+
+def test_ivf_partial_probe_recall(spark):
+    from feature_store_implementation_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    from feature_store_implementation_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(e, q, k=10).collect()}
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(e, q, k=10, n_cells=16, n_probe=6).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.3

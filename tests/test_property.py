@@ -1,0 +1,53 @@
+"""Property-based tests (SURVEY §5.5): the compute surface vs a pandas
+oracle — the reference's own semantics (entity-indexed pandas aggregation,
+reference compute.py:46-55) drive the expectation. Integer-valued doubles
+keep float summation exact so equality is bitwise."""
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from feature_store_implementation_spark.compute.engine import compute_feature
+
+ENTITIES = ["u1", "u2", "u3", "u4", "u5"]
+
+records = st.lists(
+    st.tuples(st.sampled_from(ENTITIES), st.integers(-10_000, 10_000)),
+    min_size=1,
+    max_size=40,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _spark_result(spark, recs, logic):
+    df = spark.createDataFrame(
+        [(e, float(a)) for e, a in recs], "id string, amount double"
+    )
+    return {
+        r["entity_id"]: r["value"]
+        for r in compute_feature(df, logic, "id").collect()
+    }
+
+
+@SETTINGS
+@given(recs=records)
+def test_sum_matches_pandas(spark, recs):
+    got = _spark_result(spark, recs, "SUM(amount)")
+    pdf = pd.DataFrame(recs, columns=["id", "amount"]).astype({"amount": "float64"})
+    expected = pdf.groupby("id")["amount"].sum().to_dict()
+    assert got == expected
+
+
+@SETTINGS
+@given(recs=records)
+def test_minmax_count_match_pandas(spark, recs):
+    got = _spark_result(spark, recs, "MAX(amount) - MIN(amount) + COUNT(*)")
+    pdf = pd.DataFrame(recs, columns=["id", "amount"]).astype({"amount": "float64"})
+    g = pdf.groupby("id")["amount"]
+    expected = (g.max() - g.min() + g.count()).to_dict()
+    assert got == expected

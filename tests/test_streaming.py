@@ -112,3 +112,31 @@ def test_stream_to_offline_store_sink(spark, tmp_path):
     # emitted rows are final: exact match against batch, no partials
     assert written.exceptAll(batch).count() == 0
     shutil.rmtree(str(tmp_path / "out"), ignore_errors=True)
+
+
+def test_running_user_state(spark, events_dir, tmp_path):
+    """applyInPandasWithState: after all triggers, the final (total, n) per
+    user must equal the batch sum/count over all events."""
+    from feature_store_implementation_spark.streaming.features import (
+        running_user_state,
+    )
+
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    expected = {
+        r["user_id"]: (round(r["total"], 6), r["n"])
+        for r in batch.groupBy("user_id")
+        .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    out = _run_stream(
+        spark, running_user_state(read_events_stream(spark, events_dir)),
+        tmp_path, mode="update",
+    )
+    # update mode emits one row per user per trigger; the final state is the
+    # row with the largest n for each user
+    final = {}
+    for r in out.collect():
+        if r["user_id"] not in final or r["n"] > final[r["user_id"]][1]:
+            final[r["user_id"]] = (round(r["total"], 6), r["n"])
+    assert final == expected
