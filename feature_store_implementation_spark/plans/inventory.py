@@ -1670,6 +1670,190 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_map_fns",
+    """
+    SELECT user_id,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS clicks,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchases
+    FROM events GROUP BY user_id
+    """,
+)
+def q_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (SURVEY §2.C JSON/map/array): per-user event counts
+    built as a real map via map_from_entries(collect_list(struct)), then
+    extracted with element_at/map_keys — the feature-vector dict shape
+    (reference main.py:319-327) as a first-class column. The oracle states
+    the same result map-free."""
+    e = load_table(spark, sf_dir, "events")
+    counted = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    mapped = counted.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    return mapped.select(
+        "user_id",
+        F.size(F.map_keys("m")).cast("long").alias("n_types"),
+        F.coalesce(F.element_at("m", "click"), F.lit(0)).cast("long").alias("clicks"),
+        F.coalesce(F.element_at("m", "purchase"), F.lit(0))
+        .cast("long")
+        .alias("purchases"),
+    )
+
+
+@query(
+    "q_tfidf",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(ROUND(tf.tf * ROUND(ln((n.n + 1.0) / (df.df + 1.0)) + 1.0, 6), 6)
+                  AS DOUBLE) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document as pure DataFrame ops (explode →
+    two aggregations → broadcast idf join → window top-k). The smoothed idf
+    is rounded before the multiply so the ln() ulp difference between
+    engines can't straddle the final rounding boundary."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.count()
+    idf = F.round(F.log((F.lit(n) + 1.0) / (F.col("df") + 1.0)) + 1.0, 6)
+    scored = tf.join(F.broadcast(df_.withColumn("idf", idf)), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.col("idf"), 6).cast("double").alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+@query(
+    "q_union_missing_cols",
+    """
+    SELECT o_orderkey AS id, o_totalprice AS amount, CAST(NULL AS VARCHAR) AS segment
+    FROM orders
+    UNION ALL
+    SELECT c_custkey AS id, CAST(NULL AS DOUBLE) AS amount, c_mktsegment AS segment
+    FROM customer
+    """,
+)
+def q_union_missing_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True): schema-aligned union with
+    null-fill — pd.concat parity (SURVEY §2.C set ops)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"), F.col("o_totalprice").alias("amount")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_mktsegment").alias("segment")
+    )
+    return o.unionByName(c, allowMissingColumns=True)
+
+
+@query(
+    "q_window_firstlast",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER w AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over a full-partition frame with
+    unique tie-break ordering."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+@query(
+    "q_training_set_pit",
+    f"""
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '{_TS_FMT_DUCK}') AS label_ts,
+           p.value AS label_value,
+           s.value AS signup_value,
+           c.value AS last_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_training_set_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time training-set assembly (the feature-store end game):
+    each label row (purchase) picks up multiple features as-of its own
+    timestamp — two chained as-of joins, no leakage from the future. Each
+    asof is one shuffle on (user, ts); at 100 TB both sides range-partition
+    on the same key so the shuffles line up."""
+    from ..operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    signups = e.filter(F.col("event_type") == "signup").select("user_id", "ts", "value")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    step1 = asof_join(
+        purchases, signups, on="ts", by="user_id", value_cols=["value"], suffix="_signup"
+    )
+    step2 = asof_join(
+        step1, clicks, on="ts", by="user_id", value_cols=["value"], suffix="_click"
+    )
+    return step2.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("label_ts"),
+        F.col("value").alias("label_value"),
+        F.col("value_signup").alias("signup_value"),
+        F.col("value_click").alias("last_click_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.C UDF surface — Arrow-batched pandas UDFs (the honest equivalent of the
 # reference's pandas `exec` sandbox, compute.py:30-55) + sketches
