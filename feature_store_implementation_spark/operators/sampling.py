@@ -1,0 +1,59 @@
+"""Sampling operators for training-data pipelines.
+
+Two reproducibility regimes:
+
+* :func:`stratified_sample` — per-stratum Bernoulli via ``sampleBy``:
+  statistically correct fractions, reproducible for a fixed seed AND a fixed
+  partitioning of the input (Spark's sampler is per-partition).
+* :func:`deterministic_sample` / :func:`per_group_sample` — content-hash
+  based: a row is kept iff ``hash(key) % denom < num``, so membership depends
+  only on the row's key, never on partitioning, executor count, or replay
+  order. This is the one to use for 100 TB corpus curation where re-runs and
+  incremental appends must select consistently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sample (``df.sampleBy``): strata absent from
+    ``fractions`` are dropped, matching Spark semantics."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def deterministic_sample(
+    df: DataFrame, key_cols: list[str], fraction: float, buckets: int = 1_000_000
+) -> DataFrame:
+    """Keep a row iff ``pmod(hash(key), buckets) < fraction*buckets`` —
+    partitioning-independent, append-stable (a row's fate never changes as
+    the dataset grows), and joins of two tables sampled on the SAME key stay
+    aligned (the classic correlated-sampling trick)."""
+    keep = F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(buckets)) < int(
+        fraction * buckets
+    )
+    return df.filter(keep)
+
+
+def per_group_sample(
+    df: DataFrame, group_cols: list[str], n: int, key_cols: list[str] | None = None
+) -> DataFrame:
+    """At most ``n`` rows per group, chosen by content-hash order — a
+    deterministic stand-in for per-group reservoir sampling (uniform when the
+    hash is uniform). One shuffle on the group key."""
+    key_cols = key_cols or [c for c in df.columns if c not in group_cols]
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.hash(*[F.col(c) for c in key_cols]), *[F.col(c) for c in key_cols]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -1978,6 +1978,17 @@ def q_two_phase_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_phase_count_distinct(e, ["event_type"], "user_id", salt=16)
 
 
+@query("q_deterministic_sample", None)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash corpus sampling (operators/sampling.py, rows-only:
+    membership is Spark-hash-specific): partitioning-independent and
+    append-stable — properties asserted in tests/test_sampling.py."""
+    from ..operators.sampling import deterministic_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return deterministic_sample(d, ["doc_id"], 0.3).select("doc_id", "lang", "source")
+
+
 @query("q_approx_distinct", None)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ sketch aggregation (rows-only: sketch estimates are

@@ -1,0 +1,51 @@
+"""Physical-plan quality guards: the scale properties the engine is designed
+around (broadcast dims, parquet pushdown/pruning, top-k pushdown, single-
+shuffle as-of) must survive refactors. These assert on the formatted plan,
+not timings, so they are stable on any machine."""
+
+import re
+
+from feature_store_implementation_spark.plans import inventory as inv
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = inv.SPECS[name].fn(spark, SF)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_dim_join_is_broadcast(spark):
+    plan = _plan(spark, "q_customer_total_spend")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filters_and_columns_pushed_to_scan(spark):
+    plan = _plan(spark, "q_proj_filter")
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # predicate reached parquet
+    read_schema = re.search(r"ReadSchema: (\S+)", plan).group(1)
+    assert "l_tax" not in read_schema and "l_returnflag" not in read_schema
+
+
+def test_latest_per_group_uses_topk_pushdown(spark):
+    assert "WindowGroupLimit" in _plan(spark, "q_latest_per_group")
+
+
+def test_asof_join_is_single_shuffle(spark):
+    plan = _plan(spark, "q_asof_join")
+    # formatted output lists each node twice (tree + detail); count headers
+    shuffles = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(shuffles) == 1
+
+
+def test_similarity_avoids_cartesian(spark):
+    plan = _plan(spark, "q_similarity_topk")
+    assert "CartesianProduct" not in plan
+
+
+def test_scalar_subquery_broadcasts_aggregate(spark):
+    plan = _plan(spark, "q_scalar_subquery")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" in plan

@@ -1,0 +1,50 @@
+"""Sampling operators: fraction bounds, determinism, partition-independence."""
+
+from pyspark.sql import functions as F
+
+from feature_store_implementation_spark.operators.sampling import (
+    deterministic_sample,
+    per_group_sample,
+    stratified_sample,
+)
+from feature_store_implementation_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_stratified_fractions(spark):
+    d = load_table(spark, SF, "documents")
+    out = stratified_sample(d, "lang", {"en": 0.5, "de": 0.1})
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    base = {r["lang"]: r["count"] for r in d.groupBy("lang").count().collect()}
+    assert set(counts) <= {"en", "de"}  # unlisted strata dropped
+    assert abs(counts.get("en", 0) / base["en"] - 0.5) < 0.2
+
+
+def test_deterministic_sample_is_partitioning_independent(spark):
+    d = load_table(spark, SF, "documents")
+    a = {r["doc_id"] for r in deterministic_sample(d, ["doc_id"], 0.3).collect()}
+    b = {
+        r["doc_id"]
+        for r in deterministic_sample(d.repartition(17), ["doc_id"], 0.3).collect()
+    }
+    assert a == b and 0.15 < len(a) / d.count() < 0.45
+
+
+def test_deterministic_sample_is_append_stable(spark):
+    d = load_table(spark, SF, "documents")
+    half = d.filter(F.col("doc_id") < 250)
+    full_sel = {r["doc_id"] for r in deterministic_sample(d, ["doc_id"], 0.3).collect()}
+    half_sel = {r["doc_id"] for r in deterministic_sample(half, ["doc_id"], 0.3).collect()}
+    assert half_sel == {i for i in full_sel if i < 250}
+
+
+def test_per_group_sample_caps_and_determinism(spark):
+    e = load_table(spark, SF, "events")
+    out = per_group_sample(e, ["event_type"], 10, key_cols=["event_id"])
+    counts = out.groupBy("event_type").count().collect()
+    assert all(r["count"] <= 10 for r in counts)
+    again = per_group_sample(e, ["event_type"], 10, key_cols=["event_id"])
+    assert sorted(r["event_id"] for r in out.collect()) == sorted(
+        r["event_id"] for r in again.collect()
+    )
