@@ -597,6 +597,45 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_full_outer",
+    """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM (SELECT * FROM customer WHERE c_custkey < 100) c
+    FULL OUTER JOIN (SELECT * FROM orders WHERE o_custkey >= 50 AND o_custkey < 150) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with null extension on BOTH sides (overlapping key
+    ranges so all three row classes appear)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_custkey") >= 50) & (F.col("o_custkey") < 150)
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_right",
+    """
+    SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment
+    FROM (SELECT * FROM orders WHERE o_orderstatus = 'O') o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (kept distinct from left for API parity with
+    pandas merge how='right')."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
     "q_join_semi",
     """
     SELECT c_custkey, c_mktsegment
