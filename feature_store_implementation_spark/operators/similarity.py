@@ -158,43 +158,44 @@ def ivf_topk(
 
     Centroids are the first ``n_cells`` corpus vectors by id — deterministic
     and good enough for candidate routing (a k-means refinement would slot in
-    here without changing the plan shape). Cell assignment is one
-    partition-local pass over the corpus (no shuffle); the probe join is a
-    broadcast of |queries| × n_probe rows. With ``n_probe == n_cells`` the
-    result equals :func:`brute_force_topk` exactly (asserted in tests).
+    here without changing the plan shape). Cell assignment and query probing
+    are vectorized numpy matmuls inside Arrow-batched pandas UDFs (one
+    partition-local pass, no shuffle; a 16×64 fold as JVM expressions would
+    bloat codegen for no gain). The probe join broadcasts |queries|×n_probe
+    rows; with ``n_probe == n_cells`` the result equals
+    :func:`brute_force_topk` exactly (asserted in tests).
 
     At 100 TB the assigned corpus would be written bucketed by ``cell`` so
     repeated query batches prune cells at scan time.
     """
-    cents = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
-    )
-    cent_arrays = [
-        F.array(*[F.lit(float(v)) for v in row[vec_col]]) for row in cents
-    ]
+    cents = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    C = np.vstack([np.asarray(row[vec_col], dtype=np.float64) for row in cents])
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
 
-    def cell_scores(v: Column) -> Column:
-        return F.array(*[cosine_col(v, c) for c in cent_arrays])
+    def _cell_scores(v: pd.Series) -> np.ndarray:
+        M = np.vstack(v.apply(lambda x: np.asarray(x, dtype=np.float64)).to_numpy())
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        return Mn @ Cn.T
 
-    # corpus side: argmax cell only (1-based, first-max tie-break)
+    @F.pandas_udf("int")
+    def argmax_cell(v: pd.Series) -> pd.Series:
+        return pd.Series(_cell_scores(v).argmax(axis=1) + 1)
+
+    @F.pandas_udf("array<int>")
+    def top_cells(v: pd.Series) -> pd.Series:
+        s = _cell_scores(v)
+        # stable sort of -score: ties broken by ascending cell index
+        idx = np.argsort(-s, axis=1, kind="stable")[:, :n_probe] + 1
+        return pd.Series(list(idx.astype("int32")))
+
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
-    scored = c.withColumn("__scores", cell_scores(F.col("cv")))
-    assigned = scored.withColumn(
-        "cell", F.expr("array_position(__scores, array_max(__scores))").cast("int")
-    ).drop("__scores")
+    assigned = c.withColumn("cell", argmax_cell(F.col("cv")))
 
-    # query side: top n_probe cells each
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    qs = q.select(
-        "query_id", "qv", F.posexplode(cell_scores(F.col("qv"))).alias("pos", "score")
-    )
-    wq = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("pos"))
-    probes = (
-        qs.withColumn("__r", F.row_number().over(wq))
-        .filter(F.col("__r") <= n_probe)
-        .select("query_id", "qv", (F.col("pos") + 1).cast("int").alias("cell"))
+    probes = q.select(
+        "query_id", "qv", F.explode(top_cells(F.col("qv"))).alias("cell")
     )
 
     cands = assigned.join(F.broadcast(probes), "cell").withColumn(
