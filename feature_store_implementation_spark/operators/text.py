@@ -116,3 +116,25 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         lambda acc, t: (acc * 31 + code(t)) % F.lit(1099511627776).cast("long"),  # 2^40
     )
     return df.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+
+
+POS_WORDS = ["good", "great", "excellent", "best", "love", "happy", "well", "better"]
+NEG_WORDS = ["bad", "worst", "terrible", "hate", "poor", "wrong", "problem", "fail"]
+
+
+def sentiment_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Dictionary-scored sentiment (the EDBT'16 lexicon pattern, PAPERS.md):
+    (pos − neg) / tokens in [−1, 1], plus the raw hit counts — pure codegen
+    expressions, dictionary broadcast inside the plan as literals."""
+    toks = tokens_col(F.col(text_col))
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    pos = _count_in(toks, POS_WORDS)
+    neg = _count_in(toks, NEG_WORDS)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        pos.cast("long").alias("n_pos"),
+        neg.cast("long").alias("n_neg"),
+        F.round((pos - neg).cast("double") / n, 6).alias("sentiment"),
+    )

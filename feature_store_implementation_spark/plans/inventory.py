@@ -70,6 +70,8 @@ def ORACLE_SQL() -> dict[str, str]:
 # exact-arithmetic helpers -------------------------------------------------
 
 DEC = "decimal(18,6)"
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
 
 
 def dec(c) -> F.Column:
@@ -1252,6 +1254,45 @@ def _sql_list(words: list[str]) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
+@query(
+    "q_interval_join",
+    f"""
+    SELECT p.event_id,
+           strftime(c.ts, '{_TS_FMT_DUCK}') AS right_ts,
+           c.value AS right_value
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (time-range) join — purchases joined to the same user's
+    clicks in the preceding hour. The SAME function runs as a watermarked
+    stream-stream join (streaming/features.py interval_join; equivalence
+    asserted in tests/test_streaming.py)."""
+    from ..streaming.features import interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase")
+    c = e.filter(F.col("event_type") == "click")
+    return interval_join(p, c, lookback="1 hour").select(
+        "event_id",
+        F.date_format("right_ts", _TS_FMT_SPARK).alias("right_ts"),
+        "right_value",
+    )
+
+
+@query("q_sentiment", None)  # oracle added below via SQL builder
+def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-scored sentiment in [-1, 1] (north-star text op)."""
+    from ..operators.text import sentiment_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return sentiment_score(d, "text", "doc_id")
+
+
 def _install_text_oracles() -> None:
     from ..operators.text import EN_STOPWORDS, LANG_MARKERS
 
@@ -1301,7 +1342,24 @@ def _install_text_oracles() -> None:
     FROM s
     """
 
-    for name, sql in (("q_quality_score", quality_sql), ("q_lang_id", lang_sql)):
+    from ..operators.text import NEG_WORDS, POS_WORDS
+
+    sentiment_sql = f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents)
+    SELECT doc_id,
+           CAST({hits.format(lst=_sql_list(POS_WORDS))} AS BIGINT) AS n_pos,
+           CAST({hits.format(lst=_sql_list(NEG_WORDS))} AS BIGINT) AS n_neg,
+           CAST(ROUND(CAST({hits.format(lst=_sql_list(POS_WORDS))}
+                           - {hits.format(lst=_sql_list(NEG_WORDS))} AS DOUBLE)
+                      / greatest(len(toks), 1), 6) AS DOUBLE) AS sentiment
+    FROM t
+    """
+
+    for name, sql in (
+        ("q_quality_score", quality_sql),
+        ("q_lang_id", lang_sql),
+        ("q_sentiment", sentiment_sql),
+    ):
         old = SPECS[name]
         SPECS[name] = QuerySpec(name=old.name, fn=old.fn, oracle=sql, doc=old.doc)
 
@@ -1310,10 +1368,6 @@ def _install_text_oracles() -> None:
 # §2.C — sessionization, sliding windows, subqueries, grouping sets,
 # array/pivot/string-agg surfaces, token counting, multimodal metadata
 # ---------------------------------------------------------------------------
-
-_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
-
 
 @query(
     "q_session_window",

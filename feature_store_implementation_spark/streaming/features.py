@@ -173,3 +173,33 @@ def stream_to_offline_store(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "user_id",
+    lookback: str = "1 hour",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each left event picks up every right event
+    of the same ``by`` key within the preceding ``lookback`` interval —
+    purchases enriched with the clicks that led to them. In streaming both
+    sides carry watermarks and the time-range condition bounds join state;
+    the SAME code is a plain interval join in batch. Output columns:
+    left.* + (right_ts, right_value)."""
+    r = right.select(
+        F.col(by).alias("__rby"),
+        F.col("ts").alias("right_ts"),
+        F.col("value").alias("right_value"),
+    )
+    lhs, rhs = left, r
+    if left.isStreaming and watermark:
+        lhs = left.withWatermark("ts", watermark)
+        rhs = r.withWatermark("right_ts", watermark)
+    cond = (
+        (lhs[by] == rhs["__rby"])
+        & (rhs["right_ts"] <= lhs["ts"])
+        & (rhs["right_ts"] >= lhs["ts"] - F.expr(f"INTERVAL {lookback}"))
+    )
+    return lhs.join(rhs, cond, "inner").drop("__rby")

@@ -140,3 +140,31 @@ def test_running_user_state(spark, events_dir, tmp_path):
         if r["user_id"] not in final or r["n"] > final[r["user_id"]][1]:
             final[r["user_id"]] = (round(r["total"], 6), r["n"])
     assert final == expected
+
+
+def test_stream_stream_interval_join(spark, events_dir, tmp_path):
+    """Stream-stream inner interval join ≡ the batch interval join."""
+    from feature_store_implementation_spark.streaming.features import interval_join
+
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    b_purch = batch.filter(F.col("event_type") == "purchase")
+    b_click = batch.filter(F.col("event_type") == "click")
+    expected = {
+        tuple(r)
+        for r in interval_join(b_purch, b_click)
+        .select("event_id", "right_ts", "right_value")
+        .collect()
+    }
+
+    stream = read_events_stream(spark, events_dir)
+    s_purch = stream.filter(F.col("event_type") == "purchase")
+    s_click = stream.filter(F.col("event_type") == "click")
+    got_df = _run_stream(
+        spark,
+        interval_join(s_purch, s_click, watermark=None).select(
+            "event_id", "right_ts", "right_value"
+        ),
+        tmp_path,
+    )
+    got = {tuple(r) for r in got_df.collect()}
+    assert got == expected and len(got) > 0
