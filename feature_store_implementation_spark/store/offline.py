@@ -81,3 +81,46 @@ class OfflineStore:
         """Single-entity point read: partition pruning (version) + parquet
         page skipping (entity sort order) — the serving hot path."""
         return self.values_for_version(version_id).filter(F.col("entity_id") == entity_id)
+
+
+def compact_version_partition(
+    spark: SparkSession,
+    root: str,
+    version_id: int,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compact one version's partition directory: many small files (from
+    incremental/streaming appends) → ceil(bytes/target) files, re-sorted by
+    entity_id so page-stat skipping survives compaction.
+
+    Small-files is THE silent killer of big scans (one task + one open per
+    file); streaming sinks make it chronic. Rewrite is per-partition and
+    atomic-by-rename(ish): write to a sibling temp dir, swap, drop old —
+    Delta/Iceberg `OPTIMIZE` is the transactional production drop-in.
+    Returns the resulting file count."""
+    import shutil
+
+    part_dir = os.path.join(root, f"feature_version_id={version_id}")
+    if not os.path.isdir(part_dir):
+        raise FileNotFoundError(part_dir)
+    size = sum(
+        os.path.getsize(os.path.join(part_dir, f))
+        for f in os.listdir(part_dir)
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-size // target_file_bytes))
+    df = (
+        spark.read.schema(
+            T.StructType([f for f in VALUES_SCHEMA.fields if f.name != "feature_version_id"])
+        )
+        .parquet(part_dir)
+        .repartition(n_files)
+        .sortWithinPartitions("entity_id")
+    )
+    tmp_dir = part_dir + ".compact.tmp"
+    df.write.mode("overwrite").parquet(tmp_dir)
+    old_dir = part_dir + ".compact.old"
+    os.rename(part_dir, old_dir)
+    os.rename(tmp_dir, part_dir)
+    shutil.rmtree(old_dir)
+    return len([f for f in os.listdir(part_dir) if f.endswith(".parquet")])

@@ -154,3 +154,27 @@ def test_pagination(fs):
         fs.register_raw_table(f"t{i}", {})
     page = fs.catalog.list_raw_tables(skip=2, limit=3)
     assert [r.name for r in page] == ["t2", "t3", "t4"]
+
+
+def test_compact_version_partition(spark, tmp_path):
+    """Many small appends → one compacted file, identical rows."""
+    from feature_store_implementation_spark.store.offline import (
+        OfflineStore,
+        compact_version_partition,
+    )
+
+    store = OfflineStore(spark, str(tmp_path / "values"))
+    for batch in range(6):  # 6 appends → ≥6 small files in the partition
+        vals = spark.createDataFrame(
+            [(f"e{batch}_{i}", str(i)) for i in range(50)], "entity_id string, value string"
+        )
+        store.write_values(7, vals)
+    before = {tuple(r) for r in store.values_for_version(7).collect()}
+    import os
+
+    part = os.path.join(store.path, "feature_version_id=7")
+    assert len([f for f in os.listdir(part) if f.endswith(".parquet")]) >= 6
+    n = compact_version_partition(spark, store.path, 7)
+    assert n == 1
+    after = {tuple(r) for r in store.values_for_version(7).collect()}
+    assert after == before
