@@ -2011,6 +2011,59 @@ def q_pandas_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_cogroup_udf",
+    f"""
+    WITH p AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+             CAST(ROUND(SUM(CAST(value AS {DEC})), 2) AS DOUBLE) AS purchase_total
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    c AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    )
+    SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+           COALESCE(p.n_purchases, 0) AS n_purchases,
+           COALESCE(p.purchase_total, 0.0) AS purchase_total,
+           COALESCE(c.n_clicks, 0) AS n_clicks
+    FROM p FULL OUTER JOIN c ON p.user_id = c.user_id
+    """,
+)
+def q_cogroup_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped pandas transform (groupBy().cogroup().applyInPandas): the
+    two event streams of a user arrive as two aligned pandas frames — the
+    Arrow surface for custom multi-input per-key logic (the reference's
+    multi-frame pandas programs, SURVEY §2.C UDF). Decimal-exact totals via
+    integer-cent arithmetic inside the UDF."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "value")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "value")
+
+    def merge(key, left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        # exact: sum cents as int64, emit rounded double (matches DEC sum)
+        cents = int(round(sum(round(v * 100) for v in left["value"])))
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_purchases": [len(left)],
+                "purchase_total": [cents / 100.0],
+                "n_clicks": [len(right)],
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema="user_id long, n_purchases long, purchase_total double, n_clicks long",
+        )
+    )
+
+
 @query("q_media_decode", None)
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal decode pipeline (rows-only): text bytes stand in for
