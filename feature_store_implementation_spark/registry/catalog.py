@@ -39,7 +39,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..errors import ConflictError, NotFoundError
 
-VALID_STATUSES = ("active", "deprecated", "archived")
+# "pending" extends the reference's lifecycle (models.py:52) as an internal
+# staging state: a version is pending while its values are being written and
+# only flips to active afterwards — serving filters on active, so a crash
+# mid-write can never expose a version without values (fixes the reference's
+# orphan-version bug, main.py:216 vs 224, crash-window included).
+VALID_STATUSES = ("pending", "active", "deprecated", "archived")
 
 
 def _now() -> str:

@@ -81,9 +81,11 @@ class FeatureStore:
             "entity_id", encode_value_col(F.col("value"), value_type).alias("value")
         )
 
-        # reserve the id, write values FIRST, then commit the version row —
-        # no orphan-version window (§1.4/§1.5)
-        row = self.catalog.create_version(feature_id, version, metadata)
+        # two-phase commit: reserve the id as 'pending' (invisible to the
+        # latest-active serving window), write the values, then flip to
+        # 'active' — neither an exception nor a crash between steps can
+        # expose a version without values (§1.4/§1.5 orphan bug, fixed)
+        row = self.catalog.create_version(feature_id, version, metadata, status="pending")
         try:
             n = self.store.write_values(row.id, encoded)
             if n == 0:
@@ -91,7 +93,7 @@ class FeatureStore:
         except Exception:
             self.catalog.delete_version(row.id)
             raise
-        return row
+        return self.catalog.set_version_status(row.id, "active")
 
     # -- serve path --------------------------------------------------------
 

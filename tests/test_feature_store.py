@@ -178,3 +178,33 @@ def test_compact_version_partition(spark, tmp_path):
     assert n == 1
     after = {tuple(r) for r in store.values_for_version(7).collect()}
     assert after == before
+
+
+def test_failed_value_write_leaves_no_version(fs, spark):
+    """Orphan-version bug (reference main.py:216 vs 224): a failing value
+    write must not leave a committed version behind."""
+    rt = fs.register_raw_table("t_fail", {"required_columns": ["id", "v"]})
+    feat = fs.create_feature("f_fail", rt.id, "SUM(v)", "numeric")
+    orig = fs.store.write_values
+    fs.store.write_values = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("disk full"))
+    try:
+        with pytest.raises(RuntimeError):
+            fs.compute_version(feat.id, "v1", [{"id": "a", "v": 1.0}])
+    finally:
+        fs.store.write_values = orig
+    assert fs.catalog.list_versions(feat.id) == []
+    # retry after the failure succeeds with the same version string
+    row = fs.compute_version(feat.id, "v1", [{"id": "a", "v": 1.0}])
+    assert row.status == "active"
+
+
+def test_pending_version_not_served_as_latest(fs, spark):
+    """Crash-window safety: a 'pending' version (values mid-write) is
+    invisible to latest-active serving."""
+    rt = fs.register_raw_table("t_pend", {"required_columns": ["id", "v"]})
+    feat = fs.create_feature("f_pend", rt.id, "SUM(v)", "numeric")
+    fs.compute_version(feat.id, "v1", [{"id": "a", "v": 5.0}])
+    # simulate a crash mid-write of v2: row exists as pending, no values
+    fs.catalog.create_version(feat.id, "v2", status="pending")
+    vec = fs.serve_vector("a", ["f_pend"])
+    assert vec.features == {"f_pend": 5.0}
