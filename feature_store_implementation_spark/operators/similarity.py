@@ -142,6 +142,52 @@ def lsh_topk(
     )
 
 
+def kmeans_refine_centroids(
+    corpus: DataFrame,
+    C0: np.ndarray,
+    iters: int = 3,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means (Lloyd) refinement of IVF centroids, distributed:
+    per iteration, (1) assign every vector to its argmax-cosine centroid via
+    an Arrow-batched matmul, (2) element-wise per-cell sums via posexplode +
+    groupBy(cell, pos) — JVM partial aggregation, so the shuffle carries
+    cells×dim×partitions rows, not the corpus, (3) normalize means on the
+    driver (cells×dim floats). Deterministic: fixed init, fixed iteration
+    count, ties to the lowest cell index. Empty cells keep their centroid."""
+    C = C0.copy()
+    n_cells, dim = C.shape
+    for _ in range(iters):
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+
+        @F.pandas_udf("int")
+        def cell_of(v: pd.Series) -> pd.Series:
+            M = np.vstack(v.apply(lambda x: np.asarray(x, dtype=np.float64)).to_numpy())
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            return pd.Series((Mn @ Cn.T).argmax(axis=1))
+
+        assigned = corpus.select(
+            cell_of(F.col(vec_col)).alias("cell"), F.col(vec_col).alias("v")
+        )
+        rows = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        sums = np.zeros((n_cells, dim))
+        counts = np.zeros(n_cells)
+        for r in rows:
+            sums[r["cell"], r["pos"]] = r["s"]
+            counts[r["cell"]] = r["n"]
+        for j in range(n_cells):
+            if counts[j] > 0:
+                norm = np.linalg.norm(sums[j])
+                if norm > 0:
+                    C[j] = sums[j] / norm
+    return C
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -151,6 +197,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     n_cells: int = 16,
     n_probe: int = 4,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-flat ANN: coarse-quantize the corpus into ``n_cells`` Voronoi
     cells (argmax cosine to a deterministic centroid set), search only the
@@ -170,6 +217,8 @@ def ivf_topk(
     """
     cents = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
     C = np.vstack([np.asarray(row[vec_col], dtype=np.float64) for row in cents])
+    if refine_iters > 0:
+        C = kmeans_refine_centroids(corpus, C, iters=refine_iters, vec_col=vec_col)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
 
     def _cell_scores(v: pd.Series) -> np.ndarray:

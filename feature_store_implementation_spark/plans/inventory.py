@@ -909,6 +909,42 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_set_intersect_all",
+    """
+    SELECT o_custkey FROM (SELECT * FROM orders WHERE o_orderstatus = 'O')
+    INTERSECT ALL
+    SELECT o_custkey FROM (SELECT * FROM orders WHERE o_totalprice > 1000)
+    """,
+)
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: duplicates kept min(countA, countB)
+    times (pandas index-multiset parity)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+        .intersectAll(o.filter(F.col("o_totalprice") > 1000).select("o_custkey"))
+    )
+
+
+@query(
+    "q_set_except_all",
+    """
+    SELECT o_custkey FROM orders
+    EXCEPT ALL
+    SELECT o_custkey FROM (SELECT * FROM orders WHERE o_orderstatus = 'F')
+    """,
+)
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference: each 'F' occurrence cancels exactly one
+    duplicate instead of deleting the key outright."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_custkey").exceptAll(
+        o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming-shape (batch-checkable) — tumbling window over events
 # ---------------------------------------------------------------------------

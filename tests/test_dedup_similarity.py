@@ -203,3 +203,26 @@ def test_ivf_partial_probe_recall(spark):
         for r in ivf_topk(e, q, k=10, n_cells=16, n_probe=6).collect()
     }
     assert len(approx & exact) / len(exact) >= 0.3
+
+
+def test_ivf_kmeans_refinement_improves_or_holds_recall(spark):
+    from feature_store_implementation_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from feature_store_implementation_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(e, q, k=10).collect()}
+
+    def recall(df):
+        hits = {(r["query_id"], r["vec_id"]) for r in df.collect()}
+        return len(hits & exact) / len(exact)
+
+    r_plain = recall(ivf_topk(e, q, k=10, n_cells=16, n_probe=4))
+    r_refined = recall(ivf_topk(e, q, k=10, n_cells=16, n_probe=4, refine_iters=3))
+    # Lloyd balancing should not collapse recall; typically it improves it
+    assert r_refined >= max(0.2, r_plain - 0.1)
