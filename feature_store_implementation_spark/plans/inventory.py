@@ -327,6 +327,51 @@ def q_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_json_typed",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_mod
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
+    """,
+)
+def q_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parse (from_json with declared schema, not string
+    extraction): parse once, predicate on the typed field — at scale the
+    parse happens a single time per row and the filter prunes early."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_id",
+        F.from_json("props", "k BIGINT").alias("p"),
+    )
+    return (
+        parsed.select("event_id", F.col("p.k").alias("k"))
+        .filter(F.col("k") > 50)
+        .withColumn("k_mod", F.pmod("k", F.lit(10)).cast("long"))
+    )
+
+
+@query(
+    "q_pagination",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_orderkey OFFSET 100 LIMIT 50
+    """,
+)
+def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paginated scan (registry A8: offset(skip).limit(limit) over a unique
+    order key — deterministic pages)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.C — aggregation
 # ---------------------------------------------------------------------------
