@@ -2028,6 +2028,80 @@ def q_training_set_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_profile_table",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_totalprice) AS BIGINT) AS price_nonnull,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS custkey_distinct,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS price_min,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS price_max,
+           CAST(ROUND(CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) / COUNT(*), 6)
+                AS DOUBLE) AS price_mean,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS status_distinct,
+           CAST(MIN(strftime(o_orderdate, '%Y-%m-%d')) AS VARCHAR) AS first_order,
+           CAST(MAX(strftime(o_orderdate, '%Y-%m-%d')) AS VARCHAR) AS last_order
+    FROM orders
+    """,
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (ANALYZE-style data-quality pass): null counts,
+    distinct cardinalities, ranges, means — ONE scan computing every stat
+    (no per-column rescans), the pipeline health-check primitive before
+    training-data jobs."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("o_totalprice").cast("long").alias("price_nonnull"),
+        F.countDistinct("o_custkey").cast("long").alias("custkey_distinct"),
+        F.min("o_totalprice").cast("double").alias("price_min"),
+        F.max("o_totalprice").cast("double").alias("price_max"),
+        F.round(F.sum(dec("o_totalprice")).cast("double") / F.count(F.lit(1)), 6)
+        .cast("double")
+        .alias("price_mean"),
+        F.countDistinct("o_orderstatus").cast("long").alias("status_distinct"),
+        F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("first_order"),
+        F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("last_order"),
+    )
+
+
+@query(
+    "q_minmax_scale",
+    """
+    WITH s AS (
+      SELECT c_mktsegment,
+             MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_mktsegment,
+           CAST(ROUND(CASE WHEN s.hi = s.lo THEN 0.0
+                           ELSE (c.c_acctbal - s.lo) / (s.hi - s.lo) END, 6)
+                AS DOUBLE) AS acctbal_scaled
+    FROM customer c JOIN s ON c.c_mktsegment = s.c_mktsegment
+    """,
+)
+def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max feature scaling to [0,1] — the other canonical
+    feature transform next to z-score; group stats broadcast back, no
+    second scan of the fact side at scale (min/max are doubles with no
+    accumulation-order ambiguity)."""
+    c = load_table(spark, sf_dir, "customer")
+    s = c.groupBy("c_mktsegment").agg(
+        F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
+    )
+    scaled = F.when(F.col("hi") == F.col("lo"), F.lit(0.0)).otherwise(
+        (F.col("c_acctbal") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+    )
+    return (
+        c.join(F.broadcast(s), "c_mktsegment")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(scaled, 6).cast("double").alias("acctbal_scaled"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.C UDF surface — Arrow-batched pandas UDFs (the honest equivalent of the
 # reference's pandas `exec` sandbox, compute.py:30-55) + sketches
