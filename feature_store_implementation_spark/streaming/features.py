@@ -203,3 +203,37 @@ def interval_join(
         & (rhs["right_ts"] >= lhs["ts"] - F.expr(f"INTERVAL {lookback}"))
     )
     return lhs.join(rhs, cond, "inner").drop("__rby")
+
+
+def stream_upsert_to_offline_store(
+    features: DataFrame,
+    store,
+    version_id: int,
+    checkpoint: str,
+    key_col: str = "entity_id",
+    available_now: bool = True,
+):
+    """Stream → offline store with per-batch idempotent upsert via
+    ``foreachBatch``: each micro-batch is deduped on the entity key and
+    anti-joined against the keys already stored for this version, so trigger
+    replays after a crash cannot double-write an entity (plain appends
+    can't promise that on a non-ACID store; Delta MERGE is the production
+    drop-in, this is the parquet-honest equivalent). ``features`` must have
+    columns (entity_id, value)."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = batch_df.dropDuplicates([key_col])
+        if store.exists():
+            existing = store.values_for_version(version_id).select(
+                F.col("entity_id").alias(key_col)
+            )
+            fresh = fresh.join(existing, key_col, "left_anti")
+        if not fresh.isEmpty():
+            store.write_values(version_id, fresh)
+
+    writer = features.writeStream.foreachBatch(upsert).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

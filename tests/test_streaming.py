@@ -168,3 +168,35 @@ def test_stream_stream_interval_join(spark, events_dir, tmp_path):
     )
     got = {tuple(r) for r in got_df.collect()}
     assert got == expected and len(got) > 0
+
+
+def test_stream_upsert_idempotent(spark, events_dir, tmp_path):
+    """foreachBatch upsert: replaying the whole stream (fresh checkpoint,
+    same data) must not duplicate entities in the offline store."""
+    from feature_store_implementation_spark.store.offline import OfflineStore
+    from feature_store_implementation_spark.streaming.features import (
+        stream_upsert_to_offline_store,
+    )
+
+    store = OfflineStore(spark, str(tmp_path / "store"))
+
+    def run(ck):
+        stream = read_events_stream(spark, events_dir)
+        feats = stream.select(
+            F.col("user_id").cast("string").alias("entity_id"),
+            F.col("value").cast("string").alias("value"),
+        )
+        q = stream_upsert_to_offline_store(
+            feats, store, 3, str(tmp_path / ck)
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    n_users = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir).select(
+        "user_id"
+    ).distinct().count()
+    assert store.values_for_version(3).count() == n_users
+    run("ck2")  # full replay with a fresh checkpoint → still no duplicates
+    vals = store.values_for_version(3)
+    assert vals.count() == n_users
+    assert vals.select("entity_id").distinct().count() == n_users
