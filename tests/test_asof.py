@@ -3,6 +3,7 @@
 import pandas as pd
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from feature_store_implementation_spark.operators.asof import asof_join
 
@@ -112,3 +113,16 @@ def test_asof_inclusive_equal_ts(spark):
     rdf = spark.createDataFrame(right, "key string, ts timestamp, rval double")
     out = asof_join(ldf, rdf, on="ts", by="key", value_cols=["rval"]).collect()
     assert out[0]["rval_right"] == 99.0
+
+
+def test_asof_empty_right_side(spark):
+    """Every left row survives with null payload when there is nothing to
+    match (merge_asof parity on an empty right frame)."""
+    from feature_store_implementation_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2026-01-01 10:00:00", 1.0)], "id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame([], "id long, ts timestamp, value double")
+    out = asof_join(left, right, on="ts", by="id", value_cols=["value"]).collect()
+    assert len(out) == 1 and out[0]["value_right"] is None

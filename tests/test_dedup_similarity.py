@@ -226,3 +226,17 @@ def test_ivf_kmeans_refinement_improves_or_holds_recall(spark):
     r_refined = recall(ivf_topk(e, q, k=10, n_cells=16, n_probe=4, refine_iters=3))
     # Lloyd balancing should not collapse recall; typically it improves it
     assert r_refined >= max(0.2, r_plain - 0.1)
+
+
+def test_topk_k_larger_than_corpus(spark):
+    from feature_store_implementation_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from feature_store_implementation_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(5)
+    q = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(e, q, k=100).groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in out)

@@ -51,3 +51,23 @@ def test_minmax_count_match_pandas(spark, recs):
     g = pdf.groupby("id")["amount"]
     expected = (g.max() - g.min() + g.count()).to_dict()
     assert got == expected
+
+
+join_records = st.lists(
+    st.tuples(st.sampled_from(ENTITIES), st.integers(-100, 100)),
+    min_size=0,
+    max_size=15,
+)
+
+
+@SETTINGS
+@given(left=join_records, right=join_records)
+def test_inner_join_matches_pandas_merge(spark, left, right):
+    ldf = spark.createDataFrame([(e, float(a)) for e, a in left] or [], "id string, l double")
+    rdf = spark.createDataFrame([(e, float(a)) for e, a in right] or [], "id string, r double")
+    got = sorted(tuple(r) for r in ldf.join(rdf, "id").collect())
+    lp = pd.DataFrame(left or [], columns=["id", "l"]).astype({"l": "float64"}) if left else pd.DataFrame(columns=["id", "l"])
+    rp = pd.DataFrame(right or [], columns=["id", "r"]).astype({"r": "float64"}) if right else pd.DataFrame(columns=["id", "r"])
+    merged = lp.merge(rp, on="id")
+    expected = sorted((r.id, float(r.l), float(r.r)) for r in merged.itertuples())
+    assert got == expected
