@@ -2370,3 +2370,287 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_text_oracles()
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline extensions, batch 2: resampling, reshaping, fuzzy
+# matching, distribution windows, array algebra, robust stats, bitmaps.
+# The reference's compute sandbox admits all of these as pandas programs
+# (reference compute.py:30-55); here each is one declarative Spark plan.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_resample_ffill",
+    f"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(ROUND(SUM(CAST(value AS {DEC})), 6) AS DOUBLE) AS day_value
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+      FROM events GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    )
+    SELECT s.user_id,
+           strftime(s.day, '%Y-%m-%d') AS day,
+           CAST(LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+                PARTITION BY s.user_id ORDER BY s.day) AS DOUBLE) AS value_ffill
+    FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample to a daily grid + forward fill — the canonical
+    gap-fill for training features over event streams. The per-user spine is
+    generated with sequence()+explode from each user's own [min, max] span
+    (no driver-side calendar), the daily agg is one shuffle, and the fill is
+    last(ignorenulls) over (user, day) — Spark reuses the join's hash
+    partitioning for the window, so the fill adds no extra shuffle. The
+    spine's first day always has a value (it IS the user's first event day),
+    so the fill never emits leading nulls."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum(dec("value")), 6).cast("double").alias("day_value")
+    )
+    span = e.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    spine = span.select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    w = W.partitionBy("user_id").orderBy("day")
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.last("day_value", ignorenulls=True)
+            .over(w)
+            .cast("double")
+            .alias("value_ffill"),
+        )
+    )
+
+
+@query(
+    "q_unpivot",
+    """
+    SELECT p_partkey, 'p_retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (melt) via the native unpivot operator — the
+    inverse of q_pivot, used to normalize per-column metrics into an EAV
+    layout before per-metric aggregation. Narrow transform, no shuffle."""
+    p = load_table(spark, sf_dir, "part")
+    wide = p.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_size").cast("double").alias("p_size"),
+    )
+    return wide.unpivot(["p_partkey"], ["p_retailprice", "p_size"], "metric", "value")
+
+
+@query(
+    "q_regex_extract",
+    """
+    SELECT regexp_extract(text, '[a-z]{6,}', 0) AS first_long_word,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS avg_chars,
+           CAST(ROUND(CAST(SUM(length(regexp_replace(text, '[aeiou]', '', 'g')) ) AS DOUBLE)
+                      / COUNT(*), 6) AS DOUBLE) AS avg_devoweled_len
+    FROM documents
+    WHERE regexp_extract(text, '[a-z]{6,}', 0) <> ''
+    GROUP BY 1
+    """,
+)
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex feature extraction (first ≥6-letter word) + regexp_replace
+    aggregation — both stay JVM-side in codegen (Java regex ≡ DuckDB RE2 for
+    this ASCII class pattern; reference admits regex via pandas .str)."""
+    d = load_table(spark, sf_dir, "documents")
+    word = F.regexp_extract("text", "[a-z]{6,}", 0)
+    devow = F.length(F.regexp_replace("text", "[aeiou]", ""))
+    return (
+        d.select(word.alias("first_long_word"), "n_chars", devow.alias("dv"))
+        .filter(F.col("first_long_word") != "")
+        .groupBy("first_long_word")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6)
+            .cast("double")
+            .alias("avg_chars"),
+            F.round(F.sum("dv").cast("double") / F.count(F.lit(1)), 6)
+            .cast("double")
+            .alias("avg_devoweled_len"),
+        )
+    )
+
+
+@query(
+    "q_fuzzy_pairs",
+    """
+    WITH n AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM n a JOIN n b
+      ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+     AND a.p_name < b.p_name
+     AND abs(length(a.p_name) - length(b.p_name)) <= 2
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-match (entity resolution): candidate pairs come
+    from an EQUI-join on a blocking key (first character) — never an O(n²)
+    cross join — then Levenshtein ≤ 3 filters within the block. At 100 TB
+    the blocking key is what keeps this a hash join; widen recall by adding
+    more blocks (prefix, length bucket, phonetic), not by unblocking."""
+    p = load_table(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    pairs = a.join(
+        b,
+        (F.substring("name_a", 1, 1) == F.substring("name_b", 1, 1))
+        & (F.col("name_a") < F.col("name_b"))
+        & (F.abs(F.length("name_a") - F.length("name_b")) <= 2),
+    )
+    return pairs.filter(F.levenshtein("name_a", "name_b") <= 3).select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+    )
+
+
+@query(
+    "q_window_cumedist",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CAST(ROUND(percent_rank() OVER w, 6) AS DOUBLE) AS pct_rank,
+           CAST(ROUND(cume_dist() OVER w, 6) AS DOUBLE) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_window_cumedist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position windows (percent_rank / cume_dist) — the
+    feature-engineering primitive for within-group percentile features.
+    Unique (acctbal, custkey) ordering makes ranks deterministic."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).cast("double").alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).cast("double").alias("cume"),
+    )
+
+
+@query(
+    "q_array_lambda",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents
+    ),
+    s AS (SELECT doc_id, toks[1:8] AS a, toks[5:12] AS b FROM t)
+    SELECT doc_id,
+      COALESCE(array_to_string(list_sort(list_distinct(list_intersect(a, b))), ','), '')
+        AS inter_csv,
+      COALESCE(array_to_string(list_sort(list_distinct(
+          list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS except_csv,
+      COALESCE(array_to_string(list_sort(list_distinct(list_concat(a, b))), ','), '')
+        AS union_csv
+    FROM s
+    """,
+)
+def q_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra with higher-order functions (intersect / except /
+    union over token slices) — all JVM-side codegen, no UDF. Outputs are
+    distinct-sorted CSV so the comparison is order-insensitive."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", r"\s+")
+    a, b = F.slice(toks, 1, 8), F.slice(toks, 5, 8)
+    srt = lambda col: F.array_join(F.sort_array(F.array_distinct(col)), ",")
+    return d.select(
+        "doc_id",
+        srt(F.array_intersect(a, b)).alias("inter_csv"),
+        srt(F.array_except(a, b)).alias("except_csv"),
+        srt(F.array_union(a, b)).alias("union_csv"),
+    )
+
+
+@query(
+    "q_winsorize",
+    f"""
+    WITH cuts AS (
+      SELECT l_returnflag,
+             ROUND(quantile_cont(l_extendedprice, 0.05), 6) AS p05,
+             ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag,
+           CAST(ROUND(CAST(SUM(CAST(LEAST(GREATEST(l.l_extendedprice, c.p05), c.p95)
+                                    AS {DEC}) ) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
+             AS winsor_mean,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(c.p05) AS DOUBLE) AS p05,
+           CAST(MIN(c.p95) AS DOUBLE) AS p95
+    FROM lineitem l JOIN cuts c USING (l_returnflag)
+    GROUP BY 1
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-clipped) mean per group — robust-statistics
+    feature transform: exact 5th/95th percentiles (rounded to 6dp in both
+    engines BEFORE clamping so the clamp thresholds are bit-identical),
+    broadcast back to the fact table, exact decimal mean of clamped values.
+    Two scans of lineitem but the second joins against a tiny broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cuts = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.05)), 6).alias("p05"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95"),
+    )
+    clamped = li.join(F.broadcast(cuts), "l_returnflag").withColumn(
+        "v", F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95"))
+    )
+    return clamped.groupBy("l_returnflag").agg(
+        F.round(F.sum(dec("v")).cast("double") / F.count(F.lit(1)), 6)
+        .cast("double")
+        .alias("winsor_mean"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("p05").cast("double").alias("p05"),
+        F.min("p95").cast("double").alias("p95"),
+    )
+
+
+@query(
+    "q_bit_agg",
+    """
+    SELECT event_type,
+           CAST(bit_or(user_id) AS BIGINT) AS users_or,
+           CAST(bit_and(user_id) AS BIGINT) AS users_and,
+           CAST(bit_xor(user_id) AS BIGINT) AS users_xor,
+           CAST(bit_or(CAST(1 AS BIGINT) << CAST(user_id % 60 AS INTEGER)) AS BIGINT)
+             AS user_bitmap
+    FROM events GROUP BY 1
+    """,
+)
+def q_bit_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates + a 60-bit presence bitmap (bit_or of shifted
+    one-hots) — the building block for small-domain bitmap rollups;
+    order-independent so they parallelize with no determinism caveats."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.bit_or("user_id").cast("long").alias("users_or"),
+        F.bit_and("user_id").cast("long").alias("users_and"),
+        F.bit_xor("user_id").cast("long").alias("users_xor"),
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 60 AS INT)))")
+        .cast("long")
+        .alias("user_bitmap"),
+    )

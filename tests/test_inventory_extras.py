@@ -27,3 +27,33 @@ def test_pandas_udf_zscore_moments(spark):
         var = math.fsum((z - mean) ** 2 for z in zs) / (n - 1)
         assert abs(mean) < 1e-4
         assert abs(var - 1.0) < 1e-2
+
+
+def test_resample_ffill_matches_pandas(spark):
+    """Daily resample + forward-fill vs the pandas idiom (resample('D').sum()
+    then ffill of missing days) for a handful of users."""
+    import pandas as pd
+
+    out = inv.q_resample_ffill(spark, SF).toPandas()
+    events = pd.read_parquet(f"{SF}/events.parquet")[["user_id", "ts", "value"]]
+    events["day"] = events["ts"].dt.floor("D")
+    for uid in sorted(events["user_id"].unique())[:5]:
+        g = events[events["user_id"] == uid]
+        daily = g.groupby("day")["value"].sum().round(6)
+        spine = pd.date_range(g["day"].min(), g["day"].max(), freq="D")
+        expected = daily.reindex(spine).ffill()
+        got = (
+            out[out["user_id"] == uid]
+            .set_index("day")["value_ffill"]
+            .sort_index()
+        )
+        assert list(got.index) == [d.strftime("%Y-%m-%d") for d in spine]
+        assert all(abs(a - b) < 1e-6 for a, b in zip(got.values, expected.values))
+
+
+def test_fuzzy_pairs_are_blocked_and_ordered(spark):
+    rows = inv.q_fuzzy_pairs(spark, SF).collect()
+    for r in rows:
+        assert r["name_a"] < r["name_b"]
+        assert r["name_a"][0] == r["name_b"][0]
+        assert 0 < r["edit_dist"] <= 3
