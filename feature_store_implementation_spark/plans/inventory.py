@@ -2654,3 +2654,90 @@ def q_bit_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("user_bitmap"),
     )
+
+
+@query(
+    "q_bigram_counts",
+    r"""
+    WITH t AS (SELECT regexp_split_to_array(text, '\s+') AS toks FROM documents),
+    b AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM t
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY 1
+    ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram counts over the corpus — the n-gram LM statistic for
+    training-data analysis. Adjacent-token pairing is a higher-order
+    transform over the token array (JVM codegen, no UDF); the top-k is a
+    global sort of the already-aggregated (tiny) bigram table with a
+    deterministic (count, bigram) tie-break."""
+    d = load_table(spark, sf_dir, "documents")
+    # Materialize tokens once, then pair each token with its successor via
+    # zip_with over shifted slices — avoids per-element element_at indexing
+    # (which re-evaluates the split expression per access).
+    t = d.select(F.split("text", r"\s+").alias("toks")).withColumn(
+        "n1", F.greatest(F.size("toks") - 1, F.lit(0))
+    )
+    bigrams = F.zip_with(
+        F.slice("toks", F.lit(1), F.col("n1")),
+        F.slice("toks", F.lit(2), F.col("n1")),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    return (
+        t.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+@query(
+    "q_dedup_components",
+    """
+    WITH RECURSIVE
+    names AS (SELECT DISTINCT p_name FROM part),
+    edges AS (
+      SELECT a.p_name AS a, b.p_name AS b
+      FROM names a JOIN names b
+        ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+       AND a.p_name < b.p_name
+       AND abs(length(a.p_name) - length(b.p_name)) <= 2
+      WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ),
+    und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    reach(node, r) AS (
+      SELECT p_name, p_name FROM names
+      UNION
+      SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.node
+    )
+    SELECT node AS p_name, MIN(r) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assembly: blocked fuzzy pairs (q_fuzzy_pairs'
+    edges) → connected components via distributed min-label propagation
+    (operators/graph.py). The oracle computes the same fixpoint with a
+    recursive CTE — the components (min reachable name) must agree exactly.
+    This is the step that turns pairwise near-dup hits into one canonical
+    row per cluster at corpus scale."""
+    from ..operators.graph import connected_components
+
+    p = load_table(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("src"))
+    b = names.select(F.col("p_name").alias("dst"))
+    edges = a.join(
+        b,
+        (F.substring("src", 1, 1) == F.substring("dst", 1, 1))
+        & (F.col("src") < F.col("dst"))
+        & (F.abs(F.length("src") - F.length("dst")) <= 2),
+    ).filter(F.levenshtein("src", "dst") <= 3)
+    cc = connected_components(edges, vertices=names)
+    return cc.select(F.col("node").alias("p_name"), "component")
