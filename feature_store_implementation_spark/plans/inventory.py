@@ -2741,3 +2741,82 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.levenshtein("src", "dst") <= 3)
     cc = connected_components(edges, vertices=names)
     return cc.select(F.col("node").alias("p_name"), "component")
+
+
+@query(
+    "q_fold_assign",
+    """
+    SELECT doc_id,
+           CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 5 AS BIGINT) AS fold
+    FROM documents
+    """,
+)
+def q_fold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic cross-validation fold assignment from a content hash —
+    stable across engines, partitionings, and appends (unlike rand() or
+    monotonically_increasing_id). md5-hex first char mod k is near-uniform
+    over 5 folds; production code wanting exact uniformity would use
+    xxhash64 % k (engine-specific, hence not the oracle form)."""
+    d = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.ascii(F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 1))
+        % 5
+    )
+    return d.select("doc_id", fold.cast("long").alias("fold"))
+
+
+@query(
+    "q_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_buy
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click_after_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase_after_click
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): each stage is the earliest
+    qualifying event strictly after the previous stage's timestamp. Three
+    type-filtered scans (predicate pushdown keeps each small) joined on
+    user_id — no per-user sequence collection, so the pattern scales to
+    arbitrarily long histories."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).cast("long").alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).cast("long").alias("n_click_after_view")))
+        .crossJoin(
+            p.agg(F.count(F.lit(1)).cast("long").alias("n_purchase_after_click"))
+        )
+    )
