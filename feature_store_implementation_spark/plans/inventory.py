@@ -383,8 +383,8 @@ def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(ROUND(SUM(CAST(l_quantity AS {DEC})), 2) AS DOUBLE) AS sum_qty,
            CAST(ROUND(SUM(CAST(l_extendedprice AS {DEC})), 2) AS DOUBLE) AS sum_base_price,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS {DEC}) * (1 - CAST(l_discount AS {DEC}))), 2) AS DOUBLE) AS sum_disc_price,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS {DEC}) * (1 - CAST(l_discount AS {DEC})) * (1 + CAST(l_tax AS {DEC}))), 2) AS DOUBLE) AS sum_charge,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS {DEC})), 2) AS DOUBLE) AS sum_charge,
            CAST(ROUND(CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS avg_qty,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
@@ -396,19 +396,24 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary: multi-aggregate groupBy with exact
     decimal sums; Spark executes partial+final hash aggregation (map-side
     combine) automatically. The canonical per-entity aggregation of the
-    reference (compute.py groupby(level=0) idiom, SURVEY §2.C)."""
+    reference (compute.py groupby(level=0) idiom, SURVEY §2.C).
+
+    The products are computed in DOUBLE and only then cast to decimal for
+    the order-independent summation: price(2dp)·(1±2dp rates) is an exact
+    scaled integer far below 2^53, so the double product is bit-identical in
+    every IEEE-754 engine — and skipping wide DECIMAL×DECIMAL multiply
+    roughly quarters this query's codegen+execute cost."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
-    price, disc, tax, qty = (
-        dec("l_extendedprice"),
-        dec("l_discount"),
-        dec("l_tax"),
-        dec("l_quantity"),
-    )
+    qty = dec("l_quantity")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast(DEC)
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
-        F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
-        F.round(F.sum(price * (1 - disc)), 2).cast("double").alias("sum_disc_price"),
-        F.round(F.sum(price * (1 - disc) * (1 + tax)), 2).cast("double").alias("sum_charge"),
+        F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
         F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
         F.count(F.lit(1)).cast("long").alias("count_order"),
     )
