@@ -125,3 +125,105 @@ def size_balanced_repartition(
     # weight large blobs into their own buckets
     big = (n_bytes > target_batch_bytes / 8).cast("int")
     return df.repartition(F.concat(salted.cast("string"), F.lit("_"), big.cast("string")))
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def resize_image_real(content: bytes, width: int, height: int) -> bytes:
+    """The real resize slot. Container has no imaging libraries — STUB."""
+    raise NotImplementedError("image resize requires PIL; plug into resize_media")
+
+
+def resize_image_fake(content: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in: truncate/cycle the blob to width*height bytes
+    so output sizes behave like a real resize (smaller target → smaller
+    payload) without an imaging lib."""
+    need = width * height
+    if not content:
+        return b"\x00" * need
+    reps = -(-need // len(content))
+    return (content * reps)[:need]
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    resizer=resize_image_fake,
+) -> DataFrame:
+    """Batch resize via mapInPandas — same Arrow plumbing as the decode
+    stage; swap ``resizer`` for a PIL-backed callable in production."""
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "content": pdf[content_col].map(
+                        lambda b: resizer(b, width, height)
+                    ),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.mapInPandas(mapper, schema=RESIZED_SCHEMA)
+
+
+def sample_frames_real(content: bytes, every_n: int) -> list[bytes]:
+    """The real frame-sampling slot (video). No av/ffmpeg here — STUB."""
+    raise NotImplementedError("frame sampling requires pyav/ffmpeg")
+
+
+def sample_frames_fake(content: bytes, every_n: int, frame_bytes: int = 16) -> list[bytes]:
+    """Deterministic stand-in: treat the blob as fixed-size 'frames' and
+    keep every n-th — preserves the fan-out shape (one input row → many
+    frame rows) the real sampler produces."""
+    frames = [
+        content[i : i + frame_bytes] for i in range(0, len(content), frame_bytes)
+    ]
+    return frames[::every_n]
+
+
+def sample_media_frames(
+    df: DataFrame,
+    every_n: int = 2,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    sampler=sample_frames_fake,
+) -> DataFrame:
+    """Frame sampling as a row-expanding mapInPandas stage: each media row
+    yields one row per kept frame. Expansion happens inside the Arrow batch
+    (never on the driver), so a long video fans out within its own task."""
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                for i, fr in enumerate(sampler(blob, every_n)):
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(mapper, schema=FRAME_SCHEMA)

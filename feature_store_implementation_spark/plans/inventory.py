@@ -2825,3 +2825,42 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             p.agg(F.count(F.lit(1)).cast("long").alias("n_purchase_after_click"))
         )
     )
+
+
+@query(
+    "q_udtf_tokens",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+           unnest(toks) AS token
+    FROM t
+    """,
+)
+def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) applied via LATERAL: one input row →
+    many (pos, token) rows, generated by arbitrary Python. This is the
+    row-expanding escape hatch of the UDF surface — use it only when no
+    built-in generator (explode/posexplode/inline) fits, since even the
+    Arrow-optimized UDTF path costs a Python round trip. The oracle is the
+    built-in equivalent (unnest + generate_subscripts in lockstep)."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: bigint, token: string")
+    class TokenizeUdtf:
+        def eval(self, text: str):
+            for i, tok in enumerate(re.split(r"\s+", text or ""), start=1):
+                yield i, tok
+
+    spark.udtf.register("tokenize_udtf", TokenizeUdtf)
+    load_table(spark, sf_dir, "documents").filter("doc_id < 100").createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        "SELECT doc_id, pos, token FROM _udtf_docs, LATERAL tokenize_udtf(text)"
+    )

@@ -56,3 +56,43 @@ def test_real_decoder_is_explicit_stub():
 def test_size_balanced_repartition_runs(media):
     out = size_balanced_repartition(media)
     assert out.count() == 50
+
+
+def test_resize_media_shapes(spark):
+    from feature_store_implementation_spark.operators.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [(1, b"abcdef"), (2, b""), (3, b"x" * 100)], "media_id long, content binary"
+    )
+    out = {r["media_id"]: r for r in resize_media(df, 4, 3).collect()}
+    assert all(len(r["content"]) == 12 for r in out.values())
+    assert out[1]["content"] == (b"abcdef" * 2)[:12]
+    assert out[2]["content"] == b"\x00" * 12
+    assert (out[1]["width"], out[1]["height"]) == (4, 3)
+
+
+def test_sample_frames_fanout(spark):
+    from feature_store_implementation_spark.operators.multimodal import (
+        sample_media_frames,
+    )
+
+    blob = bytes(range(64))  # 4 frames of 16 bytes
+    df = spark.createDataFrame([(7, blob)], "media_id long, content binary")
+    rows = sorted(
+        sample_media_frames(df, every_n=2).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 1]
+    assert rows[0]["frame"] == blob[0:16] and rows[1]["frame"] == blob[32:48]
+
+
+def test_real_decoders_are_marked_stubs(spark):
+    import pytest as _pytest
+
+    from feature_store_implementation_spark.operators import multimodal as mm
+
+    with _pytest.raises(NotImplementedError):
+        mm.decode_image_real(b"x")
+    with _pytest.raises(NotImplementedError):
+        mm.resize_image_real(b"x", 2, 2)
+    with _pytest.raises(NotImplementedError):
+        mm.sample_frames_real(b"x", 2)
