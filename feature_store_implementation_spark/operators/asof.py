@@ -36,10 +36,10 @@ def asof_join(
     value_cols: list[str] | None = None,
     tolerance: str | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the most recent right row with
-    ``right.on <= left.on`` within the same ``by`` group (backward as-of,
-    ``pd.merge_asof`` defaults).
+    """For each left row, attach the matching right row within the same
+    ``by`` group (``pd.merge_asof`` semantics).
 
     Parameters
     ----------
@@ -47,10 +47,18 @@ def asof_join(
     by : equi-key column(s) present in both sides.
     value_cols : right-side payload columns to carry (default: all right
         columns except ``on``/``by``).
-    tolerance : optional max staleness as an INTERVAL literal (e.g.
-        ``'3600 seconds'``); matches older than it are nulled, like
+    tolerance : optional max distance as an INTERVAL literal (e.g.
+        ``'3600 seconds'``); matches farther than it are nulled, like
         merge_asof(tolerance=...).
+    direction : ``'backward'`` (most recent right.on <= left.on, default),
+        ``'forward'`` (earliest right.on >= left.on), or ``'nearest'``
+        (closer of the two; exact-distance ties resolve backward). Forward
+        is the same one-shuffle carry with the scan order reversed; nearest
+        evaluates both windows over the SAME partitioning (one shuffle, two
+        local sorts) and picks per-row.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     by_cols = [by] if isinstance(by, str) else list(by)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in {on, *by_cols}]
@@ -78,27 +86,62 @@ def asof_join(
     _ = lhs_cols
 
     unioned = lhs.unionByName(rhs)
-    w = (
-        W.partitionBy(*by_cols)
-        .orderBy(F.col(on).asc(), F.col("_side").asc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    out = unioned.select(
+
+    def window(reverse: bool):
+        order = F.col(on).desc() if reverse else F.col(on).asc()
+        return (
+            W.partitionBy(*by_cols)
+            .orderBy(order, F.col("_side").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+
+    lts = F.col(on).cast("timestamp")
+    if direction in ("backward", "forward"):
+        w = window(reverse=direction == "forward")
+        out = unioned.select(
+            *left.columns,
+            "_side",
+            *[F.last(cc, ignorenulls=True).over(w).alias(cc) for cc in carried],
+            F.last("_rts", ignorenulls=True).over(w).alias("_matched_ts"),
+        ).filter(F.col("_side") == 1)
+        if tolerance is not None:
+            tol = F.expr(f"INTERVAL {tolerance}")
+            in_tol = (
+                F.col("_matched_ts") >= lts - tol
+                if direction == "backward"
+                else F.col("_matched_ts") <= lts + tol
+            )
+            return out.select(
+                *left.columns,
+                *[F.when(in_tol, F.col(cc)).alias(cc) for cc in carried],
+            )
+        return out.select(*left.columns, *carried)
+
+    # nearest: both directions over one partitioning, choose per row
+    wb, wf = window(False), window(True)
+    both = unioned.select(
         *left.columns,
         "_side",
-        *[F.last(cc, ignorenulls=True).over(w).alias(cc) for cc in carried],
-        F.last("_rts", ignorenulls=True).over(w).alias("_matched_ts"),
+        *[F.last(cc, ignorenulls=True).over(wb).alias(f"{cc}__b") for cc in carried],
+        F.last("_rts", ignorenulls=True).over(wb).alias("_mts_b"),
+        *[F.last(cc, ignorenulls=True).over(wf).alias(f"{cc}__f") for cc in carried],
+        F.last("_rts", ignorenulls=True).over(wf).alias("_mts_f"),
     ).filter(F.col("_side") == 1)
-
+    d_b = lts.cast("long") - F.col("_mts_b").cast("long")
+    d_f = F.col("_mts_f").cast("long") - lts.cast("long")
+    use_b = F.col("_mts_f").isNull() | (F.col("_mts_b").isNotNull() & (d_b <= d_f))
+    picked_ts = F.when(use_b, F.col("_mts_b")).otherwise(F.col("_mts_f"))
     if tolerance is not None:
-        stale = F.col(on).cast("timestamp") - F.expr(f"INTERVAL {tolerance}")
-        out = out.select(
-            *left.columns,
-            *[
-                F.when(F.col("_matched_ts") >= stale, F.col(cc)).alias(cc)
-                for cc in carried
-            ],
-        )
+        tol = F.expr(f"INTERVAL {tolerance}")
+        in_tol = (picked_ts >= lts - tol) & (picked_ts <= lts + tol)
     else:
-        out = out.select(*left.columns, *carried)
-    return out
+        in_tol = F.lit(True)
+    return both.select(
+        *left.columns,
+        *[
+            F.when(
+                in_tol, F.when(use_b, F.col(f"{cc}__b")).otherwise(F.col(f"{cc}__f"))
+            ).alias(cc)
+            for cc in carried
+        ],
+    )

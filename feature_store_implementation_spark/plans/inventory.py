@@ -2864,3 +2864,52 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, pos, token FROM _udtf_docs, LATERAL tokenize_udtf(text)"
     )
+
+
+@query(
+    "q_hypertable_rollup",
+    f"""
+    WITH t AS (
+      SELECT event_type,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_bucket,
+             value
+      FROM events
+    )
+    SELECT event_type, hour_bucket, day_bucket,
+           CAST(GROUPING(event_type, hour_bucket, day_bucket) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(CAST(value AS {DEC})), 6) AS DOUBLE) AS sum_value
+    FROM t
+    GROUP BY GROUPING SETS ((event_type, hour_bucket), (event_type, day_bucket))
+    """,
+)
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hourly AND daily continuous
+    aggregates of the event stream in ONE grouping-sets pass (one shuffle —
+    Spark expands the sets without rescanning the fact table). The
+    grouping_id column tells a reader which grain each row belongs to; at
+    100 TB this replaces N separate rollup jobs with one."""
+    e = load_table(spark, sf_dir, "events")
+    t = e.select(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias(
+            "hour_bucket"
+        ),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day_bucket"),
+        "value",
+    )
+    return (
+        t.groupingSets(
+            [["event_type", "hour_bucket"], ["event_type", "day_bucket"]],
+            "event_type",
+            "hour_bucket",
+            "day_bucket",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum(dec("value")), 6).cast("double").alias("sum_value"),
+        )
+        .select("event_type", "hour_bucket", "day_bucket", "gid", "n", "sum_value")
+    )

@@ -126,3 +126,79 @@ def test_asof_empty_right_side(spark):
     right = spark.createDataFrame([], "id long, ts timestamp, value double")
     out = asof_join(left, right, on="ts", by="id", value_cols=["value"]).collect()
     assert len(out) == 1 and out[0]["value_right"] is None
+
+
+@pytest.mark.parametrize("direction", ["forward", "nearest"])
+def test_asof_directions_match_pandas(spark, frames, direction):
+    left, right = frames
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="ts",
+            by="key",
+            value_cols=["rval"],
+            direction=direction,
+        )
+        .toPandas()
+        .sort_values(["key", "ts", "lval"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.merge_asof(
+            left.sort_values("ts"),
+            right.sort_values("ts"),
+            on="ts",
+            by="key",
+            direction=direction,
+        )
+        .rename(columns={"rval": "rval_right"})
+        .sort_values(["key", "ts", "lval"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_series_equal(got["rval_right"], exp["rval_right"], check_names=False)
+
+
+@pytest.mark.parametrize("direction", ["forward", "nearest"])
+def test_asof_direction_tolerance(spark, frames, direction):
+    left, right = frames
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="ts",
+            by="key",
+            value_cols=["rval"],
+            direction=direction,
+            tolerance="3600 seconds",
+        )
+        .toPandas()
+        .sort_values(["key", "ts", "lval"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.merge_asof(
+            left.sort_values("ts"),
+            right.sort_values("ts"),
+            on="ts",
+            by="key",
+            direction=direction,
+            tolerance=pd.Timedelta("3600s"),
+        )
+        .rename(columns={"rval": "rval_right"})
+        .sort_values(["key", "ts", "lval"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_series_equal(got["rval_right"], exp["rval_right"], check_names=False)
+
+
+def test_asof_rejects_bad_direction(spark, frames):
+    left, right = frames
+    with pytest.raises(ValueError):
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="ts",
+            by="key",
+            direction="sideways",
+        )
