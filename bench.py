@@ -52,6 +52,10 @@ EXTRAS = [
     "q_dedup_components",
     "q_window_cumedist",
     "q_minmax_scale",
+    "q_hypertable_rollup",
+    "q_shipping_priority",
+    "q_copurchase_pairs",
+    "q_share_of_total",
 ]
 
 

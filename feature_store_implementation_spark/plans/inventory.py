@@ -2913,3 +2913,152 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "hour_bucket", "day_bucket", "gid", "n", "sum_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# deep analytical join, self-join co-occurrence, ratio-to-report
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_shipping_priority",
+    f"""
+    SELECT l.l_orderkey,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS {DEC})), 2) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-30'
+      AND l.l_shipdate > TIMESTAMP '1998-06-30'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shape shipping priority: selective filters on all THREE
+    tables of a deep join, then group + top-10. The plan the optimizer
+    should produce — and test_plans.py pins — pushes each filter into its
+    parquet scan, broadcasts the filtered customer keys, and shuffles
+    lineitem once on l_orderkey; the final top-10 is TakeOrderedAndProject
+    (no global sort materialization). Exercises join ordering + pushdown
+    together, which no other inventory query does."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < "1998-06-30")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > "1998-06-30")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+    )
+
+
+@query(
+    "q_copurchase_pairs",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM items a
+    JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top part pairs appearing in the same
+    order, via an equi-self-join on l_orderkey. The l_partkey < l_partkey
+    canonicalization halves the pair space and dedups (a,b)/(b,a). Scale
+    shape: both sides shuffle once on the SAME key (Spark reuses the
+    exchange), and fanout is bounded per order by C(items,2) — ≤78 pairs at
+    TPC-H's 13-line max — so no skew blowup at 100 TB. Ties at the top-20
+    boundary are broken by (part_a, part_b) for determinism."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@query(
+    "q_share_of_total",
+    f"""
+    WITH r AS (
+      SELECT n.n_name, SUM(CAST(o.o_totalprice AS {DEC})) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT n_name,
+           CAST(ROUND(rev, 2) AS DOUBLE) AS nation_revenue,
+           CAST(ROUND(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE), 6)
+                AS DOUBLE) AS revenue_share
+    FROM r
+    """,
+)
+def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of global revenue. The
+    unpartitioned window runs over the POST-aggregation frame (25 nation
+    rows), never the fact table, so the single-partition stage is O(dims)
+    at any scale. Exact decimal sums feed an IEEE-identical double divide
+    in both engines (inventory determinism rule #1)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(dec("o_totalprice")).alias("rev"))
+    )
+    return base.select(
+        "n_name",
+        F.round("rev", 2).cast("double").alias("nation_revenue"),
+        F.round(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(W.partitionBy()).cast("double"),
+            6,
+        ).alias("revenue_share"),
+    )

@@ -49,3 +49,24 @@ def test_similarity_avoids_cartesian(spark):
 def test_scalar_subquery_broadcasts_aggregate(spark):
     plan = _plan(spark, "q_scalar_subquery")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" in plan
+
+
+def test_shipping_priority_plan_shape(spark):
+    plan = _plan(spark, "q_shipping_priority")
+    # every table's filter reached its own parquet scan
+    assert "IsNotNull(c_mktsegment)" in plan or "EqualTo(c_mktsegment" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    # filtered customer side broadcasts; top-10 never materializes a global sort
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_copurchase_self_join_extracts_equi_key(spark):
+    plan = _plan(spark, "q_copurchase_pairs")
+    # the mixed predicate (orderkey equality + partkey inequality) must
+    # compile to a hash join keyed on l_orderkey with the inequality as a
+    # residual condition — a nested-loop/cartesian here is O(n^2) at scale
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
