@@ -56,6 +56,7 @@ EXTRAS = [
     "q_shipping_priority",
     "q_copurchase_pairs",
     "q_share_of_total",
+    "q_big_orders",
 ]
 
 

@@ -3062,3 +3062,58 @@ def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("revenue_share"),
     )
+
+
+@query(
+    "q_big_orders",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS {DEC})) AS qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS {DEC})) > 250
+    )
+    SELECT c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(ROUND(CAST(o.o_totalprice AS {DEC}), 2) AS DOUBLE) AS total_price,
+           CAST(ROUND(b.qty, 2) AS DOUBLE) AS total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY total_price DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shape large-volume orders: aggregate the fact table,
+    HAVING-filter to the rare heavy orders, then join BACK to orders and
+    customer. The reference's closest analogue is the per-entity aggregate
+    loop (reference compute.py:57-72) — here it is one plan. Scale shape:
+    the HAVING output is tiny (heavy orders are the distribution tail), so
+    it BROADCASTS into the orders join, and that result broadcasts into the
+    customer join — neither orders nor customer ever shuffles; lineitem
+    shuffles once on its group key. Final top-100 is TakeOrderedAndProject."""
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 250)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+    return (
+        c.join(F.broadcast(j), j.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round(dec("o_totalprice"), 2).cast("double").alias("total_price"),
+            F.round("qty", 2).cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("total_price"), "o_orderkey")
+        .limit(100)
+    )

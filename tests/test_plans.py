@@ -70,3 +70,12 @@ def test_copurchase_self_join_extracts_equi_key(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_big_orders_broadcasts_tiny_having_result(spark):
+    # the HAVING-filtered aggregate is tiny: it must broadcast into orders,
+    # and that result into customer — neither big table may shuffle-join
+    plan = _plan(spark, "q_big_orders")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
