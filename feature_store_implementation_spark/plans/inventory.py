@@ -3117,3 +3117,22 @@ def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_price"), "o_orderkey")
         .limit(100)
     )
+
+
+@query("q_approx_quantiles", None)
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-group quantiles via approx_percentile (KLL/GK-style
+    mergeable sketch, accuracy 1/10000). This is the 100 TB path that
+    q_percentiles' exact sort-based variant falls back from: partial sketches
+    combine map-side, no per-group value sort ever materializes. Rows-only
+    driver check (sketch output is engine-specific); tests pin the result to
+    within the sketch's rank-error bound of the exact percentiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.approx_percentile("l_quantity", F.lit(q), F.lit(10000))
+            .cast("double")
+            .alias(f"ap{int(q * 100)}")
+            for q in (0.25, 0.50, 0.75)
+        ]
+    )

@@ -57,3 +57,22 @@ def test_fuzzy_pairs_are_blocked_and_ordered(spark):
         assert r["name_a"] < r["name_b"]
         assert r["name_a"][0] == r["name_b"][0]
         assert 0 < r["edit_dist"] <= 3
+
+
+def test_approx_quantiles_within_rank_error_of_exact(spark):
+    from feature_store_implementation_spark.plans.inventory import SPECS
+
+    sf = "/root/testdata/sf0.001"
+    approx = {
+        r["l_returnflag"]: r
+        for r in SPECS["q_approx_quantiles"].fn(spark, sf).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r for r in SPECS["q_percentiles"].fn(spark, sf).collect()
+    }
+    assert set(approx) == set(exact) and approx
+    # accuracy=10000 → rank error ≤ n/10000; l_quantity spans 1..50 so even a
+    # few ranks off moves the value by at most a unit or two
+    for flag, a in approx.items():
+        for ap, ex in (("ap25", "p25"), ("ap50", "p50"), ("ap75", "p75")):
+            assert abs(a[ap] - exact[flag][ex]) <= 2.0, (flag, ap)
