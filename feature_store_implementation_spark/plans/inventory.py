@@ -3136,3 +3136,42 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q in (0.25, 0.50, 0.75)
         ]
     )
+
+
+@query(
+    "q_retention_cohorts",
+    """
+    WITH m AS (
+      SELECT o_custkey, date_trunc('month', o_orderdate) AS om FROM orders
+    ),
+    firsts AS (
+      SELECT o_custkey, MIN(om) AS cohort_month FROM m GROUP BY o_custkey
+    )
+    SELECT strftime(f.cohort_month, '%Y-%m') AS cohort,
+           CAST(date_diff('month', f.cohort_month, m.om) AS BIGINT) AS months_since,
+           CAST(COUNT(DISTINCT m.o_custkey) AS BIGINT) AS active_customers
+    FROM m JOIN firsts f ON m.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: customers bucketed by first-order month,
+    counted distinct in each month-offset since. The reference has no
+    cross-entity analytics at all (per-entity exec loop, compute.py:30-55);
+    this is the standard activity-retention shape a training pipeline uses
+    for data curation. Scale shape: both the min-aggregate and the join key
+    on o_custkey — one shuffle, exchange reused across the two consumers;
+    the final distinct-count shuffles only (cohort, offset) cells, O(months²)
+    rows regardless of fact size."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.date_trunc("month", F.col("o_orderdate")).alias("om")
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("om").alias("cohort_month"))
+    return (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            F.date_format("cohort_month", "yyyy-MM").alias("cohort"),
+            F.months_between("om", "cohort_month").cast("long").alias("months_since"),
+        )
+        .agg(F.count_distinct("o_custkey").cast("long").alias("active_customers"))
+    )
