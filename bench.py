@@ -57,6 +57,17 @@ EXTRAS = [
     "q_copurchase_pairs",
     "q_share_of_total",
     "q_big_orders",
+    "q_regional_volume",
+    "q_nation_trade",
+    "q_market_share",
+    "q_product_profit",
+    "q_returned_items",
+    "q_order_priority",
+    "q_small_qty_revenue",
+    "q_idle_customers",
+    "q_disjunctive_join",
+    "q_heavy_hitters",
+    "q_pagerank",
 ]
 
 

@@ -28,6 +28,72 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+PR_SCALE = 1_000_000_000_000  # fixed-point denominator: rank 1.0 == 10^12
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Deterministic PageRank over a directed edge list, in fixed-point
+    integer arithmetic so the result is bit-exact and order-independent.
+
+    Floating-point PageRank is not reproducible across engines (double
+    summation is order-dependent), so ranks are kept as BIGINT numerators
+    over ``PR_SCALE``: each iteration computes
+
+        rank'(v) = (PR_SCALE * (100-d)) div (100 * N)
+                 + sum over in-edges (u,v) of (rank(u) * d) div (100 * deg(u))
+
+    with integer (floor) division — associative, commutative, and identical
+    in Spark and DuckDB, which lets a recursive-CTE oracle check the result
+    hash-for-hash. Every node must have out-degree >= 1 (symmetrize the edge
+    list first); dangling-mass redistribution is deliberately out of scope.
+
+    Scale shape: the edge list (with out-degree attached) is checkpointed
+    once and re-joined each iteration — one shuffle per iteration on the
+    node key, rank state is |V| rows. That is the standard bulk-synchronous
+    PageRank layout; iterations are a fixed count so the job graph is static.
+
+    Returns ``(node, rank_fp)`` — BIGINT fixed-point ranks summing to ~1.0.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+
+    nodes = ed.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()
+    base = PR_SCALE * (100 - damping_pct) // (100 * n)
+    ranks = nodes.select("node", F.lit(PR_SCALE // n).cast("long").alias("rank_fp"))
+
+    for _ in range(iterations):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"(rank_fp * {damping_pct}) div (100 * deg)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        # symmetrized graphs give every node an in-edge, but keep isolated
+        # receivers correct anyway via the left join + coalesce
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce("in_mass", F.lit(0)))
+                .cast("long")
+                .alias("rank_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

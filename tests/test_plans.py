@@ -79,3 +79,80 @@ def test_big_orders_broadcasts_tiny_having_result(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_regional_volume_broadcasts_dim_chain(spark):
+    # Q5 shape: region→nation→supplier all broadcast; lineitem and orders
+    # are the only shuffle participants; the region filter reaches its scan
+    plan = _plan(spark, "q_regional_volume")
+    assert "EqualTo(r_name,ASIA)" in plan or "IsNotNull(r_name)" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_nation_trade_pushes_ship_window_to_scan(spark):
+    plan = _plan(spark, "q_nation_trade")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_order_priority_exists_is_semi_join(spark):
+    # the correlated EXISTS must compile to ONE semi join keyed on the
+    # order key (non-equi ships-late predicate as residual), never a
+    # per-order re-scan and never a row-multiplying inner join + distinct
+    plan = _plan(spark, "q_order_priority")
+    assert "LeftSemi" in plan
+    assert "HashAggregate" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_disjunctive_join_extracts_equi_key(spark):
+    # Q19 shape: OR'd cross-side predicates must NOT defeat hash-join
+    # extraction of the p_partkey = l_partkey conjunct
+    plan = _plan(spark, "q_disjunctive_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_small_qty_revenue_single_partkey_shuffle(spark):
+    # Q17 shape: per-part average via ONE window shuffle on l_partkey —
+    # no self-join of lineitem against a re-aggregated copy of itself
+    plan = _plan(spark, "q_small_qty_revenue")
+    assert plan.count("Exchange hashpartitioning(l_partkey") <= 1
+    assert "Window" in plan
+
+
+def test_idle_customers_anti_join_and_scalar_broadcast(spark):
+    plan = _plan(spark, "q_idle_customers")
+    assert "LeftAnti" in plan
+    # the one-row stats frame must come in as a broadcast, not a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    # storage-partitioned fact + selective dim filter: the fact scan must
+    # receive a runtime partition filter (DPP), reading 1/10th of the files
+    # — at 100 TB this is the difference between scanning one partition and
+    # scanning the lake
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 20000).select(
+        "id", (F.col("id") % 10).alias("part_year"), (F.col("id") * 2).alias("v")
+    )
+    fact.write.partitionBy("part_year").parquet(str(tmp_path / "fact"))
+    dim = spark.createDataFrame(
+        [(i, "pick" if i == 3 else "skip") for i in range(10)],
+        "part_year long, flag string",
+    )
+    j = (
+        spark.read.parquet(str(tmp_path / "fact"))
+        .join(dim.filter(F.col("flag") == "pick"), "part_year")
+        .agg(F.sum("v").alias("total"))
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        j._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruningexpression" in plan
+    assert j.collect()[0]["total"] == sum(i * 2 for i in range(20000) if i % 10 == 3)

@@ -1,0 +1,84 @@
+"""Exactness tests for the round-2 distributed algorithms: Misra-Gries
+heavy hitters (operators/sketch.py) and fixed-point PageRank
+(operators/graph.py) against pure-Python oracles."""
+
+from collections import Counter, defaultdict
+
+from feature_store_implementation_spark.operators.graph import (
+    PR_SCALE,
+    pagerank_fixed_point,
+)
+from feature_store_implementation_spark.operators.sketch import frequent_items
+
+
+def _hh_oracle(values, k):
+    n = len(values)
+    return {v: c for v, c in Counter(values).items() if c > n / k}
+
+
+def _check_hh(spark, values, k, parts=7):
+    df = spark.createDataFrame([(v,) for v in values], "item string").repartition(parts)
+    got = {r["item"]: r["cnt"] for r in frequent_items(df, "item", k).collect()}
+    assert got == _hh_oracle(values, k)
+
+
+def test_heavy_hitters_skewed_exact(spark):
+    # zipf-ish: item i appears ~1000/i times — clear hitters plus a long tail
+    values = [f"v{i}" for i in range(1, 60) for _ in range(1000 // i)]
+    _check_hh(spark, values, k=20)
+
+
+def test_heavy_hitters_adversarial_near_threshold(spark):
+    # many items sitting JUST below the n/k threshold try to crowd the MG
+    # counters; the exact recount must still drop every one of them
+    values = []
+    for i in range(50):
+        values += [f"low{i}"] * 9  # below threshold
+    values += ["big0"] * 120 + ["big1"] * 80
+    k = len(values) // 10  # threshold = 10
+    _check_hh(spark, values, k=k)
+
+
+def test_heavy_hitters_no_qualifiers(spark):
+    # uniform data with a tight threshold: nothing qualifies, output empty
+    values = [f"u{i % 40}" for i in range(400)]  # every count == 10
+    _check_hh(spark, values, k=30)  # threshold 13.3 > 10
+
+
+def _py_pagerank(edge_set, iterations):
+    deg = Counter(s for s, _ in edge_set)
+    nodes = sorted(deg)
+    n = len(nodes)
+    base = PR_SCALE * 15 // (100 * n)
+    r = {v: PR_SCALE // n for v in nodes}
+    for _ in range(iterations):
+        mass = defaultdict(int)
+        for s, d in edge_set:
+            mass[d] += (r[s] * 85) // (100 * deg[s])
+        r = {v: base + mass.get(v, 0) for v in nodes}
+    return r
+
+
+def test_pagerank_matches_python_oracle(spark):
+    # a lopsided symmetric graph: hub 0 touches everyone, plus a chain
+    pairs = [(0, i) for i in range(1, 12)] + [(i, i + 1) for i in range(1, 11)]
+    edge_set = set(pairs) | {(b, a) for a, b in pairs}
+    df = spark.createDataFrame(sorted(edge_set), "src long, dst long").repartition(5)
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank_fixed_point(df, iterations=6).collect()
+    }
+    assert got == _py_pagerank(edge_set, 6)
+
+
+def test_pagerank_mass_is_conserved_up_to_floor_loss(spark):
+    # floor division only ever LOSES fixed-point mass; total rank must stay
+    # within N*(100+iters) ulps below 1.0 and the hub must dominate
+    pairs = [(0, i) for i in range(1, 12)] + [(i, i + 1) for i in range(1, 11)]
+    edge_set = set(pairs) | {(b, a) for a, b in pairs}
+    df = spark.createDataFrame(sorted(edge_set), "src long, dst long")
+    rows = pagerank_fixed_point(df, iterations=6).collect()
+    total = sum(r["rank_fp"] for r in rows)
+    assert PR_SCALE - len(rows) * 1000 < total <= PR_SCALE
+    top = max(rows, key=lambda r: r["rank_fp"])
+    assert top["node"] == 0
