@@ -68,6 +68,12 @@ EXTRAS = [
     "q_disjunctive_join",
     "q_heavy_hitters",
     "q_pagerank",
+    "q_forecast_revenue",
+    "q_customer_distribution",
+    "q_promo_revenue",
+    "q_top_supplier",
+    "q_supplier_variety",
+    "q_dominant_suppliers",
 ]
 
 

@@ -37,6 +37,7 @@ def pagerank_fixed_point(
     dst: str = "dst",
     iterations: int = 5,
     damping_pct: int = 85,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Deterministic PageRank over a directed edge list, in fixed-point
     integer arithmetic so the result is bit-exact and order-independent.
@@ -60,11 +61,17 @@ def pagerank_fixed_point(
 
     Returns ``(node, rank_fp)`` — BIGINT fixed-point ranks summing to ~1.0.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        # one dedup shuffle, skippable when the caller built the edge list
+        # from a distinct pair set (the common symmetrize-a-distinct case)
+        e = e.distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ed = e.join(deg, "src").localCheckpoint(eager=True)
 
-    nodes = ed.select(F.col("src").alias("node")).distinct()
+    # |V| rows, re-joined every iteration — materialize ONCE (off the
+    # checkpointed edge frame) instead of re-aggregating |E| rows per iter
+    nodes = ed.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
     n = nodes.count()
     base = PR_SCALE * (100 - damping_pct) // (100 * n)
     ranks = nodes.select("node", F.lit(PR_SCALE // n).cast("long").alias("rank_fp"))

@@ -3862,8 +3862,256 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # symmetrizing an already-distinct pair set over disjoint key spaces
+    # cannot introduce duplicate edges — skip the operator's dedup shuffle
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    pr = pagerank_fixed_point(edges, iterations=4)
+    pr = pagerank_fixed_point(edges, iterations=4, assume_distinct=True)
     return pr.orderBy(F.desc("rank_fp"), "node").limit(25)
+
+
+@query(
+    "q_forecast_revenue",
+    f"""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS {DEC})), 2) AS DOUBLE) AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shape forecasting-revenue-change: a pure scan-side query —
+    three conjunctive predicates, zero joins, one global sum. Every filter
+    must reach the parquet scan (pinned for other queries in test_plans.py);
+    at 100 TB this query is entirely I/O-bound and its plan should be a
+    single WholeStageCodegen span over the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(DEC)), 2)
+            .cast("double")
+            .alias("revenue_delta")
+        )
+    )
+
+
+@query(
+    "q_customer_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shape customer order distribution: a count-of-counts
+    histogram. The LEFT join keeps zero-order customers (COUNT of the null
+    key is 0, not 1 — the classic outer-join-count trap), and the join-side
+    filter lives in the JOIN condition, not WHERE, or it would silently turn
+    the join inner. Two aggregations: per-customer (shuffles on the customer
+    key) then per-count (tiny)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "q_promo_revenue",
+    f"""
+    SELECT ROUND(100.0 * CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS {DEC}) END), 2) AS DOUBLE)
+                 / CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS {DEC})), 2) AS DOUBLE), 6) AS promo_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shape promotion effect: percent of one month's revenue from
+    promo-type parts. Broadcast the part dimension into the date-pruned
+    lineitem scan, answer both the conditional and total sum in the SAME
+    aggregation pass, divide once at the end (rounded exact decimals →
+    identical doubles → identical quotient)."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    promo = F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev)), 2).cast("double")
+    total = F.round(F.sum(rev), 2).cast("double")
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.round(F.lit(100.0) * promo / total, 6).alias("promo_pct")
+    )
+
+
+@query(
+    "q_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})), 2) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shape top supplier: the supplier(s) achieving the maximum
+    quarterly revenue — Q15's view-plus-scalar-subquery pattern. The revenue
+    aggregate is computed ONCE and consumed twice (once for the max, once
+    for the equality filter); Spark reuses the exchange rather than
+    re-scanning lineitem. Ties all surface (= max, not a LIMIT 1), which is
+    what makes the query deterministic."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("total_revenue"))
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q_supplier_variety",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shape supplier variety: distinct supplier count per part
+    attribute triple, with negated dim predicates and a NOT IN exclusion
+    subquery (suppliers in deficit stand in for Q16's complaint filter —
+    the driver schema has no comment column). NOT IN over a non-nullable
+    key compiles to an anti-join; the exclusion list broadcasts. The
+    count-distinct shuffles (brand, type, size, suppkey) — Spark's
+    two-phase distinct aggregation — instead of collecting value sets."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#5")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q_dominant_suppliers",
+    f"""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS {DEC})) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (
+      SELECT l_partkey, SUM(qty) AS part_qty FROM shipped GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM shipped sh
+    JOIN tot t      ON t.l_partkey = sh.l_partkey
+    JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE sh.qty * 2 > t.part_qty
+    """,
+)
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shape dominant suppliers: suppliers providing more than
+    half of some part's shipped quantity in a year (the driver schema has no
+    partsupp availability, so share-of-part-volume stands in for Q20's
+    excess-stock predicate). Two stacked aggregations on nested keys — the
+    per-(part,supplier) rollup feeds the per-part total, so the second agg
+    reuses the first's shuffle — then a threshold compare in exact decimal
+    (qty*2 > total, division-free) and a DISTINCT over the broadcast-joined
+    supplier identity."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(dec("l_quantity")).alias("qty")
+    )
+    tot = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("part_qty"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        shipped.join(tot, "l_partkey")
+        .filter(F.col("qty") * 2 > F.col("part_qty"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .distinct()
+    )
