@@ -74,6 +74,9 @@ EXTRAS = [
     "q_top_supplier",
     "q_supplier_variety",
     "q_dominant_suppliers",
+    "q_scd2_compact",
+    "q_triangle_count",
+    "q_embedding_quantize",
 ]
 
 

@@ -32,3 +32,27 @@ def cosine_col(a: Column, b: Column) -> Column:
     """Cosine similarity; NULL on zero-norm inputs rather than NaN."""
     denom = l2_norm_col(a) * l2_norm_col(b)
     return F.when(denom != 0.0, dot_col(a, b) / denom)
+
+
+def int8_quantize_col(a: Column) -> Column:
+    """Symmetric int8 quantization of an ``array<float>`` embedding: each
+    component mapped to round(x * 127 / max|x|) as TINYINT, plus the scale
+    needed to dequantize. 4× smaller vectors make brute-force and IVF scans
+    proportionally cheaper at 100 TB; all arithmetic is a JVM-side
+    higher-order function (no Python in the path). Zero vectors quantize to
+    all-zero with scale 0. Returns a struct (q: array<tinyint>, scale:
+    float)."""
+    mx = F.array_max(F.transform(a, lambda x: F.abs(x)))
+    q = F.transform(
+        a,
+        lambda x: F.when(mx == 0, F.lit(0))
+        .otherwise(F.round(x.cast("double") * 127.0 / mx.cast("double")))
+        .cast("tinyint"),
+    )
+    return F.struct(q.alias("q"), (mx / 127.0).cast("float").alias("scale"))
+
+
+def int8_dequantize_col(qs: Column) -> Column:
+    """Inverse of :func:`int8_quantize_col`: q * scale back to array<float>
+    (lossy — within scale/2 per component)."""
+    return F.transform(qs["q"], lambda v: (v.cast("float") * qs["scale"]).cast("float"))

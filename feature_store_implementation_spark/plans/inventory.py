@@ -4115,3 +4115,157 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
         .distinct()
     )
+
+
+@query(
+    "q_scd2_compact",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                       IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      FROM events
+    ),
+    r AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                               ROWS UNBOUNDED PRECEDING) AS run
+      FROM o
+    ),
+    g AS (
+      SELECT user_id, run, MIN(event_type) AS state, MIN(ts) AS vf,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM r GROUP BY user_id, run
+    )
+    SELECT user_id, state,
+           strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(LEAD(vf) OVER (PARTITION BY user_id ORDER BY run),
+                    '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           n_events,
+           LEAD(vf) OVER (PARTITION BY user_id ORDER BY run) IS NULL AS is_current
+    FROM g
+    """,
+)
+def q_scd2_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build / CDC compaction: collapse each user's event
+    stream into validity intervals per consecutive state run — the
+    gaps-and-islands pattern every warehouse needs to turn change logs into
+    slowly-changing dimensions. One shuffle on user_id serves all three
+    windows (change flag, run id, interval close via LEAD); the reference
+    would need a per-entity pandas loop. The open interval (valid_to NULL,
+    is_current=true) is the entity's live state."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))).cast("int")
+    runs = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(chg)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("run"),
+    )
+    g = runs.groupBy("user_id", "run").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("vf"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wr = W.partitionBy("user_id").orderBy("run")
+    vt = F.lead("vf").over(wr)
+    return g.select(
+        "user_id",
+        "state",
+        F.date_format("vf", _TS_FMT_SPARK).alias("valid_from"),
+        F.date_format(vt, _TS_FMT_SPARK).alias("valid_to"),
+        "n_events",
+        vt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "q_triangle_count",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e2.pa = e1.pb
+    JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the co-purchase graph (parts appearing in the
+    same order ≥2 times — the support threshold keeps the graph sparse so
+    wedge fanout stays bounded at scale). Uses the ordered-wedge algorithm:
+    edges canonicalized a<b, wedges a<b<c built by one self-join, closed by
+    a second join — counts each triangle exactly once with hash joins only,
+    no factorial blowup and no cartesian. The graph-build shuffle (same-key
+    self-join + support count) is shared work with q_copurchase_pairs'
+    shape; the triangle closure joins shuffle only the thresholded edge
+    list."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("pa", "pb")
+    )
+    e1 = edges
+    e2 = edges.select(F.col("pa").alias("pb"), F.col("pb").alias("pc"))
+    e3 = edges.select(F.col("pa").alias("pa2"), F.col("pb").alias("pc2"))
+    return (
+        e1.join(e2, "pb")
+        .join(e3, (F.col("pa") == F.col("pa2")) & (F.col("pc") == F.col("pc2")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+@query(
+    "q_embedding_quantize",
+    """
+    WITH m AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x))) AS mx
+      FROM embeddings
+    )
+    SELECT vec_id,
+           array_to_string(list_transform(embedding,
+             x -> CASE WHEN mx = 0 THEN 0
+                       ELSE CAST(ROUND(CAST(x AS DOUBLE) * 127.0 / CAST(mx AS DOUBLE)) AS TINYINT) END),
+             ',') AS q_csv,
+           ROUND(CAST(CAST(mx / 127.0 AS FLOAT) AS DOUBLE), 6) AS scale
+    FROM m
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (functions/vector.py): each
+    vector mapped to round(x*127/max|x|) plus its dequantization scale — 4×
+    smaller vectors for ANN scans. Entirely JVM-side higher-order functions
+    over array<float>; no shuffle at all (row-local), which is the point: at
+    100 TB this runs at full scan bandwidth. Emitted as CSV so the array
+    compares engine-neutrally; the scale is float32-rounded in both engines."""
+    from ..functions.vector import int8_quantize_col
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = int8_quantize_col(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.array_join(
+            F.transform(qs["q"], lambda v: v.cast("string")), ","
+        ).alias("q_csv"),
+        F.round(qs["scale"].cast("double"), 6).alias("scale"),
+    )

@@ -69,3 +69,36 @@ def write_partitioned(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def orc_source(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    """ORC reader — self-describing columnar, so no declared schema needed;
+    predicate pushdown and column pruning work as for parquet. Supported so
+    a user migrating an ORC lake doesn't need a parquet rewrite first."""
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.orc(path)
+
+
+def text_source(
+    spark: SparkSession, path: str, whole_file: bool = False
+) -> DataFrame:
+    """Raw text ingestion for document pipelines: one row per line (default)
+    or one row per file (``whole_file`` — for document-level dedup/quality
+    scoring where line splitting would destroy the unit of analysis). Returns
+    a single ``value: string`` column; parsing stays declarative downstream."""
+    return spark.read.text(path, wholetext=whole_file)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned ORC sink, mirroring :func:`write_partitioned`."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

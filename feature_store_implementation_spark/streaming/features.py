@@ -237,3 +237,15 @@ def stream_upsert_to_offline_store(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def enrich_stream(
+    events: DataFrame, dim: DataFrame, key: str = "user_id", how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to each
+    event as it arrives. The static side is broadcast, so the streaming side
+    never shuffles and no state store is involved (unlike stream-stream
+    joins) — the dimension is re-resolved per micro-batch, which is exactly
+    the semantics you want for slowly-changing lookup tables. Works
+    identically on a batch frame (unified API)."""
+    return events.join(F.broadcast(dim), key, how)

@@ -240,3 +240,42 @@ def test_topk_k_larger_than_corpus(spark):
     )
     out = brute_force_topk(e, q, k=100).groupBy("query_id").count().collect()
     assert all(r["count"] == 5 for r in out)
+
+
+def test_int8_quantize_matches_numpy_and_bounds_error(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from feature_store_implementation_spark.functions.vector import (
+        int8_dequantize_col,
+        int8_quantize_col,
+    )
+    from feature_store_implementation_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    rows = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            int8_quantize_col(F.col("embedding")).alias("qs"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("qs.q").alias("q"),
+            F.col("qs.scale").alias("scale"),
+            int8_dequantize_col(F.col("qs")).alias("back"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        x = np.array(r["embedding"], dtype=np.float64)
+        mx = np.abs(x).max()
+        if mx == 0:
+            assert all(v == 0 for v in r["q"])
+            continue
+        expect = np.round(x * 127.0 / np.float64(np.float32(mx)))
+        assert [int(v) for v in r["q"]] == [int(v) for v in expect]
+        # dequantization error bounded by half a quantization step
+        err = np.abs(np.array(r["back"]) - x)
+        assert err.max() <= (mx / 127.0) * 0.5 + 1e-6

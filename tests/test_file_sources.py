@@ -64,3 +64,34 @@ def test_write_partitioned_prunes(spark, tmp_path):
     # directory-partition pruning visible in the scan's PartitionFilters
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_orc_round_trip_with_partitions(spark, tmp_path):
+    from feature_store_implementation_spark.sources.files import orc_source, write_orc
+
+    df = spark.createDataFrame(
+        [(i, f"u{i % 3}", float(i)) for i in range(30)], "id long, grp string, v double"
+    )
+    write_orc(df, str(tmp_path / "orc"), partition_by=["grp"])
+    back = orc_source(spark, str(tmp_path / "orc"))
+    assert sorted(r["id"] for r in back.collect()) == list(range(30))
+    # partition pruning: a grp filter must turn into a PartitionFilters entry
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        back.filter(back.grp == "u1")._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "u1" in plan
+
+
+def test_text_source_line_and_whole_file(spark, tmp_path):
+    from feature_store_implementation_spark.sources.files import text_source
+
+    (tmp_path / "docs").mkdir()
+    (tmp_path / "docs" / "a.txt").write_text("line one\nline two\n")
+    (tmp_path / "docs" / "b.txt").write_text("solo\n")
+    lines = text_source(spark, str(tmp_path / "docs"))
+    assert sorted(r["value"] for r in lines.collect()) == ["line one", "line two", "solo"]
+    whole = text_source(spark, str(tmp_path / "docs"), whole_file=True)
+    assert sorted(r["value"] for r in whole.collect()) == [
+        "line one\nline two\n",
+        "solo\n",
+    ]

@@ -200,3 +200,21 @@ def test_stream_upsert_idempotent(spark, events_dir, tmp_path):
     vals = store.values_for_version(3)
     assert vals.count() == n_users
     assert vals.select("entity_id").distinct().count() == n_users
+
+
+def test_stream_static_enrichment_equals_batch(spark, events_dir, tmp_path):
+    from feature_store_implementation_spark.streaming.features import enrich_stream
+
+    dim = spark.createDataFrame(
+        [(i, "gold" if i % 3 == 0 else "basic") for i in range(40)],
+        "user_id long, tier string",
+    )
+    batch_src = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    project = lambda df: df.select("event_id", "user_id", "tier")
+    expected = {tuple(r) for r in project(enrich_stream(batch_src, dim)).collect()}
+    got_df = _run_stream(
+        spark, project(enrich_stream(read_events_stream(spark, events_dir), dim)),
+        tmp_path, mode="append",
+    )
+    got = {tuple(r) for r in got_df.collect()}
+    assert got == expected and len(got) > 0
