@@ -77,6 +77,10 @@ EXTRAS = [
     "q_scd2_compact",
     "q_triangle_count",
     "q_embedding_quantize",
+    "q_spearman",
+    "q_user_entropy",
+    "q_event_transitions",
+    "q_session_paths",
 ]
 
 

@@ -4269,3 +4269,191 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_csv"),
         F.round(qs["scale"].cast("double"), 6).alias("scale"),
     )
+
+
+@query(
+    "q_spearman",
+    """
+    WITH ranked AS (
+      SELECT l_returnflag,
+             RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               + (COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0 AS rx,
+             RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+               + (COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0 AS ry
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(rx AS DECIMAL(38,6))) AS sx,
+             SUM(CAST(ry AS DECIMAL(38,6))) AS sy,
+             SUM(CAST(rx AS DECIMAL(38,6)) * CAST(ry AS DECIMAL(38,6))) AS sxy,
+             SUM(CAST(rx AS DECIMAL(38,6)) * CAST(rx AS DECIMAL(38,6))) AS sxx,
+             SUM(CAST(ry AS DECIMAL(38,6)) * CAST(ry AS DECIMAL(38,6))) AS syy
+      FROM ranked GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS spearman
+    FROM s
+    """,
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per group: Pearson over average ranks
+    (fractional ranking handles ties the textbook way — rank + (ties-1)/2).
+    Ranks come from two windows sharing the group partition; the moment
+    sums accumulate in DECIMAL(38,6) — ranks are exact halves, so every sum
+    is exact and order-independent — and only the final correlation formula
+    runs in (identical) double arithmetic. The reference's pandas sandbox
+    computes this per-entity; here one shuffle ranks all groups at once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = "decimal(38,6)"
+    wq = W.partitionBy("l_returnflag").orderBy("l_quantity")
+    wp = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    rx = (
+        F.rank().over(wq)
+        + (F.count(F.lit(1)).over(W.partitionBy("l_returnflag", "l_quantity")) - 1) / 2.0
+    ).cast(big)
+    ry = (
+        F.rank().over(wp)
+        + (F.count(F.lit(1)).over(W.partitionBy("l_returnflag", "l_extendedprice")) - 1) / 2.0
+    ).cast(big)
+    ranked = li.select("l_returnflag", rx.alias("rx"), ry.alias("ry"))
+    s = ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    dx = lambda c: F.col(c).cast("double")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            (nd * dx("sxy") - dx("sx") * dx("sy"))
+            / (
+                F.sqrt(nd * dx("sxx") - dx("sx") * dx("sx"))
+                * F.sqrt(nd * dx("syy") - dx("sy") * dx("sy"))
+            ),
+            6,
+        ).alias("spearman"),
+    )
+
+
+@query(
+    "q_user_entropy",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id, event_type
+    ),
+    t AS (
+      SELECT user_id, event_type, cnt,
+             SUM(cnt) OVER (PARTITION BY user_id) AS total
+      FROM c
+    )
+    SELECT user_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_events,
+           ROUND(CAST(-SUM(CAST((cnt / CAST(total AS DOUBLE)) * ROUND(LN(cnt / CAST(total AS DOUBLE)), 8)
+                                AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy
+    FROM t
+    GROUP BY user_id
+    """,
+)
+def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the standard
+    behavioral-diversity feature (and, on token distributions, a text-quality
+    signal). Determinism discipline: the probability is an exact-integer
+    division (identical doubles in both engines), LN is rounded BEFORE the
+    multiply (neither engine's ln is correctly rounded), and the products
+    accumulate in DECIMAL(28,12) so the sum is order-independent. Two
+    aggregations, both partitioned on user_id — the second reuses the
+    first's shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.select(
+        "user_id",
+        "cnt",
+        F.sum("cnt").over(W.partitionBy("user_id")).alias("total"),
+    )
+    p = F.col("cnt") / F.col("total").cast("double")
+    term = (p * F.round(F.log(p), 8)).cast("decimal(28,12)")
+    return t.groupBy("user_id").agg(
+        F.sum("cnt").alias("n_events"),
+        F.round((-F.sum(term)).cast("double"), 6).alias("entropy"),
+    )
+
+
+@query(
+    "q_event_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+               AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event sequence
+    (the input to next-action models and funnel-dropoff analysis). LEAD over
+    the per-user time order — tie-broken by event_id for determinism — then
+    a global pair count; one shuffle for the window, one tiny one for the
+    |event_types|² matrix. The reference would need per-entity pandas
+    shift(); this is two declarative operators."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_session_paths",
+    """
+    SELECT user_id,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id) AS path,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id, date_trunc('day', ts)
+    """,
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path extraction: each user-day's ordered event-type
+    sequence as one 'view>click>purchase' string — the canonical sequence
+    feature for session models. Order inside the aggregate is imposed by
+    sorting collected (ts, event_id, type) structs (collect_list alone has
+    no order guarantee across merges), tie-broken by event_id so both
+    engines produce the identical string. One shuffle on (user_id, day)."""
+    e = load_table(spark, sf_dir, "events")
+    item = F.struct(
+        F.unix_micros("ts").alias("us"), F.col("event_id").alias("eid"),
+        F.col("event_type").alias("et"),
+    )
+    return (
+        e.groupBy(
+            "user_id", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(item)), lambda x: x["et"]), ">"
+            ).alias("path"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
