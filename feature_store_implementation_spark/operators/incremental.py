@@ -1,0 +1,79 @@
+"""Incremental aggregate maintenance: mergeable partial rollups.
+
+At 100 TB you cannot re-scan the lake because one hourly partition landed.
+The standard fix is to keep the rollup in a MERGEABLE form — every kept
+statistic must be combinable from partials (count/sum/min/max are; avg and
+stddev are derived at read time from sum/count/sum-of-squares) — so
+maintenance cost is O(new data + |affected groups|), independent of history
+size.
+
+``rollup_partial`` produces the mergeable state for a batch;
+``merge_rollups`` combines any number of states associatively (so partials
+can themselves be pre-merged per partition, day, region...). The algebraic
+identity merge(partial(A), partial(B)) == partial(A ∪ B) is what
+tests/test_incremental.py pins, including sum-of-squares-derived variance.
+
+Sums accumulate in DECIMAL so the merge is order-independent — the merged
+result is bit-identical to the full recompute, not merely close.
+
+The reference recomputes every feature version from the FULL raw table on
+each request (reference compute.py:57-88); this module is the scale
+replacement for that pattern.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEC = "decimal(28,8)"
+
+_STATE_COLS = ("cnt", "sum_v", "sum_sq", "min_v", "max_v")
+
+
+def rollup_partial(df: DataFrame, keys: list[str], value: str) -> DataFrame:
+    """Mergeable per-group state for ``value``: (cnt, sum, sum-of-squares,
+    min, max). One map-side-combinable aggregation."""
+    v = F.col(value).cast(DEC)
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(v).alias("sum_v"),
+        F.sum(v * v).alias("sum_sq"),
+        F.min(F.col(value)).alias("min_v"),
+        F.max(F.col(value)).alias("max_v"),
+    )
+
+
+def merge_rollups(keys: list[str], *states: DataFrame) -> DataFrame:
+    """Associatively combine mergeable states (each from
+    :func:`rollup_partial` or a previous merge). Groups appearing in only
+    some states pass through; shared groups combine exactly."""
+    if not states:
+        raise ValueError("need at least one state")
+    unioned = reduce(lambda a, b: a.unionByName(b), states)
+    return unioned.groupBy(*keys).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_v").alias("sum_v"),
+        F.sum("sum_sq").alias("sum_sq"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+
+
+def finalize_rollup(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Derive the user-facing statistics (mean, population variance,
+    min/max, count) from the mergeable state at read time."""
+    mean = F.col("sum_v").cast("double") / F.col("cnt").cast("double")
+    var = (
+        F.col("sum_sq").cast("double") / F.col("cnt").cast("double")
+    ) - mean * mean
+    return state.select(
+        *keys,
+        F.col("cnt"),
+        F.round(mean, 6).alias("mean_v"),
+        F.round(F.greatest(var, F.lit(0.0)), 6).alias("var_v"),
+        F.col("min_v"),
+        F.col("max_v"),
+    )

@@ -1,0 +1,49 @@
+"""The mergeable-rollup algebra: merge of per-batch partials must equal the
+full recompute BIT-FOR-BIT (decimal accumulation ⇒ order independence)."""
+
+from pyspark.sql import functions as F
+
+from feature_store_implementation_spark.operators.incremental import (
+    finalize_rollup,
+    merge_rollups,
+    rollup_partial,
+)
+from feature_store_implementation_spark.sources.tables import load_table
+
+KEYS = ["l_returnflag", "l_linestatus"]
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_merge_of_partials_equals_full_recompute(spark, sf_small):
+    li = load_table(spark, sf_small, "lineitem")
+    full = rollup_partial(li, KEYS, "l_extendedprice")
+    # split into three "arriving partitions" by an arbitrary hash
+    parts = [
+        li.filter(F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(3)) == i)
+        for i in range(3)
+    ]
+    merged = merge_rollups(KEYS, *[rollup_partial(p, KEYS, "l_extendedprice") for p in parts])
+    assert _canon(merged) == _canon(full)
+    # finalize derives identical stats from either state
+    assert _canon(finalize_rollup(merged, KEYS)) == _canon(finalize_rollup(full, KEYS))
+
+
+def test_merge_is_associative_and_handles_disjoint_groups(spark):
+    a = spark.createDataFrame(
+        [("x", 1.0), ("x", 3.0), ("y", 10.0)], "k string, v double"
+    )
+    b = spark.createDataFrame([("y", 20.0), ("z", 5.0)], "k string, v double")
+    c = spark.createDataFrame([("z", 7.0), ("x", 2.0)], "k string, v double")
+    pa, pb, pc = (rollup_partial(d, ["k"], "v") for d in (a, b, c))
+    left = merge_rollups(["k"], merge_rollups(["k"], pa, pb), pc)
+    right = merge_rollups(["k"], pa, merge_rollups(["k"], pb, pc))
+    assert _canon(left) == _canon(right)
+    stats = {r["k"]: r for r in finalize_rollup(left, ["k"]).collect()}
+    assert stats["x"]["cnt"] == 3 and stats["x"]["mean_v"] == 2.0
+    assert stats["y"]["min_v"] == 10.0 and stats["y"]["max_v"] == 20.0
+    assert stats["z"]["cnt"] == 2
+    # population variance of (1,2,3) is 2/3
+    assert abs(stats["x"]["var_v"] - 2.0 / 3.0) < 1e-6
