@@ -81,6 +81,9 @@ EXTRAS = [
     "q_user_entropy",
     "q_event_transitions",
     "q_session_paths",
+    "q_resample_interpolate",
+    "q_weighted_stats",
+    "q_dq_report",
 ]
 
 

@@ -1,0 +1,96 @@
+"""Declarative data-quality expectations, evaluated in ONE scan.
+
+A training-data pipeline gates ingestion on data contracts: null-rate,
+uniqueness, value ranges, accepted vocabularies, pattern shape, referential
+integrity. The reference validates only column presence and two dtypes
+(reference compute.py:106-120); everything else silently flows through.
+
+Design for scale: every column-local expectation compiles to a conditional
+aggregate in a SINGLE ``agg`` over the table — one scan, map-side partials,
+no per-rule pass. The wide one-row result is then unpivoted (``stack``) to
+the long (check, violations) report. Referential checks need the parent's
+key set, so they compile to a broadcast anti-join counted in the same job.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One declared contract. ``kind`` ∈ {not_null, unique, in_range,
+    accepted_values, matches_regex, foreign_key}."""
+
+    name: str
+    column: str
+    kind: str
+    params: dict = field(default_factory=dict)
+
+
+def _violation_expr(e: Expectation) -> Column:
+    c = F.col(e.column)
+    if e.kind == "not_null":
+        return F.count(F.when(c.isNull(), 1))
+    if e.kind == "unique":
+        # duplicates = rows - distinct keys (exact; swap for HLL at 100 TB
+        # if an approximate gate is acceptable)
+        return F.count(c) - F.count_distinct(c)
+    if e.kind == "in_range":
+        lo, hi = e.params["min"], e.params["max"]
+        return F.count(F.when(c.isNotNull() & ((c < lo) | (c > hi)), 1))
+    if e.kind == "accepted_values":
+        vals = e.params["values"]
+        return F.count(F.when(c.isNotNull() & ~c.isin(*vals), 1))
+    if e.kind == "matches_regex":
+        return F.count(F.when(c.isNotNull() & ~c.rlike(e.params["pattern"]), 1))
+    raise ValueError(f"unknown expectation kind {e.kind!r}")
+
+
+def check_expectations(
+    df: DataFrame,
+    expectations: list[Expectation],
+    parents: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Evaluate all expectations; returns (check, violations, passed).
+
+    ``parents`` maps an expectation name to its parent-key DataFrame for
+    ``foreign_key`` kinds (params: ``parent_key`` column name)."""
+    local = [e for e in expectations if e.kind != "foreign_key"]
+    fks = [e for e in expectations if e.kind == "foreign_key"]
+
+    aggs = [
+        _violation_expr(e).cast("long").alias(e.name) for e in local
+    ]
+    frames: list[DataFrame] = []
+    if aggs:
+        wide = df.agg(*aggs)
+        stack = ", ".join(f"'{e.name}', `{e.name}`" for e in local)
+        frames.append(
+            wide.selectExpr(
+                f"stack({len(local)}, {stack}) as (check, violations)"
+            )
+        )
+    for e in fks:
+        parent = (parents or {})[e.name]
+        pk = e.params["parent_key"]
+        orphans = (
+            df.select(F.col(e.column))
+            .filter(F.col(e.column).isNotNull())
+            .join(
+                F.broadcast(parent.select(F.col(pk).alias(e.column)).distinct()),
+                e.column,
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+            .select(F.lit(e.name).alias("check"), "violations")
+        )
+        frames.append(orphans)
+
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out.withColumn("passed", F.col("violations") == 0)

@@ -4457,3 +4457,189 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@query(
+    "q_resample_interpolate",
+    f"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(ROUND(SUM(CAST(value AS {DEC})), 6) AS DOUBLE) AS day_value
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+      FROM events GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    ),
+    j AS (
+      SELECT s.user_id, s.day, d.day_value,
+             LAST_VALUE(d.day_value IGNORE NULLS) OVER w_prev AS pv,
+             LAST_VALUE(CASE WHEN d.day_value IS NOT NULL THEN s.day END IGNORE NULLS) OVER w_prev AS pd,
+             FIRST_VALUE(d.day_value IGNORE NULLS) OVER w_next AS nv,
+             FIRST_VALUE(CASE WHEN d.day_value IS NOT NULL THEN s.day END IGNORE NULLS) OVER w_next AS nd
+      FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+      WINDOW w_prev AS (PARTITION BY s.user_id ORDER BY s.day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w_next AS (PARTITION BY s.user_id ORDER BY s.day
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           ROUND(CASE
+             WHEN day_value IS NOT NULL THEN day_value
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * (date_diff('day', pd, day) / CAST(date_diff('day', pd, nd) AS DOUBLE))
+           END, 6) AS value_interp
+    FROM j
+    """,
+)
+def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-grid resample with LINEAR interpolation between known points
+    (tail gaps forward-fill) — the gap-fill for features where a step
+    function is wrong (prices, balances, sensor readings). Same single-
+    shuffle spine as q_resample_ffill; the interpolation needs BOTH
+    neighbors, so two frames over the same window partition (prev: unbounded
+    preceding, next: unbounded following) — still one shuffle, the second
+    frame is a re-sort-free re-scan. The interpolation fraction is an exact
+    int/int division so both engines produce identical doubles."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum(dec("value")), 6).cast("double").alias("day_value")
+    )
+    span = e.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    spine = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    known_day = F.when(F.col("day_value").isNotNull(), F.col("day"))
+    j = j.select(
+        "user_id",
+        "day",
+        "day_value",
+        F.last("day_value", ignorenulls=True).over(wp).alias("pv"),
+        F.last(known_day, ignorenulls=True).over(wp).alias("pd"),
+        F.first("day_value", ignorenulls=True).over(wn).alias("nv"),
+        F.first(known_day, ignorenulls=True).over(wn).alias("nd"),
+    )
+    frac = F.datediff("day", "pd") / F.datediff("nd", "pd").cast("double")
+    interp = (
+        F.when(F.col("day_value").isNotNull(), F.col("day_value"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(interp, 6).alias("value_interp"),
+    )
+
+
+@query(
+    "q_weighted_stats",
+    f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(CAST(l_quantity AS {DEC})), 2) AS DOUBLE) AS total_weight,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6)) * CAST(l_quantity AS DECIMAL(14,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE), 6) AS weighted_mean_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean price per group — the weighted aggregate shape
+    (sample weights, importance weights) every training pipeline needs.
+    Numerator and denominator are exact decimal sums (products of decimals
+    stay exact), divided once in double: bit-identical across engines with
+    no window, no second pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("total_weight"),
+        F.round(
+            F.sum(dec("l_extendedprice") * dec("l_quantity")).cast("double")
+            / F.sum(dec("l_quantity")).cast("double"),
+            6,
+        ).alias("weighted_mean_price"),
+    )
+
+
+@query(
+    "q_dq_report",
+    """
+    SELECT 'custkey_not_null' AS check,
+           CAST(COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'orderkey_unique',
+           CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'totalprice_in_range',
+           CAST(COUNT(CASE WHEN o_totalprice IS NOT NULL
+                            AND (o_totalprice < 0 OR o_totalprice > 1000000) THEN 1 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'status_accepted',
+           CAST(COUNT(CASE WHEN o_orderstatus IS NOT NULL
+                            AND o_orderstatus NOT IN ('O','F','P') THEN 1 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'priority_shape',
+           CAST(COUNT(CASE WHEN o_orderpriority IS NOT NULL
+                            AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') THEN 1 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_fk', CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE o.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate over orders (operators/quality.py): six declared
+    expectations — null, uniqueness, range, vocabulary, regex shape, and
+    referential integrity against customer — evaluated as ONE conditional-
+    aggregate scan plus one broadcast anti-join. The oracle spells each rule
+    as its own scan (DuckDB re-reads per UNION branch); the Spark plan reads
+    orders once, which is the operator's point at 100 TB."""
+    from ..operators.quality import Expectation, check_expectations
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    exps = [
+        Expectation("custkey_not_null", "o_custkey", "not_null"),
+        Expectation("orderkey_unique", "o_orderkey", "unique"),
+        Expectation(
+            "totalprice_in_range", "o_totalprice", "in_range",
+            {"min": 0, "max": 1_000_000},
+        ),
+        Expectation(
+            "status_accepted", "o_orderstatus", "accepted_values",
+            {"values": ["O", "F", "P"]},
+        ),
+        Expectation(
+            "priority_shape", "o_orderpriority", "matches_regex",
+            {"pattern": r"^[1-5]-[A-Z ]+$"},
+        ),
+        Expectation("custkey_fk", "o_custkey", "foreign_key", {"parent_key": "c_custkey"}),
+    ]
+    return check_expectations(o, exps, parents={"custkey_fk": c}).select(
+        "check", "violations"
+    )

@@ -1,0 +1,64 @@
+"""Data-quality expectations engine: violation counts verified on a frame
+with KNOWN defects of every kind, plus the one-scan plan property."""
+
+from pyspark.sql import functions as F
+
+from feature_store_implementation_spark.operators.quality import (
+    Expectation,
+    check_expectations,
+)
+
+
+def test_every_kind_counts_known_violations(spark):
+    df = spark.createDataFrame(
+        [
+            # (id, key, price, status, code)
+            (1, 10, 5.0, "O", "1-HIGH"),
+            (2, 10, -3.0, "F", "2-LOW"),       # dup id-key? no: unique on id; price<0
+            (2, 20, 50.0, "X", "9-BAD"),       # dup id, bad status, bad code shape
+            (3, None, 2000.0, "P", "3-MEDIUM"),  # null key, price>1000
+            (4, 30, None, None, None),           # nulls don't violate range/vocab/regex
+        ],
+        "id long, key long, price double, status string, code string",
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")  # 30 is an orphan
+    exps = [
+        Expectation("key_not_null", "key", "not_null"),
+        Expectation("id_unique", "id", "unique"),
+        Expectation("price_range", "price", "in_range", {"min": 0, "max": 1000}),
+        Expectation("status_vocab", "status", "accepted_values", {"values": ["O", "F", "P"]}),
+        Expectation("code_shape", "code", "matches_regex", {"pattern": r"^[1-5]-[A-Z]+$"}),
+        Expectation("key_fk", "key", "foreign_key", {"parent_key": "pk"}),
+    ]
+    got = {
+        r["check"]: (r["violations"], r["passed"])
+        for r in check_expectations(df, exps, parents={"key_fk": parent}).collect()
+    }
+    assert got == {
+        "key_not_null": (1, False),
+        "id_unique": (1, False),       # id 2 appears twice → one extra row
+        "price_range": (2, False),     # -3 and 2000
+        "status_vocab": (1, False),    # X
+        "code_shape": (1, False),      # 9-BAD
+        "key_fk": (1, False),          # key 30
+    }
+
+
+def test_clean_frame_passes_and_plan_is_one_scan(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, v double"
+    )
+    exps = [
+        Expectation("id_unique", "id", "unique"),
+        Expectation("v_range", "v", "in_range", {"min": 0, "max": 100}),
+        Expectation("id_not_null", "id", "not_null"),
+    ]
+    report = check_expectations(df, exps)
+    assert all(r["passed"] for r in report.collect())
+    # all column-local rules fold into ONE aggregation over one scan
+    import re
+
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        report._jdf.queryExecution(), "formatted"
+    )
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 1
