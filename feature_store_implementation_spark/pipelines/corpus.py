@@ -1,0 +1,95 @@
+"""End-to-end training-corpus curation: the north-star operators composed
+into the pipeline a pre-training data team actually runs.
+
+    quality gate → language gate → MinHash-LSH near-dup clustering →
+    one canonical doc per cluster → (optional) deterministic sampling
+
+Everything stays one lazy DataFrame program per stage — quality and
+language scores are row-local (no shuffle), LSH is the banded single-shuffle
+plan from ``operators/dedup.py``, clustering is ``operators/graph.py``
+min-label propagation over the candidate pairs only (|pairs| rows, not
+|corpus|), and the final sample is content-hash-deterministic so re-runs and
+corpus growth never resample previously-kept documents.
+
+The reference has no document processing at all; this module exists because
+the brief's north star is a 100 TB curation engine, and each stage here is
+individually oracle-checked in plans/inventory.py (q_quality_score,
+q_lang_id, q_dedup_minhash, q_dedup_components, q_deterministic_sample) —
+the pipeline is their composition, tested end-to-end in
+tests/test_corpus_pipeline.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import minhash_near_dup_pairs
+from ..operators.graph import connected_components
+from ..operators.sampling import deterministic_sample
+from ..operators.text import language_id, quality_score
+
+
+@dataclass(frozen=True)
+class CurationReport:
+    """Per-stage survivor counts (driver-side; each is one small action)."""
+
+    n_input: int
+    n_after_quality: int
+    n_after_language: int
+    n_after_dedup: int
+    n_output: int
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.3,
+    languages: tuple[str, ...] = ("en",),
+    dedup_threshold: float = 0.7,
+    sample_fraction: float | None = None,
+) -> tuple[DataFrame, CurationReport]:
+    """Run the full curation pipeline; returns (curated_docs, report).
+
+    Near-dup clusters keep their minimum ``id_col`` document (deterministic
+    canonical choice). ``sample_fraction`` applies the content-hash sampler
+    last, so the gates see every document."""
+    n_input = docs.count()
+
+    q = quality_score(docs, text_col, id_col).select("doc_id", "quality")
+    l = language_id(docs, text_col, id_col).select("doc_id", "predicted_lang")
+    annotated = (
+        docs.withColumnRenamed(id_col, "doc_id")
+        .join(q, "doc_id")
+        .join(l, "doc_id")
+    )
+    after_q = annotated.filter(F.col("quality") >= min_quality)
+    n_after_quality = after_q.count()
+    after_l = after_q.filter(F.col("predicted_lang").isin(*languages))
+    # the gated frame feeds LSH twice (signatures + verify) — cache it
+    after_l = after_l.cache()
+    n_after_language = after_l.count()
+
+    pairs = minhash_near_dup_pairs(
+        after_l.withColumnRenamed("doc_id", id_col) if id_col != "doc_id" else after_l,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=dedup_threshold,
+    )
+    comps = connected_components(pairs, src="doc_id_a", dst="doc_id_b")
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    deduped = after_l.join(F.broadcast(losers), "doc_id", "left_anti")
+    n_after_dedup = deduped.count()
+
+    out = deduped
+    if sample_fraction is not None:
+        out = deterministic_sample(out, ["doc_id"], sample_fraction)
+    n_output = out.count()
+    return out, CurationReport(
+        n_input, n_after_quality, n_after_language, n_after_dedup, n_output
+    )

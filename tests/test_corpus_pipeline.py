@@ -1,0 +1,47 @@
+"""End-to-end corpus curation: the composed pipeline must be deterministic,
+monotonically reducing, and actually free of the near-dup clusters its own
+LSH stage finds."""
+
+from pyspark.sql import functions as F
+
+from feature_store_implementation_spark.operators.dedup import minhash_near_dup_pairs
+from feature_store_implementation_spark.pipelines.corpus import curate_corpus
+from feature_store_implementation_spark.sources.tables import load_table
+
+
+def _docs(spark, sf):
+    return load_table(spark, sf, "documents").select("doc_id", "text")
+
+
+def test_pipeline_reduces_monotonically_and_reports(spark, sf_small):
+    docs = _docs(spark, sf_small)
+    out, rep = curate_corpus(docs, min_quality=0.2, languages=("en",))
+    assert rep.n_input >= rep.n_after_quality >= rep.n_after_language
+    assert rep.n_after_language >= rep.n_after_dedup >= rep.n_output
+    assert rep.n_output == out.count() > 0
+    # gates actually fire on this corpus (mixed languages + junk docs exist)
+    assert rep.n_after_language < rep.n_input
+    # every surviving doc carries its audit columns
+    assert {"quality", "predicted_lang"} <= set(out.columns)
+
+
+def test_pipeline_is_deterministic(spark, sf_small):
+    docs = _docs(spark, sf_small)
+    a, _ = curate_corpus(docs, min_quality=0.2, sample_fraction=0.5)
+    b, _ = curate_corpus(docs, min_quality=0.2, sample_fraction=0.5)
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+        r["doc_id"] for r in b.collect()
+    )
+
+
+def test_output_has_no_remaining_near_dup_clusters(spark, sf_small):
+    docs = _docs(spark, sf_small)
+    out, rep = curate_corpus(docs, min_quality=0.2)
+    # re-running LSH on the curated output finds no pair both of whose
+    # members survived (one canonical per cluster was kept)
+    leftover = minhash_near_dup_pairs(
+        out.select("doc_id", "text"), threshold=0.7
+    ).count()
+    assert leftover == 0
+    # and dedup actually removed something on this corpus
+    assert rep.n_after_dedup < rep.n_after_language

@@ -71,3 +71,59 @@ def test_inner_join_matches_pandas_merge(spark, left, right):
     merged = lp.merge(rp, on="id")
     expected = sorted((r.id, float(r.l), float(r.r)) for r in merged.itertuples())
     assert got == expected
+
+
+# ---- round-2 distributed algorithms vs pure-Python oracles ----------------
+
+hh_values = st.lists(
+    st.sampled_from([f"k{i}" for i in range(12)]), min_size=1, max_size=120
+)
+
+
+@given(values=hh_values, k=st.integers(2, 15))
+@SETTINGS
+def test_frequent_items_always_exact(spark, values, k):
+    from collections import Counter
+
+    from feature_store_implementation_spark.operators.sketch import frequent_items
+
+    df = spark.createDataFrame([(v,) for v in values], "item string").repartition(3)
+    got = {r["item"]: r["cnt"] for r in frequent_items(df, "item", k).collect()}
+    n = len(values)
+    assert got == {v: c for v, c in Counter(values).items() if c > n / k}
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 8)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(pairs=edges_strategy, iters=st.integers(1, 4))
+@SETTINGS
+def test_pagerank_fixed_point_matches_oracle_on_random_graphs(spark, pairs, iters):
+    from collections import Counter, defaultdict
+
+    from feature_store_implementation_spark.operators.graph import (
+        PR_SCALE,
+        pagerank_fixed_point,
+    )
+
+    edge_set = set(pairs) | {(b, a) for a, b in pairs}  # symmetrize: no dangling
+    df = spark.createDataFrame(sorted(edge_set), "src long, dst long")
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank_fixed_point(df, iterations=iters).collect()
+    }
+    deg = Counter(s for s, _ in edge_set)
+    nodes = sorted(deg)
+    n = len(nodes)
+    base = PR_SCALE * 15 // (100 * n)
+    r = {v: PR_SCALE // n for v in nodes}
+    for _ in range(iters):
+        mass = defaultdict(int)
+        for s, d in edge_set:
+            mass[d] += (r[s] * 85) // (100 * deg[s])
+        r = {v: base + mass.get(v, 0) for v in nodes}
+    assert got == r
