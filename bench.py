@@ -84,6 +84,8 @@ EXTRAS = [
     "q_resample_interpolate",
     "q_weighted_stats",
     "q_dq_report",
+    "q_udaf_geomean",
+    "q_scalar_pandas_udf",
 ]
 
 

@@ -4643,3 +4643,65 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return check_expectations(o, exps, parents={"custkey_fk": c}).select(
         "check", "violations"
     )
+
+
+@query(
+    "q_udaf_geomean",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(EXP(SUM(CAST(ROUND(ROUND(LN(l_quantity), 8) * 100000000, 0) AS BIGINT))
+                     / 100000000.0 / COUNT(*)), 6) AS geomean_qty
+    FROM lineitem
+    WHERE l_quantity > 0
+    GROUP BY l_returnflag
+    """,
+)
+def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via GROUPED_AGG pandas_udf: per-group geometric mean —
+    the one UDF flavor the rest of the inventory doesn't exercise (scalar,
+    applyInPandas, cogroup, mapInPandas, UDTF are covered elsewhere). Spark
+    evaluates it with Arrow-batched partial aggregation. Determinism
+    discipline for the cross-engine hash: each ln is rounded to 8 dp and
+    scaled to an exact INTEGER, so the group sum is order-independent in
+    both the Python UDAF and the SQL oracle; only the final exp/divide runs
+    in (identical) doubles."""
+    from ..functions.pandas_udfs import ln_fixed_sum, n_rows
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            n_rows("l_quantity").alias("n"),
+            ln_fixed_sum("l_quantity").alias("s"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            F.round(
+                F.exp(F.col("s") / F.lit(1e8) / F.col("n").cast("double")), 6
+            ).alias("geomean_qty"),
+        )
+    )
+
+
+@query(
+    "q_scalar_pandas_udf",
+    """
+    SELECT o_orderkey,
+           ROUND(SQRT(o_totalprice) + LN(1 + o_totalprice), 6) AS price_feature
+    FROM orders
+    WHERE o_totalprice > 0
+    """,
+)
+def q_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR pandas_udf: a vectorized per-row feature transform
+    (sqrt + log1p) computed in numpy over Arrow batches — the pattern for
+    row-local Python that built-ins can't express (here they could; the
+    query exists to pin the Arrow scalar-UDF path and its exact parity:
+    numpy's sqrt/log are IEEE-identical to the JVM's for these inputs).
+    Row-local → no shuffle; batches stream through Python at Arrow speed."""
+    from ..functions.pandas_udfs import price_feature
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    return o.select("o_orderkey", price_feature("o_totalprice").alias("price_feature"))
