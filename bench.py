@@ -86,6 +86,9 @@ EXTRAS = [
     "q_dq_report",
     "q_udaf_geomean",
     "q_scalar_pandas_udf",
+    "q_media_chunks",
+    "q_agg_mode",
+    "q_null_safe_join",
 ]
 
 

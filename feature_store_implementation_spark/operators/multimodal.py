@@ -227,3 +227,37 @@ def sample_media_frames(
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(mapper, schema=FRAME_SCHEMA)
+
+
+def chunk_media(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    chunk_bytes: int = 1 << 20,
+) -> DataFrame:
+    """Split each binary blob into fixed-size chunks — the plumbing for
+    audio-segment / video-GOP / shard-level processing where the downstream
+    decoder wants bounded pieces, and for writing large media across
+    multiple parquet pages. Pure JVM expressions: sequence() builds the
+    chunk index per row, posexplode fans out, substring slices the binary.
+    Fan-out is bounded by ceil(n_bytes/chunk_bytes) per row, and each chunk
+    row is independently repartitionable (combine with
+    size_balanced_repartition before a decode stage)."""
+    c = F.col(content_col)
+    n_chunks = F.ceil(F.length(c) / F.lit(chunk_bytes)).cast("int")
+    return (
+        df.select(
+            F.col(id_col),
+            c.alias("__content"),
+            F.posexplode(
+                F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+            ).alias("chunk_idx", "_i"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.expr(
+                f"substring(__content, chunk_idx * {chunk_bytes} + 1, {chunk_bytes})"
+            ).alias("chunk"),
+        )
+    )

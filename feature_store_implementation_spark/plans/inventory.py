@@ -4705,3 +4705,113 @@ def q_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
     return o.select("o_orderkey", price_feature("o_totalprice").alias("price_feature"))
+
+
+@query(
+    "q_media_chunks",
+    """
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS nb
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, h,
+             unnest(generate_series(0, CAST(ceil(nb / 64.0) AS BIGINT) - 1)) AS chunk_idx
+      FROM b WHERE nb > 0
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           substring(h, CAST(chunk_idx * 128 + 1 AS BIGINT), 128) AS chunk_hex
+    FROM idx
+    """,
+)
+def q_media_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size binary chunking (operators/multimodal.py chunk_media):
+    each document's utf-8 blob split into 64-byte chunks via JVM-side
+    sequence + posexplode + binary substring — the audio-segment / video-
+    GOP fan-out pattern. Emitted as hex because DuckDB has no BLOB
+    substring: the oracle slices the hex string at 2× offsets, which is
+    byte-aligned-equivalent to Spark's true binary slicing."""
+    from ..operators.multimodal import chunk_media
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    ).filter(F.length("content") > 0)
+    return chunk_media(d, "content", "doc_id", chunk_bytes=64).select(
+        "doc_id", "chunk_idx", F.hex("chunk").alias("chunk_hex")
+    )
+
+
+@query(
+    "q_agg_mode",
+    """
+    WITH c AS (
+      SELECT l_suppkey, l_quantity, COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_suppkey, l_quantity
+    ),
+    r AS (
+      SELECT l_suppkey, l_quantity, cnt,
+             ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                ORDER BY cnt DESC, l_quantity) AS rn
+      FROM c
+    )
+    SELECT l_suppkey,
+           l_quantity AS mode_qty,
+           CAST(cnt AS BIGINT) AS mode_count
+    FROM r WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group (pandas .mode() in the reference's
+    sandbox): count the (group, value) pairs, keep the argmax with a
+    deterministic smallest-value tie-break. Two stacked shuffles on nested
+    keys — the second (window) reuses the first's partial ordering; no
+    value-set collection ever materializes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_suppkey", "l_quantity").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("l_suppkey").orderBy(F.desc("cnt"), "l_quantity")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_suppkey",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+
+
+@query(
+    "q_null_safe_join",
+    """
+    WITH l AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS status_key
+      FROM orders
+    ),
+    r AS (
+      SELECT * FROM (VALUES ('O', 'open'), ('F', 'finished'), (NULL, 'pending-unknown'))
+        t(status_key, status_label)
+    )
+    SELECT l.o_orderkey, r.status_label
+    FROM l JOIN r ON l.status_key IS NOT DISTINCT FROM r.status_key
+    """,
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of silently dropping — the semantics pandas merge
+    gives for NaN group keys and the trap every SQL port hits. Spark still
+    plans a hash join (null-safe equality is hashable); the label side
+    broadcasts."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status_key"),
+    )
+    labels = spark.createDataFrame(
+        [("O", "open"), ("F", "finished"), (None, "pending-unknown")],
+        "status_key string, status_label string",
+    )
+    return o.join(
+        F.broadcast(labels), o.status_key.eqNullSafe(labels.status_key)
+    ).select("o_orderkey", "status_label")

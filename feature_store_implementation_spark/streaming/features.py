@@ -249,3 +249,55 @@ def enrich_stream(
     the semantics you want for slowly-changing lookup tables. Works
     identically on a batch frame (unified API)."""
     return events.join(F.broadcast(dim), key, how)
+
+
+def streaming_heavy_hitters(
+    events: DataFrame, col: str = "event_type", k: int = 100, buckets: int = 8
+) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters via applyInPandasWithState.
+
+    The value space is sharded into ``buckets`` state groups (hash of the
+    value), each maintaining an independent MG summary of ≤k counters across
+    triggers — the same candidate guarantee as the batch operator
+    (operators/sketch.py) per shard, with bounded state regardless of stream
+    length. Every trigger emits each shard's current (value, weight) set in
+    update mode; the union of shards is a superset of any value whose
+    frequency exceeds n/k within its shard. Exactify downstream by recount,
+    exactly as the batch path does."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        items, weights = state.get if state.exists else ([], [])
+        counters = dict(zip(items, weights))
+        for pdf in pdfs:
+            for value, cnt in pdf[col].value_counts(dropna=True).items():
+                if value in counters:
+                    counters[value] += int(cnt)
+                    continue
+                counters[value] = int(cnt)
+                if len(counters) > k:
+                    dec = min(counters.values())
+                    counters = {
+                        v: c - dec for v, c in counters.items() if c - dec > 0
+                    }
+        state.update((list(counters.keys()), list(counters.values())))
+        yield pd.DataFrame(
+            {
+                "bucket": [int(key[0])] * len(counters),
+                col: list(counters.keys()),
+                "weight": [int(w) for w in counters.values()],
+            }
+        )
+
+    bucketed = events.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(col)), F.lit(buckets))
+    )
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType=f"bucket LONG, {col} STRING, weight LONG",
+        stateStructType="items ARRAY<STRING>, weights ARRAY<LONG>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -218,3 +218,32 @@ def test_stream_static_enrichment_equals_batch(spark, events_dir, tmp_path):
     )
     got = {tuple(r) for r in got_df.collect()}
     assert got == expected and len(got) > 0
+
+
+def test_streaming_heavy_hitters_candidates_cover_batch_exact(spark, events_dir, tmp_path):
+    """The streamed MG state (union over shards, last trigger per bucket)
+    must contain every exact heavy hitter of the full batch — the same
+    pigeonhole guarantee the batch sketch gives per partition."""
+    from feature_store_implementation_spark.streaming.features import (
+        streaming_heavy_hitters,
+    )
+
+    k = 10
+    out = _run_stream(
+        spark,
+        streaming_heavy_hitters(
+            read_events_stream(spark, events_dir), col="event_type", k=k
+        ),
+        tmp_path,
+        mode="update",
+    )
+    candidates = {r["event_type"] for r in out.collect()}
+
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    n = batch.count()
+    exact = {
+        r["event_type"]
+        for r in batch.groupBy("event_type").count().filter(F.col("count") > n / k).collect()
+    }
+    assert exact  # the corpus has heavy event types at k=10
+    assert exact <= candidates
