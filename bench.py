@@ -89,6 +89,7 @@ EXTRAS = [
     "q_media_chunks",
     "q_agg_mode",
     "q_null_safe_join",
+    "q_filtered_similarity",
 ]
 
 

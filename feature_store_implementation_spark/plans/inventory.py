@@ -4815,3 +4815,39 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(
         F.broadcast(labels), o.status_key.eqNullSafe(labels.status_key)
     ).select("o_orderkey", "status_label")
+
+
+@query(
+    "q_filtered_similarity",
+    f"""
+    SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+             ROUND({_cos('b.embedding', 'q.embedding')}, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY ROUND({_cos('b.embedding', 'q.embedding')}, 6) DESC,
+                                         b.vec_id) AS rank
+      FROM (SELECT e.* FROM embeddings e
+            JOIN documents d ON d.doc_id = e.vec_id
+            WHERE d.lang = 'en') b,
+           (SELECT * FROM embeddings WHERE vec_id < 5) q
+    ) WHERE rank <= 10
+    """,
+)
+def q_filtered_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered similarity search: top-10 cosine neighbors drawn
+    ONLY from English documents — the pre-filter retrieval pattern (filter →
+    score → rank), which beats post-filtering because the corpus shrinks
+    BEFORE any distance math. The language predicate joins documents via a
+    broadcast semi-join onto the embedding scan; scoring and per-query
+    top-k then proceed exactly as q_similarity_topk with no corpus shuffle."""
+    from ..operators.similarity import brute_force_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    en = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    corpus = e.join(F.broadcast(en), "vec_id", "left_semi")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return brute_force_topk(corpus, q, k=10)
