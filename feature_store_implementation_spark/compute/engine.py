@@ -87,3 +87,39 @@ def compute_feature(
         raise
     except Exception as e:  # analysis errors → ComputationError (main.py:202-206)
         raise ComputationError(f"Computation failed: {e}") from e
+
+
+def ewm_features(
+    df,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+):
+    """Per-entity exponentially-weighted mean (pandas ``.ewm(alpha).mean()``
+    semantics, adjust=True) — the recursive time-series smoother the
+    reference's sandbox gets from pandas and plain SQL windows cannot
+    express exactly. Arrow-batched ``applyInPandas`` per entity: the group
+    is sorted by ``order_cols`` (deterministic tie-break required) and
+    smoothed with pandas itself, so semantics are pandas-exact by
+    construction. State is O(1) per row; groups stream through Python at
+    Arrow speed — the right trade for a genuinely sequential recurrence."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F  # noqa: F401 (kept for symmetry)
+
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.select(key_col, *order_cols, value_col).schema.fields
+    ) + ", ewm double"
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        pdf["ewm"] = pdf[value_col].ewm(alpha=alpha, adjust=True).mean().round(6)
+        return pdf
+
+    return (
+        df.select(key_col, *order_cols, value_col)
+        .groupBy(key_col)
+        .applyInPandas(smooth, schema=out_schema)
+    )

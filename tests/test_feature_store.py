@@ -208,3 +208,33 @@ def test_pending_version_not_served_as_latest(fs, spark):
     fs.catalog.create_version(feat.id, "v2", status="pending")
     vec = fs.serve_vector("a", ["f_pend"])
     assert vec.features == {"f_pend": 5.0}
+
+
+def test_ewm_features_match_pandas(spark):
+    import pandas as pd
+
+    from feature_store_implementation_spark.compute.engine import ewm_features
+    from feature_store_implementation_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    got = (
+        ewm_features(e, "user_id", ["ts", "event_id"], "value", alpha=0.3)
+        .filter("user_id <= 3")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    pdf = e.filter("user_id <= 3").toPandas()
+    expect = (
+        pdf.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        .reset_index(drop=True)
+        .groupby("user_id", group_keys=False)["value"]
+        .apply(lambda s: s.ewm(alpha=0.3, adjust=True).mean().round(6))
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_series_equal(
+        got["ewm"].reset_index(drop=True), expect, check_names=False
+    )
