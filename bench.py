@@ -90,6 +90,7 @@ EXTRAS = [
     "q_agg_mode",
     "q_null_safe_join",
     "q_filtered_similarity",
+    "q_min_cost_supplier",
 ]
 
 

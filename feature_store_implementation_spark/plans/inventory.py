@@ -4851,3 +4851,64 @@ def q_filtered_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.join(F.broadcast(en), "vec_id", "left_semi")
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     return brute_force_topk(corpus, q, k=10)
+
+
+@query(
+    "q_min_cost_supplier",
+    f"""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE)
+                   / CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE), 6) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p.p_partkey, s.s_suppkey, s.s_name, n.n_name AS nation, c.unit_cost
+    FROM part p
+    JOIN cost c     ON c.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size <= 15 AND p.p_type = 'STANDARD'
+      AND c.unit_cost = (SELECT MIN(c2.unit_cost) FROM cost c2
+                         WHERE c2.l_partkey = p.p_partkey)
+      AND c.l_suppkey = (SELECT MIN(c3.l_suppkey) FROM cost c3
+                         WHERE c3.l_partkey = p.p_partkey
+                           AND c3.unit_cost = (SELECT MIN(c4.unit_cost) FROM cost c4
+                                               WHERE c4.l_partkey = p.p_partkey))
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shape minimum-cost supplier: for each part in a size/type
+    band, the supplier offering the lowest observed unit cost (derived from
+    lineitem — the driver schema has no partsupp). The oracle spells Q2's
+    correlated-min subquery (twice, for the deterministic supplier
+    tie-break); Spark expresses the same thing as ONE window over the
+    per-(part,supplier) aggregate — rank by (unit_cost, suppkey) within
+    part and keep row 1 — which turns a correlated re-scan into a single
+    shuffle. Unit cost is an exact-decimal-sums division, identical in both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(
+            F.sum(dec("l_extendedprice")).cast("double")
+            / F.sum(dec("l_quantity")).cast("double"),
+            6,
+        ).alias("unit_cost")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    w = W.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    best = (
+        cost.join(F.broadcast(p), cost.l_partkey == p.p_partkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("p_partkey", "s_suppkey", "s_name", F.col("n_name").alias("nation"), "unit_cost")
+    )
