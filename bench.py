@@ -91,6 +91,9 @@ EXTRAS = [
     "q_null_safe_join",
     "q_filtered_similarity",
     "q_min_cost_supplier",
+    "q_important_stock",
+    "q_late_shipment_priority",
+    "q_sole_late_supplier",
 ]
 
 

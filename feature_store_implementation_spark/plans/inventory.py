@@ -4912,3 +4912,166 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("p_partkey", "s_suppkey", "s_name", F.col("n_name").alias("nation"), "unit_cost")
     )
+
+
+@query(
+    "q_important_stock",
+    f"""
+    WITH supplied AS (
+      SELECT l.l_partkey, CAST(ROUND(SUM(CAST(l.l_extendedprice AS {DEC})), 2) AS DOUBLE) AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_7'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, value
+    FROM supplied
+    WHERE value > (SELECT SUM(value) * 0.0015 FROM supplied)
+    """,
+)
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shape important stock: parts whose supplied value from one
+    nation exceeds a FRACTION OF THE GLOBAL TOTAL — the group-vs-grand-total
+    HAVING pattern (no partsupp in the driver schema, so shipped value
+    stands in for stock value). The per-part aggregate is computed once and
+    consumed twice (rows + grand total); the one-row total broadcasts back
+    as a scalar filter. Both consumers reuse the same shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_7")
+        .select("n_nationkey")
+    )
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    supplied = (
+        li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias("value"))
+    )
+    total = supplied.agg((F.sum("value") * 0.0015).alias("threshold"))
+    return (
+        supplied.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_partkey", "value")
+    )
+
+
+@query(
+    "q_late_shipment_priority",
+    """
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shape service-level check: late shipments (>60 days after
+    order — the driver schema has no shipmode/commitdate, so linestatus
+    stands in for mode) counted by order priority class. The join carries a
+    non-equi residual (shipdate vs orderdate+60d) on top of the equi key,
+    and the two CASE counts land in one aggregation pass."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select("l_orderkey", "l_shipdate", "l_linestatus")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q_sole_late_supplier",
+    """
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT s.s_name,
+           CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS numwait
+    FROM li a
+    JOIN supplier s ON s.s_suppkey = a.l_suppkey
+    WHERE a.l_shipdate > a.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM li b
+                  WHERE b.l_orderkey = a.l_orderkey AND b.l_suppkey <> a.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM li c
+                      WHERE c.l_orderkey = a.l_orderkey AND c.l_suppkey <> a.l_suppkey
+                        AND c.l_shipdate > c.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 25
+    """,
+)
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shape waiting-orders blame: suppliers who were the ONLY
+    late shipper in multi-supplier orders (late = >90 days after order date;
+    the driver schema has no commit/receipt dates). The signature Q21 shape
+    survives intact: EXISTS (another supplier in the order) + NOT EXISTS
+    (another LATE supplier in the order) against the same fact — compiled as
+    a semi-join and an anti-join on the SAME l_orderkey shuffle key, so all
+    three legs co-partition and Spark reuses the exchange."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l0 = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    li = l0.join(o, l0.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias(
+            "late"
+        ),
+    )
+    a = li.filter(F.col("late"))
+    others = li.select(
+        F.col("l_orderkey").alias("b_orderkey"), F.col("l_suppkey").alias("b_suppkey")
+    )
+    late_others = li.filter(F.col("late")).select(
+        F.col("l_orderkey").alias("c_orderkey"), F.col("l_suppkey").alias("c_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        a.join(
+            others,
+            (a.l_orderkey == others.b_orderkey)
+            & (a.l_suppkey != others.b_suppkey),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == late_others.c_orderkey)
+            & (F.col("l_suppkey") != late_others.c_suppkey),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count_distinct("l_orderkey").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(25)
+    )
