@@ -94,6 +94,8 @@ EXTRAS = [
     "q_important_stock",
     "q_late_shipment_priority",
     "q_sole_late_supplier",
+    "q_lateral_topk",
+    "q_safe_casts",
 ]
 
 

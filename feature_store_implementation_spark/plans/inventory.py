@@ -5075,3 +5075,59 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(25)
     )
+
+
+@query(
+    "q_lateral_topk",
+    """
+    SELECT n.n_name AS nation, t.c_custkey, t.c_acctbal
+    FROM nation n,
+    LATERAL (SELECT c.c_custkey, c.c_acctbal FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c.c_acctbal DESC, c.c_custkey LIMIT 3) t
+    """,
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: top-3 customers
+    per nation written the SQL-standard way (identical text runs on both
+    engines). Spark de-correlates this into the same window top-k plan the
+    DataFrame API produces — proof the SQL surface and the DataFrame
+    surface meet at one physical plan, with no per-nation re-scan."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_lat_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, t.c_custkey, t.c_acctbal
+        FROM _lat_nation n,
+        LATERAL (SELECT c.c_custkey, c.c_acctbal FROM _lat_customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c.c_acctbal DESC, c.c_custkey LIMIT 3) t
+        """
+    )
+
+
+@query(
+    "q_safe_casts",
+    """
+    SELECT o_orderkey,
+           TRY_CAST(o_orderpriority AS INT) AS bad_int,
+           TRY_CAST(split_part(o_orderpriority, '-', 1) AS INT) AS priority_num,
+           CAST(o_totalprice AS DOUBLE) / NULLIF(TRY_CAST(split_part(o_orderpriority, '-', 1) AS INT) - 1, 0)
+             AS per_level
+    FROM orders
+    """,
+)
+def q_safe_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fault-tolerant casts for data cleaning under ANSI mode: TRY_CAST
+    yields NULL instead of failing the job on malformed input ('1-URGENT'
+    as INT), and try_divide absorbs division by zero (priority 1 → NULL,
+    not an exception killing a 100 TB job at row 9 billion). DuckDB spells
+    try_divide as x / NULLIF(y, 0) — same three-valued semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    pnum = F.split_part("o_orderpriority", F.lit("-"), F.lit(1)).try_cast("int")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").try_cast("int").alias("bad_int"),
+        pnum.alias("priority_num"),
+        F.try_divide(F.col("o_totalprice").cast("double"), pnum - 1).alias("per_level"),
+    )

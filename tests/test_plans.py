@@ -156,3 +156,11 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     )
     assert "dynamicpruningexpression" in plan
     assert j.collect()[0]["total"] == sum(i * 2 for i in range(20000) if i % 10 == 3)
+
+
+def test_lateral_topk_decorrelates_to_window(spark):
+    # the correlated LATERAL + LIMIT must become a window top-k (one
+    # shuffle), never a per-outer-row re-scan of customer
+    plan = _plan(spark, "q_lateral_topk")
+    assert "WindowGroupLimit" in plan  # top-k pushdown, not a full sort
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2  # each table once
