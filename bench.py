@@ -96,6 +96,7 @@ EXTRAS = [
     "q_sole_late_supplier",
     "q_lateral_topk",
     "q_safe_casts",
+    "q_variant_json",
 ]
 
 

@@ -5131,3 +5131,37 @@ def q_safe_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
         pnum.alias("priority_num"),
         F.try_divide(F.col("o_totalprice").cast("double"), pnum - 1).alias("per_level"),
     )
+
+
+@query(
+    "q_variant_json",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured columns via the VARIANT type (Spark 4): parse_json
+    once into variant, path-extract with try_variant_get, aggregate the
+    typed values — the open-schema ingestion pattern that replaces
+    rigid from_json structs when event payloads evolve. Variant's binary
+    encoding makes repeated path access cheap at scan time (no re-parse per
+    path, unlike get_json_object). Oracle uses DuckDB's JSON path
+    operators over the same strings."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
