@@ -38,6 +38,7 @@ def pagerank_fixed_point(
     iterations: int = 5,
     damping_pct: int = 85,
     assume_distinct: bool = False,
+    assume_symmetric: bool = False,
 ) -> DataFrame:
     """Deterministic PageRank over a directed edge list, in fixed-point
     integer arithmetic so the result is bit-exact and order-independent.
@@ -86,18 +87,25 @@ def pagerank_fixed_point(
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
         )
-        # symmetrized graphs give every node an in-edge, but keep isolated
-        # receivers correct anyway via the left join + coalesce
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
+        if assume_symmetric:
+            # symmetric graph ⇒ every node has an in-edge ⇒ contrib already
+            # covers the node set: skip the per-iteration nodes join
+            ranks = contrib.select(
                 "node",
-                (F.lit(base) + F.coalesce("in_mass", F.lit(0)))
-                .cast("long")
-                .alias("rank_fp"),
+                (F.lit(base) + F.col("in_mass")).cast("long").alias("rank_fp"),
+            ).localCheckpoint(eager=True)
+        else:
+            # general graphs: keep nodes with no in-edges via left join
+            ranks = (
+                nodes.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    (F.lit(base) + F.coalesce("in_mass", F.lit(0)))
+                    .cast("long")
+                    .alias("rank_fp"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
     return ranks
 
 

@@ -3867,7 +3867,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    pr = pagerank_fixed_point(edges, iterations=4, assume_distinct=True)
+    pr = pagerank_fixed_point(
+        edges, iterations=4, assume_distinct=True, assume_symmetric=True
+    )
     return pr.orderBy(F.desc("rank_fp"), "node").limit(25)
 
 

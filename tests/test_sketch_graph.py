@@ -82,3 +82,30 @@ def test_pagerank_mass_is_conserved_up_to_floor_loss(spark):
     assert PR_SCALE - len(rows) * 1000 < total <= PR_SCALE
     top = max(rows, key=lambda r: r["rank_fp"])
     assert top["node"] == 0
+
+
+def test_pagerank_symmetric_fast_path_identical(spark):
+    pairs = [(0, i) for i in range(1, 9)] + [(3, 7), (4, 8)]
+    edge_set = set(pairs) | {(b, a) for a, b in pairs}
+    df = spark.createDataFrame(sorted(edge_set), "src long, dst long")
+    slow = {
+        (r["node"], r["rank_fp"])
+        for r in pagerank_fixed_point(df, iterations=5).collect()
+    }
+    fast = {
+        (r["node"], r["rank_fp"])
+        for r in pagerank_fixed_point(
+            df, iterations=5, assume_distinct=True, assume_symmetric=True
+        ).collect()
+    }
+    assert fast == slow
+
+
+def test_empty_and_degenerate_inputs(spark):
+    from feature_store_implementation_spark.operators.sketch import frequent_items
+
+    empty = spark.createDataFrame([], "item string")
+    assert frequent_items(empty, "item", 5).count() == 0
+    single = spark.createDataFrame([("x",)], "item string")
+    got = {r["item"]: r["cnt"] for r in frequent_items(single, "item", 5).collect()}
+    assert got == {"x": 1}
