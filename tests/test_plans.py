@@ -164,3 +164,45 @@ def test_lateral_topk_decorrelates_to_window(spark):
     plan = _plan(spark, "q_lateral_topk")
     assert "WindowGroupLimit" in plan  # top-k pushdown, not a full sort
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2  # each table once
+
+
+def test_runtime_bloom_filter_protects_smj_fact_scan(spark):
+    # when a selective filter sits on one side of a NON-broadcast join (the
+    # 100 TB case: both sides too big to broadcast), Spark must inject a
+    # runtime bloom filter so the big side's scan drops non-joining rows
+    # before the shuffle — the sort-merge-join safety net this engine
+    # relies on when dims outgrow the broadcast threshold
+    from pyspark.sql import functions as F
+
+    from feature_store_implementation_spark.sources.tables import load_table
+
+    old_thresh = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        sf = "/root/testdata/sf0.001"
+        o = (
+            load_table(spark, sf, "orders")
+            .filter(F.col("o_totalprice") > 450000)
+            .select("o_orderkey")
+        )
+        li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).agg(
+            F.sum("l_quantity").alias("qty")
+        )
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan  # the filter is APPLIED on the fact side
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thresh,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
