@@ -59,70 +59,43 @@ def query(name: str, oracle: str | None):
     return deco
 
 
-# The driver's correctness gate records the first ~50 queries() entries, so
-# the dict is emitted showcase-first: one representative per operator family
-# (scan/agg → grouping sets → every join shape incl. the TPC-H multiway
-# suite → subqueries → windows → time windows → arrays/UDF/UDTF → dedup /
-# similarity / sketch / graph / text / behavioral). Everything else follows
-# in definition order — same entries either way, just a deliberate ordering.
-_SHOWCASE = [
-    "q_pricing_summary",
-    "q_customer_total_spend",
-    "q_agg_stats",
-    "q_proj_filter",
-    "q_json_typed",
-    "q_cube",
-    "q_grouping_sets",
-    "q_hypertable_rollup",
-    "q_join_inner",
-    "q_join_left",
-    "q_range_join",
-    "q_asof_join",
-    "q_salted_join",
-    "q_shipping_priority",
-    "q_big_orders",
-    "q_copurchase_pairs",
-    "q_regional_volume",
-    "q_nation_trade",
-    "q_market_share",
-    "q_product_profit",
-    "q_returned_items",
-    "q_order_priority",
-    "q_small_qty_revenue",
-    "q_idle_customers",
-    "q_disjunctive_join",
-    "q_scalar_subquery",
-    "q_correlated_agg",
-    "q_window_topk",
-    "q_window_rolling",
-    "q_latest_per_group",
-    "q_share_of_total",
-    "q_tumbling_window",
-    "q_session_window",
-    "q_resample_ffill",
-    "q_array_lambda",
-    "q_unpivot",
-    "q_udtf_tokens",
-    "q_pandas_udf_zscore",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_embedding_neardup",
-    "q_dedup_components",
-    "q_similarity_topk",
-    "q_heavy_hitters",
-    "q_pagerank",
-    "q_tfidf",
-    "q_lang_id",
-    "q_funnel",
-    "q_retention_cohorts",
-    "q_fold_assign",
-]
+def _driver_checked_rounds() -> dict[str, int]:
+    """name → latest driver round with a recorded CORRECTNESS row (0 = never)."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    latest: dict[str, int] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.name)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            for name in rows:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 def _ordered_names() -> list[str]:
-    return [n for n in _SHOWCASE if n in SPECS] + [
-        n for n in SPECS if n not in _SHOWCASE
-    ]
+    # Rotation policy: the driver's correctness gate records the first ~50
+    # queries() entries each round. To guarantee every query earns a driver
+    # CORRECTNESS row across rounds — without hand-picking which subset gets
+    # verified — emission order is purely mechanical: ascending by the round
+    # each query was last driver-checked (never-checked first), oracle-bearing
+    # before rows-only within a group (the oracle hash compare is the stronger
+    # signal), definition order as the final tie-break. As CORRECTNESS_r*.json
+    # files accumulate, the least-recently-verified queries automatically
+    # rotate to the front.
+    latest = _driver_checked_rounds()
+    def_idx = {n: i for i, n in enumerate(SPECS)}
+    return sorted(
+        SPECS,
+        key=lambda n: (latest.get(n, 0), SPECS[n].oracle is None, def_idx[n]),
+    )
 
 
 def QUERIES() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1904,16 +1877,75 @@ def q_window_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile / percent_rank / cume_dist over a global ordering with a unique
-    tie-break key (determinism rule from the module docstring)."""
+    """ntile / percent_rank / cume_dist over a global ordering — computed as a
+    TWO-PASS DISTRIBUTED RANK, not a single-partition window. A bare
+    ``W.orderBy(...)`` over a base table funnels the whole dataset through one
+    task (Spark warns ``WindowExec: No Partition Defined``) — a scale-killer
+    at 100×. Instead:
+
+    1. deterministic range binning: ``width_bucket`` over the [min, max] of
+       the order key — a pure row-local function of two collected scalars, so
+       both passes see identical bins (no sampling nondeterminism as with
+       ``repartitionByRange``),
+    2. per-bin local ``row_number`` (window partitioned by bin → parallel),
+    3. per-bin counts → cumulative offsets (window over the ≤65-row bin
+       frame — the documented acceptable single-partition-over-aggregate
+       pattern), broadcast-joined back,
+    4. global rank = offset + local rank; ntile/percent_rank/cume_dist are
+       then row-local arithmetic. The unique (c_acctbal, c_custkey) tie-break
+       makes rank ≡ row_number, so the closed forms match window semantics.
+
+    Precondition: non-null order key (TPC-H c_acctbal).
+    """
     c = load_table(spark, sf_dir, "customer")
-    w = W.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    lo, hi = c.agg(F.min("c_acctbal"), F.max("c_acctbal")).first()
+    n_bins = 64
+    binned = c.withColumn(
+        "_bin", F.width_bucket("c_acctbal", F.lit(lo), F.lit(hi), F.lit(n_bins))
+    )
+    local = binned.withColumn(
+        "_lr",
+        F.row_number().over(
+            W.partitionBy("_bin").orderBy("c_acctbal", "c_custkey")
+        ),
+    )
+    counts = binned.groupBy("_bin").agg(F.count(F.lit(1)).alias("_cnt"))
+    offsets = counts.select(
+        "_bin",
+        F.coalesce(
+            F.sum("_cnt").over(
+                W.orderBy("_bin").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_off"),
+        F.sum("_cnt").over(W.orderBy("_bin").rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )).alias("_n"),
+    )
+    ranked = local.join(F.broadcast(offsets), "_bin").withColumn(
+        "_rank", F.col("_off") + F.col("_lr")
+    )
+    # ntile(k): first (n % k) buckets hold ceil(n/k) rows, the rest floor(n/k)
+    k = F.lit(4)
+    q = (F.col("_n") / k).cast("long")  # floor(n/k)
+    rem = F.col("_n") % k
+    big = (q + 1) * rem  # rows covered by the larger buckets
+    quartile = (
+        F.when(F.col("_rank") <= big, (F.col("_rank") - 1) / (q + 1))
+        .otherwise(rem + (F.col("_rank") - big - 1) / F.greatest(q, F.lit(1)))
+        .cast("long")
+        + 1
+    )
+    return ranked.select(
         "c_custkey",
         "c_acctbal",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).cast("double").alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).cast("double").alias("cume"),
+        quartile.cast("long").alias("quartile"),
+        F.round(
+            F.when(F.col("_n") > 1, (F.col("_rank") - 1) / (F.col("_n") - 1))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).cast("double").alias("pct_rank"),
+        F.round(F.col("_rank") / F.col("_n"), 6).cast("double").alias("cume"),
     )
 
 

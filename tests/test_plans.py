@@ -206,3 +206,17 @@ def test_runtime_bloom_filter_protects_smj_fact_scan(spark):
             old_thresh,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+
+
+def test_ntile_window_is_partitioned_not_global(spark):
+    # ntile/percent_rank over a base table must NOT be a single-partition
+    # window over the raw scan (a 100×-scale killer). The two-pass rank keeps
+    # every base-table window partitioned by the range bin; the only
+    # unpartitioned window allowed is over the tiny per-bin counts aggregate.
+    plan = _plan(spark, "q_window_ntile")
+    assert "width_bucket" in plan  # deterministic range binning present
+    assert "hashpartitioning(_bin" in plan  # base-table window is partitioned
+    # the raw-table window carries the bin partition key; no window in the
+    # plan orders the full table globally (global ntile would show
+    # "Window [ntile(4)..." with an empty partition spec over the scan)
+    assert "ntile(4)" not in plan
