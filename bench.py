@@ -120,7 +120,11 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
     # ...and one untimed aggregate so whole-stage-codegen/shuffle JIT paths
-    # are compiled before the first timed query (same query set either way)
+    # are compiled before the first timed query (same query set either way).
+    # METHODOLOGY NOTE: this warm-up was added in round 2; the round-1
+    # baseline timed its first query cold (~+1s on query 1). Round-2+ totals
+    # are comparable with each other; vs round 1 subtract that cold-start
+    # from the r1 number or compare per-query medians excluding query 1.
     if names:
         qs[names[0]](spark, sf_dir).count()
 

@@ -39,6 +39,7 @@ def pagerank_fixed_point(
     damping_pct: int = 85,
     assume_distinct: bool = False,
     assume_symmetric: bool = False,
+    checkpoint_interval: int = 1,
 ) -> DataFrame:
     """Deterministic PageRank over a directed edge list, in fixed-point
     integer arithmetic so the result is bit-exact and order-independent.
@@ -60,6 +61,12 @@ def pagerank_fixed_point(
     node key, rank state is |V| rows. That is the standard bulk-synchronous
     PageRank layout; iterations are a fixed count so the job graph is static.
 
+    ``checkpoint_interval`` controls how often the rank frame's lineage is
+    truncated: every iteration (1, the safe default for long runs) forces a
+    blocking materialization per step; a few-iteration run can set it to the
+    iteration count so the chained shuffles compose into fewer jobs and AQE
+    plans across them. The final frame is always checkpointed.
+
     Returns ``(node, rank_fp)`` — BIGINT fixed-point ranks summing to ~1.0.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -74,10 +81,14 @@ def pagerank_fixed_point(
     # checkpointed edge frame) instead of re-aggregating |E| rows per iter
     nodes = ed.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
     n = nodes.count()
+    if n == 0:
+        # empty graph: no nodes, no ranks — avoid the 1/n base-mass division
+        return nodes.select("node", F.lit(0).cast("long").alias("rank_fp"))
     base = PR_SCALE * (100 - damping_pct) // (100 * n)
     ranks = nodes.select("node", F.lit(PR_SCALE // n).cast("long").alias("rank_fp"))
 
-    for _ in range(iterations):
+    for it in range(iterations):
+        materialize = it == iterations - 1 or (it + 1) % checkpoint_interval == 0
         contrib = (
             ed.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
@@ -93,19 +104,17 @@ def pagerank_fixed_point(
             ranks = contrib.select(
                 "node",
                 (F.lit(base) + F.col("in_mass")).cast("long").alias("rank_fp"),
-            ).localCheckpoint(eager=True)
+            )
         else:
             # general graphs: keep nodes with no in-edges via left join
-            ranks = (
-                nodes.join(contrib, "node", "left")
-                .select(
-                    "node",
-                    (F.lit(base) + F.coalesce("in_mass", F.lit(0)))
-                    .cast("long")
-                    .alias("rank_fp"),
-                )
-                .localCheckpoint(eager=True)
+            ranks = nodes.join(contrib, "node", "left").select(
+                "node",
+                (F.lit(base) + F.coalesce("in_mass", F.lit(0)))
+                .cast("long")
+                .alias("rank_fp"),
             )
+        if materialize:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

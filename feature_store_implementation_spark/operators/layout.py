@@ -40,8 +40,19 @@ def _fixed_point_rank(col: Column, lo: Column, hi: Column, bits: int) -> Column:
 
 def zvalue(ranks: list[Column], bits: int) -> Column:
     """Interleave ``bits`` bits of each rank column into one Morton key —
-    pure shift/or expressions, fully codegen'd."""
+    pure shift/or expressions, fully codegen'd.
+
+    Requires ``len(ranks) * bits <= 63``: the key is a signed 64-bit long and
+    JVM shift counts wrap mod 64, so an oversized column set would silently
+    corrupt the key (and the clustering it exists to provide) instead of
+    failing. Callers with many columns should reduce ``bits`` (e.g. 6 columns
+    → bits<=10)."""
     n = len(ranks)
+    if n * bits > 63:
+        raise ValueError(
+            f"zvalue: {n} columns x {bits} bits = {n * bits} key bits > 63; "
+            f"reduce bits to <= {63 // n} to fit a 64-bit Morton key"
+        )
     out = F.lit(0).cast("long")
     for b in range(bits):
         for i, r in enumerate(ranks):

@@ -40,11 +40,23 @@ from pyspark.sql import functions as F
 
 
 def _misra_gries_partition(col: str, k: int):
-    """Per-partition Misra-Gries: stream batches, keep at most k counters."""
+    """Per-partition Misra-Gries: stream batches, keep at most k counters.
+
+    Besides the ≤k surviving candidate values, each partition emits ONE
+    marker row (``col`` NULL) carrying the partition's total row count and
+    NULL-key count — so the global n (for the n/k threshold) and the NULL
+    group's exact count fall out of the same single scan instead of needing
+    a separate ``df.count()`` pass. Candidate rows can never collide with
+    the marker: NULL is excluded from the counter set by construction.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
+        part_rows = 0
+        part_nulls = 0
         for pdf in batches:
+            part_rows += len(pdf)
+            part_nulls += int(pdf[col].isna().sum())
             # batch-local exact counts first (vectorized), then fold into the
             # bounded counter set — same survivors as item-at-a-time MG
             for value, cnt in pdf[col].value_counts(dropna=True).items():
@@ -58,7 +70,14 @@ def _misra_gries_partition(col: str, k: int):
                     counters = {
                         v: c - dec for v, c in counters.items() if c - dec > 0
                     }
-        yield pd.DataFrame({col: list(counters.keys())})
+        values = list(counters.keys())
+        yield pd.DataFrame(
+            {
+                col: values + [None],
+                "_part_rows": [0] * len(values) + [part_rows],
+                "_part_nulls": [0] * len(values) + [part_nulls],
+            }
+        )
 
     return run
 
@@ -68,16 +87,40 @@ def frequent_items(df: DataFrame, col: str, k: int) -> DataFrame:
 
     Returns ``(col, cnt)``. Output is EXACT (not approximate): Misra-Gries
     only proposes candidates; counts come from a recount restricted to them.
+    NULL keys are handled the way SQL ``GROUP BY ... HAVING`` does: their
+    exact count comes from the marker rows of the candidate pass (a
+    broadcast semi-join cannot match NULL), and a ``(NULL, cnt)`` row is
+    emitted when it clears the threshold — bit-for-bit the GROUP BY answer
+    for nullable columns too.
+
+    Exactly two scans of ``df``: the map-side MG candidate pass (which also
+    totals rows and NULL keys per partition) and the recount.
     """
-    candidates = (
+    key_type = df.select(col).schema[0].dataType.simpleString()
+    summary = (
         df.select(col)
-        .mapInPandas(_misra_gries_partition(col, k), schema=df.select(col).schema)
-        .distinct()
+        .mapInPandas(
+            _misra_gries_partition(col, k),
+            schema=f"`{col}` {key_type}, _part_rows long, _part_nulls long",
+        )
+        # two downstream reads (totals + candidate set) of a ≤(k+1)·P-row
+        # frame: materialize once so the MG scan of df runs once
+        .localCheckpoint(eager=True)
     )
-    n = df.count()
-    return (
+    n, n_nulls = summary.agg(
+        F.sum("_part_rows").cast("long"), F.sum("_part_nulls").cast("long")
+    ).first()
+    n = n or 0  # empty input: no marker rows at all
+    candidates = summary.filter(F.col(col).isNotNull()).select(col).distinct()
+    out = (
         df.join(F.broadcast(candidates), col, "left_semi")
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") > F.lit(n) / F.lit(k))
     )
+    if n_nulls and n_nulls * k > n:
+        null_row = df.sparkSession.createDataFrame(
+            [(None, n_nulls)], schema=f"`{col}` {key_type}, cnt long"
+        )
+        out = out.unionByName(null_row)
+    return out

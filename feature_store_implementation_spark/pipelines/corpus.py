@@ -83,7 +83,10 @@ def curate_corpus(
     losers = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
-    deduped = after_l.join(F.broadcast(losers), "doc_id", "left_anti")
+    # NO broadcast hint here: the loser set is O(dup_rate x corpus) — at
+    # 100 TB with 30-50% duplicate rates that is billions of rows. Let AQE
+    # pick the strategy (it will still broadcast when the set is small).
+    deduped = after_l.join(losers, "doc_id", "left_anti")
     n_after_dedup = deduped.count()
 
     out = deduped

@@ -109,3 +109,56 @@ def test_empty_and_degenerate_inputs(spark):
     single = spark.createDataFrame([("x",)], "item string")
     got = {r["item"]: r["cnt"] for r in frequent_items(single, "item", 5).collect()}
     assert got == {"x": 1}
+
+
+def test_frequent_items_null_group_matches_group_by(spark):
+    # SQL GROUP BY keeps a NULL group; frequent_items must emit (NULL, cnt)
+    # when NULL keys clear the n/k threshold, and omit it when they don't
+    from feature_store_implementation_spark.operators.sketch import frequent_items
+
+    rows = [("a",)] * 40 + [(None,)] * 30 + [("b",)] * 20 + [("c",)] * 10
+    df = spark.createDataFrame(rows, "item string").repartition(7)
+    got = {r["item"]: r["cnt"] for r in frequent_items(df, "item", 4).collect()}
+    assert got == {"a": 40, None: 30}  # threshold 100/4 = 25
+    # below threshold: NULL group must NOT appear
+    got2 = {r["item"]: r["cnt"] for r in frequent_items(df, "item", 2).collect()}
+    assert got2 == {}
+
+
+def test_pagerank_empty_graph(spark):
+    from feature_store_implementation_spark.operators.graph import pagerank_fixed_point
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank_fixed_point(empty, iterations=3).collect() == []
+
+
+def test_pagerank_checkpoint_interval_is_semantics_free(spark):
+    from feature_store_implementation_spark.operators.graph import pagerank_fixed_point
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)], "src long, dst long"
+    )
+    every = {
+        (r["node"], r["rank_fp"])
+        for r in pagerank_fixed_point(edges, iterations=4).collect()
+    }
+    batched = {
+        (r["node"], r["rank_fp"])
+        for r in pagerank_fixed_point(
+            edges, iterations=4, checkpoint_interval=4
+        ).collect()
+    }
+    assert every == batched
+
+
+def test_zvalue_rejects_key_overflow(spark):
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from feature_store_implementation_spark.operators.layout import zvalue
+
+    ranks = [F.lit(1).cast("long")] * 6
+    with pytest.raises(ValueError, match="> 63"):
+        zvalue(ranks, 12)  # 6 * 12 = 72 bits would wrap mod 64
+    zvalue(ranks, 10)  # 60 bits fits
