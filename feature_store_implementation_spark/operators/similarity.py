@@ -197,15 +197,21 @@ def ivf_topk(
     query_id_col: str = "query_id",
     n_cells: int = 16,
     n_probe: int = 4,
-    refine_iters: int = 0,
+    refine_iters: int = 1,
 ) -> DataFrame:
     """IVF-flat ANN: coarse-quantize the corpus into ``n_cells`` Voronoi
     cells (argmax cosine to a deterministic centroid set), search only the
     ``n_probe`` cells nearest each query, exact cosine re-rank inside them.
 
-    Centroids are the first ``n_cells`` corpus vectors by id — deterministic
-    and good enough for candidate routing (a k-means refinement would slot in
-    here without changing the plan shape). Cell assignment and query probing
+    Centroid init is the first ``n_cells`` corpus vectors by id
+    (deterministic), then ``refine_iters`` rounds of distributed spherical
+    k-means (:func:`kmeans_refine_centroids`). The default of 1 round is
+    deliberate: with raw seed centroids, routing quality — and therefore
+    recall — silently depends on id order; one Lloyd round balances the
+    cells for a single extra corpus pass (a recall@10 floor vs
+    :func:`brute_force_topk` is pinned in tests). Pass ``refine_iters=0``
+    only when the caller supplies/persists pre-trained centroids.
+    Cell assignment and query probing
     are vectorized numpy matmuls inside Arrow-batched pandas UDFs (one
     partition-local pass, no shuffle; a 16×64 fold as JVM expressions would
     bloat codegen for no gain). The probe join broadcasts |queries|×n_probe

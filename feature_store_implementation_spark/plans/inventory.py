@@ -1277,8 +1277,10 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_similarity_ivf", None)
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN top-k (rows-only; exact-equivalence at full probe and
-    recall bounds asserted in tests/test_dedup_similarity.py): coarse
-    Voronoi cells + n_probe candidate cells + exact re-rank."""
+    a recall@10 floor vs brute force asserted in
+    tests/test_dedup_similarity.py): coarse Voronoi cells (one spherical
+    k-means refinement round — the ivf_topk default — so routing doesn't
+    depend on id order) + n_probe candidate cells + exact re-rank."""
     from ..operators.similarity import ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -3900,7 +3902,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     pr = pagerank_fixed_point(
-        edges, iterations=4, assume_distinct=True, assume_symmetric=True
+        edges,
+        iterations=4,
+        assume_distinct=True,
+        assume_symmetric=True,
+        # 4 chained shuffles compose into one AQE-planned job; per-iteration
+        # lineage truncation only pays off at much higher iteration counts
+        checkpoint_interval=4,
     )
     return pr.orderBy(F.desc("rank_fp"), "node").limit(25)
 

@@ -223,6 +223,11 @@ class Catalog:
                 return v
         raise NotFoundError(f"Feature version {version_id} not found")
 
+    def list_pending(self) -> list[VersionRow]:
+        """All 'pending' versions — crash-recovery input (a pending row
+        outside a live compute_version call means its writer died)."""
+        return [v for v in self._rows["feature_versions"] if v.status == "pending"]
+
     def list_versions(self, feature_id: int) -> list[VersionRow]:
         return [v for v in self._rows["feature_versions"] if v.feature_id == feature_id]
 

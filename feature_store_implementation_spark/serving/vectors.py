@@ -93,7 +93,33 @@ class FeatureStore:
         except Exception:
             self.catalog.delete_version(row.id)
             raise
-        return self.catalog.set_version_status(row.id, "active")
+        activated = self.catalog.set_version_status(row.id, "active")
+        # Deliberate divergence from the reference: it never invalidates the
+        # serve cache, so a freshly-activated version keeps serving the OLD
+        # values for up to ttl (3600 s). Key semantics stay reference-exact
+        # (cache.py:22-30); activation just cold-starts the (driver-local,
+        # cheap-to-refill) cache so serves reflect the newest active version.
+        self.cache.clear()
+        return activated
+
+    def recover_stale_pending(self) -> list[int]:
+        """Crash recovery: a writer that died between reserving a version id
+        ('pending') and flipping it to 'active' leaves behind a pending row
+        and possibly partial value files. Both are invisible to serving (the
+        latest-active window filters on status), but they block re-computing
+        the same version string and the partial files waste storage. Run at
+        service startup — any pending row seen then belongs to a dead writer
+        (live writers hold pending only inside compute_version). Drops the
+        partial partition directory and the row; returns recovered ids.
+
+        The reference has no recovery story: its orphan version rows are
+        permanent (main.py:216 commits the row before values can fail)."""
+        recovered = []
+        for v in self.catalog.list_pending():
+            self.store.drop_version_values(v.id)
+            self.catalog.delete_version(v.id)
+            recovered.append(v.id)
+        return recovered
 
     # -- serve path --------------------------------------------------------
 

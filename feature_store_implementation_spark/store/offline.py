@@ -82,6 +82,19 @@ class OfflineStore:
         page skipping (entity sort order) — the serving hot path."""
         return self.values_for_version(version_id).filter(F.col("entity_id") == entity_id)
 
+    def drop_version_values(self, version_id: int) -> bool:
+        """Remove one version's partition directory (crash recovery of a
+        writer that died mid-append, leaving partial files under a version
+        id that never activated). Partition-scoped: other versions'
+        directories are untouched. Returns True if anything was deleted."""
+        import shutil
+
+        part_dir = os.path.join(self.path, f"feature_version_id={int(version_id)}")
+        if os.path.isdir(part_dir):
+            shutil.rmtree(part_dir)
+            return True
+        return False
+
 
 def compact_version_partition(
     spark: SparkSession,

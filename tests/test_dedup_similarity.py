@@ -205,6 +205,35 @@ def test_ivf_partial_probe_recall(spark):
     assert len(approx & exact) / len(exact) >= 0.3
 
 
+def test_ivf_default_refined_centroids_recall_floor(spark):
+    """Pinned recall@10 floor for the DEFAULT ivf_topk configuration
+    (refine_iters=1): ≥0.9 at n_probe=6 and ≥0.8 at n_probe=4 on the
+    sf0.01 embeddings (500 vectors, 16 cells — fully deterministic, so
+    these are exact regression values, not flaky bounds). Guards against
+    routing quality silently regressing to id-order-dependent seeds."""
+    from feature_store_implementation_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from feature_store_implementation_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(e, q, k=10).collect()}
+
+    def recall(n_probe):
+        hits = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_topk(e, q, k=10, n_cells=16, n_probe=n_probe).collect()
+        }
+        return len(hits & exact) / len(exact)
+
+    assert recall(6) >= 0.9
+    assert recall(4) >= 0.8
+
+
 def test_ivf_kmeans_refinement_improves_or_holds_recall(spark):
     from feature_store_implementation_spark.operators.similarity import (
         brute_force_topk,

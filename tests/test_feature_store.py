@@ -210,6 +210,48 @@ def test_pending_version_not_served_as_latest(fs, spark):
     assert vec.features == {"f_pend": 5.0}
 
 
+def test_crash_mid_value_write_recovers_clean(fs, spark):
+    """Crash injection: kill the writer AFTER the pending version row and a
+    PARTIAL parquet append land, BEFORE activation (the worst window — the
+    compensating delete in compute_version never runs because the process
+    is 'dead'). Prove: (1) serving never sees the orphan, (2) startup
+    recovery removes both the row and the partial files, (3) the same
+    version string then recomputes cleanly with no leftover rows."""
+    import os
+
+    rt = fs.register_raw_table("t_crash", {"required_columns": ["id", "v"]})
+    feat = fs.create_feature("f_crash", rt.id, "SUM(v)", "numeric")
+    fs.compute_version(feat.id, "v1", [{"id": "a", "v": 5.0}])
+
+    # simulate the dead writer: pending row + partial (garbage) value files
+    dead = fs.catalog.create_version(feat.id, "v2", status="pending")
+    partial = spark.createDataFrame(
+        [("a", "999.0"), ("b", "123.0")], "entity_id string, value string"
+    )
+    fs.store.write_values(dead.id, partial)  # landed, but never activated
+
+    # (1) latest-active serving is oblivious to the crashed version
+    assert fs.serve_vector("a", ["f_crash"]).features == {"f_crash": 5.0}
+    # ...and recomputing the same version string is blocked (id reserved)
+    with pytest.raises(ConflictError):
+        fs.compute_version(feat.id, "v2", [{"id": "a", "v": 7.0}])
+
+    # (2) startup recovery drops the row and the partial partition
+    part_dir = os.path.join(fs.store.path, f"feature_version_id={dead.id}")
+    assert os.path.isdir(part_dir)
+    assert fs.recover_stale_pending() == [dead.id]
+    assert not os.path.isdir(part_dir)
+    assert fs.catalog.list_pending() == []
+
+    # (3) the version string is free again and serves the NEW values only
+    row = fs.compute_version(feat.id, "v2", [{"id": "a", "v": 7.0}])
+    assert row.status == "active"
+    assert fs.serve_vector("a", ["f_crash"]).features == {"f_crash": 7.0}
+    vals = {tuple(r) for r in fs.store.values_for_version(row.id)
+            .select("entity_id", "value").collect()}
+    assert vals == {("a", "7.0")}
+
+
 def test_ewm_features_match_pandas(spark):
     import pandas as pd
 
