@@ -135,7 +135,25 @@ def main() -> None:
             df.count()
         return round(time.time() - t0, 3)
 
-    timings = {name: run(name) for name in names}
+    # Headline queries run REPS times each (interleaved round-robin so a
+    # transient machine-load spike doesn't bias one query); per-query value
+    # is the MEDIAN, with min/max spread reported so a noisy run is visible
+    # in the output instead of being mistaken for a plan regression
+    # (observed machine-load variance on identical code is ±25%). Extras run
+    # once: they are informational and excluded from the headline total.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(reps):
+        for name in names:
+            samples[name].append(run(name))
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else round((s[mid - 1] + s[mid]) / 2, 3)
+
+    timings = {name: median(samples[name]) for name in names}
+    spread = {name: [min(samples[name]), max(samples[name])] for name in names}
     extra_timings = {name: run(name) for name in extras}
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -146,6 +164,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "reps": reps,
+                "spread": spread,
                 "extras": extra_timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -40,6 +40,7 @@ def pagerank_fixed_point(
     assume_distinct: bool = False,
     assume_symmetric: bool = False,
     checkpoint_interval: int = 1,
+    broadcast_rank_limit: int = 2_000_000,
 ) -> DataFrame:
     """Deterministic PageRank over a directed edge list, in fixed-point
     integer arithmetic so the result is bit-exact and order-independent.
@@ -67,6 +68,15 @@ def pagerank_fixed_point(
     iteration count so the chained shuffles compose into fewer jobs and AQE
     plans across them. The final frame is always checkpointed.
 
+    The per-iteration edges⋈ranks join broadcasts the rank frame when
+    \|V\| <= ``broadcast_rank_limit`` (\|V\| is known exactly by then; AQE
+    does not convert this join on its own because the rank side's stats
+    are hidden behind the iteration's fresh shuffle) — that removes the
+    per-iteration \|E\| shuffle entirely: edges stay in place, each
+    executor gets the ~16-bytes-per-node rank map. Above the limit (a
+    billion-node web graph) it degrades to the standard shuffle join on
+    the node key, which is the correct layout at that size.
+
     Returns ``(node, rank_fp)`` — BIGINT fixed-point ranks summing to ~1.0.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -89,8 +99,11 @@ def pagerank_fixed_point(
 
     for it in range(iterations):
         materialize = it == iterations - 1 or (it + 1) % checkpoint_interval == 0
+        rank_side = ranks.withColumnRenamed("node", "src")
+        if n <= broadcast_rank_limit:
+            rank_side = F.broadcast(rank_side)
         contrib = (
-            ed.join(ranks.withColumnRenamed("node", "src"), "src")
+            ed.join(rank_side, "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr(f"(rank_fp * {damping_pct}) div (100 * deg)").alias("c"),

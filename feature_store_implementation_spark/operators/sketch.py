@@ -51,26 +51,27 @@ def _misra_gries_partition(col: str, k: int):
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict = {}
+        counters = pd.Series(dtype="int64")
         part_rows = 0
         part_nulls = 0
         for pdf in batches:
             part_rows += len(pdf)
             part_nulls += int(pdf[col].isna().sum())
-            # batch-local exact counts first (vectorized), then fold into the
-            # bounded counter set — same survivors as item-at-a-time MG
-            for value, cnt in pdf[col].value_counts(dropna=True).items():
-                if value in counters:
-                    counters[value] += int(cnt)
-                    continue
-                counters[value] = int(cnt)
-                if len(counters) > k:
-                    # decrement-all step, amortized via the min surviving count
-                    dec = min(counters.values())
-                    counters = {
-                        v: c - dec for v, c in counters.items() if c - dec > 0
-                    }
-        values = list(counters.keys())
+            # batched Misra-Gries, fully vectorized (an item-at-a-time dict
+            # fold rebuilds O(k) state per eviction — ~30M Python dict ops
+            # per partition at k=1500 over TPC-H part keys): merge the
+            # batch's exact counts, then — if over k counters — apply ONE
+            # collective decrement d = the (k+1)-th largest count and drop
+            # non-positives. Equivalent to a run of unit MG decrement
+            # rounds: each round of d removes d mass from ≥ k+1 counters,
+            # so total decremented mass stays ≤ n/(k+1), and every value
+            # with true count > n/k still survives — all the recount needs.
+            bc = pdf[col].value_counts(dropna=True).astype("int64")
+            counters = bc if counters.empty else counters.add(bc, fill_value=0)
+            if len(counters) > k:
+                d = counters.nlargest(k + 1).iloc[-1]
+                counters = counters[counters > d] - d
+        values = list(counters.index)
         yield pd.DataFrame(
             {
                 col: values + [None],
