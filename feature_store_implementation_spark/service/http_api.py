@@ -1,0 +1,145 @@
+"""Thin HTTP facade over the FeatureStore library — the "library + thin
+service" stance: every route is parse → one FeatureStore call → serialize.
+No business logic lives here; the library is the product and this file is
+~deliberately~ boring.
+
+Route/status parity with the reference FastAPI app (main.py):
+
+================================  ======  =================================
+route                             status  reference
+================================  ======  =================================
+POST /api/v1/raw-tables           201     main.py:37-64
+GET  /api/v1/raw-tables           200     main.py:66-71 (skip/limit)
+GET  /api/v1/raw-tables/<id>      200     main.py:73-84
+POST /api/v1/features             201     main.py:87-117
+GET  /api/v1/features             200     main.py:119-124
+GET  /api/v1/features/<id>        200     main.py:126-137
+POST /api/v1/features/<id>/versions  201  main.py:140-230
+GET  /api/v1/features/<id>/versions  200  main.py:233-246
+POST /api/v1/feature-vectors      200     main.py:249-335
+GET  /api/v1/health               200     main.py:339-342
+================================  ======  =================================
+
+Error mapping mirrors the reference's HTTPException codes: conflicts and
+schema failures → 400, missing rows / empty vectors → 404, computation
+failures → 500, all as ``{"detail": msg}`` JSON (FastAPI's error shape).
+
+Flask (synchronous WSGI) is the right weight here: requests delegate to
+Spark driver calls which hold the SparkSession — one process, one driver,
+no async benefit. The app is created against an existing FeatureStore so
+tests drive it in-process via ``app.test_client()`` with zero sockets.
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict
+from typing import Any
+
+from ..errors import (
+    ComputationError,
+    ConflictError,
+    NotFoundError,
+    SchemaValidationError,
+)
+from ..serving.vectors import FeatureStore
+
+
+def create_app(store: FeatureStore, recover: bool = True):
+    """Build the WSGI app over an existing FeatureStore.
+
+    ``recover=True`` runs :meth:`FeatureStore.recover_stale_pending` once at
+    construction — service startup is exactly the moment any surviving
+    'pending' version row is known to belong to a dead writer."""
+    from flask import Flask, jsonify, request
+
+    if recover:
+        store.recover_stale_pending()
+
+    app = Flask("feature_store_implementation_spark")
+
+    def _err(status: int, exc: Exception):
+        return jsonify({"detail": str(exc)}), status
+
+    app.register_error_handler(ConflictError, lambda e: _err(400, e))
+    app.register_error_handler(SchemaValidationError, lambda e: _err(400, e))
+    app.register_error_handler(NotFoundError, lambda e: _err(404, e))
+    app.register_error_handler(ComputationError, lambda e: _err(500, e))
+
+    def _body() -> dict[str, Any]:
+        return request.get_json(force=True, silent=False) or {}
+
+    def _page():
+        return int(request.args.get("skip", 0)), int(request.args.get("limit", 100))
+
+    # -- raw tables --------------------------------------------------------
+
+    @app.post("/api/v1/raw-tables")
+    def register_raw_table():
+        b = _body()
+        row = store.register_raw_table(
+            b["name"], b.get("schema_definition", {}), b.get("description")
+        )
+        return jsonify(asdict(row)), 201
+
+    @app.get("/api/v1/raw-tables")
+    def list_raw_tables():
+        skip, limit = _page()
+        return jsonify([asdict(r) for r in store.catalog.list_raw_tables(skip, limit)])
+
+    @app.get("/api/v1/raw-tables/<int:table_id>")
+    def get_raw_table(table_id: int):
+        return jsonify(asdict(store.catalog.get_raw_table(table_id)))
+
+    # -- features ----------------------------------------------------------
+
+    @app.post("/api/v1/features")
+    def create_feature():
+        b = _body()
+        row = store.create_feature(
+            b["name"], b["raw_table_id"], b["computation_logic"], b["feature_type"]
+        )
+        return jsonify(asdict(row)), 201
+
+    @app.get("/api/v1/features")
+    def list_features():
+        skip, limit = _page()
+        return jsonify([asdict(r) for r in store.catalog.list_features(skip, limit)])
+
+    @app.get("/api/v1/features/<int:feature_id>")
+    def get_feature(feature_id: int):
+        return jsonify(asdict(store.catalog.get_feature(feature_id)))
+
+    # -- versions ----------------------------------------------------------
+
+    @app.post("/api/v1/features/<int:feature_id>/versions")
+    def compute_feature_version(feature_id: int):
+        b = _body()
+        row = store.compute_version(
+            feature_id,
+            b["version"],
+            b["data"],
+            entity_id_column=b.get("entity_id_column", "id"),
+            metadata=b.get("metadata"),
+        )
+        return jsonify(asdict(row)), 201
+
+    @app.get("/api/v1/features/<int:feature_id>/versions")
+    def list_feature_versions(feature_id: int):
+        store.catalog.get_feature(feature_id)  # 404 guard (main.py:238-241)
+        return jsonify([asdict(v) for v in store.feature_versions(feature_id)])
+
+    # -- serving -----------------------------------------------------------
+
+    @app.post("/api/v1/feature-vectors")
+    def get_feature_vector():
+        b = _body()
+        vec = store.serve_vector(
+            b["entity_id"], b.get("feature_names"), b.get("version")
+        )
+        return jsonify(asdict(vec))
+
+    @app.get("/api/v1/health")
+    def health():
+        return jsonify({"status": "healthy", "service": "feature-store"})
+
+    return app

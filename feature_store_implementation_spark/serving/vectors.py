@@ -160,6 +160,11 @@ class FeatureStore:
         if cached is not None:
             return cached
 
+        if not self.store.exists():
+            # no version has EVER written values: same observable outcome as
+            # an unknown entity (B8) — not a parquet path error
+            raise NotFoundError(f"No feature values found for entity '{entity_id}'")
+
         resolved = self._resolved_versions(version)
         if feature_names:
             resolved = resolved.filter(F.col("feature_name").isin(feature_names))  # B3
@@ -190,6 +195,8 @@ class FeatureStore:
         """Batch serving: the full entity × feature matrix as ONE pivoted
         DataFrame (the training-set export path — what the reference would
         need N×M requests for)."""
+        if not self.store.exists():
+            raise NotFoundError("No feature values have been written yet")
         resolved = self._resolved_versions(version)
         if feature_names:
             resolved = resolved.filter(F.col("feature_name").isin(feature_names))

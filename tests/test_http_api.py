@@ -1,0 +1,134 @@
+"""HTTP facade tests: in-process WSGI client, no sockets. Route, status
+code, and error-shape parity with the reference FastAPI app (main.py);
+every route is a thin delegate, so these are integration tests of the
+library driven through the service surface."""
+
+import pytest
+
+from feature_store_implementation_spark.service import create_app
+
+
+@pytest.fixture()
+def client(fs):
+    app = create_app(fs)
+    app.testing = True
+    return app.test_client()
+
+
+def _setup(client):
+    rt = client.post(
+        "/api/v1/raw-tables",
+        json={
+            "name": "transactions",
+            "schema_definition": {"required_columns": ["id", "amount"]},
+        },
+    )
+    assert rt.status_code == 201
+    f = client.post(
+        "/api/v1/features",
+        json={
+            "name": "total_amount",
+            "raw_table_id": rt.get_json()["id"],
+            "computation_logic": "SUM(amount)",
+            "feature_type": "numeric",
+        },
+    )
+    assert f.status_code == 201
+    return rt.get_json(), f.get_json()
+
+
+def test_health(client):
+    r = client.get("/api/v1/health")
+    assert r.status_code == 200
+    assert r.get_json() == {"status": "healthy", "service": "feature-store"}
+
+
+def test_full_lifecycle_over_http(client):
+    rt, f = _setup(client)
+
+    v = client.post(
+        f"/api/v1/features/{f['id']}/versions",
+        json={
+            "version": "v1.0",
+            "data": [
+                {"id": "u1", "amount": 10.0},
+                {"id": "u1", "amount": 5.0},
+                {"id": "u2", "amount": 7.5},
+            ],
+        },
+    )
+    assert v.status_code == 201
+    assert v.get_json()["status"] == "active"
+
+    vec = client.post("/api/v1/feature-vectors", json={"entity_id": "u1"})
+    assert vec.status_code == 200
+    body = vec.get_json()
+    assert body["entity_id"] == "u1"
+    assert body["features"] == {"total_amount": 15.0}
+
+    versions = client.get(f"/api/v1/features/{f['id']}/versions")
+    assert [row["version"] for row in versions.get_json()] == ["v1.0"]
+
+    tables = client.get("/api/v1/raw-tables")
+    assert [t["name"] for t in tables.get_json()] == ["transactions"]
+    one = client.get(f"/api/v1/raw-tables/{rt['id']}")
+    assert one.get_json()["schema_definition"] == rt["schema_definition"]
+
+
+def test_error_status_parity(client):
+    rt, f = _setup(client)
+
+    # 400: duplicate raw-table name (main.py:47-52)
+    dup = client.post(
+        "/api/v1/raw-tables", json={"name": "transactions", "schema_definition": {}}
+    )
+    assert dup.status_code == 400
+    assert "already exists" in dup.get_json()["detail"]
+
+    # 404: feature FK missing (main.py:97-103)
+    bad_fk = client.post(
+        "/api/v1/features",
+        json={
+            "name": "x",
+            "raw_table_id": 999,
+            "computation_logic": "SUM(amount)",
+            "feature_type": "numeric",
+        },
+    )
+    assert bad_fk.status_code == 404
+
+    # 400: schema validation (main.py:194-199)
+    bad_schema = client.post(
+        f"/api/v1/features/{f['id']}/versions",
+        json={"version": "v1", "data": [{"id": "u1"}]},
+    )
+    assert bad_schema.status_code == 400
+
+    # 404: vector for unknown entity (main.py:312-316)
+    missing = client.post("/api/v1/feature-vectors", json={"entity_id": "nobody"})
+    assert missing.status_code == 404
+
+    # 400: duplicate (feature, version) pair (main.py:163-172)
+    client.post(
+        f"/api/v1/features/{f['id']}/versions",
+        json={"version": "v1", "data": [{"id": "u1", "amount": 1.0}]},
+    )
+    dup_v = client.post(
+        f"/api/v1/features/{f['id']}/versions",
+        json={"version": "v1", "data": [{"id": "u1", "amount": 1.0}]},
+    )
+    assert dup_v.status_code == 400
+
+    # 404: versions listing for a missing feature (main.py:238-241)
+    assert client.get("/api/v1/features/999/versions").status_code == 404
+
+
+def test_startup_recovery_runs(fs):
+    """create_app(recover=True) sweeps dead-writer pending versions."""
+    rt = fs.register_raw_table("t", {"required_columns": ["id", "v"]})
+    feat = fs.create_feature("f", rt.id, "SUM(v)", "numeric")
+    dead = fs.catalog.create_version(feat.id, "v9", status="pending")
+    create_app(fs)
+    assert fs.catalog.list_pending() == []
+    with pytest.raises(Exception):
+        fs.catalog.get_version(dead.id)
