@@ -306,3 +306,37 @@ def embedding_near_dup_pairs(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: train documents sharing any word ``n``-gram
+    with the evaluation set, with the count of distinct shared shingles —
+    the exact-overlap stage every training-corpus pipeline runs before a
+    release (filter = anti-join the result against the corpus).
+
+    Plan shape at 100 TB: the eval side is benchmarks (KBs–MBs), so its
+    distinct shingle set BROADCASTS; the corpus side explodes to
+    ~words-per-doc shingle rows and the only shuffle is the per-doc count
+    aggregation — map-side partial on (doc_id), no corpus self-join
+    anywhere. Shingles are deduplicated within each document
+    (word_ngrams_col), so n_shared counts distinct shared shingles."""
+    def shingles(d: DataFrame) -> DataFrame:
+        toks = tokens_col(F.col(text_col))
+        return d.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_ngrams_col(toks, n)).alias("shingle"),
+        )
+
+    ev = shingles(eval_df).select("shingle").distinct()
+    return (
+        shingles(train)
+        .join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )

@@ -138,3 +138,58 @@ def sentiment_score(
         neg.cast("long").alias("n_neg"),
         F.round((pos - neg).cast("double") / n, 6).alias("sentiment"),
     )
+
+
+# PII patterns: deliberately simple, dialect-portable regexes (no
+# lookarounds/backrefs — Java regex and RE2 agree on every construct used).
+# Redaction order matters only in that emails must go before the generic
+# token patterns could ever overlap; these three are mutually disjoint.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Detect-and-redact PII (emails, IPv4s, NNN-NNN-NNNN phones): per-doc
+    match counts on the ORIGINAL text plus a ``clean_text`` with every match
+    replaced by a typed token. Pure regexp expressions — the whole pass
+    stays inside whole-stage codegen, no UDF, no shuffle; at 100 TB this is
+    a map-only stage that composes with any downstream filter."""
+    text = F.col(text_col)
+    cols: list[Column] = [F.col(id_col).alias("doc_id")]
+    clean = text
+    for name, pat, token in PII_PATTERNS:
+        cols.append(F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        clean = F.regexp_replace(clean, pat, token)
+    return df.select(*cols, clean.alias("clean_text"))
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition (the Gopher/MassiveText repetition filters'
+    core signals): per doc, token count, distinct-token count, duplicate
+    fraction (1 − distinct/total) and the most-frequent token's share.
+
+    Plan: explode → two-level aggregation. Both aggregations partial-combine
+    map-side, and the shuffle key (doc_id, word) then doc_id is fine-grained
+    — no single-key hotspot at any corpus size. The expression-only
+    alternative (size(array_distinct(...)) etc.) avoids the shuffle but
+    computes the mode via an O(words²) per-row fold; explode wins at scale."""
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("word"),
+    )
+    per_word = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    n = F.sum("cnt").cast("double")
+    return (
+        per_word.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.round(F.lit(1.0) - F.count(F.lit(1)) / n, 6).alias("dup_frac"),
+            F.round(F.max("cnt") / n, 6).alias("top_share"),
+        )
+    )

@@ -5207,3 +5207,126 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@query(
+    "q_pii_redact",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.42.7 host' ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean_text
+    FROM seeded
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (operators/text.py pii_redact): per-doc
+    email/IP/phone match counts and a redacted clean_text, all as codegen'd
+    regexp expressions — a map-only corpus-curation stage. The synthetic
+    corpus contains no PII, so both engines seed the SAME deterministic
+    PII (doc_id-derived emails/phones/IPs) before redacting — the oracle
+    then verifies the full regex machinery, not a wall of zeros."""
+    from ..operators.text import pii_redact
+
+    d = load_table(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" call 555-867-5309")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" from 10.0.42.7 host")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return pii_redact(seeded, "text", "doc_id")
+
+
+@query(
+    "q_repetition_stats",
+    r"""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS word
+      FROM documents
+    ),
+    pw AS (SELECT doc_id, word, COUNT(*) AS cnt FROM words GROUP BY doc_id, word)
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(ROUND(1.0 - COUNT(*) / CAST(SUM(cnt) AS DOUBLE), 6) AS DOUBLE) AS dup_frac,
+           CAST(ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 6) AS DOUBLE) AS top_share
+    FROM pw GROUP BY doc_id
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (operators/text.py
+    repetition_stats — the Gopher repetition-filter core): duplicate-token
+    fraction and top-token share per document via explode + two-level
+    partial-combining aggregation (the plan that survives 100 TB; the
+    UDF-free per-row fold alternative is O(words²) on the mode)."""
+    from ..operators.text import repetition_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_stats(d, "text", "doc_id")
+
+
+@query(
+    "q_decontaminate",
+    r"""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(w) >= 8
+               THEN list_distinct(list_transform(range(1, len(w) - 6),
+                                  i -> array_to_string(list_slice(w, i, i + 7), ' ')))
+               ELSE [COALESCE(array_to_string(w, ' '), '')] END) AS shingle
+      FROM words
+    ),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+    SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM tr JOIN ev USING (shingle)
+    GROUP BY tr.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py decontaminate): train
+    docs sharing any 8-word shingle with the eval split (doc_id % 97 == 0
+    stands in for a benchmark set), with distinct-shared-shingle counts.
+    Eval shingles broadcast; the corpus side's only shuffle is the per-doc
+    count — the exact-overlap pass run before every corpus release."""
+    from ..operators.dedup import decontaminate
+
+    d = load_table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    tr = d.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(tr, ev, "text", "doc_id", n=8)

@@ -308,3 +308,67 @@ def test_int8_quantize_matches_numpy_and_bounds_error(spark):
         # dequantization error bounded by half a quantization step
         err = np.abs(np.array(r["back"]) - x)
         assert err.max() <= (mx / 127.0) * 0.5 + 1e-6
+
+
+def test_pii_redact_counts_and_tokens(spark):
+    from feature_store_implementation_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@site-x.org or 10.0.0.1 then call 555-123-4567"),
+            (2, "nothing sensitive here"),
+            (3, "two mails x@y.io z@w.co and ip 255.255.255.255"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    assert (got[1]["n_email"], got[1]["n_ip"], got[1]["n_phone"]) == (1, 1, 1)
+    assert got[1]["clean_text"] == "mail me at <EMAIL> or <IP> then call <PHONE>"
+    assert (got[2]["n_email"], got[2]["n_ip"], got[2]["n_phone"]) == (0, 0, 0)
+    assert got[2]["clean_text"] == "nothing sensitive here"
+    assert got[3]["n_email"] == 2 and got[3]["n_ip"] == 1
+    assert got[3]["clean_text"] == "two mails <EMAIL> <EMAIL> and ip <IP>"
+
+
+def test_repetition_stats_exact(spark):
+    from feature_store_implementation_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "x y z"), (3, "w w w w")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert (got[1]["n_words"], got[1]["n_distinct"]) == (6, 3)
+    assert got[1]["dup_frac"] == 0.5 and got[1]["top_share"] == 0.5
+    assert got[2]["dup_frac"] == 0.0 and got[2]["top_share"] == round(1 / 3, 6)
+    assert got[3]["dup_frac"] == 0.75 and got[3]["top_share"] == 1.0
+
+
+def test_decontaminate_flags_shared_shingles(spark):
+    from feature_store_implementation_spark.operators.dedup import decontaminate
+
+    eight = "one two three four five six seven eight"
+    train = spark.createDataFrame(
+        [
+            (10, f"prefix {eight} suffix words here"),   # shares the 8-gram
+            (11, "totally different content with no overlap at all kept"),
+            (12, eight),                                  # exact 8-gram doc
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(99, eight)], "doc_id long, text string")
+    got = {r["doc_id"]: r["n_shared"] for r in decontaminate(train, ev).collect()}
+    assert 10 in got and 12 in got and 11 not in got
+    assert got[12] == 1
+
+
+def test_decontaminate_short_docs_whole_sequence(spark):
+    # docs shorter than n tokens participate as one whole-sequence shingle
+    from feature_store_implementation_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "other text")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
+    got = {r["doc_id"]: r["n_shared"] for r in decontaminate(train, ev).collect()}
+    assert got == {1: 1}
