@@ -270,24 +270,22 @@ def streaming_heavy_hitters(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         items, weights = state.get if state.exists else ([], [])
-        counters = dict(zip(items, weights))
+        counters = pd.Series(weights, index=items, dtype="int64")
         for pdf in pdfs:
-            for value, cnt in pdf[col].value_counts(dropna=True).items():
-                if value in counters:
-                    counters[value] += int(cnt)
-                    continue
-                counters[value] = int(cnt)
-                if len(counters) > k:
-                    dec = min(counters.values())
-                    counters = {
-                        v: c - dec for v, c in counters.items() if c - dec > 0
-                    }
-        state.update((list(counters.keys()), list(counters.values())))
+            # batched MG fold, vectorized — same collective-decrement
+            # argument as operators/sketch.py: merge exact batch counts,
+            # then subtract the (k+1)-th largest and drop non-positives
+            bc = pdf[col].value_counts(dropna=True).astype("int64")
+            counters = bc if counters.empty else counters.add(bc, fill_value=0)
+            if len(counters) > k:
+                d = counters.nlargest(k + 1).iloc[-1]
+                counters = counters[counters > d] - d
+        state.update((list(counters.index), [int(w) for w in counters]))
         yield pd.DataFrame(
             {
                 "bucket": [int(key[0])] * len(counters),
-                col: list(counters.keys()),
-                "weight": [int(w) for w in counters.values()],
+                col: list(counters.index),
+                "weight": [int(w) for w in counters],
             }
         )
 
