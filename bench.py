@@ -97,6 +97,9 @@ EXTRAS = [
     "q_lateral_topk",
     "q_safe_casts",
     "q_variant_json",
+    "q_pii_redact",
+    "q_repetition_stats",
+    "q_decontaminate",
 ]
 
 
