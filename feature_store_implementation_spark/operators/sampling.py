@@ -57,3 +57,20 @@ def per_group_sample(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def portable_sample(
+    df: DataFrame, key_cols: list[str], hex_threshold: str = "4d", prefix_len: int = 2
+) -> DataFrame:
+    """Engine-portable deterministic sample: keep a row iff the first
+    ``prefix_len`` lowercase-hex chars of ``md5(concat_ws('|', keys))``
+    sort lexically below ``hex_threshold``. Sampling fraction ≈
+    int(hex_threshold, 16) / 16**prefix_len (default '4d'/256 ≈ 0.30).
+
+    Same append-stability/correlation properties as
+    :func:`deterministic_sample`, but the membership decision reproduces
+    bit-for-bit in ANY engine with md5 (DuckDB, Trino, Postgres, …) — what
+    a corpus split needs when downstream consumers must recompute it
+    outside Spark. Map-only; the md5 is codegen'd JVM-side."""
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    return df.filter(F.substring(F.md5(key), 1, prefix_len) < F.lit(hex_threshold))

@@ -5330,3 +5330,23 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = d.filter(F.col("doc_id") % 97 == 0)
     tr = d.filter(F.col("doc_id") % 97 != 0)
     return decontaminate(tr, ev, "text", "doc_id", n=8)
+
+
+@query(
+    "q_portable_sample",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(concat_ws('|', CAST(doc_id AS VARCHAR))), 1, 2) < '4d'
+    """,
+)
+def q_portable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable deterministic sampling (operators/sampling.py
+    portable_sample): md5-prefix membership reproduces bit-for-bit across
+    engines — unlike q_deterministic_sample's Spark-Murmur3 variant, this
+    split can be recomputed by any md5-bearing system, which is what a
+    published corpus split requires. ~30% keep rate ('4d'/256), map-only."""
+    from ..operators.sampling import portable_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return portable_sample(d, ["doc_id"]).select("doc_id", "lang", "source")

@@ -48,3 +48,24 @@ def test_per_group_sample_caps_and_determinism(spark):
     assert sorted(r["event_id"] for r in out.collect()) == sorted(
         r["event_id"] for r in again.collect()
     )
+
+
+def test_portable_sample_stability_and_fraction(spark):
+    from feature_store_implementation_spark.operators.sampling import portable_sample
+    from feature_store_implementation_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    kept = portable_sample(d, ["doc_id"])
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # append-stable: sampling a subset keeps exactly the intersection
+    half = d.filter("doc_id < 250")
+    ids_half = {r["doc_id"] for r in portable_sample(half, ["doc_id"]).select("doc_id").collect()}
+    assert ids_half == {i for i in ids if i < 250}
+    # fraction lands near 77/256 ~ 0.3 (binomial tolerance on 500 docs)
+    assert 0.2 < len(ids) / d.count() < 0.42
+    # partitioning-independent
+    ids_repart = {
+        r["doc_id"]
+        for r in portable_sample(d.repartition(13), ["doc_id"]).select("doc_id").collect()
+    }
+    assert ids_repart == ids
