@@ -193,3 +193,71 @@ def repetition_stats(
             F.round(F.max("cnt") / n, 6).alias("top_share"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 512,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining layout):
+    lay every document's tokens end-to-end in deterministic ``id_col`` order
+    and cut the stream into fixed ``budget``-token training chunks. Returns
+    per doc: token count, its start offset in the global stream, and the
+    first/last chunk ids it lands in (a doc spans a chunk boundary when
+    chunk_first < chunk_last). Empty docs contribute nothing and are
+    dropped.
+
+    The global running token offset is a TWO-PASS DISTRIBUTED cumsum, not a
+    single-partition window (same discipline as q_window_ntile): range-bin
+    on the id via width_bucket (row-local, deterministic), per-bin local
+    cumsum in parallel, per-bin totals → broadcast offsets. The only
+    unpartitioned window runs over the ≤n_bins-row totals frame."""
+    from pyspark.sql import Window as W
+
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    bounds = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if bounds[0] is None:
+        return d.select(
+            "doc_id",
+            "n_tokens",
+            F.lit(0).cast("long").alias("start_offset"),
+            F.lit(0).cast("long").alias("chunk_first"),
+            F.lit(0).cast("long").alias("chunk_last"),
+        )
+    lo, hi = int(bounds[0]), int(bounds[1])
+    binned = d.withColumn(
+        "_bin", F.width_bucket("doc_id", F.lit(lo), F.lit(hi), F.lit(n_bins))
+    )
+    local = binned.withColumn(
+        "_local_cum",
+        F.coalesce(
+            F.sum("n_tokens").over(
+                W.partitionBy("_bin").orderBy("doc_id").rowsBetween(
+                    W.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    )
+    totals = binned.groupBy("_bin").agg(F.sum("n_tokens").alias("_tok"))
+    offsets = totals.select(
+        "_bin",
+        F.coalesce(
+            F.sum("_tok").over(W.orderBy("_bin").rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    start = (F.col("_off") + F.col("_local_cum")).cast("long")
+    return local.join(F.broadcast(offsets), "_bin").select(
+        "doc_id",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / budget).cast("long").alias("chunk_first"),
+        F.floor((start + F.col("n_tokens") - 1) / budget).cast("long").alias("chunk_last"),
+    )

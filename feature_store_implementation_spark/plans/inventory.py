@@ -5350,3 +5350,38 @@ def q_portable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return portable_sample(d, ["doc_id"]).select("doc_id", "lang", "source")
+
+
+@query(
+    "q_pack_sequences",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    nz AS (SELECT * FROM t WHERE n_tokens > 0),
+    c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+      FROM nz
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(start_offset AS BIGINT) AS start_offset,
+           CAST(start_offset // 512 AS BIGINT) AS chunk_first,
+           CAST((start_offset + n_tokens - 1) // 512 AS BIGINT) AS chunk_last
+    FROM c
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/text.py pack_sequences):
+    per-doc start offset in the deterministic global token stream and the
+    512-token training-chunk span it occupies. The global cumsum is the
+    two-pass distributed rank pattern (width_bucket bins + broadcast bin
+    offsets) — never a single-partition window over the corpus."""
+    from ..operators.text import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(d, "text", "doc_id", budget=512)

@@ -372,3 +372,31 @@ def test_decontaminate_short_docs_whole_sequence(spark):
     ev = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
     got = {r["doc_id"]: r["n_shared"] for r in decontaminate(train, ev).collect()}
     assert got == {1: 1}
+
+
+def test_pack_sequences_exact_layout(spark):
+    from feature_store_implementation_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c"),            # 3 tokens, offset 0,  chunk 0
+            (2, "d e f g"),          # 4 tokens, offset 3,  chunk 0
+            (3, ""),                 # empty -> dropped
+            (4, "h i j k l m"),      # 6 tokens, offset 7,  chunks 0-1 (budget 10)
+            (5, "n"),                # 1 token,  offset 13, chunk 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pack_sequences(df, budget=10).collect()}
+    assert 3 not in got
+    assert (got[1]["start_offset"], got[1]["chunk_first"], got[1]["chunk_last"]) == (0, 0, 0)
+    assert (got[2]["start_offset"], got[2]["chunk_first"], got[2]["chunk_last"]) == (3, 0, 0)
+    assert (got[4]["start_offset"], got[4]["chunk_first"], got[4]["chunk_last"]) == (7, 0, 1)
+    assert (got[5]["start_offset"], got[5]["chunk_first"], got[5]["chunk_last"]) == (13, 1, 1)
+
+
+def test_pack_sequences_empty_input(spark):
+    from feature_store_implementation_spark.operators.text import pack_sequences
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_sequences(empty).collect() == []

@@ -220,3 +220,11 @@ def test_ntile_window_is_partitioned_not_global(spark):
     # plan orders the full table globally (global ntile would show
     # "Window [ntile(4)..." with an empty partition spec over the scan)
     assert "ntile(4)" not in plan
+
+
+def test_pack_sequences_window_is_bin_partitioned(spark):
+    # the corpus-wide cumsum must run per range-bin, never as one
+    # unpartitioned window over the scan (same pin as q_window_ntile)
+    plan = _plan(spark, "q_pack_sequences")
+    assert "width_bucket" in plan
+    assert "hashpartitioning(_bin" in plan
