@@ -74,3 +74,28 @@ def portable_sample(
     outside Spark. Map-only; the md5 is codegen'd JVM-side."""
     key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
     return df.filter(F.substring(F.md5(key), 1, prefix_len) < F.lit(hex_threshold))
+
+
+def weighted_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    key_cols: list[str] | None = None,
+    prefix_len: int = 4,
+) -> DataFrame:
+    """Data-mixture sampling: keep each group (source/language/domain) at
+    its own rate — the weighting step that turns a curated corpus into a
+    training mixture. Membership is the same engine-portable md5-prefix
+    rule as :func:`portable_sample`, so the mixture is reproducible
+    anywhere and per-row stable as the corpus grows; rates get
+    ``16**prefix_len`` granularity (default 1/65536). Groups absent from
+    ``weights`` are dropped; weight >= 1.0 keeps the whole group ('g'
+    sentinel — lexically above every hex digit). Map-only, no shuffle."""
+    key_cols = key_cols or ["doc_id"]
+    thr = F.when(F.lit(False), F.lit(""))
+    for g, w in sorted(weights.items()):
+        hex_thr = "g" if w >= 1.0 else format(int(w * 16**prefix_len), f"0{prefix_len}x")
+        thr = thr.when(F.col(group_col) == g, F.lit(hex_thr))
+    thr = thr.otherwise(F.lit(""))
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    return df.filter(F.substring(F.md5(key), 1, prefix_len) < thr)

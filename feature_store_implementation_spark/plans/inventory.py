@@ -5385,3 +5385,31 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return pack_sequences(d, "text", "doc_id", budget=512)
+
+
+@query(
+    "q_weighted_mix",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(concat_ws('|', CAST(doc_id AS VARCHAR))), 1, 4) <
+          CASE lang WHEN 'en' THEN 'g'
+                    WHEN 'de' THEN '8000'
+                    WHEN 'fr' THEN '8000'
+                    WHEN 'es' THEN '4000'
+                    WHEN 'zh' THEN '4000'
+                    ELSE '' END
+    """,
+)
+def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture sampling (operators/sampling.py weighted_mix):
+    per-language keep rates (en 1.0, de/fr 0.5, es/zh 0.25) via the
+    engine-portable md5-prefix rule — reproducible outside Spark, per-row
+    append-stable, map-only. The rate table compiles to a CASE literal, so
+    the whole mixture is one codegen'd filter over the scan."""
+    from ..operators.sampling import weighted_mix
+
+    d = load_table(spark, sf_dir, "documents")
+    return weighted_mix(
+        d, {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25}, group_col="lang"
+    ).select("doc_id", "lang", "source")

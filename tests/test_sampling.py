@@ -69,3 +69,31 @@ def test_portable_sample_stability_and_fraction(spark):
         for r in portable_sample(d.repartition(13), ["doc_id"]).select("doc_id").collect()
     }
     assert ids_repart == ids
+
+
+def test_weighted_mix_rates_and_subset_structure(spark):
+    from feature_store_implementation_spark.operators.sampling import (
+        portable_sample,
+        weighted_mix,
+    )
+    from feature_store_implementation_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    out = weighted_mix(d, {"en": 1.0, "de": 0.5, "zh": 0.0}, group_col="lang")
+    rows = out.select("doc_id", "lang").collect()
+    langs = {r["lang"] for r in rows}
+    # weight 1.0 keeps every row; 0.0 and absent groups keep none
+    assert langs <= {"en", "de"}
+    n_en_total = d.filter("lang = 'en'").count()
+    assert sum(1 for r in rows if r["lang"] == "en") == n_en_total
+    # kept 'de' docs are a stable subset keyed only by doc_id: the same doc
+    # is kept by weighted_mix(0.5) iff a plain 0.5 portable_sample keeps it
+    half = {
+        r["doc_id"]
+        for r in portable_sample(d, ["doc_id"], hex_threshold="8000", prefix_len=4)
+        .select("doc_id")
+        .collect()
+    }
+    de_kept = {r["doc_id"] for r in rows if r["lang"] == "de"}
+    de_all = {r["doc_id"] for r in d.filter("lang = 'de'").select("doc_id").collect()}
+    assert de_kept == de_all & half
