@@ -100,6 +100,9 @@ EXTRAS = [
     "q_pii_redact",
     "q_repetition_stats",
     "q_decontaminate",
+    "q_portable_sample",
+    "q_weighted_mix",
+    "q_pack_sequences",
 ]
 
 
