@@ -231,9 +231,14 @@ def pack_sequences(
             F.lit(0).cast("long").alias("chunk_last"),
         )
     lo, hi = int(bounds[0]), int(bounds[1])
-    binned = d.withColumn(
-        "_bin", F.width_bucket("doc_id", F.lit(lo), F.lit(hi), F.lit(n_bins))
+    # width_bucket needs lo < hi (a degenerate single-id range yields NULL
+    # bins, which would silently drop rows at the bin join)
+    bin_col = (
+        F.width_bucket("doc_id", F.lit(lo), F.lit(hi), F.lit(n_bins))
+        if lo < hi
+        else F.lit(1)
     )
+    binned = d.withColumn("_bin", bin_col)
     local = binned.withColumn(
         "_local_cum",
         F.coalesce(

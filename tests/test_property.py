@@ -127,3 +127,72 @@ def test_pagerank_fixed_point_matches_oracle_on_random_graphs(spark, pairs, iter
             mass[d] += (r[s] * 85) // (100 * deg[s])
         r = {v: base + mass.get(v, 0) for v in nodes}
     assert got == r
+
+
+# -- round-3 corpus ops: packing + portable sampling invariants -------------
+
+doc_texts = st.lists(
+    st.text(alphabet="ab cd", min_size=0, max_size=30),
+    min_size=1,
+    max_size=15,
+)
+
+
+@SETTINGS
+@given(texts=doc_texts, budget=st.integers(1, 16))
+def test_pack_sequences_stream_invariants(spark, texts, budget):
+    """The packed layout IS a contiguous token stream: offsets are the
+    prefix sums of token counts in id order, chunk spans follow from pure
+    arithmetic, and no token is lost or duplicated."""
+    from feature_store_implementation_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = sorted(pack_sequences(df, budget=budget).collect(), key=lambda r: r["doc_id"])
+    expect_counts = {i: len(t.split()) for i, t in enumerate(texts) if t.split()}
+    assert [r["doc_id"] for r in rows] == sorted(expect_counts)
+    off = 0
+    for r in rows:
+        assert r["n_tokens"] == expect_counts[r["doc_id"]]
+        assert r["start_offset"] == off
+        assert r["chunk_first"] == off // budget
+        assert r["chunk_last"] == (off + r["n_tokens"] - 1) // budget
+        off += r["n_tokens"]
+
+
+@SETTINGS
+@given(
+    ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=60, unique=True),
+    thr=st.sampled_from(["00", "40", "80", "c0", "g"]),
+)
+def test_portable_sample_membership_is_pointwise(spark, ids, thr):
+    """Membership depends on the row's key alone: sampling a union equals
+    the union of sampled parts, and thresholds are monotone (a stricter
+    threshold keeps a subset)."""
+    from feature_store_implementation_spark.operators.sampling import portable_sample
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    kept = {
+        r["doc_id"]
+        for r in portable_sample(df, ["doc_id"], hex_threshold=thr).collect()
+    }
+    half = ids[: len(ids) // 2]
+    kept_half = {
+        r["doc_id"]
+        for r in portable_sample(
+            spark.createDataFrame([(i,) for i in half], "doc_id long"),
+            ["doc_id"],
+            hex_threshold=thr,
+        ).collect()
+    }
+    assert kept_half == kept & set(half)
+    if thr != "g":
+        stricter = {
+            r["doc_id"]
+            for r in portable_sample(df, ["doc_id"], hex_threshold="20").collect()
+        }
+        if thr >= "40":
+            assert stricter <= kept
+    if thr == "00":
+        assert kept == set()
+    if thr == "g":
+        assert kept == set(ids)
