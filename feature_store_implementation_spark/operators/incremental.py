@@ -62,6 +62,50 @@ def merge_rollups(keys: list[str], *states: DataFrame) -> DataFrame:
     )
 
 
+def merge_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC changeset to a snapshot: MERGE semantics without Delta.
+
+    ``changes`` carries the base schema plus ``op_col`` ∈ {'I','U','D'}
+    (insert / update / delete) with AT MOST ONE change per key — the caller
+    collapses multi-change streams to last-write-wins first (e.g. the
+    q_scd2_compact latest-per-key pattern). Result =
+
+    * base rows whose key has no change (anti join), plus
+    * the new images of inserts and updates (deletes drop out).
+
+    Spark-first shape: this is deliberately NOT a full outer join. The
+    anti join + union needs ONE shuffle of base on the key (or zero when
+    the changeset is small enough for AQE to broadcast the anti-join side
+    — the common nightly-merge case), and the union side is map-only.
+    Matches Delta's MERGE INTO result table (store/offline.py documents
+    Delta as the production drop-in for the transactional commit itself).
+
+    Reference parity: the reference recomputes feature versions from the
+    full raw table per request (reference compute.py:57-88) and appends
+    single rows (main.py's POST handlers); an upsert path exists only
+    implicitly via SQLite REPLACE semantics. This operator is the batch
+    generalization.
+    """
+    # lazy, distributed validation: assert_true fails the job on the first
+    # bad op code — no extra driver-side scan of the changeset per call
+    checked = changes.withColumn(
+        op_col,
+        F.when(F.col(op_col).isin("I", "U", "D"), F.col(op_col)).otherwise(
+            F.raise_error(
+                F.concat(F.lit("merge_changes: unknown op: "), F.col(op_col))
+            )
+        ),
+    )
+    survivors = base.join(checked.select(*keys), on=keys, how="left_anti")
+    upserts = checked.filter(F.col(op_col) != "D").drop(op_col)
+    return survivors.unionByName(upserts)
+
+
 def finalize_rollup(state: DataFrame, keys: list[str]) -> DataFrame:
     """Derive the user-facing statistics (mean, population variance,
     min/max, count) from the mergeable state at read time."""

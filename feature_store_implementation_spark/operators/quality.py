@@ -94,3 +94,51 @@ def check_expectations(
     for f_ in frames[1:]:
         out = out.unionByName(f_)
     return out.withColumn("passed", F.col("violations") == 0)
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier detection via median / MAD (median absolute
+    deviation) — the standard replacement for mean±k·σ when the value
+    distribution has heavy tails (a single corrupt 1e12 row drags a mean
+    gate open; it cannot move a median).
+
+    Returns one row per group: n, median, mad, n_outliers (rows with
+    |value − median| > k·MAD) and outlier_frac.
+
+    Plan: two grouped EXACT percentile aggregations (Spark's sort-based
+    `percentile`, partial-merge capable) with the per-group medians joined
+    back broadcast — group cardinality is dim-sized, values never collect
+    to the driver. Medians are rounded to 4 dp before the deviation pass so
+    the interpolated midpoint's last ulp can't differ from the oracle's
+    quantile_cont."""
+    med = df.groupBy(*group_cols).agg(
+        F.round(F.percentile(F.col(value_col), F.lit(0.5)), 4).alias("med")
+    )
+    dev = df.join(F.broadcast(med), group_cols).withColumn(
+        "_absdev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = dev.groupBy(*group_cols).agg(
+        F.first("med").alias("med"),
+        F.round(F.percentile(F.col("_absdev"), F.lit(0.5)), 4).alias("mad"),
+    )
+    flagged = dev.drop("med").join(F.broadcast(mad), group_cols)
+    return flagged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.first("med").alias("median_v"),
+        F.first("mad").alias("mad_v"),
+        F.sum(
+            (F.col("_absdev") > F.lit(k) * F.col("mad")).cast("long")
+        ).cast("long").alias("n_outliers"),
+    ).select(
+        *group_cols,
+        "n",
+        "median_v",
+        "mad_v",
+        "n_outliers",
+        F.round(F.col("n_outliers") / F.col("n"), 6).alias("outlier_frac"),
+    )

@@ -266,3 +266,139 @@ def pack_sequences(
         F.floor(start / budget).cast("long").alias("chunk_first"),
         F.floor((start + F.col("n_tokens") - 1) / budget).cast("long").alias("chunk_last"),
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 500,
+) -> DataFrame:
+    """Corpus vocabulary with contiguous token ids: the top ``vocab_size``
+    terms by frequency, id assigned in (count desc, term asc) order — the
+    deterministic layout a tokenizer-training step consumes.
+
+    Plan: explode → ONE map-side-combinable count aggregation over the full
+    corpus, then ranking. The ranking window is unpartitioned but runs over
+    the POST-AGGREGATION term frame, and only after a distributed top-k
+    (orderBy+limit → TakeOrderedAndProject) has cut it to ``vocab_size``
+    rows — the corpus-sized frame is never single-partitioned."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(vocab_size)
+    )
+    w = W.orderBy(F.desc("n"), F.asc("term"))
+    return counts.select(
+        "term",
+        F.col("n").cast("long").alias("n"),
+        (F.row_number().over(w) - 1).cast("long").alias("token_id"),
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_df: int = 40,
+) -> DataFrame:
+    """Inverted index (term → document frequency + sorted postings) for the
+    mid-frequency band ``min_df <= df <= max_df`` — the terms a keyword
+    search actually uses (singletons are noise, stop-words are scanned
+    anyway).
+
+    Scale shape: document frequency is computed FIRST on the cheap
+    (term, doc) pairs, the band filter is applied to that aggregate, and
+    only surviving terms' postings are materialized via a semi join —
+    collect_list never builds a stop-word's corpus-sized postings array
+    just to discard it. Postings are emitted as a comma-joined sorted
+    string so the result is engine-portable (array renderings differ)."""
+    pairs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("term"),
+    )
+    dfreq = (
+        pairs.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+    )
+    kept = pairs.join(F.broadcast(dfreq.select("term")), "term", "left_semi")
+    return kept.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.col("doc_id").cast("long"))),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 ranking of documents against a bag of query terms — the
+    classical sparse-retrieval scorer (Robertson & Spärck Jones), the
+    standard first stage in front of embedding re-rank at corpus scale.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Determinism discipline (same as tfidf): idf, avgdl and each per-term
+    partial are rounded to 6 dp before the per-doc sum, and the sum runs in
+    DECIMAL so it is order-independent — bit-identical to the SQL oracle.
+
+    Plan: tokens of query-term rows only (the isin filter prunes the
+    explode output immediately), tf per (doc, term), df per term is a
+    ≤|query| row broadcast, doc lengths join back on doc_id, final top-k is
+    TakeOrderedAndProject — no corpus-sized window, two shuffles total."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    )
+    hits = toks.filter(F.col("term").isin(*query_terms))
+    tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = hits.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = df.count()
+    dl = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(F.col(text_col))).alias("dl"),
+    )
+    avgdl_row = dl.agg(F.round(F.avg("dl"), 6).alias("avgdl")).first()
+    avgdl = float(avgdl_row["avgdl"])
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ),
+        6,
+    )
+    part = F.round(
+        F.col("idf")
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq.withColumn("idf", idf)), "term")
+        .join(dl, "doc_id")
+        .select("doc_id", part.cast("decimal(18,6)").alias("part"))
+        .groupBy("doc_id")
+        .agg(F.sum("part").alias("score_dec"))
+        .select(
+            "doc_id", F.col("score_dec").cast("double").alias("bm25")
+        )
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(top_k)
