@@ -1856,7 +1856,10 @@ def q_window_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        # events.ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the cast
+        # interprets it in the session zone (pinned UTC, session.py:41), which
+        # matches DuckDB's epoch_us over a naive timestamp
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-3_600_000_000, 0)
     )
     return e.select(
@@ -4485,7 +4488,9 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines produce the identical string. One shuffle on (user_id, day)."""
     e = load_table(spark, sf_dir, "events")
     item = F.struct(
-        F.unix_micros("ts").alias("us"), F.col("event_id").alias("eid"),
+        # NTZ → timestamp cast before unix_micros (UTC session, see session.py)
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("event_id").alias("eid"),
         F.col("event_type").alias("et"),
     )
     return (

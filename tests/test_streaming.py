@@ -90,7 +90,7 @@ def test_stream_to_offline_store_sink(spark, tmp_path):
     import time
 
     e = load_table(spark, SF, "events").withColumn(
-        "_us", F.unix_micros("ts")
+        "_us", F.unix_micros(F.col("ts").cast("timestamp"))
     )
     src_dir = str(tmp_path / "ordered_in")
     bounds = e.approxQuantile("_us", [0.25, 0.5, 0.75], 0.0)
