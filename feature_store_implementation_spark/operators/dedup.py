@@ -340,3 +340,66 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int = 2,
+) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet/RefinedWeb pass): drop every
+    line that occurs in more than ``max_doc_freq`` distinct documents —
+    headers, footers, cookie banners, navigation chrome — and reassemble each
+    document from its surviving lines in original order.
+
+    Reference scope: the reference's dedup story stops at whole-row
+    ``drop_duplicates`` (SURVEY §2.D); sub-document dedup is a north-star
+    extension.
+
+    Plan shape at 100 TB: documents explode to one row per line
+    (``posexplode`` — JVM-side, no Python); the boilerplate set is found with
+    ONE hash aggregation on the line value (map-side partial combine absorbs
+    within-partition repeats, which is exactly where boilerplate mass sits).
+    Only lines above the frequency threshold survive that aggregation, so the
+    anti-join side is tiny relative to the corpus and AQE broadcasts it —
+    the corpus line frame is never shuffled for the join. The only wide
+    corpus shuffle is the per-document reassembly on ``id_col``. At extreme
+    scale, group on ``xxhash64(line)`` instead of the raw line to cut shuffle
+    bytes (identical result modulo 64-bit collisions); the raw-line form here
+    is what the DuckDB oracle replays bit-for-bit.
+
+    Returns one row per input document: ``(doc_id, clean_text,
+    n_lines_kept)`` — documents whose every line was boilerplate come back
+    with an empty string, not NULL, so downstream length filters see them.
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > max_doc_freq)
+        .select("line")
+    )
+    kept = lines.join(boiler, "line", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+        )
+    )
