@@ -6,6 +6,8 @@ from .dedup import (
     simhash_near_dup_pairs,
     ngram_jaccard_pairs,
     embedding_near_dup_pairs,
+    decontaminate,
+    line_dedup,
 )
 from .similarity import brute_force_topk, lsh_topk
 from .text import (
@@ -23,6 +25,8 @@ __all__ = [
     "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
     "embedding_near_dup_pairs",
+    "decontaminate",
+    "line_dedup",
     "brute_force_topk",
     "lsh_topk",
     "text_stats",

@@ -192,8 +192,16 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """All pairs within Hamming distance ``max_hamming`` of each other's
     SimHash. Pigeonhole banding: split 64 bits into (d+1) bands — any pair
-    within distance d agrees exactly on ≥1 band → candidates come from a
-    bucket equi-join, verified with bit_count(xor)."""
+    within distance d agrees exactly on ≥1 band → candidates come from
+    bucket grouping, verified with bit_count(xor).
+
+    Buckets larger than ``max_bucket`` are skipped (same capped
+    collect_set pattern as :func:`minhash_near_dup_pairs`): one hot bucket
+    — boilerplate-identical or empty documents all hashing to the same
+    band value — would otherwise make candidate generation quadratic. The
+    cap trades those pathological buckets' recall for a bounded plan; at
+    100 TB the skipped mass is exactly-identical content that
+    :func:`exact_dedup` removes first anyway."""
     nb = max_hamming + 1
     width = _SIMHASH_BITS // nb
     sigs = simhash_signatures(df, text_col, id_col).cache()
@@ -206,7 +214,6 @@ def simhash_near_dup_pairs(
 
     banded = sigs.select(
         "doc_id",
-        "simhash",
         F.explode(
             F.array(
                 *[
@@ -215,26 +222,39 @@ def simhash_near_dup_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket")
 
-    a, b_ = banded.alias("a"), banded.alias("b")
+    # in-bucket sorted-id pair generation, skipping buckets above the cap
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
     cands = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
+                            ),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
+        .select(F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b"))
         .distinct()
     )
+
+    sg = sigs.select("doc_id", "simhash")
     return (
-        cands.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        cands.join(sg.withColumnsRenamed({"doc_id": "doc_id_a", "simhash": "sh_a"}), "doc_id_a")
+        .join(sg.withColumnsRenamed({"doc_id": "doc_id_b", "simhash": "sh_b"}), "doc_id_b")
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_id_a", "doc_id_b", F.col("hamming").cast("long").alias("hamming"))
     )
@@ -252,15 +272,92 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     n: int = 3,
     threshold: float = 0.5,
+    candidates: str = "shingle",
+    max_posting: int | None = None,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard for all pairs sharing a blocking key.
-    Quadratic INSIDE blocks — use only with a selective block_col (language,
-    near-dup cluster, LSH bucket); MinHash is the unblocked scale path."""
+    """Exact word-n-gram Jaccard pairs above ``threshold``.
+
+    Candidate routes:
+
+    * ``"shingle"`` (default) — inverted-index join: any pair with
+      jaccard ≥ threshold > 0 shares at least one shingle, so candidates
+      come from an equi-join of the exploded (block, shingle) posting
+      lists — EXACT, and never compares two documents with disjoint
+      shingle sets. The shuffle is keyed on the shingle, so hot shingles
+      parallelize across reducers instead of melting one task. Optional
+      ``max_posting`` drops shingles whose posting list exceeds the cap
+      (stopword-shingle armor at corpus scale; makes the result
+      approximate — qualifying pairs whose ONLY shared shingles are
+      capped ones are lost).
+    * ``"block"`` — all pairs inside each ``block_col`` group (quadratic
+      inside blocks; only for small, selective blocks or oracle parity).
+
+    ``block_col`` ANDs into either route. MinHash is the sub-linear
+    unblocked scale path when exactness isn't required."""
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         (F.col(block_col) if block_col else F.lit(1)).alias("block"),
         word_ngrams_col(tokens_col(F.col(text_col)), n).alias("sh"),
     )
+    if candidates == "shingle":
+        if threshold <= 0:
+            raise ValueError("shingle candidates require threshold > 0")
+        posts = sh.select("doc_id", "block", F.explode("sh").alias("shingle"))
+        if max_posting is not None:
+            capped = (
+                posts.groupBy("block", "shingle")
+                .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+                .filter((F.size("ids") >= 2) & (F.size("ids") <= max_posting))
+            )
+            pairs = (
+                capped.select(
+                    F.explode(
+                        F.flatten(
+                            F.transform(
+                                F.col("ids"),
+                                lambda x, i: F.transform(
+                                    F.slice(
+                                        F.col("ids"),
+                                        i + 2,
+                                        F.greatest(F.size("ids") - i - 1, F.lit(0)),
+                                    ),
+                                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                                ),
+                            )
+                        )
+                    ).alias("p")
+                )
+                .select(F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b"))
+                .distinct()
+            )
+        else:
+            pa, pb = posts.alias("pa"), posts.alias("pb")
+            pairs = (
+                pa.join(
+                    pb,
+                    (F.col("pa.block") == F.col("pb.block"))
+                    & (F.col("pa.shingle") == F.col("pb.shingle"))
+                    & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+                )
+                .select(
+                    F.col("pa.doc_id").alias("doc_id_a"),
+                    F.col("pb.doc_id").alias("doc_id_b"),
+                )
+                .distinct()
+            )
+        sha = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+        shb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+        return (
+            pairs.join(sha, "doc_id_a")
+            .join(shb, "doc_id_b")
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard"))
+        )
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(
@@ -286,15 +383,122 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     block_col: str | None = None,
+    candidates: str = "lsh",
+    n_planes: int = 10,
+    n_tables: int = 8,
+    seed: int = 42,
+    max_bucket: int = 10000,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicates. Blocked-quadratic form; for
-    unblocked 100 TB corpora route candidates through
-    :func:`similarity.lsh_topk` buckets first."""
+    """Embedding-cosine near-duplicate pairs above ``threshold``.
+
+    Candidate routes:
+
+    * ``"lsh"`` (default, the 100 TB path) — multi-table sign-LSH:
+      ``n_tables`` independent ``n_planes``-bit signatures per vector
+      (ONE Arrow-batched pass, same plane construction as
+      :func:`..operators.similarity.assign_lsh_buckets`), each vector
+      emitted into its exact bucket plus every Hamming-1 probe bucket
+      (so two vectors collide when their table signature differs in ≤ 2
+      bits), capped in-bucket pair generation (``max_bucket``, same
+      pattern as :func:`minhash_near_dup_pairs`), exact cosine verify.
+      No unbucketed self-join anywhere. Approximate: recall vs the
+      all-pairs truth is pinned ≥ 0.95 at sf0.01 in tests; at real
+      near-dup thresholds (≥ 0.9) the default (10 planes × 8 tables)
+      collides near-dups with probability ≈ 1.
+    * ``"all"`` — the exact quadratic self-join; oracle-parity/small-
+      input mode only.
+
+    Passing ``block_col`` uses the blocked-quadratic form (exact inside
+    blocks) regardless of ``candidates``."""
     v = df.select(
         F.col(id_col).alias("vid"),
         (F.col(block_col) if block_col else F.lit(1)).alias("block"),
         F.col(vec_col).alias("v"),
     )
+    if block_col is None and candidates == "lsh":
+        import numpy as np
+
+        from .similarity import _planes
+
+        def mapper(batches):
+            import pandas as pd
+
+            planes = None  # built from the observed dim; deterministic in
+            for pdf in batches:  # (dim, n_planes, seed) so identical on every worker
+                if len(pdf) == 0:
+                    continue
+                mat = np.vstack(pdf["v"].to_numpy())  # (rows, dim)
+                if planes is None:
+                    planes = np.vstack(
+                        [_planes(mat.shape[1], n_planes, seed + t) for t in range(n_tables)]
+                    )
+                bits = (mat @ planes.T) > 0  # (rows, n_tables*n_planes)
+                sigs = []
+                for t in range(n_tables):
+                    b = np.zeros(len(pdf), dtype=np.int64)
+                    for i in range(n_planes):
+                        b |= bits[:, t * n_planes + i].astype(np.int64) << i
+                    sigs.append(b)
+                yield pd.DataFrame(
+                    {"vid": pdf["vid"], "sigs": list(np.stack(sigs, axis=1))}
+                )
+
+        from pyspark.sql import types as T
+
+        sig_schema = T.StructType(
+            [v.schema["vid"], T.StructField("sigs", T.ArrayType(T.LongType()))]
+        )
+        sigs = v.select("vid", "v").mapInPandas(mapper, schema=sig_schema)
+        banded = sigs.select("vid", F.posexplode("sigs").alias("tbl", "sig"))
+        probes = banded.select(
+            "vid",
+            "tbl",
+            F.explode(
+                F.array(
+                    F.col("sig"),
+                    *[F.col("sig").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+                )
+            ).alias("bucket"),
+        )
+        buckets = (
+            probes.groupBy("tbl", "bucket")
+            .agg(F.sort_array(F.collect_set("vid")).alias("ids"))
+            .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        )
+        pairs = (
+            buckets.select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            F.col("ids"),
+                            lambda x, i: F.transform(
+                                F.slice(
+                                    F.col("ids"),
+                                    i + 2,
+                                    F.greatest(F.size("ids") - i - 1, F.lit(0)),
+                                ),
+                                lambda y: F.struct(x.alias("a"), y.alias("b")),
+                            ),
+                        )
+                    )
+                ).alias("p")
+            )
+            .select(F.col("p.a").alias("vid_a"), F.col("p.b").alias("vid_b"))
+            .distinct()
+        )
+        va = v.select(F.col("vid").alias("vid_a"), F.col("v").alias("v_a"))
+        vb = v.select(F.col("vid").alias("vid_b"), F.col("v").alias("v_b"))
+        return (
+            pairs.join(va, "vid_a")
+            .join(vb, "vid_b")
+            .withColumn("cosine", cosine_col(F.col("v_a"), F.col("v_b")))
+            .filter(F.col("cosine") >= threshold)
+            .select(
+                F.col("vid_a").alias("vec_id_a"),
+                F.col("vid_b").alias("vec_id_b"),
+                F.round("cosine", 6).alias("cosine"),
+            )
+        )
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.vid") < F.col("b.vid")))
@@ -369,16 +573,26 @@ def line_dedup(
     bytes (identical result modulo 64-bit collisions); the raw-line form here
     is what the DuckDB oracle replays bit-for-bit.
 
-    Returns one row per input document: ``(doc_id, clean_text,
-    n_lines_kept)`` — documents whose every line was boilerplate come back
-    with an empty string, not NULL, so downstream length filters see them.
+    Only non-blank lines are eligible boilerplate: an empty line appears in
+    virtually every multi-paragraph document, so counting it would strip
+    every paragraph break corpus-wide — the CCNet/RefinedWeb passes likewise
+    hash only non-empty lines. Input is split on ``\\r?\\n`` so CRLF text
+    matches LF text cross-document.
+
+    Returns one row per distinct input document id (duplicate id rows
+    collapse to one output row whose surviving lines merge pos-sorted —
+    callers wanting per-row output should dedup ids first):
+    ``(doc_id, clean_text, n_lines_kept)`` — documents whose every line was
+    boilerplate, and NULL-text documents, come back with an empty string,
+    not NULL, so downstream length filters see them.
     """
     lines = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), "\r?\n")).alias("pos", "line"),
     )
     boiler = (
-        lines.groupBy("line")
+        lines.filter(F.length(F.trim("line")) > 0)
+        .groupBy("line")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .filter(F.col("nd") > max_doc_freq)
         .select("line")
@@ -396,6 +610,7 @@ def line_dedup(
     )
     return (
         df.select(F.col(id_col).alias("doc_id"))
+        .distinct()
         .join(rebuilt, "doc_id", "left")
         .select(
             "doc_id",

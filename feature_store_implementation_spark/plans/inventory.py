@@ -1218,12 +1218,69 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard pairs blocked by language — the
-    verify-stage primitive behind MinHash, oracled exactly in SQL."""
+    """Exact word-3-gram Jaccard pairs (threshold 0.2) within language.
+    Candidates come from the inverted-index shingle join (default
+    ``candidates="shingle"``): a qualifying pair must share ≥1 shingle, so
+    the plan joins posting lists on (lang, shingle) — never an all-pairs
+    join inside a language, yet bit-identical to the oracle's quadratic
+    formulation (the equivalence is exact, not approximate)."""
     from ..operators.dedup import ngram_jaccard_pairs
 
     d = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, "text", "doc_id", block_col="lang", n=3, threshold=0.2)
+
+
+@query(
+    "q_line_dedup",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             '== site banner ==' || chr(10) || COALESCE(text, '') || chr(10) ||
+             chr(10) || 'via ' || COALESCE(source, '') AS text
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(text, '\r?\n')) AS line,
+             unnest(range(1, len(regexp_split_to_array(text, '\r?\n')) + 1)) AS pos
+      FROM d
+    ),
+    boiler AS (
+      SELECT line FROM l WHERE trim(line) <> ''
+      GROUP BY line HAVING COUNT(DISTINCT doc_id) > 2
+    ),
+    kept AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM boiler)),
+    rebuilt AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_lines_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d2.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+           CAST(COALESCE(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept
+    FROM (SELECT DISTINCT doc_id FROM d) d2 LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (operators/dedup.py line_dedup), the
+    CCNet/RefinedWeb pass. The synthetic corpus is single-line, so the query
+    frames each document the way a crawled page arrives: shared banner line
+    + body + blank separator + per-source footer. The banner (500 docs) and
+    every footer whose source has > 2 docs are dropped as boilerplate; body
+    lines and the blank separator (blank lines are never boilerplate-
+    eligible) survive, in original order."""
+    from ..operators.dedup import line_dedup
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("== site banner =="),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(""),
+            F.concat(F.lit("via "), F.coalesce(F.col("source"), F.lit(""))),
+        ).alias("text"),
+    )
+    return line_dedup(d, "text", "doc_id", max_doc_freq=2)
 
 
 @query(
@@ -1236,9 +1293,27 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (threshold 0.45). The double
-    fold is bit-identical between Spark's aggregate() and DuckDB's
-    list_reduce, so no rounding ambiguity at the threshold."""
+    """Embedding-cosine near-duplicate pairs (threshold 0.45), explicit
+    ``candidates="all"`` — the exact quadratic oracle-parity mode (the SQL
+    oracle is also all-pairs). The scale default is ``candidates="lsh"``
+    (q_embedding_neardup_lsh); this form exists to pin the LSH route's
+    recall against ground truth. The double fold is bit-identical between
+    Spark's aggregate() and DuckDB's list_reduce, so no rounding ambiguity
+    at the threshold."""
+    from ..operators.dedup import embedding_near_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, "embedding", "vec_id", threshold=0.45, candidates="all")
+
+
+@query("q_embedding_neardup_lsh", None)
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via the default multi-table sign-LSH candidate
+    route (operators/dedup.py embedding_near_dup_pairs): 8 tables × 10-bit
+    signatures, Hamming-1 emission probes, capped in-bucket pair gen, exact
+    cosine verify — no unbucketed self-join anywhere (rows-only check:
+    numpy hyperplanes aren't SQL-expressible; recall ≥ 0.95 vs the
+    all-pairs truth is pinned in tests/test_dedup_similarity.py)."""
     from ..operators.dedup import embedding_near_dup_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -5310,9 +5385,9 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sh AS (
       SELECT doc_id,
-             unnest(CASE WHEN len(w) >= 8
-               THEN list_distinct(list_transform(range(1, len(w) - 6),
-                                  i -> array_to_string(list_slice(w, i, i + 7), ' ')))
+             unnest(CASE WHEN len(w) >= 4
+               THEN list_distinct(list_transform(range(1, len(w) - 2),
+                                  i -> array_to_string(list_slice(w, i, i + 3), ' ')))
                ELSE [COALESCE(array_to_string(w, ' '), '')] END) AS shingle
       FROM words
     ),
@@ -5325,8 +5400,10 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/dedup.py decontaminate): train
-    docs sharing any 8-word shingle with the eval split (doc_id % 97 == 0
+    docs sharing any 4-word shingle with the eval split (doc_id % 97 == 0
     stands in for a benchmark set), with distinct-shared-shingle counts.
+    n=4 (vs the production default 8) so the synthetic corpus yields a
+    non-empty overlap to hash-check; the plan shape is identical.
     Eval shingles broadcast; the corpus side's only shuffle is the per-doc
     count — the exact-overlap pass run before every corpus release."""
     from ..operators.dedup import decontaminate
@@ -5334,7 +5411,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     ev = d.filter(F.col("doc_id") % 97 == 0)
     tr = d.filter(F.col("doc_id") % 97 != 0)
-    return decontaminate(tr, ev, "text", "doc_id", n=8)
+    return decontaminate(tr, ev, "text", "doc_id", n=4)
 
 
 @query(

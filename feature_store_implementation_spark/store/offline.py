@@ -53,7 +53,13 @@ class OfflineStore:
         string) and value (already codec-encoded string).
 
         Returns the number of rows written (the count comes free from the
-        pre-write cache used to stabilize the row set)."""
+        pre-write cache used to stabilize the row set).
+
+        Storage-format seam (SCALING.md "Storage"): this append and
+        :meth:`values` are the only physical-format touchpoints of the
+        offline store. Production swaps ``parquet`` for ``format("delta")``
+        here to gain transactional appends/MERGE/time-travel; nothing above
+        this layer changes."""
         out = (
             values.select(
                 F.lit(int(version_id)).cast("long").alias("feature_version_id"),

@@ -228,3 +228,32 @@ def test_pack_sequences_window_is_bin_partitioned(spark):
     plan = _plan(spark, "q_pack_sequences")
     assert "width_bucket" in plan
     assert "hashpartitioning(_bin" in plan
+
+
+def test_embedding_neardup_lsh_no_unbucketed_selfjoin(spark):
+    # VERDICT r3 item 3: the default embedding near-dup route must never
+    # self-join without a bucket key. Candidates come from the (table,
+    # bucket) grouping; the only joins are the hash joins back to vectors.
+    plan = _plan(spark, "q_embedding_neardup_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(tbl" in plan  # capped in-bucket pair gen
+
+
+def test_ngram_jaccard_candidates_join_on_shingle(spark):
+    # VERDICT r3 item 6: candidate generation is the inverted-index join
+    # keyed on the shingle — never an all-pairs join inside a language
+    # block (lang at corpus scale is one giant block).
+    plan = _plan(spark, "q_dedup_ngram_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "shingle" in plan  # posting-list key present in the join
+
+
+def test_simhash_pair_gen_is_bucket_grouped(spark):
+    # VERDICT r3 item 2: simhash candidates come from the capped
+    # collect_set per (band, bucket) — no unbounded band self-join.
+    plan = _plan(spark, "q_dedup_simhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(band" in plan
