@@ -103,6 +103,8 @@ EXTRAS = [
     "q_portable_sample",
     "q_weighted_mix",
     "q_pack_sequences",
+    "q_line_dedup",
+    "q_embedding_neardup_lsh",
 ]
 
 
