@@ -105,6 +105,9 @@ EXTRAS = [
     "q_pack_sequences",
     "q_line_dedup",
     "q_embedding_neardup_lsh",
+    "q_unigram_logprob",
+    "q_mixture_weights",
+    "q_dedup_canonical",
 ]
 
 

@@ -99,3 +99,41 @@ def weighted_mix(
     thr = thr.otherwise(F.lit(""))
     key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
     return df.filter(F.substring(F.md5(key), 1, prefix_len) < thr)
+
+
+def mixture_temperature_weights(
+    df: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-scaled mixture weights (the multilingual rebalancing
+    rule from mBERT/XLM-R: sample group g with probability ∝ share_g^α).
+    α = 1 keeps natural proportions; α → 0 approaches uniform — low-
+    resource groups are up-weighted without drowning out the head. Returns
+    one row per group: (group, n_docs, share, weight) where ``weight`` is
+    the normalized target mixture probability — feed ``weight/share`` per
+    group into :func:`weighted_mix` as relative keep rates.
+
+    Plan: one corpus aggregation on ``group_col``; everything after runs
+    on the ≤|groups| aggregate rows, so the unpartitioned windows are
+    bounded (never over the corpus). Determinism discipline: shares are
+    exact integer divisions; POW is rounded to 8 decimals before the
+    DECIMAL(28,12) normalization sum (pow differs in the last ulp across
+    engines); doubles reappear only in the final rounded outputs."""
+    c = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    t = c.withColumn("total", F.sum("cnt").over(Window.partitionBy()))
+    share = F.col("cnt") / F.col("total").cast("double")
+    pw = F.round(F.pow(share, F.lit(float(alpha))), 8).cast("decimal(28,12)")
+    p = t.withColumn("pw", pw).withColumn(
+        "pw_sum", F.sum("pw").over(Window.partitionBy())
+    )
+    return p.select(
+        F.col("grp").alias(group_col),
+        F.col("cnt").cast("long").alias("n_docs"),
+        F.round(share, 6).alias("share"),
+        F.round(
+            F.col("pw").cast("double") / F.col("pw_sum").cast("double"), 6
+        ).alias("weight"),
+    )

@@ -195,6 +195,48 @@ def repetition_stats(
     )
 
 
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus's own
+    unigram LM — the CCNet-style perplexity proxy: documents whose tokens
+    are corpus-typical score high, gibberish/rare-token documents score
+    low (most negative). Returns (doc_id, n_tokens, avg_logprob); docs
+    with zero tokens are absent (no tokens → no distribution).
+
+    Plan at 100 TB: token counts are ONE hash aggregation over the
+    exploded corpus (map-side partial combine absorbs the Zipf head); the
+    token→count join is keyed on the token so hot tokens spread across
+    reducers (AQE broadcasts the vocab when it's small); the per-doc mean
+    is one aggregation on doc_id. No collect, no window.
+
+    Determinism discipline (same as q_user_entropy): the probability is
+    an exact integer division, LN is rounded to 8 decimals BEFORE
+    accumulation (neither engine's ln is correctly rounded), partial sums
+    accumulate in DECIMAL(28,12), and only the final mean returns to
+    double."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lp = F.round(F.log(F.col("cnt") / F.col("total").cast("double")), 8).cast(
+        "decimal(28,12)"
+    )
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum(lp).cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     text_col: str = "text",

@@ -2929,6 +2929,80 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_canonical",
+    """
+    WITH RECURSIVE
+    names AS (SELECT DISTINCT p_name FROM part),
+    edges AS (
+      SELECT a.p_name AS a, b.p_name AS b
+      FROM names a JOIN names b
+        ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+       AND a.p_name < b.p_name
+       AND abs(length(a.p_name) - length(b.p_name)) <= 2
+      WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ),
+    und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    reach(node, r) AS (
+      SELECT p_name, p_name FROM names
+      UNION
+      SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.node
+    ),
+    comp AS (SELECT node AS p_name, MIN(r) AS component FROM reach GROUP BY node),
+    val AS (SELECT p_name, MAX(p_retailprice) AS best_price FROM part GROUP BY p_name),
+    ranked AS (
+      SELECT comp.component, comp.p_name, val.best_price,
+             ROW_NUMBER() OVER (PARTITION BY comp.component
+                                ORDER BY val.best_price DESC, comp.p_name) AS rn,
+             COUNT(*) OVER (PARTITION BY comp.component) AS n_members
+      FROM comp JOIN val ON comp.p_name = val.p_name
+    )
+    SELECT component, p_name AS canonical,
+           CAST(n_members AS BIGINT) AS n_members,
+           ROUND(best_price, 2) AS best_price
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per duplicate cluster — the step after
+    q_dedup_components in every curation pipeline: clusters (min-label
+    connected components over the blocked fuzzy edges) joined to a quality
+    signal (max retail price stands in for a doc quality score), argmax per
+    cluster with a deterministic tie-break. The per-cluster window runs on
+    the components frame (one row per member), never the corpus."""
+    from ..operators.graph import connected_components
+
+    p = load_table(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("src"))
+    b = names.select(F.col("p_name").alias("dst"))
+    edges = a.join(
+        b,
+        (F.substring("src", 1, 1) == F.substring("dst", 1, 1))
+        & (F.col("src") < F.col("dst"))
+        & (F.abs(F.length("src") - F.length("dst")) <= 2),
+    ).filter(F.levenshtein("src", "dst") <= 3)
+    cc = connected_components(edges, vertices=names).select(
+        F.col("node").alias("p_name"), "component"
+    )
+    val = p.groupBy("p_name").agg(F.max("p_retailprice").alias("best_price"))
+    w = W.partitionBy("component")
+    ranked = (
+        cc.join(val, "p_name")
+        .withColumn(
+            "rn",
+            F.row_number().over(w.orderBy(F.desc("best_price"), F.asc("p_name"))),
+        )
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "component",
+        F.col("p_name").alias("canonical"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.round("best_price", 2).alias("best_price"),
+    )
+
+
+@query(
     "q_fold_assign",
     """
     SELECT doc_id,
@@ -5495,3 +5569,61 @@ def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_mix(
         d, {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25}, group_col="lang"
     ).select("doc_id", "lang", "source")
+
+
+@query(
+    "q_unigram_logprob",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(cnt) AS total FROM vocab)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(ROUND(LN(v.cnt / CAST(t.total AS DOUBLE)), 8)
+                               AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+    FROM toks JOIN vocab v USING (tok) CROSS JOIN tot t
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality proxy (operators/text.py unigram_logprob):
+    mean unigram log-probability per document under the corpus's own
+    unigram model. One vocab aggregation + token-keyed join + per-doc agg;
+    ln rounded before DECIMAL accumulation (q_user_entropy discipline)."""
+    from ..operators.text import unigram_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(d, "text", "doc_id")
+
+
+@query(
+    "q_mixture_weights",
+    """
+    WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    t AS (SELECT lang, cnt, SUM(cnt) OVER () AS total FROM c),
+    p AS (SELECT lang, cnt,
+                 cnt / CAST(total AS DOUBLE) AS share,
+                 CAST(ROUND(POW(cnt / CAST(total AS DOUBLE), 0.3), 8)
+                      AS DECIMAL(28,12)) AS pw
+          FROM t)
+    SELECT lang,
+           CAST(cnt AS BIGINT) AS n_docs,
+           ROUND(share, 6) AS share,
+           ROUND(CAST(pw AS DOUBLE) / CAST(SUM(pw) OVER () AS DOUBLE), 6) AS weight
+    FROM p
+    """,
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (operators/sampling.py
+    mixture_temperature_weights, α=0.3): the mBERT/XLM-R multilingual
+    rebalancing rule — sample language g ∝ share^α, so low-resource
+    languages are up-weighted. One corpus aggregation; the unpartitioned
+    windows run over the ≤|languages| aggregate rows only."""
+    from ..operators.sampling import mixture_temperature_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    return mixture_temperature_weights(d, "lang", alpha=0.3)

@@ -597,3 +597,23 @@ def test_line_dedup_duplicate_ids_and_null_text(spark):
     by_id = {r["doc_id"]: (r["clean_text"], r["n_lines_kept"]) for r in rows}
     assert by_id[0] == ("a\na\nb\nb", 4)  # duplicate rows merge, pos-sorted
     assert by_id[1] == ("", 0)  # NULL text → '' (documented coercion)
+
+
+def test_unigram_logprob_exact(spark):
+    import math
+
+    from feature_store_implementation_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c"), (2, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    # corpus counts: a=2 b=2 c=1, total=5
+    lp = lambda p: round(math.log(p), 8)
+    assert 2 not in out  # zero-token doc absent
+    assert out[0]["n_tokens"] == 3
+    assert abs(out[0]["avg_logprob"] - round((2 * lp(0.4) + lp(0.4)) / 3, 6)) < 1e-9
+    assert out[1]["n_tokens"] == 2
+    assert abs(out[1]["avg_logprob"] - round((lp(0.4) + lp(0.2)) / 2, 6)) < 1e-9
+    # the corpus-typical doc outranks the rarer-token doc
+    assert out[0]["avg_logprob"] > out[1]["avg_logprob"]

@@ -97,3 +97,31 @@ def test_weighted_mix_rates_and_subset_structure(spark):
     de_kept = {r["doc_id"] for r in rows if r["lang"] == "de"}
     de_all = {r["doc_id"] for r in d.filter("lang = 'de'").select("doc_id").collect()}
     assert de_kept == de_all & half
+
+
+def test_mixture_temperature_weights_exact(spark):
+    from feature_store_implementation_spark.operators.sampling import (
+        mixture_temperature_weights,
+    )
+
+    rows = [(i, "en") for i in range(8)] + [(8, "sw")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = {r["lang"]: r for r in mixture_temperature_weights(df, "lang", 0.3).collect()}
+    p_en, p_sw = round((8 / 9) ** 0.3, 8), round((1 / 9) ** 0.3, 8)
+    assert out["en"]["n_docs"] == 8 and out["sw"]["n_docs"] == 1
+    assert abs(out["en"]["weight"] - round(p_en / (p_en + p_sw), 6)) < 1e-9
+    assert abs(out["sw"]["weight"] - round(p_sw / (p_en + p_sw), 6)) < 1e-9
+    # temperature up-weights the low-resource group above its natural share
+    assert out["sw"]["weight"] > out["sw"]["share"]
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-5
+
+
+def test_mixture_temperature_alpha_one_is_natural(spark):
+    from feature_store_implementation_spark.operators.sampling import (
+        mixture_temperature_weights,
+    )
+
+    rows = [(i, "en") for i in range(6)] + [(6, "de"), (7, "de")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    for r in mixture_temperature_weights(df, "lang", alpha=1.0).collect():
+        assert abs(r["weight"] - r["share"]) < 1e-5
