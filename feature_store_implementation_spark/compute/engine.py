@@ -4,7 +4,7 @@ The reference binds ``{pd, df, raw_data}`` and ``exec``s arbitrary Python
 that must assign ``result`` = per-entity Series (compute.py:30-55). That is
 unsafe (the ``{"__builtins__": {}}`` sandbox is escapable, SURVEY §1.5) and
 opaque to any optimizer. Our ``computation_logic`` is a *declared* surface
-with three forms, in decreasing Catalyst visibility:
+with five forms, in decreasing Catalyst visibility:
 
 1. **Aggregate SQL expression** — e.g. ``"SUM(amount)"`` or
    ``"COUNT(DISTINCT item) + 1"``: evaluated as
@@ -17,8 +17,21 @@ with three forms, in decreasing Catalyst visibility:
    via :func:`register_transform` — the honest replacement for arbitrary
    pandas programs, still whole-DataFrame (use built-in ops inside;
    ``applyInPandas`` only when semantics require).
+4. **Reference-parity pandas program** — prefix ``pandas:``: the
+   reference's exact ``exec`` contract (compute.py:30-55: globals
+   ``{pd, df, raw_data}``, assign ``result`` = entity-indexed Series or
+   1-column frame) run against the collected DataFrame. Bounded by
+   ``PANDAS_EXEC_MAX_ROWS`` — it is the compatibility shim for programs
+   written against the reference, NOT the scale path, and shares the
+   reference's caveat that ``{"__builtins__": {}}`` is not a real
+   security boundary (SURVEY §1.5).
+5. **Distributed pandas program** — prefix ``pandas_by_entity:``: the
+   same exec contract applied per entity group via Arrow-batched
+   ``applyInPandas`` (``df`` = that entity's rows; ``result`` must reduce
+   to one value). Scales to any corpus because no group ever leaves the
+   executors.
 
-All three return a two-column DataFrame ``(entity_id: string, value: <typed>)``
+All forms return a two-column DataFrame ``(entity_id: string, value: <typed>)``
 — the Spark equivalent of the reference's entity-indexed Series
 (compute.py:46-55)."""
 
@@ -32,6 +45,41 @@ from pyspark.sql import functions as F
 from ..errors import ComputationError
 
 TRANSFORMS: dict[str, Callable[[DataFrame, str], DataFrame]] = {}
+
+# Row cap for the driver-side ``pandas:`` compatibility form. Programs over
+# larger inputs must use the aggregate/row/transform/pandas_by_entity forms.
+PANDAS_EXEC_MAX_ROWS = 2_000_000
+
+
+def _exec_pandas_program(pdf, program: str, allow_scalar: bool = False):
+    """Run a reference-contract pandas program (compute.py:30-55): exec with
+    ``{pd, df, raw_data}`` bound and no builtins, read back ``result`` as an
+    entity-indexed Series (1-column frames squeeze; anything else raises).
+    ``allow_scalar`` (the per-entity form) additionally accepts a bare
+    numeric — the natural output of a per-group reduction."""
+    import numbers
+
+    import pandas as pd
+
+    env = {"pd": pd, "df": pdf, "raw_data": pdf}
+    exec(program, {"__builtins__": {}}, env)  # noqa: S102 — reference parity
+    if "result" not in env:
+        raise ComputationError(
+            "Computation logic must assign result to 'result' variable"
+        )
+    result = env["result"]
+    if isinstance(result, pd.DataFrame):
+        if len(result.columns) == 1:
+            result = result.iloc[:, 0]
+        else:
+            raise ComputationError("Computation must return a single column")
+    if allow_scalar and isinstance(result, numbers.Number):
+        result = pd.Series([result])
+    if not isinstance(result, pd.Series):
+        raise ComputationError(
+            "Computation must return a pandas Series or DataFrame"
+        )
+    return result
 
 
 def register_transform(name: str):
@@ -75,6 +123,43 @@ def compute_feature(
                     f"{out.columns}"  # compute.py:49-53 multi-col rejection
                 )
             return out.select(F.col("entity_id").cast("string"), "value")
+        if logic.startswith("pandas:"):
+            program = logic[len("pandas:") :]
+            if df.count() > PANDAS_EXEC_MAX_ROWS:
+                raise ComputationError(
+                    "pandas: programs are capped at "
+                    f"{PANDAS_EXEC_MAX_ROWS} rows — use the aggregate/"
+                    "transform/pandas_by_entity forms at scale"
+                )
+            series = _exec_pandas_program(df.toPandas(), program)
+            out = series.rename_axis("entity_id").reset_index(name="value")
+            return (
+                df.sparkSession.createDataFrame(out)
+                .select(F.col("entity_id").cast("string"), "value")
+            )
+        if logic.startswith("pandas_by_entity:"):
+            import pandas as pd
+
+            program = logic[len("pandas_by_entity:") :]
+            ent_name = entity_id_column
+
+            def per_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+                series = _exec_pandas_program(pdf, program, allow_scalar=True)
+                if len(series) != 1:
+                    raise ComputationError(
+                        "pandas_by_entity: program must reduce each entity "
+                        f"group to one value, got {len(series)}"
+                    )
+                return pd.DataFrame(
+                    {
+                        "entity_id": [str(pdf[ent_name].iloc[0])],
+                        "value": [float(series.iloc[0])],
+                    }
+                )
+
+            return df.groupBy(entity.alias("_e")).applyInPandas(
+                lambda pdf: per_group(pdf), "entity_id string, value double"
+            )
         if logic.startswith("row:"):
             expr = logic[len("row:") :].strip()
             return df.select(entity.alias("entity_id"), F.expr(expr).alias("value"))

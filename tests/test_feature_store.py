@@ -280,3 +280,71 @@ def test_ewm_features_match_pandas(spark):
     pd.testing.assert_series_equal(
         got["ewm"].reset_index(drop=True), expect, check_names=False
     )
+
+
+def test_pandas_program_reference_contract(spark):
+    """The `pandas:` form reproduces the reference exec contract
+    (reference compute.py:30-55) bit-for-bit: {pd, df, raw_data} bound,
+    `result` read back as an entity-indexed Series."""
+    from feature_store_implementation_spark.compute.engine import compute_feature
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)], "entity string, amount double"
+    )
+    out = {
+        r["entity_id"]: r["value"]
+        for r in compute_feature(
+            df, "pandas:result = df.groupby('entity')['amount'].sum()", "entity"
+        ).collect()
+    }
+    assert out == {"a": 3.0, "b": 10.0}
+    # 1-column DataFrame results squeeze to a Series (reference behavior)
+    out2 = {
+        r["entity_id"]: r["value"]
+        for r in compute_feature(
+            df,
+            "pandas:result = df.groupby('entity')[['amount']].mean()",
+            "entity",
+        ).collect()
+    }
+    assert out2 == {"a": 1.5, "b": 10.0}
+
+
+def test_pandas_program_error_parity(spark):
+    from feature_store_implementation_spark.compute.engine import compute_feature
+    from feature_store_implementation_spark.errors import ComputationError
+
+    df = spark.createDataFrame([("a", 1.0)], "entity string, amount double")
+    import pytest as _pytest
+
+    with _pytest.raises(ComputationError, match="'result' variable"):
+        compute_feature(df, "pandas:x = 1", "entity").collect()
+    with _pytest.raises(ComputationError, match="single column"):
+        compute_feature(
+            df, "pandas:result = df[['entity', 'amount']]", "entity"
+        ).collect()
+    with _pytest.raises(ComputationError):
+        # builtins are absent, same failure mode as the reference sandbox
+        compute_feature(df, "pandas:result = open('/etc/hosts')", "entity")
+
+
+def test_pandas_by_entity_distributed_matches_aggregate(spark):
+    """The distributed `pandas_by_entity:` form must agree with the
+    Catalyst aggregate form on the same logic."""
+    from feature_store_implementation_spark.compute.engine import compute_feature
+
+    rows = [(f"e{i % 7}", float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "entity string, amount double")
+    agg = {
+        r["entity_id"]: r["value"]
+        for r in compute_feature(df, "AVG(amount)", "entity").collect()
+    }
+    dist = {
+        r["entity_id"]: r["value"]
+        for r in compute_feature(
+            df, "pandas_by_entity:result = df['amount'].mean()", "entity"
+        ).collect()
+    }
+    assert set(agg) == set(dist)
+    for k in agg:
+        assert abs(agg[k] - dist[k]) < 1e-9
