@@ -196,3 +196,103 @@ def test_portable_sample_membership_is_pointwise(spark, ids, thr):
         assert kept == set()
     if thr == "g":
         assert kept == set(ids)
+
+
+LINE_WORDS = ["header", "alpha", "beta", "gamma", "footer", "nav", ""]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(LINE_WORDS), min_size=0, max_size=6).map("\n".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SETTINGS
+@given(texts=docs_strategy)
+def test_line_dedup_idempotent_and_python_oracle(spark, texts):
+    """line_dedup must (a) match a direct python oracle and (b) be a
+    fixpoint: kept lines have doc-frequency ≤ k by construction, so a
+    second pass removes nothing."""
+    from feature_store_implementation_spark.operators.dedup import line_dedup
+
+    k = 2
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = {
+        r["doc_id"]: (r["clean_text"], r["n_lines_kept"])
+        for r in line_dedup(df, max_doc_freq=k).collect()
+    }
+    # python oracle
+    split = {i: t.split("\n") for i, t in enumerate(texts)}
+    from collections import Counter
+
+    freq = Counter()
+    for i, lines in split.items():
+        for ln in {x for x in lines if x.strip()}:
+            freq[ln] += 1
+    boiler = {ln for ln, n in freq.items() if n > k}
+    for i, lines in split.items():
+        kept = [x for x in lines if x not in boiler]
+        assert once[i] == ("\n".join(kept), len(kept)), (i, lines)
+    # idempotence
+    clean_df = spark.createDataFrame(
+        [(i, c) for i, (c, _) in once.items()], "doc_id long, text string"
+    )
+    twice = {
+        r["doc_id"]: (r["clean_text"], r["n_lines_kept"])
+        for r in line_dedup(clean_df, max_doc_freq=k).collect()
+    }
+    for i, (c, n) in once.items():
+        # empty docs re-split to one empty line; content must be unchanged
+        assert twice[i][0] == c
+
+
+@SETTINGS
+@given(
+    langs=st.lists(st.sampled_from(["en", "de", "fr", "sw"]), min_size=1, max_size=30),
+    alpha=st.sampled_from([0.2, 0.5, 0.7, 1.0]),
+)
+def test_mixture_weights_invariants(spark, langs, alpha):
+    """Weights form a distribution; temperature never inverts the share
+    order; α=1 degenerates to natural shares."""
+    from feature_store_implementation_spark.operators.sampling import (
+        mixture_temperature_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(i, g) for i, g in enumerate(langs)], "doc_id long, lang string"
+    )
+    rows = mixture_temperature_weights(df, "lang", alpha).collect()
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+    by_share = sorted(rows, key=lambda r: r["share"])
+    for lo, hi in zip(by_share, by_share[1:]):
+        assert lo["weight"] <= hi["weight"] + 1e-9  # monotone in share
+    if alpha == 1.0:
+        for r in rows:
+            assert abs(r["weight"] - r["share"]) < 1e-4
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd"]), min_size=0, max_size=8).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_unigram_logprob_invariants(spark, texts):
+    """Token counts reconcile with the corpus; log-probs are ≤ 0; a doc of
+    only the modal token scores ≥ every other doc."""
+    from feature_store_implementation_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = unigram_logprob(df).collect()
+    total_tokens = sum(len([w for w in t.split() if w]) for t in texts)
+    assert sum(r["n_tokens"] for r in rows) == total_tokens
+    for r in rows:
+        assert r["avg_logprob"] <= 1e-9
