@@ -108,6 +108,7 @@ EXTRAS = [
     "q_unigram_logprob",
     "q_mixture_weights",
     "q_dedup_canonical",
+    "q_graph_bfs",
 ]
 
 

@@ -191,3 +191,44 @@ def connected_components(
         if stepped.filter("shrunk").limit(1).count() == 0:
             break
     return labels.localCheckpoint(eager=True)
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Minimum hop distance from any source vertex, by BSP frontier
+    expansion over the symmetrized edge list: each round joins the current
+    frontier to the (checkpointed-once) edge set, anti-joins already-
+    settled vertices, and settles the new ring at distance h. Terminates
+    early when a frontier empties; every round is one equi-join + one
+    anti-join keyed on the vertex — the textbook distributed BFS, no
+    driver-side adjacency. Returns ``(node, hops)`` for every vertex
+    reachable within ``max_hops`` (sources at 0)."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = sources.select(
+        F.col(sources.columns[0]).alias("node"), F.lit(0).cast("long").alias("hops")
+    ).distinct().localCheckpoint(eager=True)
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        ring = (
+            und.join(frontier.withColumnRenamed("node", "a"), "a")
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if ring.limit(1).count() == 0:
+            break
+        dist = dist.union(ring).localCheckpoint(eager=True)
+        frontier = ring.select("node")
+    return dist

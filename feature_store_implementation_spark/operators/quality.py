@@ -142,3 +142,31 @@ def mad_outliers(
         "n_outliers",
         F.round(F.col("n_outliers") / F.col("n"), 6).alias("outlier_frac"),
     )
+
+
+def observed_expectations(df: DataFrame, expectations: list[Expectation]):
+    """Attach data-quality counters to a DataFrame as Spark ``Observation``
+    metrics: ``(df2, observation)`` where ``df2`` is semantically identical
+    and the observation, once ANY action runs over ``df2`` (typically the
+    production write itself), yields ``n_rows`` plus one violation count
+    per expectation — the zero-extra-scan form of :func:`check_expectations`
+    for 100 TB pipelines, where a dedicated validation pass would double
+    the read. Metrics piggyback on the pass the pipeline already makes.
+    Only single-pass aggregable kinds are supported: ``foreign_key`` needs
+    a join and ``unique`` needs DISTINCT state (both rejected by Spark's
+    observed-metrics analyzer) — use :func:`check_expectations` for
+    those."""
+    from pyspark.sql import Observation
+
+    for e in expectations:
+        if e.kind in ("foreign_key", "unique"):
+            raise ValueError(
+                f"{e.kind} expectations are not single-pass observable; "
+                "use check_expectations"
+            )
+    obs = Observation("dq")
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        _violation_expr(e).cast("long").alias(f"viol_{e.name}")
+        for e in expectations
+    ]
+    return df.observe(obs, *aggs), obs

@@ -3003,6 +3003,55 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_graph_bfs",
+    """
+    WITH RECURSIVE
+    names AS (SELECT DISTINCT p_name FROM part),
+    edges AS (
+      SELECT a.p_name AS a, b.p_name AS b
+      FROM names a JOIN names b
+        ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+       AND a.p_name < b.p_name
+       AND abs(length(a.p_name) - length(b.p_name)) <= 2
+      WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ),
+    und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    walk(node, hops) AS (
+      SELECT p_name, 0 FROM names WHERE substr(p_name, 1, 2) = 'bl'
+      UNION ALL
+      SELECT u.b, walk.hops + 1
+      FROM und u JOIN walk ON u.a = walk.node
+      WHERE walk.hops < 3
+    )
+    SELECT node, CAST(MIN(hops) AS BIGINT) AS hops
+    FROM walk GROUP BY node
+    """,
+)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS shortest hops (operators/graph.py bfs_hops) over
+    the blocked fuzzy-pair name graph, sources = names starting 'bl',
+    radius 3. Each BSP round is one frontier equi-join + one settled
+    anti-join on the vertex key; the oracle replays the same fixpoint as a
+    recursive CTE taking MIN(hops) per reached vertex."""
+    from ..operators.graph import bfs_hops
+
+    p = load_table(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("src"))
+    b = names.select(F.col("p_name").alias("dst"))
+    edges = a.join(
+        b,
+        (F.substring("src", 1, 1) == F.substring("dst", 1, 1))
+        & (F.col("src") < F.col("dst"))
+        & (F.abs(F.length("src") - F.length("dst")) <= 2),
+    ).filter(F.levenshtein("src", "dst") <= 3)
+    sources = names.filter(F.substring("p_name", 1, 2) == "bl")
+    return bfs_hops(edges, sources, max_hops=3).select(
+        F.col("node"), F.col("hops")
+    )
+
+
+@query(
     "q_fold_assign",
     """
     SELECT doc_id,

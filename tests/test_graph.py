@@ -60,3 +60,19 @@ def test_matches_python_union_find(spark):
 
     got = _components(spark, edges, vertices=nodes)
     assert got == expected
+
+
+def test_bfs_hops_path_graph(spark):
+    from feature_store_implementation_spark.operators.graph import bfs_hops
+
+    # path 1-2-3-4-5 plus isolated component 10-11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "src long, dst long"
+    )
+    sources = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r["hops"] for r in bfs_hops(edges, sources, max_hops=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 is beyond radius; 10/11 unreachable
+    # multi-source: min distance wins, early termination on empty frontier
+    sources2 = spark.createDataFrame([(1,), (5,)], "node long")
+    out2 = {r["node"]: r["hops"] for r in bfs_hops(edges, sources2, max_hops=4).collect()}
+    assert out2 == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}

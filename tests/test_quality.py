@@ -62,3 +62,41 @@ def test_clean_frame_passes_and_plan_is_one_scan(spark):
         report._jdf.queryExecution(), "formatted"
     )
     assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 1
+
+
+def test_observed_expectations_match_dedicated_scan(spark):
+    """Observation metrics collected on the pipeline's own pass must equal
+    the dedicated check_expectations scan."""
+    import pytest as _pytest
+
+    from feature_store_implementation_spark.operators.quality import (
+        Expectation,
+        check_expectations,
+        observed_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, 50.0), (3, "a", -1.0), (3, "z", 7.0)],
+        "id long, tag string, score double",
+    )
+    exps = [
+        Expectation("tag_not_null", "tag", "not_null"),
+        Expectation("score_range", "score", "in_range", {"min": 0.0, "max": 10.0}),
+        Expectation("tag_accepted", "tag", "accepted_values", {"values": ["a", "b"]}),
+    ]
+    observed_df, obs = observed_expectations(df, exps)
+    observed_df.write.format("noop").mode("overwrite").save()  # the "real" pass
+    got = obs.get
+    dedicated = {
+        r["check"]: r["violations"] for r in check_expectations(df, exps).collect()
+    }
+    assert got["n_rows"] == 4
+    for e in exps:
+        assert got[f"viol_{e.name}"] == dedicated[e.name], e.name
+    # kinds needing joins or DISTINCT state are rejected up front
+    with _pytest.raises(ValueError, match="foreign_key"):
+        observed_expectations(
+            df, [Expectation("fk", "id", "foreign_key", {"parent_key": "id"})]
+        )
+    with _pytest.raises(ValueError, match="unique"):
+        observed_expectations(df, [Expectation("u", "id", "unique")])
