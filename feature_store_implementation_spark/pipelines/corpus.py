@@ -1,8 +1,10 @@
 """End-to-end training-corpus curation: the north-star operators composed
 into the pipeline a pre-training data team actually runs.
 
-    quality gate → language gate → MinHash-LSH near-dup clustering →
-    one canonical doc per cluster → (optional) deterministic sampling
+    (optional) line-level boilerplate removal → quality gate → language
+    gate → (optional) corpus-LM perplexity-proxy gate → MinHash-LSH
+    near-dup clustering → one canonical doc per cluster → (optional)
+    benchmark decontamination → (optional) deterministic sampling
 
 Everything stays one lazy DataFrame program per stage — quality and
 language scores are row-local (no shuffle), LSH is the banded single-shuffle
@@ -13,9 +15,10 @@ corpus growth never resample previously-kept documents.
 
 The reference has no document processing at all; this module exists because
 the brief's north star is a 100 TB curation engine, and each stage here is
-individually oracle-checked in plans/inventory.py (q_quality_score,
-q_lang_id, q_dedup_minhash, q_dedup_components, q_deterministic_sample) —
-the pipeline is their composition, tested end-to-end in
+individually oracle-checked in plans/inventory.py (q_line_dedup,
+q_quality_score, q_lang_id, q_unigram_logprob, q_dedup_minhash,
+q_dedup_components, q_decontaminate, q_deterministic_sample) — the
+pipeline is their composition, tested end-to-end in
 tests/test_corpus_pipeline.py.
 """
 
@@ -26,10 +29,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.dedup import minhash_near_dup_pairs
+from ..operators.dedup import decontaminate, line_dedup, minhash_near_dup_pairs
 from ..operators.graph import connected_components
 from ..operators.sampling import deterministic_sample
-from ..operators.text import language_id, quality_score
+from ..operators.text import language_id, quality_score, unigram_logprob
 
 
 @dataclass(frozen=True)
@@ -40,6 +43,7 @@ class CurationReport:
     n_after_quality: int
     n_after_language: int
     n_after_dedup: int
+    n_after_decontamination: int
     n_output: int
 
 
@@ -51,13 +55,35 @@ def curate_corpus(
     languages: tuple[str, ...] = ("en",),
     dedup_threshold: float = 0.7,
     sample_fraction: float | None = None,
+    strip_boilerplate: bool = False,
+    boilerplate_max_doc_freq: int = 2,
+    min_avg_logprob: float | None = None,
+    eval_df: DataFrame | None = None,
+    decontaminate_ngram: int = 8,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation pipeline; returns (curated_docs, report).
 
     Near-dup clusters keep their minimum ``id_col`` document (deterministic
-    canonical choice). ``sample_fraction`` applies the content-hash sampler
-    last, so the gates see every document."""
+    canonical choice). ``strip_boilerplate`` replaces each document's text
+    with its line-deduplicated form FIRST, so every downstream gate scores
+    the cleaned text. ``min_avg_logprob`` adds the corpus-LM perplexity-
+    proxy gate after the language gate (documents of corpus-atypical
+    tokens drop). ``eval_df`` anti-joins away documents sharing any
+    ``decontaminate_ngram``-gram with the held-out benchmark set, after
+    dedup (so decontamination never resurrects a near-duplicate).
+    ``sample_fraction`` applies the content-hash sampler last."""
     n_input = docs.count()
+
+    if strip_boilerplate:
+        cleaned = line_dedup(
+            docs, text_col, id_col, max_doc_freq=boilerplate_max_doc_freq
+        ).select(
+            F.col("doc_id").alias(id_col), F.col("clean_text").alias(text_col)
+        )
+        keep_cols = [c for c in docs.columns if c not in (id_col, text_col)]
+        if keep_cols:
+            cleaned = cleaned.join(docs.select(id_col, *keep_cols), id_col)
+        docs = cleaned
 
     q = quality_score(docs, text_col, id_col).select("doc_id", "quality")
     l = language_id(docs, text_col, id_col).select("doc_id", "predicted_lang")
@@ -70,6 +96,13 @@ def curate_corpus(
     n_after_quality = after_q.count()
     after_l = after_q.filter(F.col("predicted_lang").isin(*languages))
     # the gated frame feeds LSH twice (signatures + verify) — cache it
+    if min_avg_logprob is not None:
+        lp = unigram_logprob(after_l, text_col, "doc_id").select(
+            "doc_id", "avg_logprob"
+        )
+        after_l = after_l.join(lp, "doc_id").filter(
+            F.col("avg_logprob") >= min_avg_logprob
+        )
     after_l = after_l.cache()
     n_after_language = after_l.count()
 
@@ -89,10 +122,28 @@ def curate_corpus(
     deduped = after_l.join(losers, "doc_id", "left_anti")
     n_after_dedup = deduped.count()
 
+    if eval_df is not None:
+        contaminated = decontaminate(
+            deduped.withColumnRenamed("doc_id", id_col)
+            if id_col != "doc_id"
+            else deduped,
+            eval_df,
+            text_col,
+            id_col,
+            n=decontaminate_ngram,
+        ).select("doc_id")
+        deduped = deduped.join(contaminated, "doc_id", "left_anti")
+    n_after_decontamination = deduped.count()
+
     out = deduped
     if sample_fraction is not None:
         out = deterministic_sample(out, ["doc_id"], sample_fraction)
     n_output = out.count()
     return out, CurationReport(
-        n_input, n_after_quality, n_after_language, n_after_dedup, n_output
+        n_input,
+        n_after_quality,
+        n_after_language,
+        n_after_dedup,
+        n_after_decontamination,
+        n_output,
     )

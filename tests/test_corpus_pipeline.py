@@ -45,3 +45,38 @@ def test_output_has_no_remaining_near_dup_clusters(spark, sf_small):
     assert leftover == 0
     # and dedup actually removed something on this corpus
     assert rep.n_after_dedup < rep.n_after_language
+
+
+def test_pipeline_optional_stages(spark, sf_small):
+    """Boilerplate strip, LM-quality gate, and decontamination compose into
+    the same pipeline and keep the monotone-reduction invariant."""
+    docs = _docs(spark, sf_small)
+    # frame each doc with a shared banner so the boilerplate stage has work
+    framed = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.lit("== banner =="), F.col("text"), F.lit("== banner ==")
+        ).alias("text"),
+    )
+    ev = docs.filter(F.col("doc_id") % 13 == 0)
+    out, rep = curate_corpus(
+        framed,
+        min_quality=0.2,
+        strip_boilerplate=True,
+        min_avg_logprob=-9.0,
+        eval_df=ev,
+        decontaminate_ngram=4,
+    )
+    assert (
+        rep.n_input
+        >= rep.n_after_quality
+        >= rep.n_after_language
+        >= rep.n_after_dedup
+        >= rep.n_after_decontamination
+        >= rep.n_output
+    )
+    assert rep.n_output == out.count() > 0
+    # the banner must have been stripped before any gate saw the text
+    assert out.filter(F.col("text").contains("== banner ==")).count() == 0
+    # decontamination dropped at least the overlapping eval docs
+    assert rep.n_after_decontamination < rep.n_after_dedup
