@@ -204,35 +204,45 @@ def unigram_logprob(
     low (most negative). Returns (doc_id, n_tokens, avg_logprob); docs
     with zero tokens are absent (no tokens → no distribution).
 
-    Plan at 100 TB: token counts are ONE hash aggregation over the
-    exploded corpus (map-side partial combine absorbs the Zipf head); the
-    token→count join is keyed on the token so hot tokens spread across
-    reducers (AQE broadcasts the vocab when it's small); the per-doc mean
-    is one aggregation on doc_id. No collect, no window.
+    Plan at 100 TB: the corpus collapses FIRST to (doc, token, in-doc
+    count) — so the token-keyed join ships one row per (doc, token), not
+    one per occurrence, and the Zipf head ("the" in every doc) skews by
+    at most |docs-per-reducer| with AQE skew-split behind it (the vocab
+    side broadcasts when small). The vocab is the per-doc frame's own
+    re-aggregation (shuffle reuse on tok), the per-doc mean is one
+    aggregation on doc_id, and the mean is count-weighted so it equals
+    the per-occurrence mean exactly. No collect, no window.
 
     Determinism discipline (same as q_user_entropy): the probability is
     an exact integer division, LN is rounded to 8 decimals BEFORE
     accumulation (neither engine's ln is correctly rounded), partial sums
-    accumulate in DECIMAL(28,12), and only the final mean returns to
-    double."""
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    accumulate in DECIMAL, and only the final mean returns to double."""
+    per_doc = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens_col(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("k"))
     )
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = per_doc.groupBy("tok").agg(F.sum("k").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
+    # decimal sizing: k(10,0) × lp(18,12) → (29,12), summed at (38,12) —
+    # inside Spark's 38-digit cap, so no silent scale reduction (a
+    # (20,0)×(28,12) product would overflow precision and round to scale 6)
     lp = F.round(F.log(F.col("cnt") / F.col("total").cast("double")), 8).cast(
-        "decimal(28,12)"
+        "decimal(18,12)"
     )
+    weighted = F.col("k").cast("decimal(10,0)") * lp
     return (
-        toks.join(vocab, "tok")
+        per_doc.join(vocab, "tok")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.round(F.sum(lp).cast("double") / F.count(F.lit(1)), 6).alias(
-                "avg_logprob"
-            ),
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(weighted).cast("double") / F.sum("k"), 6
+            ).alias("avg_logprob"),
         )
     )
 
