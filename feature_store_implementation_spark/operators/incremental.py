@@ -33,17 +33,31 @@ DEC = "decimal(28,8)"
 _STATE_COLS = ("cnt", "sum_v", "sum_sq", "min_v", "max_v")
 
 
-def rollup_partial(df: DataFrame, keys: list[str], value: str) -> DataFrame:
+def rollup_partial(
+    df: DataFrame, keys: list[str], value: str, distinct_col: str | None = None
+) -> DataFrame:
     """Mergeable per-group state for ``value``: (cnt, sum, sum-of-squares,
-    min, max). One map-side-combinable aggregation."""
+    min, max). One map-side-combinable aggregation.
+
+    ``distinct_col`` additionally keeps a Datasketches HLL sketch of that
+    column (binary ``hll``) — COUNT(DISTINCT) is not mergeable, but its
+    sketch is: unioning partial sketches carries the same relative-error
+    guarantee as sketching the union directly (the estimates can differ by
+    a few counts because union promotes the sketch's internal mode, but
+    both sit inside the configured rsd). This is how a 100 TB rollup keeps
+    an incrementally-maintainable distinct count without ever rescanning
+    history."""
     v = F.col(value).cast(DEC)
-    return df.groupBy(*keys).agg(
+    aggs = [
         F.count(F.lit(1)).alias("cnt"),
         F.sum(v).alias("sum_v"),
         F.sum(v * v).alias("sum_sq"),
         F.min(F.col(value)).alias("min_v"),
         F.max(F.col(value)).alias("max_v"),
-    )
+    ]
+    if distinct_col is not None:
+        aggs.append(F.hll_sketch_agg(distinct_col).alias("hll"))
+    return df.groupBy(*keys).agg(*aggs)
 
 
 def merge_rollups(keys: list[str], *states: DataFrame) -> DataFrame:
@@ -53,13 +67,16 @@ def merge_rollups(keys: list[str], *states: DataFrame) -> DataFrame:
     if not states:
         raise ValueError("need at least one state")
     unioned = reduce(lambda a, b: a.unionByName(b), states)
-    return unioned.groupBy(*keys).agg(
+    aggs = [
         F.sum("cnt").alias("cnt"),
         F.sum("sum_v").alias("sum_v"),
         F.sum("sum_sq").alias("sum_sq"),
         F.min("min_v").alias("min_v"),
         F.max("max_v").alias("max_v"),
-    )
+    ]
+    if "hll" in unioned.columns:
+        aggs.append(F.hll_union_agg("hll").alias("hll"))
+    return unioned.groupBy(*keys).agg(*aggs)
 
 
 def merge_changes(
@@ -113,11 +130,14 @@ def finalize_rollup(state: DataFrame, keys: list[str]) -> DataFrame:
     var = (
         F.col("sum_sq").cast("double") / F.col("cnt").cast("double")
     ) - mean * mean
-    return state.select(
+    cols = [
         *keys,
         F.col("cnt"),
         F.round(mean, 6).alias("mean_v"),
         F.round(F.greatest(var, F.lit(0.0)), 6).alias("var_v"),
         F.col("min_v"),
         F.col("max_v"),
-    )
+    ]
+    if "hll" in state.columns:
+        cols.append(F.hll_sketch_estimate("hll").alias("approx_distinct"))
+    return state.select(*cols)

@@ -47,3 +47,44 @@ def test_merge_is_associative_and_handles_disjoint_groups(spark):
     assert stats["z"]["cnt"] == 2
     # population variance of (1,2,3) is 2/3
     assert abs(stats["x"]["var_v"] - 2.0 / 3.0) < 1e-6
+
+
+def test_hll_state_merge_equals_full_recompute(spark):
+    """Merged partial sketches carry the same error guarantee as the full
+    recompute: both estimates must sit within HLL tolerance of the exact
+    distinct count (they may differ from each other by a few counts —
+    union promotes the sketch's internal representation)."""
+    from feature_store_implementation_spark.operators.incremental import (
+        finalize_rollup,
+        merge_rollups,
+        rollup_partial,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(4000).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 997).cast("double").alias("v"),
+        (F.col("id") % 700).alias("u"),
+    )
+    a, b = df.filter("id % 2 = 0"), df.filter("id % 2 = 1")
+    merged = merge_rollups(
+        ["g"],
+        rollup_partial(a, ["g"], "v", distinct_col="u"),
+        rollup_partial(b, ["g"], "v", distinct_col="u"),
+    )
+    full = rollup_partial(df, ["g"], "v", distinct_col="u")
+    got = {
+        r["g"]: r["approx_distinct"]
+        for r in finalize_rollup(merged, ["g"]).collect()
+    }
+    want = {
+        r["g"]: r["approx_distinct"]
+        for r in finalize_rollup(full, ["g"]).collect()
+    }
+    exact = {
+        r["g"]: r["x"]
+        for r in df.groupBy("g").agg(F.countDistinct("u").alias("x")).collect()
+    }
+    for g in exact:
+        assert abs(got[g] - exact[g]) <= max(0.05 * exact[g], 2)
+        assert abs(want[g] - exact[g]) <= max(0.05 * exact[g], 2)

@@ -257,3 +257,16 @@ def test_simhash_pair_gen_is_bucket_grouped(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "hashpartitioning(band" in plan
+
+
+def test_new_text_queries_prune_scan_columns(spark):
+    # the documents table carries lang/n_chars the queries never touch;
+    # a scan reading them at 100 TB is pure waste — pin the pruning
+    for name, banned in (
+        ("q_line_dedup", ("lang", "n_chars")),
+        ("q_unigram_logprob", ("lang", "source", "n_chars")),
+    ):
+        plan = _plan(spark, name)
+        for rs in re.findall(r"ReadSchema: (\S+)", plan):
+            for col in banned:
+                assert col not in rs, (name, rs)
