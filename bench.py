@@ -109,6 +109,7 @@ EXTRAS = [
     "q_mixture_weights",
     "q_dedup_canonical",
     "q_graph_bfs",
+    "q_media_frames",
 ]
 
 

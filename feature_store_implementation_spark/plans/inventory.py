@@ -4987,6 +4987,45 @@ def q_media_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_media_frames",
+    """
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS nb
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, h,
+             unnest(generate_series(0,
+               CAST(ceil(ceil(nb / 16.0) / 2.0) AS BIGINT) - 1)) AS frame_idx
+      FROM b WHERE nb > 0
+    )
+    SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           substring(h, CAST(frame_idx * 64 + 1 AS BIGINT), 32) AS frame_hex
+    FROM idx
+    """,
+)
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (operators/multimodal.py sample_media_frames,
+    every_n=2 with the deterministic 16-byte fake frame extractor — the
+    real pyav slot is stubbed per brief): each blob fans out to its kept
+    frames INSIDE its Arrow batch, one output row per sampled frame. The
+    oracle replays the byte arithmetic on the hex encoding (kept frame i
+    starts at source byte 32·i, 16 bytes = 32 hex chars)."""
+    from ..operators.multimodal import sample_media_frames
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.encode("text", "UTF-8").alias("content"))
+        .filter(F.length("content") > 0)
+    )
+    return sample_media_frames(d, every_n=2, id_col="doc_id").select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.hex("frame").alias("frame_hex"),
+    )
+
+
+@query(
     "q_agg_mode",
     """
     WITH c AS (
