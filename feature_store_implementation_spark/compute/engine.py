@@ -31,6 +31,10 @@ with five forms, in decreasing Catalyst visibility:
    to one value). Scales to any corpus because no group ever leaves the
    executors.
 
+Migration fallback: an UNPREFIXED string that fails SQL analysis but
+assigns ``result`` is treated as form 4 — payloads written for the
+upstream service run unmodified.
+
 All forms return a two-column DataFrame ``(entity_id: string, value: <typed>)``
 — the Spark equivalent of the reference's entity-indexed Series
 (compute.py:46-55)."""
@@ -82,6 +86,22 @@ def _exec_pandas_program(pdf, program: str, allow_scalar: bool = False):
     return result
 
 
+def _reference_program(df: DataFrame, program: str) -> DataFrame:
+    """Driver-side reference-contract execution (the ``pandas:`` form and
+    the unprefixed-program fallback): bounded collect, exec, Series back
+    to a (entity_id, value) DataFrame."""
+    if df.count() > PANDAS_EXEC_MAX_ROWS:
+        raise ComputationError(
+            f"pandas programs are capped at {PANDAS_EXEC_MAX_ROWS} rows — "
+            "use the aggregate/transform/pandas_by_entity forms at scale"
+        )
+    series = _exec_pandas_program(df.toPandas(), program)
+    out = series.rename_axis("entity_id").reset_index(name="value")
+    return df.sparkSession.createDataFrame(out).select(
+        F.col("entity_id").cast("string"), "value"
+    )
+
+
 def register_transform(name: str):
     """Register a named whole-DataFrame transform usable as
     ``computation_logic = "transform:<name>"``."""
@@ -124,19 +144,7 @@ def compute_feature(
                 )
             return out.select(F.col("entity_id").cast("string"), "value")
         if logic.startswith("pandas:"):
-            program = logic[len("pandas:") :]
-            if df.count() > PANDAS_EXEC_MAX_ROWS:
-                raise ComputationError(
-                    "pandas: programs are capped at "
-                    f"{PANDAS_EXEC_MAX_ROWS} rows — use the aggregate/"
-                    "transform/pandas_by_entity forms at scale"
-                )
-            series = _exec_pandas_program(df.toPandas(), program)
-            out = series.rename_axis("entity_id").reset_index(name="value")
-            return (
-                df.sparkSession.createDataFrame(out)
-                .select(F.col("entity_id").cast("string"), "value")
-            )
+            return _reference_program(df, logic[len("pandas:") :])
         if logic.startswith("pandas_by_entity:"):
             import pandas as pd
 
@@ -163,11 +171,22 @@ def compute_feature(
         if logic.startswith("row:"):
             expr = logic[len("row:") :].strip()
             return df.select(entity.alias("entity_id"), F.expr(expr).alias("value"))
-        # default: aggregate expression per entity
-        return (
-            df.groupBy(entity.alias("entity_id"))
-            .agg(F.expr(logic).alias("value"))
-        )
+        # default: aggregate expression per entity; if the string isn't SQL
+        # but looks like a reference pandas program (assigns `result`),
+        # fall back to the reference exec contract so payloads written for
+        # the upstream service run unmodified
+        try:
+            out = df.groupBy(entity.alias("entity_id")).agg(
+                F.expr(logic).alias("value")
+            )
+            out.schema  # force parse/analysis eagerly (lazy in Spark 4)
+            return out
+        except Exception:
+            import re as _re
+
+            if _re.search(r"\bresult\s*=", logic):
+                return _reference_program(df, logic)
+            raise
     except ComputationError:
         raise
     except Exception as e:  # analysis errors → ComputationError (main.py:202-206)

@@ -348,3 +348,27 @@ def test_pandas_by_entity_distributed_matches_aggregate(spark):
     assert set(agg) == set(dist)
     for k in agg:
         assert abs(agg[k] - dist[k]) < 1e-9
+
+
+def test_unprefixed_reference_program_runs_unmodified(spark):
+    """A payload written for the upstream service — a bare pandas program
+    with no form prefix — must run via the fallback: not valid SQL, but it
+    assigns `result`, so it routes through the reference exec contract."""
+    from feature_store_implementation_spark.compute.engine import compute_feature
+    from feature_store_implementation_spark.errors import ComputationError
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)], "entity string, amount double"
+    )
+    out = {
+        r["entity_id"]: r["value"]
+        for r in compute_feature(
+            df, "result = df.groupby('entity')['amount'].sum()", "entity"
+        ).collect()
+    }
+    assert out == {"a": 3.0, "b": 10.0}
+    # garbage that neither parses as SQL nor assigns result still errors
+    import pytest as _pytest
+
+    with _pytest.raises(ComputationError):
+        compute_feature(df, "this is not sql or python", "entity")
