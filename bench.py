@@ -110,6 +110,10 @@ EXTRAS = [
     "q_dedup_canonical",
     "q_graph_bfs",
     "q_media_frames",
+    "q_build_vocab",
+    "q_inverted_index",
+    "q_bm25",
+    "q_mad_outliers",
 ]
 
 

@@ -5715,3 +5715,144 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return mixture_temperature_weights(d, "lang", alpha=0.3)
+
+
+@query(
+    "q_build_vocab",
+    r"""
+    WITH t AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS term
+      FROM documents
+    ),
+    c AS (SELECT term, COUNT(*) AS n FROM t GROUP BY term ORDER BY n DESC, term LIMIT 500)
+    SELECT term, CAST(n AS BIGINT) AS n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) - 1 AS BIGINT) AS token_id
+    FROM c
+    """,
+)
+def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training vocabulary (operators/text.py build_vocab): the
+    top-500 terms by corpus frequency with contiguous deterministic ids.
+    One count aggregation + distributed top-k (TakeOrderedAndProject); the
+    only unpartitioned window ranks the 500-row survivor frame."""
+    from ..operators.text import build_vocab
+
+    d = load_table(spark, sf_dir, "documents")
+    return build_vocab(d, "text", "doc_id", vocab_size=500)
+
+
+@query(
+    "q_inverted_index",
+    r"""
+    WITH pairs AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))) AS term
+      FROM documents
+    ),
+    d AS (
+      SELECT term, COUNT(*) AS df FROM pairs GROUP BY term
+      HAVING COUNT(*) BETWEEN 2 AND 390
+    )
+    SELECT p.term, CAST(d.df AS BIGINT) AS df,
+           string_agg(CAST(p.doc_id AS VARCHAR), ',' ORDER BY p.doc_id) AS postings
+    FROM pairs p JOIN d ON p.term = d.term
+    GROUP BY p.term, d.df
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-frequency inverted index (operators/text.py inverted_index,
+    2 ≤ df ≤ 390 — the band between singleton noise and the stop-word
+    head of this corpus): document frequency computed on cheap (term, doc) pairs
+    FIRST, band filter applied to the aggregate, and only surviving terms'
+    postings materialized via semi join — a stop-word's corpus-sized
+    postings array is never built just to be discarded."""
+    from ..operators.text import inverted_index
+
+    d = load_table(spark, sf_dir, "documents")
+    return inverted_index(d, "text", "doc_id", min_df=2, max_df=390)
+
+
+@query(
+    "q_bm25",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS term
+      FROM documents
+    ),
+    hits AS (SELECT doc_id, term FROM toks WHERE term IN ('spark', 'join', 'window')),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM hits GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY term),
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    dl AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS dl
+      FROM documents
+    ),
+    a AS (SELECT ROUND(AVG(dl), 6) AS avgdl FROM dl),
+    idf AS (
+      SELECT term, ROUND(LN(1 + (nd.n - df + 0.5) / (df + 0.5)), 6) AS idf
+      FROM dfreq CROSS JOIN nd
+    ),
+    part AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(idf.idf * (tf.tf * 2.2) /
+                        (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / a.avgdl)), 6)
+                  AS DECIMAL(18,6)) AS part
+      FROM tf JOIN idf ON tf.term = idf.term
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN a
+    )
+    SELECT doc_id, CAST(SUM(part) AS DOUBLE) AS bm25
+    FROM part GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 (operators/text.py bm25_rank) for the query bag
+    {spark, join, window}: the classical sparse first-stage retriever.
+    idf/avgdl/per-term partials round to 6 dp before a DECIMAL per-doc
+    sum (order-independent — bit-identical to the oracle); the final
+    top-k is TakeOrderedAndProject, never a corpus window."""
+    from ..operators.text import bm25_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_rank(d, ["spark", "join", "window"], "text", "doc_id", top_k=10)
+
+
+@query(
+    "q_mad_outliers",
+    """
+    WITH med AS (
+      SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS med
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    dev AS (
+      SELECT l.l_returnflag, abs(l.l_extendedprice - m.med) AS absdev, m.med
+      FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    ),
+    mad AS (
+      SELECT l_returnflag, ANY_VALUE(med) AS med,
+             ROUND(quantile_cont(absdev, 0.5), 4) AS mad
+      FROM dev GROUP BY l_returnflag
+    )
+    SELECT d.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ANY_VALUE(m.med) AS median_v,
+           ANY_VALUE(m.mad) AS mad_v,
+           CAST(SUM(CASE WHEN d.absdev > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(CAST(SUM(CASE WHEN d.absdev > 3.0 * m.mad THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS outlier_frac
+    FROM dev d JOIN mad m ON d.l_returnflag = m.l_returnflag
+    GROUP BY d.l_returnflag
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust median/MAD outlier gate per return flag (operators/quality.py
+    mad_outliers, k=3): two grouped exact-percentile aggregations with
+    broadcast joins back — heavy-tail-safe where a mean±kσ gate is not.
+    Medians round to 4 dp before the deviation pass so the interpolated
+    midpoint matches quantile_cont bit-for-bit."""
+    from ..operators.quality import mad_outliers
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    return mad_outliers(li, "l_extendedprice", ["l_returnflag"], k=3.0)

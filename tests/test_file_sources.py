@@ -95,3 +95,22 @@ def test_text_source_line_and_whole_file(spark, tmp_path):
         "line one\nline two\n",
         "solo\n",
     ]
+
+
+def test_records_source_typed_and_inferred(spark):
+    """JSON-record ingestion parity with the reference's
+    pd.DataFrame(request.data): typed when a schema is declared, inferred
+    otherwise."""
+    from pyspark.sql import types as T
+
+    from feature_store_implementation_spark.sources.tables import records_source
+
+    recs = [{"id": 1, "amount": 2.5}, {"id": 2, "amount": 3.5}]
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("amount", T.DoubleType())]
+    )
+    typed = records_source(spark, recs, schema)
+    assert [f.dataType.simpleString() for f in typed.schema.fields] == ["bigint", "double"]
+    assert typed.count() == 2
+    inferred = records_source(spark, recs)
+    assert {r["id"] for r in inferred.collect()} == {1, 2}

@@ -88,3 +88,23 @@ def test_hll_state_merge_equals_full_recompute(spark):
     for g in exact:
         assert abs(got[g] - exact[g]) <= max(0.05 * exact[g], 2)
         assert abs(want[g] - exact[g]) <= max(0.05 * exact[g], 2)
+
+
+def test_merge_changes_cdc_semantics(spark):
+    """MERGE without Delta: inserts append, updates replace, deletes drop,
+    untouched keys pass through; unknown op codes fail the job."""
+    import pytest as _pytest
+
+    from feature_store_implementation_spark.operators.incremental import merge_changes
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", "U"), (3, None, "D"), (4, "d", "I")], "id long, v string, op string"
+    )
+    got = {r["id"]: r["v"] for r in merge_changes(base, changes, ["id"]).collect()}
+    assert got == {1: "a", 2: "B", 4: "d"}  # 3 deleted, 2 updated, 4 inserted
+    bad = spark.createDataFrame([(1, "x", "Z")], "id long, v string, op string")
+    with _pytest.raises(Exception, match="unknown op"):
+        merge_changes(base, bad, ["id"]).collect()
