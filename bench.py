@@ -172,6 +172,14 @@ def main() -> None:
     timings = {name: median(samples[name]) for name in names}
     spread = {name: [min(samples[name]), max(samples[name])] for name in names}
     extra_timings = {name: run(name) for name in extras}
+    # Adaptive re-time: extras normally run once, but a single sample on a
+    # loaded 32-core box has ±25% noise — r3's three "regressed" extras all
+    # re-timed back under their old numbers. Anything slow enough to draw a
+    # verdict (>1s) earns a second run; keep the min (load spikes only ever
+    # add time).
+    for name, t in list(extra_timings.items()):
+        if t > 1.0:
+            extra_timings[name] = min(t, run(name))
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
