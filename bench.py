@@ -114,6 +114,7 @@ EXTRAS = [
     "q_inverted_index",
     "q_bm25",
     "q_mad_outliers",
+    "q_token_count_bpe",
 ]
 
 

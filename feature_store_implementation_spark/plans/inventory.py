@@ -5718,6 +5718,35 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_token_count_bpe",
+    r"""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenizer piece counting with a GPT-2-style BPE pre-split regex
+    (contraction suffixes, space-prefixed letter runs, digit runs,
+    punctuation runs) next to the whitespace count — the cheap token-budget
+    estimator a corpus pipeline runs before committing to a real tokenizer
+    pass. Pure regexp expressions, map-only; the pattern avoids lookaheads
+    so Java regex (Spark) and RE2 (DuckDB) agree piece-for-piece."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..functions.textfns import tokens_col
+
+    pat = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+    return d.select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+@query(
     "q_build_vocab",
     r"""
     WITH t AS (
