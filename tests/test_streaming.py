@@ -247,3 +247,37 @@ def test_streaming_heavy_hitters_candidates_cover_batch_exact(spark, events_dir,
     }
     assert exact  # the corpus has heavy event types at k=10
     assert exact <= candidates
+
+
+def test_streaming_corpus_gates_equal_batch(spark, tmp_path):
+    """The LLM-pipeline text gates (quality, lang-id, token stats, PII) are
+    row-local expressions, so the SAME operator functions must produce
+    identical per-doc results when the corpus arrives as a stream — the
+    ingest-time filtering mode of a production corpus pipeline."""
+    from feature_store_implementation_spark.operators.text import (
+        language_id,
+        pii_redact,
+        quality_score,
+        text_stats,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "docs_in")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+
+    for i, op in enumerate((quality_score, language_id, text_stats, pii_redact)):
+        batch_rows = {tuple(r) for r in op(docs).collect()}
+        out = str(tmp_path / f"out{i}")
+        q = (
+            op(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"gate{i}")
+            .option("checkpointLocation", str(tmp_path / f"ckpt{i}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        stream_rows = {tuple(r) for r in spark.table(f"gate{i}").collect()}
+        assert stream_rows == batch_rows, op.__name__
