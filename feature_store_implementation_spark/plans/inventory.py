@@ -4917,8 +4917,8 @@ def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            n_rows("l_quantity").alias("n"),
-            ln_fixed_sum("l_quantity").alias("s"),
+            n_rows()("l_quantity").alias("n"),
+            ln_fixed_sum()("l_quantity").alias("s"),
         )
         .select(
             "l_returnflag",
@@ -4949,7 +4949,7 @@ def q_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.pandas_udfs import price_feature
 
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
-    return o.select("o_orderkey", price_feature("o_totalprice").alias("price_feature"))
+    return o.select("o_orderkey", price_feature()("o_totalprice").alias("price_feature"))
 
 
 @query(
