@@ -2475,13 +2475,25 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal decode pipeline (rows-only): text bytes stand in for
     opaque media blobs; mapInPandas runs the (stubbed) decoder per Arrow
     batch producing typed features — checksum parity with q_media_metadata
-    is asserted in tests/test_multimodal.py."""
+    is asserted in tests/test_multimodal.py.
+
+    The library keeps the typed ``feature: array<float>`` column
+    (operators/multimodal.py FEATURE_SCHEMA); the *query* output JSON-encodes
+    it so every column is scalar — the driver's rows-only canonicalization
+    sorts all columns through pandas and cannot hash list cells."""
     from ..operators.multimodal import decode_media_features
 
     d = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("content")
     )
-    return decode_media_features(d, content_col="content", id_col="media_id")
+    feats = decode_media_features(d, content_col="content", id_col="media_id")
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "sha256",
+        "crc32",
+        F.to_json(F.col("feature")).alias("feature_json"),
+    )
 
 
 @query(

@@ -76,3 +76,22 @@ def test_approx_quantiles_within_rank_error_of_exact(spark):
     for flag, a in approx.items():
         for ap, ex in (("ap25", "p25"), ("ap50", "p50"), ("ap75", "p75")):
             assert abs(a[ap] - exact[flag][ex]) <= 2.0, (flag, ap)
+
+
+def test_no_oracle_queries_emit_only_scalar_columns(spark):
+    """Driver-canon safety (VERDICT-r4 #3): the driver sorts EVERY output
+    column through pandas even for rows-only queries, and Array/Map/Struct
+    cells crash it (`unhashable type: 'list'` — q_media_decode, r4). Assert
+    every no-oracle query's schema is scalar-only so that failure class is
+    structurally extinct."""
+    from pyspark.sql import types as T
+
+    no_oracle = [s for s in inv.SPECS.values() if s.oracle is None]
+    assert no_oracle, "expected at least one rows-only query"
+    bad = []
+    for spec in no_oracle:
+        schema = spec.fn(spark, SF).schema
+        for field in schema.fields:
+            if isinstance(field.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                bad.append(f"{spec.name}.{field.name}: {field.dataType.simpleString()}")
+    assert not bad, f"complex-typed output columns break driver canon: {bad}"

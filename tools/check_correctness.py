@@ -72,6 +72,21 @@ def main() -> int:
             n_fail += 1
             continue
         if name not in oracles:
+            # The driver still canonicalizes no-oracle outputs (sorts every
+            # column through pandas) before recording rows — an Array/Map/
+            # Struct column crashes it there (`unhashable type: 'list'`,
+            # CORRECTNESS_r04 q_media_decode). Mirror that so local green
+            # predicts driver green.
+            try:
+                if len(sdf.columns):
+                    # raw-column sort, exactly like the driver's _canon —
+                    # normalize() stringifies first and would mask the crash
+                    sdf.sort_values(by=list(sdf.columns), kind="mergesort")
+                value_hash(normalize(sdf))
+            except Exception as e:
+                print(f"FAIL  {name}: rows-only canon error: {type(e).__name__}: {e}")
+                n_fail += 1
+                continue
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rowsonly += 1
             continue
