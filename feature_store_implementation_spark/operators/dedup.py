@@ -273,7 +273,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     candidates: str = "shingle",
-    max_posting: int | None = None,
+    max_posting: int | None = 10000,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard pairs above ``threshold``.
 
@@ -284,11 +284,15 @@ def ngram_jaccard_pairs(
       come from an equi-join of the exploded (block, shingle) posting
       lists — EXACT, and never compares two documents with disjoint
       shingle sets. The shuffle is keyed on the shingle, so hot shingles
-      parallelize across reducers instead of melting one task. Optional
-      ``max_posting`` drops shingles whose posting list exceeds the cap
-      (stopword-shingle armor at corpus scale; makes the result
-      approximate — qualifying pairs whose ONLY shared shingles are
-      capped ones are lost).
+      parallelize across reducers instead of melting one task.
+      ``max_posting`` (default 10000, mirroring ``max_bucket`` in the
+      MinHash/SimHash/embedding paths) drops shingles whose posting list
+      exceeds the cap — stopword-shingle armor at corpus scale, since an
+      uncapped posting list of length p emits p²/2 candidate pairs.
+      Below the cap the result is EXACT; above it, approximate —
+      qualifying pairs whose ONLY shared shingles are capped ones are
+      lost (route such corpora through MinHash verify, or pass
+      ``max_posting=None`` to force the unbounded exact join).
     * ``"block"`` — all pairs inside each ``block_col`` group (quadratic
       inside blocks; only for small, selective blocks or oracle parity).
 

@@ -1223,7 +1223,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``candidates="shingle"``): a qualifying pair must share ≥1 shingle, so
     the plan joins posting lists on (lang, shingle) — never an all-pairs
     join inside a language, yet bit-identical to the oracle's quadratic
-    formulation (the equivalence is exact, not approximate)."""
+    formulation. The default ``max_posting=10000`` cap is far above any
+    posting list at oracle scale (≤ corpus size: 500 docs at sf0.01,
+    5000 at sf0.1), so the equivalence stays exact here; the cap only
+    bites at corpus scale, where it is the stopword-shingle armor."""
     from ..operators.dedup import ngram_jaccard_pairs
 
     d = load_table(spark, sf_dir, "documents")

@@ -515,6 +515,44 @@ def test_ngram_max_posting_caps_hot_shingles(spark):
     assert len(full) == 8 * 7 // 2
 
 
+def test_ngram_default_posting_cap_is_bounded(spark):
+    """VERDICT-r4 #2: no dedup-family code path may generate pairs from an
+    unbounded group BY DEFAULT. The signature default must be a finite cap
+    (mirroring max_bucket in the MinHash/SimHash/embedding paths)."""
+    import inspect
+
+    default = inspect.signature(ngram_jaccard_pairs).parameters["max_posting"].default
+    assert default is not None and default <= 100_000
+
+
+def test_ngram_pathological_stopword_shingle(spark):
+    """Pathological-shingle case (mirrors the simhash max_bucket test): one
+    stopword 3-gram appears in EVERY doc; with the cap below corpus size,
+    pair generation from that posting list is suppressed, but true near-dup
+    pairs still surface through their distinctive shared shingles — and the
+    reported jaccard stays EXACT (computed on full shingle sets, not the
+    surviving postings)."""
+    stop = "of the and"
+    near_a = f"{stop} quick brown fox jumps high"
+    near_b = f"{stop} quick brown fox jumps far"
+    rows = [(0, near_a), (1, near_b)] + [
+        (i, f"{stop} unique{i} filler{i} tail{i} pad{i}") for i in range(2, 12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.3, max_posting=5).collect()
+    }
+    # the only surviving pair is the true near-dup, found via its
+    # distinctive "quick brown fox" shingles despite the capped stopword one
+    assert set(got) == {(0, 1)}
+    truth = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.3, max_posting=None).collect()
+    }
+    assert got[(0, 1)] == truth[(0, 1)]
+
+
 # ---------------------------------------------------------------------------
 # line_dedup (VERDICT r3 item 4 + ADVICE)
 # ---------------------------------------------------------------------------
