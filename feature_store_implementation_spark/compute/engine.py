@@ -28,12 +28,19 @@ with five forms, in decreasing Catalyst visibility:
 5. **Distributed pandas program** — prefix ``pandas_by_entity:``: the
    same exec contract applied per entity group via Arrow-batched
    ``applyInPandas`` (``df`` = that entity's rows; ``result`` must reduce
-   to one value). Scales to any corpus because no group ever leaves the
-   executors.
+   to one NUMERIC value — the output is typed ``value double``, so
+   integers narrow to double and non-numeric results raise; use form 4
+   for dtype-preserving non-numeric results). Scales to any corpus
+   because no group ever leaves the executors.
 
-Migration fallback: an UNPREFIXED string that fails SQL analysis but
-assigns ``result`` is treated as form 4 — payloads written for the
-upstream service run unmodified.
+Migration fallback (OPT-IN): an UNPREFIXED string that fails SQL analysis
+but assigns ``result`` can be treated as form 4, so payloads written for
+the upstream service run unmodified — but only when explicitly enabled
+(``allow_unprefixed_programs=True`` per call, or the module-level
+``UNPREFIXED_PROGRAM_FALLBACK`` switch). Off by default: silently routing
+failed SQL into driver-side ``exec`` would turn the declared-SQL surface
+into arbitrary Python execution and mask the real analysis error (e.g. a
+typo'd aggregate over a column literally named ``result``).
 
 All forms return a two-column DataFrame ``(entity_id: string, value: <typed>)``
 — the Spark equivalent of the reference's entity-indexed Series
@@ -53,6 +60,11 @@ TRANSFORMS: dict[str, Callable[[DataFrame, str], DataFrame]] = {}
 # Row cap for the driver-side ``pandas:`` compatibility form. Programs over
 # larger inputs must use the aggregate/row/transform/pandas_by_entity forms.
 PANDAS_EXEC_MAX_ROWS = 2_000_000
+
+# Migration switch: when True, an unprefixed computation_logic that fails SQL
+# analysis but assigns ``result`` falls back to the reference exec contract.
+# Off by default — see the module docstring.
+UNPREFIXED_PROGRAM_FALLBACK = False
 
 
 def _exec_pandas_program(pdf, program: str, allow_scalar: bool = False):
@@ -88,15 +100,22 @@ def _exec_pandas_program(pdf, program: str, allow_scalar: bool = False):
 
 def _reference_program(df: DataFrame, program: str) -> DataFrame:
     """Driver-side reference-contract execution (the ``pandas:`` form and
-    the unprefixed-program fallback): bounded collect, exec, Series back
-    to a (entity_id, value) DataFrame."""
-    if df.count() > PANDAS_EXEC_MAX_ROWS:
+    the opt-in unprefixed-program fallback): bounded collect, exec, Series
+    back to a (entity_id, value) DataFrame. One materialization only —
+    ``limit(cap + 1)`` both enforces the cap and is the collect."""
+    pdf = df.limit(PANDAS_EXEC_MAX_ROWS + 1).toPandas()
+    if len(pdf) > PANDAS_EXEC_MAX_ROWS:
         raise ComputationError(
             f"pandas programs are capped at {PANDAS_EXEC_MAX_ROWS} rows — "
             "use the aggregate/transform/pandas_by_entity forms at scale"
         )
-    series = _exec_pandas_program(df.toPandas(), program)
+    series = _exec_pandas_program(pdf, program)
     out = series.rename_axis("entity_id").reset_index(name="value")
+    if len(out) == 0:
+        # createDataFrame cannot infer a schema from an empty frame; the
+        # value type is unknowable here, so default the empty result to the
+        # numeric contract used by pandas_by_entity
+        return df.sparkSession.createDataFrame([], "entity_id string, value double")
     return df.sparkSession.createDataFrame(out).select(
         F.col("entity_id").cast("string"), "value"
     )
@@ -123,12 +142,19 @@ def _entity_col(df: DataFrame, entity_id_column: str) -> Column:
 
 
 def compute_feature(
-    df: DataFrame, computation_logic: str, entity_id_column: str = "id"
+    df: DataFrame,
+    computation_logic: str,
+    entity_id_column: str = "id",
+    allow_unprefixed_programs: bool | None = None,
 ) -> DataFrame:
     """Evaluate ``computation_logic`` against ``df`` → (entity_id, value).
 
     Mirrors compute.py:9-58's contract: exactly one value column, keyed by
-    entity; anything else raises :class:`ComputationError`."""
+    entity; anything else raises :class:`ComputationError`.
+
+    ``allow_unprefixed_programs`` enables the migration fallback (unprefixed
+    reference pandas programs); ``None`` defers to the module-level
+    ``UNPREFIXED_PROGRAM_FALLBACK`` switch (default off)."""
     logic = computation_logic.strip()
     entity = _entity_col(df, entity_id_column)
     try:
@@ -158,10 +184,25 @@ def compute_feature(
                         "pandas_by_entity: program must reduce each entity "
                         f"group to one value, got {len(series)}"
                     )
+                # the distributed form's contract is (entity_id string,
+                # value double): results must be numeric and integers
+                # narrow to double — non-numeric results (strings, bools,
+                # timestamps) need the driver-side 'pandas:' form, which
+                # preserves the result dtype
+                raw = series.iloc[0]
+                try:
+                    val = float(raw)
+                except (TypeError, ValueError) as e:
+                    raise ComputationError(
+                        "pandas_by_entity: contract is (entity_id string, "
+                        f"value double) but the program produced a "
+                        f"non-numeric {type(raw).__name__} ({raw!r}); use "
+                        "the 'pandas:' form for non-numeric results"
+                    ) from e
                 return pd.DataFrame(
                     {
                         "entity_id": [str(pdf[ent_name].iloc[0])],
-                        "value": [float(series.iloc[0])],
+                        "value": [val],
                     }
                 )
 
@@ -172,21 +213,45 @@ def compute_feature(
             expr = logic[len("row:") :].strip()
             return df.select(entity.alias("entity_id"), F.expr(expr).alias("value"))
         # default: aggregate expression per entity; if the string isn't SQL
-        # but looks like a reference pandas program (assigns `result`),
-        # fall back to the reference exec contract so payloads written for
-        # the upstream service run unmodified
+        # but looks like a reference pandas program (assigns `result`) AND
+        # the migration fallback is enabled, fall back to the reference
+        # exec contract so payloads written for the upstream service run
+        # unmodified
         try:
             out = df.groupBy(entity.alias("entity_id")).agg(
                 F.expr(logic).alias("value")
             )
             out.schema  # force parse/analysis eagerly (lazy in Spark 4)
             return out
-        except Exception:
+        except Exception as sql_err:
             import re as _re
 
-            if _re.search(r"\bresult\s*=", logic):
+            if not _re.search(r"\bresult\s*=", logic):
+                raise
+            enabled = (
+                UNPREFIXED_PROGRAM_FALLBACK
+                if allow_unprefixed_programs is None
+                else allow_unprefixed_programs
+            )
+            if not enabled:
+                raise ComputationError(
+                    f"Computation failed: {sql_err}. The logic is not valid "
+                    "SQL but assigns 'result' like a reference pandas "
+                    "program — use the explicit 'pandas:' prefix, or enable "
+                    "the migration fallback (allow_unprefixed_programs=True)"
+                ) from sql_err
+            try:
                 return _reference_program(df, logic)
-            raise
+            except ComputationError:
+                raise
+            except Exception as exec_err:
+                # surface BOTH causes: the program path failed and the
+                # original SQL analysis error stays chained so a typo'd
+                # aggregate over a column named 'result' is diagnosable
+                raise ComputationError(
+                    f"Computation failed as SQL ({sql_err}) and as an "
+                    f"unprefixed pandas program ({exec_err})"
+                ) from sql_err
     except ComputationError:
         raise
     except Exception as e:  # analysis errors → ComputationError (main.py:202-206)

@@ -71,8 +71,24 @@ def curate_corpus(
     tokens drop). ``eval_df`` anti-joins away documents sharing any
     ``decontaminate_ngram``-gram with the held-out benchmark set, after
     dedup (so decontamination never resurrects a near-duplicate).
-    ``sample_fraction`` applies the content-hash sampler last."""
-    n_input = docs.count()
+    ``sample_fraction`` applies the content-hash sampler last.
+
+    Precondition: ``id_col`` must be unique and non-null. Duplicate ids
+    would fan out multiplicatively in the quality/language joins and, with
+    ``strip_boilerplate``, be collapsed by ``line_dedup`` then re-expanded
+    by the metadata re-join — so they are rejected up front (checked in
+    the same action that counts the input)."""
+    id_stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("n_ids"),
+    ).collect()[0]
+    n_input = id_stats["n"]
+    if id_stats["n_ids"] != n_input:
+        raise ValueError(
+            f"curate_corpus requires unique non-null '{id_col}' values: "
+            f"{n_input} rows but {id_stats['n_ids']} distinct ids — "
+            f"dedup ids first (e.g. docs.dropDuplicates(['{id_col}']))"
+        )
 
     if strip_boilerplate:
         cleaned = line_dedup(

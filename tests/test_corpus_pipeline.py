@@ -80,3 +80,20 @@ def test_pipeline_optional_stages(spark, sf_small):
     assert out.filter(F.col("text").contains("== banner ==")).count() == 0
     # decontamination dropped at least the overlapping eval docs
     assert rep.n_after_decontamination < rep.n_after_dedup
+
+
+def test_duplicate_ids_rejected_up_front(spark):
+    """ADVICE r4: duplicate doc_ids would fan out in the quality/language
+    joins and round-trip wrongly through strip_boilerplate; curate_corpus
+    enforces the unique-id precondition instead of silently multiplying."""
+    import pytest
+
+    from feature_store_implementation_spark.pipelines.corpus import curate_corpus
+
+    df = spark.createDataFrame(
+        [(1, "good text one two three"), (1, "dup id different text"),
+         (2, "another fine document here")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="unique non-null 'doc_id'"):
+        curate_corpus(df, min_quality=0.0)

@@ -352,18 +352,20 @@ def test_pandas_by_entity_distributed_matches_aggregate(spark):
 
 def test_unprefixed_reference_program_runs_unmodified(spark):
     """A payload written for the upstream service — a bare pandas program
-    with no form prefix — must run via the fallback: not valid SQL, but it
-    assigns `result`, so it routes through the reference exec contract."""
+    with no form prefix — runs via the MIGRATION fallback when explicitly
+    enabled: not valid SQL, but it assigns `result`, so it routes through
+    the reference exec contract."""
     from feature_store_implementation_spark.compute.engine import compute_feature
     from feature_store_implementation_spark.errors import ComputationError
 
     df = spark.createDataFrame(
         [("a", 1.0), ("a", 2.0), ("b", 10.0)], "entity string, amount double"
     )
+    prog = "result = df.groupby('entity')['amount'].sum()"
     out = {
         r["entity_id"]: r["value"]
         for r in compute_feature(
-            df, "result = df.groupby('entity')['amount'].sum()", "entity"
+            df, prog, "entity", allow_unprefixed_programs=True
         ).collect()
     }
     assert out == {"a": 3.0, "b": 10.0}
@@ -372,3 +374,73 @@ def test_unprefixed_reference_program_runs_unmodified(spark):
 
     with _pytest.raises(ComputationError):
         compute_feature(df, "this is not sql or python", "entity")
+
+
+def test_unprefixed_fallback_is_opt_in(spark):
+    """ADVICE r4: without the explicit opt-in, an unprefixed program must
+    NOT silently route into driver-side exec — it raises, naming the
+    'pandas:' prefix, with the original SQL analysis error chained. And a
+    SQL-looking string over a column literally named 'result' surfaces the
+    Spark analysis error, not a confusing Python exec error."""
+    import pytest as _pytest
+
+    from feature_store_implementation_spark.compute import engine
+    from feature_store_implementation_spark.errors import ComputationError
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)], "entity string, amount double"
+    )
+    prog = "result = df.groupby('entity')['amount'].sum()"
+    assert engine.UNPREFIXED_PROGRAM_FALLBACK is False
+    with _pytest.raises(ComputationError, match="pandas:") as exc:
+        engine.compute_feature(df, prog, "entity")
+    assert exc.value.__cause__ is not None  # SQL analysis error chained
+    # module-level switch restores migration behavior
+    engine.UNPREFIXED_PROGRAM_FALLBACK = True
+    try:
+        out = {
+            r["entity_id"]: r["value"]
+            for r in engine.compute_feature(df, prog, "entity").collect()
+        }
+        assert out == {"a": 3.0, "b": 10.0}
+    finally:
+        engine.UNPREFIXED_PROGRAM_FALLBACK = False
+    # typo'd SQL mentioning a real column named result: the analysis error
+    # must be the visible cause even with the fallback enabled
+    df2 = df.withColumnRenamed("amount", "result")
+    with _pytest.raises(ComputationError) as exc2:
+        engine.compute_feature(
+            df2, "SUM(CASE WHEN result = 1 THEN 1 END", "entity",
+            allow_unprefixed_programs=True,
+        )
+    assert "as SQL" in str(exc2.value) or exc2.value.__cause__ is not None
+
+
+def test_pandas_by_entity_non_numeric_result_raises(spark):
+    """ADVICE r4: the distributed form's (entity_id, value double) contract
+    is explicit — a string result raises a ComputationError-worded message
+    instead of an opaque float() crash."""
+    import pytest as _pytest
+
+    from feature_store_implementation_spark.compute.engine import compute_feature
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", "y")], "entity string, label string"
+    )
+    with _pytest.raises(Exception, match="non-numeric"):
+        compute_feature(
+            df, "pandas_by_entity:result = df['label'].head(1)", "entity"
+        ).collect()
+
+
+def test_reference_program_empty_input(spark):
+    """ADVICE r4: empty input (or a program yielding an empty Series) must
+    not die in createDataFrame schema inference."""
+    from feature_store_implementation_spark.compute.engine import compute_feature
+
+    df = spark.createDataFrame([], "entity string, amount double")
+    out = compute_feature(
+        df, "pandas:result = df.groupby('entity')['amount'].sum()", "entity"
+    )
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["entity_id", "value"]
