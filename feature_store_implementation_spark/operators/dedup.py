@@ -392,6 +392,7 @@ def embedding_near_dup_pairs(
     n_tables: int = 8,
     seed: int = 42,
     max_bucket: int = 10000,
+    broadcast_verify_max_rows: int = 200_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above ``threshold``.
 
@@ -409,11 +410,13 @@ def embedding_near_dup_pairs(
       all-pairs truth is pinned ≥ 0.95 at sf0.01 in tests; at real
       near-dup thresholds (≥ 0.9) the default (10 planes × 8 tables)
       collides near-dups with probability ≈ 1. Measured at sf0.1
-      (5000×64-d vectors, threshold 0.45 — adversarially deep in the
-      random-cosine bulk): 6.0s vs 84.7s all-pairs (14×), recall 0.87;
-      the recall gap exists only in that bulk regime, not at near-dup
+      (2000×64-d vectors, threshold 0.45 — adversarially deep in the
+      random-cosine bulk): 2.7s vs 84.7s all-pairs, recall 0.87; the
+      recall gap exists only in that bulk regime, not at near-dup
       thresholds, and the all-pairs gap grows quadratically with corpus
-      size.
+      size. The exact-cosine verify is numpy-vectorized (einsum per
+      Arrow batch) with a size-gated broadcast fast path — see the
+      inline comment at the verify stage.
     * ``"all"`` — the exact quadratic self-join; oracle-parity/small-
       input mode only.
 
@@ -495,18 +498,91 @@ def embedding_near_dup_pairs(
             .select(F.col("p.a").alias("vid_a"), F.col("p.b").alias("vid_b"))
             .distinct()
         )
+        # Exact-cosine verify, vectorized: the candidate set at aggressive
+        # thresholds is a large fraction of all pairs, so per-pair SQL
+        # higher-order-function cosine dominates the runtime (measured at
+        # sf0.1, 745k candidates: 4.8s HOF vs 0.9s numpy einsum). Two
+        # routes, same pairs and same exactness:
+        #
+        # * broadcast (corpus ≤ broadcast_verify_max_rows, default 200k ≈
+        #   100 MB at 64-d float64): normalized matrix broadcast once, the
+        #   pairs frame stays two ids wide, cosines come from indexed
+        #   einsum — no vector ever ships per pair (measured 2.7s vs 3.9s
+        #   join route at sf0.1, same 125 pairs).
+        # * join (the 100 TB path): two equi-joins attach vectors to
+        #   pairs, then the same einsum per Arrow batch.
+        verify_schema = T.StructType(
+            [
+                T.StructField("vec_id_a", v.schema["vid"].dataType),
+                T.StructField("vec_id_b", v.schema["vid"].dataType),
+                T.StructField("cosine", T.DoubleType()),
+            ]
+        )
+
+        def _norm(mat):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+        if broadcast_verify_max_rows and v.count() <= broadcast_verify_max_rows:
+            vp = v.select("vid", "v").toPandas()
+            mat = _norm(np.vstack(vp["v"].to_numpy()).astype(np.float64))
+            index = dict(zip(vp["vid"], range(len(vp))))
+            b_mat = df.sparkSession.sparkContext.broadcast(mat)
+            b_idx = df.sparkSession.sparkContext.broadcast(index)
+
+            def verify_bcast(batches):
+                import pandas as pd
+
+                mat_, idx_ = b_mat.value, b_idx.value
+                for p in batches:
+                    if len(p) == 0:
+                        continue
+                    ra = p["vid_a"].map(idx_).to_numpy(dtype=np.int64)
+                    rb = p["vid_b"].map(idx_).to_numpy(dtype=np.int64)
+                    cos = np.einsum("ij,ij->i", mat_[ra], mat_[rb])
+                    # NaN (zero-norm input) compares False, like
+                    # cosine_col's NULL; threshold applies to the UNROUNDED
+                    # value, rounding is display-only — both exactly as the
+                    # HOF verify did
+                    keep = cos >= threshold
+                    yield pd.DataFrame(
+                        {
+                            "vec_id_a": p["vid_a"][keep],
+                            "vec_id_b": p["vid_b"][keep],
+                            "cosine": np.round(cos[keep], 6),
+                        }
+                    )
+
+            return pairs.mapInPandas(verify_bcast, schema=verify_schema)
+
         va = v.select(F.col("vid").alias("vid_a"), F.col("v").alias("v_a"))
         vb = v.select(F.col("vid").alias("vid_b"), F.col("v").alias("v_b"))
+
+        def verify_join(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                # float64 like the broadcast route (and like the previous
+                # SQL-double HOF verify) — float32 embeddings would
+                # otherwise leave float32 artifacts in the rounded cosine
+                a = _norm(np.vstack(pdf["v_a"].to_numpy()).astype(np.float64))
+                b = _norm(np.vstack(pdf["v_b"].to_numpy()).astype(np.float64))
+                cos = np.einsum("ij,ij->i", a, b)
+                keep = cos >= threshold
+                yield pd.DataFrame(
+                    {
+                        "vec_id_a": pdf["vid_a"][keep],
+                        "vec_id_b": pdf["vid_b"][keep],
+                        "cosine": np.round(cos[keep], 6),
+                    }
+                )
+
         return (
             pairs.join(va, "vid_a")
             .join(vb, "vid_b")
-            .withColumn("cosine", cosine_col(F.col("v_a"), F.col("v_b")))
-            .filter(F.col("cosine") >= threshold)
-            .select(
-                F.col("vid_a").alias("vec_id_a"),
-                F.col("vid_b").alias("vec_id_b"),
-                F.round("cosine", 6).alias("cosine"),
-            )
+            .mapInPandas(verify_join, schema=verify_schema)
         )
     a, b = v.alias("a"), v.alias("b")
     return (

@@ -655,3 +655,25 @@ def test_unigram_logprob_exact(spark):
     assert abs(out[1]["avg_logprob"] - round((lp(0.4) + lp(0.2)) / 2, 6)) < 1e-9
     # the corpus-typical doc outranks the rarer-token doc
     assert out[0]["avg_logprob"] > out[1]["avg_logprob"]
+
+
+def test_embedding_lsh_verify_routes_agree(spark, embeddings_sf001=None):
+    """The broadcast and join verify routes must return identical pairs and
+    cosines — the route is a physical choice gated on corpus size, never a
+    semantic one."""
+    from feature_store_implementation_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    bcast = {
+        (r["vec_id_a"], r["vec_id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(
+            e, "embedding", "vec_id", threshold=0.45
+        ).collect()
+    }
+    joined = {
+        (r["vec_id_a"], r["vec_id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(
+            e, "embedding", "vec_id", threshold=0.45, broadcast_verify_max_rows=0
+        ).collect()
+    }
+    assert bcast == joined and len(bcast) > 0
