@@ -69,10 +69,10 @@ def pagerank_fixed_point(
     plans across them. The final frame is always checkpointed.
 
     The per-iteration edges⋈ranks join broadcasts the rank frame when
-    \|V\| <= ``broadcast_rank_limit`` (\|V\| is known exactly by then; AQE
+    |V| <= ``broadcast_rank_limit`` (|V| is known exactly by then; AQE
     does not convert this join on its own because the rank side's stats
     are hidden behind the iteration's fresh shuffle) — that removes the
-    per-iteration \|E\| shuffle entirely: edges stay in place, each
+    per-iteration |E| shuffle entirely: edges stay in place, each
     executor gets the ~16-bytes-per-node rank map. Above the limit (a
     billion-node web graph) it degrades to the standard shuffle join on
     the node key, which is the correct layout at that size.

@@ -75,7 +75,13 @@ def _driver_checked_rounds() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         if isinstance(rows, dict):
-            for name in rows:
+            for name, row in rows.items():
+                err = row.get("err") if isinstance(row, dict) else None
+                if err and err != "no_oracle":
+                    # an errored driver row is not verification — leave the
+                    # query's last-checked round alone so it rotates to the
+                    # FRONT of the next window (q_media_decode, r4)
+                    continue
                 latest[name] = max(latest.get(name, 0), rnd)
     return latest
 
