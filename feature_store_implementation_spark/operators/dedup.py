@@ -78,6 +78,7 @@ def minhash_near_dup_pairs(
     bands: int = 8,
     threshold: float = 0.7,
     max_bucket: int = 1000,
+    stage: str = "pairs",
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH.
 
@@ -91,6 +92,11 @@ def minhash_near_dup_pairs(
     s ≈ (1/8)^(1/4) ≈ 0.59 — candidates well below ``threshold`` are cheap
     to verify away; true pairs ≥ 0.7 are found with high probability.
     Returns (doc_id_a, doc_id_b, jaccard) with doc_id_a < doc_id_b.
+
+    ``stage="candidates"`` returns the distinct LSH candidate pairs
+    BEFORE the exact-Jaccard verify — the tuning/scale-audit surface
+    (tools/scale_check.py measures candidates-generated vs
+    pairs-verified growth with corpus size).
     """
     r = k // bands
     sigs = minhash_signatures(df, text_col, id_col, n_shingle, k).cache()
@@ -137,6 +143,8 @@ def minhash_near_dup_pairs(
         .select(F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b"))
         .distinct()
     )
+    if stage == "candidates":
+        return pairs
 
     sh = sigs.select("doc_id", "shingles")
     verified = (
@@ -189,6 +197,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket: int = 10000,
+    stage: str = "pairs",
 ) -> DataFrame:
     """All pairs within Hamming distance ``max_hamming`` of each other's
     SimHash. Pigeonhole banding: split 64 bits into (d+1) bands — any pair
@@ -201,7 +210,10 @@ def simhash_near_dup_pairs(
     band value — would otherwise make candidate generation quadratic. The
     cap trades those pathological buckets' recall for a bounded plan; at
     100 TB the skipped mass is exactly-identical content that
-    :func:`exact_dedup` removes first anyway."""
+    :func:`exact_dedup` removes first anyway.
+
+    ``stage="candidates"`` returns the distinct banded candidate pairs
+    before the bit_count(xor) verify (scale-audit surface)."""
     nb = max_hamming + 1
     width = _SIMHASH_BITS // nb
     sigs = simhash_signatures(df, text_col, id_col).cache()
@@ -249,6 +261,8 @@ def simhash_near_dup_pairs(
         .select(F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b"))
         .distinct()
     )
+    if stage == "candidates":
+        return cands
 
     sg = sigs.select("doc_id", "simhash")
     return (
@@ -274,6 +288,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     candidates: str = "shingle",
     max_posting: int | None = 10000,
+    stage: str = "pairs",
 ) -> DataFrame:
     """Exact word-n-gram Jaccard pairs above ``threshold``.
 
@@ -297,7 +312,11 @@ def ngram_jaccard_pairs(
       inside blocks; only for small, selective blocks or oracle parity).
 
     ``block_col`` ANDs into either route. MinHash is the sub-linear
-    unblocked scale path when exactness isn't required."""
+    unblocked scale path when exactness isn't required.
+
+    ``stage="candidates"`` (shingle route only) returns the distinct
+    shared-shingle candidate pairs before the exact-Jaccard verify
+    (scale-audit surface)."""
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         (F.col(block_col) if block_col else F.lit(1)).alias("block"),
@@ -349,6 +368,8 @@ def ngram_jaccard_pairs(
                 )
                 .distinct()
             )
+        if stage == "candidates":
+            return pairs
         sha = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
         shb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
         return (
@@ -393,6 +414,7 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     max_bucket: int = 10000,
     broadcast_verify_max_rows: int = 200_000,
+    stage: str = "pairs",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above ``threshold``.
 
@@ -421,7 +443,11 @@ def embedding_near_dup_pairs(
       input mode only.
 
     Passing ``block_col`` uses the blocked-quadratic form (exact inside
-    blocks) regardless of ``candidates``."""
+    blocks) regardless of ``candidates``.
+
+    ``stage="candidates"`` (lsh route only) returns the distinct LSH
+    candidate pairs before the exact-cosine verify (scale-audit
+    surface)."""
     v = df.select(
         F.col(id_col).alias("vid"),
         (F.col(block_col) if block_col else F.lit(1)).alias("block"),
@@ -498,6 +524,10 @@ def embedding_near_dup_pairs(
             .select(F.col("p.a").alias("vid_a"), F.col("p.b").alias("vid_b"))
             .distinct()
         )
+        if stage == "candidates":
+            return pairs.select(
+                F.col("vid_a").alias("vec_id_a"), F.col("vid_b").alias("vec_id_b")
+            )
         # Exact-cosine verify, vectorized: the candidate set at aggressive
         # thresholds is a large fraction of all pairs, so per-pair SQL
         # higher-order-function cosine dominates the runtime (measured at

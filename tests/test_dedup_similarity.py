@@ -677,3 +677,41 @@ def test_embedding_lsh_verify_routes_agree(spark, embeddings_sf001=None):
         ).collect()
     }
     assert bcast == joined and len(bcast) > 0
+
+
+def test_candidates_stage_supersets_verified_pairs(spark):
+    """stage="candidates" (the scale-audit surface used by
+    tools/scale_check.py) must return exactly the pre-verify candidate
+    pairs: a superset of the verified output, id-typed two-column schema,
+    a < b ordering."""
+    df = _docs(spark)
+
+    def ids(frame, a, b):
+        rows = frame.select(a, b).collect()
+        assert all(r[a] < r[b] for r in rows)
+        return {(r[a], r[b]) for r in rows}
+
+    for fn, kw in [
+        (minhash_near_dup_pairs, {"threshold": 0.5}),
+        (simhash_near_dup_pairs, {"max_hamming": 3}),
+        (ngram_jaccard_pairs, {"threshold": 0.2}),
+    ]:
+        cands = fn(df, stage="candidates", **kw)
+        assert cands.columns == ["doc_id_a", "doc_id_b"]
+        c = ids(cands, "doc_id_a", "doc_id_b")
+        v = ids(fn(df, stage="pairs", **kw), "doc_id_a", "doc_id_b")
+        assert v <= c, f"{fn.__name__}: verified pairs not within candidates"
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(16)
+    rows = [
+        (0, (base / np.linalg.norm(base)).tolist()),
+        (1, (base / np.linalg.norm(base) + 0.01 * rng.randn(16)).tolist()),
+        (2, rng.randn(16).tolist()),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cands = embedding_near_dup_pairs(e, threshold=0.95, stage="candidates")
+    assert cands.columns == ["vec_id_a", "vec_id_b"]
+    c = ids(cands, "vec_id_a", "vec_id_b")
+    v = ids(embedding_near_dup_pairs(e, threshold=0.95), "vec_id_a", "vec_id_b")
+    assert v <= c

@@ -1,0 +1,211 @@
+"""Scale spot-check for the dedup/similarity family (verdict-r4 item 6).
+
+The 100 TB claims for the near-dup/ANN operators rest on plan shape plus
+sf0.1 timings; this tool measures how candidates-generated, pairs-verified
+and wall time actually GROW with corpus size, by synthesizing N×-scaled
+corpora from sf0.1 in a way that keeps the true near-dup structure linear
+(each replica carries the same intra-replica duplicate clusters; replicas
+are mutually dissimilar, so true pairs scale ~N, not N²):
+
+* embeddings — replica k applies a seeded dimension permutation + sign
+  flip (an orthogonal map: intra-replica cosines are preserved EXACTLY,
+  cross-replica cosines scramble into the random bulk).
+* documents — replica k suffixes a replica tag onto every 4th token
+  (intra-replica shingle overlap ~preserved, cross-replica 3-gram overlap
+  destroyed).
+
+Scaled parquet lands in .scale/x{mult}/ (gitignored). Output: one JSON
+line per (route, mult) with corpus size, candidate count, verified-pair
+count and seconds, then a growth-exponent summary
+(alpha = log(metric_N / metric_1) / log(N); alpha ≈ 1 is linear,
+alpha ≈ 2 would mean the quadratic blow-up the caps exist to prevent).
+
+Usage: python tools/scale_check.py [--mults 1,3,10] [--out .scale]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+ID_STRIDE = 10_000_000
+SF_BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def build_scaled(base_dir: str, out_dir: str, mult: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    docs = pd.read_parquet(os.path.join(base_dir, "documents.parquet"))
+    embs = pd.read_parquet(os.path.join(base_dir, "embeddings.parquet"))
+
+    doc_copies = []
+    for k in range(mult):
+        c = docs.copy()
+        c["doc_id"] = c["doc_id"] + k * ID_STRIDE
+        if k > 0:
+            tag = f"_r{k}"
+            c["text"] = c["text"].map(
+                lambda t: " ".join(
+                    w + tag if i % 4 == 0 else w
+                    for i, w in enumerate(str(t).split())
+                )
+            )
+            c["n_chars"] = c["text"].str.len()
+        doc_copies.append(c)
+    pd.concat(doc_copies, ignore_index=True).to_parquet(
+        os.path.join(out_dir, "documents.parquet"), index=False
+    )
+
+    mat = np.vstack(embs["embedding"].to_numpy()).astype(np.float32)
+    dim = mat.shape[1]
+    emb_copies = []
+    for k in range(mult):
+        c = embs.copy()
+        c["vec_id"] = c["vec_id"] + k * ID_STRIDE
+        if k > 0:
+            rng = np.random.default_rng(1000 + k)
+            perm = rng.permutation(dim)
+            signs = rng.choice(np.array([-1.0, 1.0], dtype=np.float32), dim)
+            scrambled = mat[:, perm] * signs
+            c["embedding"] = list(scrambled)
+        emb_copies.append(c)
+    pd.concat(emb_copies, ignore_index=True).to_parquet(
+        os.path.join(out_dir, "embeddings.parquet"), index=False
+    )
+
+
+def timed_count(df) -> tuple[int, float]:
+    t0 = time.monotonic()
+    n = df.count()
+    return n, time.monotonic() - t0
+
+
+def run_routes(spark, scaled_dir: str, mult: int) -> list[dict]:
+    from feature_store_implementation_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        minhash_near_dup_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_dup_pairs,
+    )
+    from feature_store_implementation_spark.operators.similarity import lsh_topk
+
+    import pyspark.sql.functions as F
+
+    d = spark.read.parquet(os.path.join(scaled_dir, "documents.parquet"))
+    e = spark.read.parquet(os.path.join(scaled_dir, "embeddings.parquet"))
+    n_docs, n_vecs = d.count(), e.count()
+    rows = []
+
+    def route(name, n_corpus, fn):
+        # candidates first (separate job), then the full verified route
+        cands, _ = timed_count(fn(stage="candidates"))
+        pairs, secs = timed_count(fn(stage="pairs"))
+        rows.append(
+            {
+                "route": name,
+                "mult": mult,
+                "corpus_rows": n_corpus,
+                "candidates": cands,
+                "pairs": pairs,
+                "seconds": round(secs, 2),
+            }
+        )
+        print(json.dumps(rows[-1]), flush=True)
+
+    route(
+        "minhash",
+        n_docs,
+        lambda stage: minhash_near_dup_pairs(
+            d, "text", "doc_id", threshold=0.5, stage=stage
+        ),
+    )
+    route(
+        "simhash",
+        n_docs,
+        lambda stage: simhash_near_dup_pairs(
+            d, "text", "doc_id", max_hamming=3, stage=stage
+        ),
+    )
+    route(
+        "ngram_jaccard",
+        n_docs,
+        lambda stage: ngram_jaccard_pairs(
+            d, "text", "doc_id", block_col="lang", n=3, threshold=0.2, stage=stage
+        ),
+    )
+    route(
+        "embedding_lsh",
+        n_vecs,
+        lambda stage: embedding_near_dup_pairs(
+            e, "embedding", "vec_id", threshold=0.45, stage=stage
+        ),
+    )
+
+    # lsh_topk has no candidate stage; time the fixed-query search as the
+    # corpus scales (work should be ~linear in corpus rows)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n, secs = timed_count(lsh_topk(e, q, k=10))
+    rows.append(
+        {
+            "route": "similarity_lsh_topk",
+            "mult": mult,
+            "corpus_rows": n_vecs,
+            "candidates": None,
+            "pairs": n,
+            "seconds": round(secs, 2),
+        }
+    )
+    print(json.dumps(rows[-1]), flush=True)
+    return rows
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mults", default="1,3,10")
+    ap.add_argument("--out", default=".scale")
+    ap.add_argument("--base", default=SF_BASE)
+    args = ap.parse_args()
+    mults = [int(m) for m in args.mults.split(",")]
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scale_check")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    all_rows = []
+    for mult in mults:
+        scaled = os.path.join(args.out, f"x{mult}")
+        build_scaled(args.base, scaled, mult)
+        all_rows.extend(run_routes(spark, scaled, mult))
+
+    lo, hi = mults[0], mults[-1]
+    summary = {}
+    for metric in ("candidates", "pairs", "seconds"):
+        for route in {r["route"] for r in all_rows}:
+            a = next(r for r in all_rows if r["route"] == route and r["mult"] == lo)
+            b = next(r for r in all_rows if r["route"] == route and r["mult"] == hi)
+            if a.get(metric) and b.get(metric) and hi > lo:
+                summary.setdefault(route, {})[f"alpha_{metric}"] = round(
+                    math.log(b[metric] / a[metric]) / math.log(hi / lo), 2
+                )
+    print(json.dumps({"growth_exponents": summary}, indent=2))
+
+
+if __name__ == "__main__":
+    main()
