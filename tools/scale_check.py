@@ -10,9 +10,14 @@ are mutually dissimilar, so true pairs scale ~N, not N²):
 * embeddings — replica k applies a seeded dimension permutation + sign
   flip (an orthogonal map: intra-replica cosines are preserved EXACTLY,
   cross-replica cosines scramble into the random bulk).
-* documents — replica k suffixes a replica tag onto every 4th token
-  (intra-replica shingle overlap ~preserved, cross-replica 3-gram overlap
-  destroyed).
+* documents — replica k suffixes a replica tag onto EVERY token (a
+  bijective vocabulary rename: token-overlap structure inside a replica
+  is preserved exactly, so shingle-Jaccard / MinHash / SimHash relations
+  within each replica mirror the base corpus, while cross-replica token
+  sets are disjoint — zero shared shingles, zero shared unigram
+  features). This models N× more data from disjoint domains with the
+  same internal duplicate rate — the linear-growth null hypothesis the
+  caps are supposed to preserve.
 
 Scaled parquet lands in .scale/x{mult}/ (gitignored). Output: one JSON
 line per (route, mult) with corpus size, candidate count, verified-pair
@@ -51,10 +56,7 @@ def build_scaled(base_dir: str, out_dir: str, mult: int) -> None:
         if k > 0:
             tag = f"_r{k}"
             c["text"] = c["text"].map(
-                lambda t: " ".join(
-                    w + tag if i % 4 == 0 else w
-                    for i, w in enumerate(str(t).split())
-                )
+                lambda t: " ".join(w + tag for w in str(t).split())
             )
             c["n_chars"] = c["text"].str.len()
         doc_copies.append(c)
