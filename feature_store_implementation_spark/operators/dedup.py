@@ -429,6 +429,18 @@ def ngram_jaccard_pairs(
     )
 
 
+def _auto_planes(n_rows: int) -> int:
+    """Sign-LSH signature width for a corpus of ``n_rows``:
+    clamp(ceil(log2 N) + 1, 10, 24). Width growing with log N is what
+    keeps the random-bulk candidate mass ~linear in N (see
+    :func:`embedding_near_dup_pairs`); the clamp floors tiny corpora at
+    the tested 10-bit width and caps at 24 bits, past which recall at
+    fixed n_tables degrades and ``n_tables`` should scale instead."""
+    import math
+
+    return max(10, min(24, math.ceil(math.log2(max(n_rows, 2))) + 1))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -436,7 +448,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     block_col: str | None = None,
     candidates: str = "lsh",
-    n_planes: int = 10,
+    n_planes: int | None = None,
     n_tables: int = 8,
     seed: int = 42,
     max_bucket: int = 10000,
@@ -455,9 +467,24 @@ def embedding_near_dup_pairs(
       (so two vectors collide when their table signature differs in ≤ 2
       bits), capped in-bucket pair generation (``max_bucket``, same
       pattern as :func:`minhash_near_dup_pairs`), exact cosine verify.
-      No unbucketed self-join anywhere. Approximate: recall vs the
-      all-pairs truth is pinned ≥ 0.95 at sf0.01 in tests; at real
-      near-dup thresholds (≥ 0.9) the default (10 planes × 8 tables)
+      No unbucketed self-join anywhere.
+
+      ``n_planes=None`` (default) auto-scales the signature width with
+      the corpus: r = clamp(ceil(log2 N) + 1, 10, 24). This is the LSH
+      sub-quadratic discipline — at fixed width r the random bulk
+      collides with probability ≈ n_tables·C(r,≤2)/2^r, a CONSTANT, so
+      candidate mass grows as N² no matter how the buckets are capped
+      (measured via tools/scale_check.py: 37% of all pairs at r=10,
+      every corpus size). With r ≈ log2 N the same mass is
+      ≈ n_tables·r²/2 · N — linear up to the log² factor — while
+      near-dup recall at real thresholds stays ≈ 1 (per-table ≤2-bit
+      match at cosine 0.9 is ≥ 0.6 for r ≤ 15, and a pair is missed
+      only when ALL 8 tables miss: < 1e-3). Beyond ~10⁷ rows per block,
+      scale ``n_tables`` too (recall at FIXED tables degrades slowly as
+      r grows past ~20).
+
+      Approximate: recall vs the all-pairs truth is pinned ≥ 0.95 at
+      sf0.01 in tests; at real near-dup thresholds (≥ 0.9) the default
       collides near-dups with probability ≈ 1. Measured at sf0.1
       (2000×64-d vectors, threshold 0.45 — adversarially deep in the
       random-cosine bulk): 2.7s vs 84.7s all-pairs, recall 0.87; the
@@ -484,6 +511,10 @@ def embedding_near_dup_pairs(
         import numpy as np
 
         from .similarity import _planes
+
+        n_rows = v.count()
+        if n_planes is None:
+            n_planes = _auto_planes(n_rows)
 
         def mapper(batches):
             import pandas as pd
@@ -580,7 +611,7 @@ def embedding_near_dup_pairs(
             with np.errstate(divide="ignore", invalid="ignore"):
                 return mat / np.linalg.norm(mat, axis=1, keepdims=True)
 
-        if broadcast_verify_max_rows and v.count() <= broadcast_verify_max_rows:
+        if broadcast_verify_max_rows and n_rows <= broadcast_verify_max_rows:
             vp = v.select("vid", "v").toPandas()
             mat = _norm(np.vstack(vp["v"].to_numpy()).astype(np.float64))
             index = dict(zip(vp["vid"], range(len(vp))))

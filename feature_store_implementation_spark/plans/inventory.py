@@ -1318,11 +1318,14 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_embedding_neardup_lsh", None)
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via the default multi-table sign-LSH candidate
-    route (operators/dedup.py embedding_near_dup_pairs): 8 tables × 10-bit
-    signatures, Hamming-1 emission probes, capped in-bucket pair gen, exact
-    cosine verify — no unbucketed self-join anywhere (rows-only check:
-    numpy hyperplanes aren't SQL-expressible; recall ≥ 0.95 vs the
-    all-pairs truth is pinned in tests/test_dedup_similarity.py)."""
+    route (operators/dedup.py embedding_near_dup_pairs): 8 tables of
+    auto-width signatures (r = clamp(ceil(log2 N)+1, 10, 24) — width
+    growing with the corpus is what keeps random-bulk candidate mass
+    ~linear; tools/scale_check.py measured alpha=2.0 at fixed r=10),
+    Hamming-1 emission probes, capped in-bucket pair gen, exact cosine
+    verify — no unbucketed self-join anywhere (rows-only check: numpy
+    hyperplanes aren't SQL-expressible; recall ≥ 0.95 vs the all-pairs
+    truth is pinned in tests/test_dedup_similarity.py)."""
     from ..operators.dedup import embedding_near_dup_pairs
 
     e = load_table(spark, sf_dir, "embeddings")

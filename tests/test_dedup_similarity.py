@@ -715,3 +715,48 @@ def test_candidates_stage_supersets_verified_pairs(spark):
     c = ids(cands, "vec_id_a", "vec_id_b")
     v = ids(embedding_near_dup_pairs(e, threshold=0.95), "vec_id_a", "vec_id_b")
     assert v <= c
+
+
+def test_embedding_lsh_auto_plane_width():
+    """Signature width must grow with corpus size (the sub-quadratic LSH
+    discipline): fixed-width sign-LSH collides a CONSTANT fraction of the
+    random bulk, so candidate mass is N^2 no matter the bucket caps."""
+    from feature_store_implementation_spark.operators.dedup import _auto_planes
+
+    assert _auto_planes(0) == 10
+    assert _auto_planes(500) == 10
+    assert _auto_planes(2000) == 12
+    assert _auto_planes(50_000) == 17
+    assert _auto_planes(10**9) == 24  # capped: scale n_tables past this
+    widths = [_auto_planes(n) for n in (10, 100, 10_000, 10**6, 10**9)]
+    assert widths == sorted(widths)
+
+
+def test_embedding_lsh_auto_width_recall_clustered(spark):
+    """Recall at a REALISTIC near-dup threshold (0.9) with the auto-scaled
+    width on a clustered corpus large enough that the width exceeds the
+    10-bit floor (N=3000 -> r=13). Deterministic planes, fixed seed."""
+    rng = np.random.RandomState(11)
+    rows = []
+    vid = 0
+    for c in range(150):
+        center = rng.randn(32)
+        center /= np.linalg.norm(center)
+        for _ in range(20):
+            v = center + 0.08 * rng.randn(32)
+            rows.append((vid, (v / np.linalg.norm(v)).tolist()))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    truth = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.9, candidates="all"
+        ).collect()
+    }
+    lsh = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in embedding_near_dup_pairs(df, threshold=0.9).collect()
+    }
+    assert lsh <= truth  # exact verify -> no false positives
+    assert len(truth) > 1000
+    assert len(lsh & truth) / len(truth) >= 0.99

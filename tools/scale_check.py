@@ -141,13 +141,18 @@ def run_routes(spark, scaled_dir: str, mult: int) -> list[dict]:
             d, "text", "doc_id", block_col="lang", n=3, threshold=0.2, stage=stage
         ),
     )
-    route(
-        "embedding_lsh",
-        n_vecs,
-        lambda stage: embedding_near_dup_pairs(
-            e, "embedding", "vec_id", threshold=0.45, stage=stage
-        ),
-    )
+    # 0.45 is adversarial: deep in the random-cosine bulk, where even the
+    # TRUE pair count is quadratic (the bulk tail crosses the threshold) —
+    # it stress-tests candidate generation. 0.9 is the realistic near-dup
+    # regime where truth is linear (intra-replica structure only).
+    for thr, name in ((0.45, "embedding_lsh_t045"), (0.9, "embedding_lsh_t090")):
+        route(
+            name,
+            n_vecs,
+            lambda stage, thr=thr: embedding_near_dup_pairs(
+                e, "embedding", "vec_id", threshold=thr, stage=stage
+            ),
+        )
 
     # lsh_topk has no candidate stage; time the fixed-query search as the
     # corpus scales (work should be ~linear in corpus rows)
