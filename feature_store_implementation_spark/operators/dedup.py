@@ -8,7 +8,7 @@ crossJoin. Exact verification runs only inside candidate buckets.
 * :func:`exact_dedup` — hash-groupBy, keep the minimum id per key.
 * :func:`minhash_near_dup_pairs` — word-shingle MinHash signatures → banded
   LSH buckets → exact Jaccard verify within buckets.
-* :func:`simhash_signatures` / :func:`simhash_near_dup_pairs` — 64-bit
+* :func:`simhash_signatures` / :func:`simhash_near_dup_pairs` — 64/128-bit
   SimHash; pigeonhole banding finds all pairs within a Hamming radius.
 * :func:`ngram_jaccard_pairs` — exact n-gram Jaccard within a blocking key
   (small blocks only; the MinHash path is the 100 TB route).
@@ -165,30 +165,59 @@ def minhash_near_dup_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-_SIMHASH_BITS = 64
 
 
-def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash over unigram tokens (count-weighted): explode tokens,
-    hash each once, then 64 conditional sums in ONE aggregation (single
-    shuffle per doc key — no per-bit passes)."""
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 64
+) -> DataFrame:
+    """SimHash over unigram tokens (count-weighted): explode tokens, hash
+    each once per 64-bit word, then ``bits`` conditional sums in ONE
+    aggregation (single shuffle per doc key — no per-bit passes).
+
+    ``bits`` must be a multiple of 64. The default 64 returns the long
+    ``simhash`` column (unchanged contract, word 0 hashed exactly as
+    before); wider fingerprints return ``simhash: array<long>`` of
+    bits/64 words, word w > 0 drawn from an independent ``xxhash64``
+    seeded with w. Wider fingerprints are the corpus-scale path: the
+    pigeonhole bands in :func:`simhash_near_dup_pairs` get bits/(d+1)
+    wide, and random band collisions fall off as 2^-width (at 64 bits /
+    4 bands the 16-bit birthday term makes candidates superlinear past
+    ~10⁶ docs — measured alpha 1.13 in tools/scale_check.py; at 128
+    bits the same bands are 32-wide and the term is negligible to
+    ~10⁹)."""
+    if bits <= 0 or bits % 64:
+        raise ValueError("bits must be a positive multiple of 64")
+    n_words = bits // 64
     toks = df.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).select(
+        "doc_id",
+        *[
+            (F.xxhash64("tok") if w == 0 else F.xxhash64(F.lit(w), "tok")).alias(f"h{w}")
+            for w in range(n_words)
+        ],
+    )
     bit_sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{b}")
-            for b in range(_SIMHASH_BITS)
+                F.when(F.shiftright(f"h{w}", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{w}_{b}")
+            for w in range(n_words)
+            for b in range(64)
         ]
     )
-    sig = None
-    for b in range(_SIMHASH_BITS):
-        bit = (1 << b) if b < 63 else -(1 << 63)  # two's-complement long literal
-        term = F.when(F.col(f"s{b}") > 0, F.lit(bit).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig = term if sig is None else sig.bitwiseOR(term)
-    return bit_sums.select("doc_id", sig.alias("simhash"))
+    words = []
+    for w in range(n_words):
+        sig = None
+        for b in range(64):
+            bit = (1 << b) if b < 63 else -(1 << 63)  # two's-complement long literal
+            term = F.when(F.col(f"s{w}_{b}") > 0, F.lit(bit).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            sig = term if sig is None else sig.bitwiseOR(term)
+        words.append(sig)
+    out = words[0] if n_words == 1 else F.array(*words)
+    return bit_sums.select("doc_id", out.alias("simhash"))
 
 
 def simhash_near_dup_pairs(
@@ -198,6 +227,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     max_bucket: int = 10000,
     stage: str = "pairs",
+    bits: int = 64,
 ) -> DataFrame:
     """All pairs within Hamming distance ``max_hamming`` of each other's
     SimHash. Pigeonhole banding: split 64 bits into (d+1) bands — any pair
@@ -213,23 +243,45 @@ def simhash_near_dup_pairs(
     :func:`exact_dedup` removes first anyway.
 
     ``stage="candidates"`` returns the distinct banded candidate pairs
-    before the bit_count(xor) verify (scale-audit surface)."""
-    nb = max_hamming + 1
-    width = _SIMHASH_BITS // nb
-    sigs = simhash_signatures(df, text_col, id_col).cache()
+    before the bit_count(xor) verify (scale-audit surface).
 
-    def band(col: Column, b: int) -> Column:
-        shift = b * width
-        w = width + (_SIMHASH_BITS % nb if b == nb - 1 else 0)
+    ``bits`` (default 64, multiple of 64 — see
+    :func:`simhash_signatures`) widens the fingerprint; bands become
+    bits/(d+1) wide, so the random band-collision ("birthday") candidate
+    mass falls by 2^-extra_width. Pass 128 past ~10⁶ docs. Each band
+    must fit one 64-bit word: bits/(max_hamming+1) must be ≤ 64."""
+    nb = max_hamming + 1
+    width = bits // nb
+    if width + bits % nb > 64:
+        raise ValueError(
+            "each pigeonhole band must fit in 64 bits: "
+            f"bits={bits} over {nb} bands is {width}+{bits % nb} wide"
+        )
+    n_words = bits // 64
+    sigs = simhash_signatures(df, text_col, id_col, bits).cache()
+    words = (
+        [F.col("simhash")]
+        if n_words == 1
+        else [F.col("simhash")[i] for i in range(n_words)]
+    )
+
+    def band(b: int) -> Column:
+        start = b * width
+        w = width + (bits % nb if b == nb - 1 else 0)
+        i, off = start // 64, start % 64
+        val = F.shiftrightunsigned(words[i], off)
+        avail = 64 - off
+        if w > avail:  # band straddles a word boundary
+            val = val.bitwiseOR(F.shiftleft(words[i + 1], avail))
         mask = F.lit(-1).cast("long") if w >= 64 else F.lit((1 << w) - 1).cast("long")
-        return F.shiftrightunsigned(col, shift).bitwiseAND(mask)
+        return val.bitwiseAND(mask)
 
     banded = sigs.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(b).alias("band"), band(F.col("simhash"), b).alias("bucket"))
+                    F.struct(F.lit(b).alias("band"), band(b).alias("bucket"))
                     for b in range(nb)
                 ]
             )
@@ -265,10 +317,17 @@ def simhash_near_dup_pairs(
         return cands
 
     sg = sigs.select("doc_id", "simhash")
+    if n_words == 1:
+        hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    else:
+        hamming = None
+        for i in range(n_words):
+            term = F.bit_count(F.col("sh_a")[i].bitwiseXOR(F.col("sh_b")[i]))
+            hamming = term if hamming is None else hamming + term
     return (
         cands.join(sg.withColumnsRenamed({"doc_id": "doc_id_a", "simhash": "sh_a"}), "doc_id_a")
         .join(sg.withColumnsRenamed({"doc_id": "doc_id_b", "simhash": "sh_b"}), "doc_id_b")
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_id_a", "doc_id_b", F.col("hamming").cast("long").alias("hamming"))
     )

@@ -760,3 +760,41 @@ def test_embedding_lsh_auto_width_recall_clustered(spark):
     assert lsh <= truth  # exact verify -> no false positives
     assert len(truth) > 1000
     assert len(lsh & truth) / len(truth) >= 0.99
+
+
+def test_simhash_128bit_matches_bruteforce_sf001(spark, docs_sf001):
+    """128-bit fingerprints (the past-10^6-docs path: 32-bit pigeonhole
+    bands shrink the random band-collision mass by 2^-16) must equal the
+    all-pairs 128-bit truth when no bucket overflows — same exhaustiveness
+    guarantee as the 64-bit path, verified against Spark's own collected
+    signatures with a Python popcount oracle."""
+    from feature_store_implementation_spark.operators.dedup import simhash_signatures
+
+    sigs = simhash_signatures(docs_sf001, "text", "doc_id", bits=128).collect()
+    ids = [r["doc_id"] for r in sigs]
+    vals = [
+        tuple(w & 0xFFFFFFFFFFFFFFFF for w in r["simhash"]) for r in sigs
+    ]
+    assert all(len(v) == 2 for v in vals)
+    truth = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = sum(bin(a ^ b).count("1") for a, b in zip(vals[i], vals[j]))
+            if d <= 3:
+                truth.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    got = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in simhash_near_dup_pairs(docs_sf001, max_hamming=3, bits=128).collect()
+    }
+    assert got == truth
+
+
+def test_simhash_bits_validation(spark):
+    from feature_store_implementation_spark.operators.dedup import simhash_signatures
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="multiple of 64"):
+        simhash_signatures(df, "text", "doc_id", bits=96)
+    # 256 bits over 2 bands would need 128-bit band values
+    with pytest.raises(ValueError, match="fit in 64 bits"):
+        simhash_near_dup_pairs(df, max_hamming=1, bits=256)
