@@ -1204,6 +1204,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(d, "text", "doc_id", max_hamming=3)
 
 
+@query("q_dedup_simhash_wide", None)
+def q_dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-bit SimHash near-dup pairs (operators/dedup.py, bits=128): the
+    past-10⁶-docs path where 32-bit pigeonhole bands kill the 16-bit
+    birthday term measured in the r5 scale sweep (rows-only; 128-bit
+    exhaustiveness is pinned against a Python popcount oracle in
+    tests/test_dedup_similarity.py)."""
+    from ..operators.dedup import simhash_near_dup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, "text", "doc_id", max_hamming=3, bits=128)
+
+
 @query(
     "q_dedup_ngram_jaccard",
     """
