@@ -115,6 +115,10 @@ EXTRAS = [
     "q_bm25",
     "q_mad_outliers",
     "q_token_count_bpe",
+    "q_dedup_minhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_dedup_simhash_wide",
 ]
 
 

@@ -9,7 +9,7 @@ from .dedup import (
     decontaminate,
     line_dedup,
 )
-from .similarity import brute_force_topk, lsh_topk
+from .similarity import brute_force_topk, kmeans_clusters, lsh_topk
 from .text import (
     text_stats,
     quality_score,
@@ -28,6 +28,7 @@ __all__ = [
     "decontaminate",
     "line_dedup",
     "brute_force_topk",
+    "kmeans_clusters",
     "lsh_topk",
     "text_stats",
     "quality_score",

@@ -262,3 +262,61 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def kmeans_clusters(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    iters: int = 5,
+) -> DataFrame:
+    """Spherical k-means corpus clustering → (id, cluster, cosine): the
+    topic/domain-bucketing operator a training-data pipeline runs before
+    mixture weighting (cluster counts feed ``sampling.mixture_weights``)
+    or per-domain curation.
+
+    Deterministic end to end: centroids init from the first ``k`` vectors
+    by id, then ``iters`` distributed Lloyd rounds via
+    :func:`kmeans_refine_centroids` (per round: one Arrow-batched
+    assignment pass over the corpus + a cells×dim-row shuffle — the
+    corpus itself never collects; centroids are k×dim driver floats by
+    design). Final assignment is one ``mapInPandas`` matmul emitting the
+    argmax-cosine cluster and its cosine; ties go to the lowest cluster
+    index (argmax semantics, same as IVF routing).
+    """
+    cents = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    if not cents:
+        raise ValueError("kmeans_clusters requires a non-empty corpus")
+    C = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in cents])
+    C = kmeans_refine_centroids(df, C, iters=iters, vec_col=vec_col)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+
+    v = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    id_field = T.StructField("id", v.schema["__id"].dataType)
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            scores = Mn @ Cn.T
+            best = scores.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["__id"],
+                    "cluster": best.astype("int32"),
+                    "cosine": np.round(scores[np.arange(len(best)), best], 6),
+                }
+            )
+
+    out = v.mapInPandas(assign, schema=out_schema)
+    return out.withColumnRenamed("id", id_col)

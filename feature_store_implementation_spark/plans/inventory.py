@@ -1388,6 +1388,20 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, q, k=10, n_cells=16, n_probe=4)
 
 
+@query("q_embedding_kmeans", None)
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means corpus clustering (operators/similarity.py
+    kmeans_clusters): deterministic init + 3 distributed Lloyd rounds +
+    one Arrow-batched argmax assignment — the topic-bucketing pass before
+    mixture weighting (rows-only: iterative numpy centroids aren't
+    SQL-expressible; assignment/determinism invariants pinned in
+    tests/test_dedup_similarity.py)."""
+    from ..operators.similarity import kmeans_clusters
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return kmeans_clusters(e, "embedding", "vec_id", k=8, iters=3)
+
+
 @query("q_similarity_lsh", None)
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via deterministic sign-LSH buckets + multiprobe +

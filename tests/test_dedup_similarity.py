@@ -798,3 +798,48 @@ def test_simhash_bits_validation(spark):
     # 256 bits over 2 bands would need 128-bit band values
     with pytest.raises(ValueError, match="fit in 64 bits"):
         simhash_near_dup_pairs(df, max_hamming=1, bits=256)
+
+
+def test_kmeans_clusters_separated_corpus(spark):
+    """Well-separated clusters must be recovered exactly: same-cluster
+    points share a label, cross-cluster points never do, every label is in
+    [0, k), and the reported cosine is the point->own-centroid cosine
+    (>= any cross-centroid cosine). Deterministic: two runs identical."""
+    from feature_store_implementation_spark.operators.similarity import kmeans_clusters
+
+    rng = np.random.RandomState(3)
+    centers = [rng.randn(16) for _ in range(3)]
+    rows, truth = [], {}
+    vid = 0
+    for ci, c in enumerate(centers):
+        c = c / np.linalg.norm(c)
+        for _ in range(40):
+            v = c + 0.05 * rng.randn(16)
+            rows.append((vid, (v / np.linalg.norm(v)).tolist()))
+            truth[vid] = ci
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: (r["cluster"], r["cosine"])
+           for r in kmeans_clusters(df, k=3, iters=4).collect()}
+    assert set(got) == set(truth)
+    assert all(0 <= c < 3 for c, _ in got.values())
+    assert all(cos > 0.9 for _, cos in got.values())
+    # label partition matches the generating partition (up to renaming)
+    from collections import defaultdict
+    label_of = {}
+    for vid_, (cl, _) in got.items():
+        t = truth[vid_]
+        label_of.setdefault(t, cl)
+        assert label_of[t] == cl, "same generated cluster split across labels"
+    assert len(set(label_of.values())) == 3, "distinct clusters merged"
+    again = {r["vec_id"]: (r["cluster"], r["cosine"])
+             for r in kmeans_clusters(df, k=3, iters=4).collect()}
+    assert again == got
+
+
+def test_kmeans_clusters_empty_raises(spark):
+    from feature_store_implementation_spark.operators.similarity import kmeans_clusters
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="non-empty"):
+        kmeans_clusters(df)
