@@ -1078,6 +1078,63 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_stream_tumbling",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS {DEC})), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Structured Streaming ENGINE, driver-oracle-checked (the other
+    streaming coverage is pytest-only): events are normalized to a temp
+    dir, streamed back one file per trigger through
+    streaming/features.py tumbling_features (stateful window aggregation,
+    complete mode, availableNow), and the memory-sink result is returned
+    — so the driver's DuckDB GROUP BY hash-checks an actual multi-trigger
+    streaming execution, not a batch re-expression. No watermark: nothing
+    is late against a static replay, which is exactly what makes the
+    stream ≡ batch equality exact (same invariant test_streaming pins)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.features import read_events_stream, tumbling_features
+
+    tmp = tempfile.mkdtemp(prefix="q_stream_tumbling_")
+    try:
+        src = f"{tmp}/in"
+        load_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        name = "q_stream_tumbling_" + uuid.uuid4().hex[:8]
+        q = (
+            tumbling_features(read_events_stream(spark, src), watermark=None)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q_stream_tumbling: stream did not drain in 300s")
+        # the memory sink holds rows in the session; the temp files can go
+        return spark.table(name).select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # §2.C joins — as-of (point-in-time) and range
 # ---------------------------------------------------------------------------

@@ -281,3 +281,22 @@ def test_streaming_corpus_gates_equal_batch(spark, tmp_path):
         q.awaitTermination(120)
         stream_rows = {tuple(r) for r in spark.table(f"gate{i}").collect()}
         assert stream_rows == batch_rows, op.__name__
+
+
+def test_q_stream_tumbling_runs_real_stream_and_matches_batch(spark):
+    """The inventory's driver-checked streaming query must (a) execute an
+    actual availableNow streaming job and (b) equal the batch tumbling
+    aggregation it claims to mirror."""
+    from feature_store_implementation_spark.plans.inventory import q_stream_tumbling
+    from feature_store_implementation_spark.streaming.features import tumbling_features
+    from pyspark.sql import functions as F
+
+    got = {tuple(r) for r in q_stream_tumbling(spark, SF).collect()}
+    batch = tumbling_features(load_table(spark, SF, "events")).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
+    assert got == {tuple(r) for r in batch.collect()}
+    assert len(got) > 0

@@ -154,23 +154,39 @@ def run_routes(spark, scaled_dir: str, mult: int) -> list[dict]:
             ),
         )
 
-    # lsh_topk has no candidate stage; time the fixed-query search as the
-    # corpus scales (work should be ~linear in corpus rows)
+    # Time-only routes (no candidate stage): fixed-query ANN search and
+    # the text-family passes — work should be ~linear in corpus rows.
+    from feature_store_implementation_spark.operators.dedup import (
+        decontaminate,
+        line_dedup,
+    )
+    from feature_store_implementation_spark.operators.text import unigram_logprob
+
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    n, secs = timed_count(lsh_topk(e, q, k=10))
-    rows.append(
-        {
-            "route": "similarity_lsh_topk",
-            "mult": mult,
-            "corpus_rows": n_vecs,
-            "candidates": None,
-            "pairs": n,
-            "seconds": round(secs, 2),
-        }
-    )
-    print(json.dumps(rows[-1]), flush=True)
+    # eval split stays FIXED (replica 0 only) while the corpus grows — the
+    # realistic shape: the benchmark set doesn't scale with training data
+    ev = d.filter((F.col("doc_id") < ID_STRIDE) & (F.col("doc_id") % 97 == 0))
+    tr = d.join(ev.select("doc_id"), "doc_id", "left_anti")
+    for name, frame in (
+        ("similarity_lsh_topk", lsh_topk(e, q, k=10)),
+        ("decontaminate", decontaminate(tr, ev, "text", "doc_id", n=4)),
+        ("line_dedup", line_dedup(d, "text", "doc_id")),
+        ("unigram_logprob", unigram_logprob(d, "text", "doc_id")),
+    ):
+        n, secs = timed_count(frame)
+        rows.append(
+            {
+                "route": name,
+                "mult": mult,
+                "corpus_rows": n_vecs if name == "similarity_lsh_topk" else n_docs,
+                "candidates": None,
+                "pairs": n,
+                "seconds": round(secs, 2),
+            }
+        )
+        print(json.dumps(rows[-1]), flush=True)
     return rows
 
 
