@@ -60,8 +60,10 @@ def build_scaled(base_dir: str, out_dir: str, mult: int) -> None:
             )
             c["n_chars"] = c["text"].str.len()
         doc_copies.append(c)
+    # multiple row groups so Spark scans parallelize (a single pandas-written
+    # row group = a 1-task scan stage, serializing every map-heavy route)
     pd.concat(doc_copies, ignore_index=True).to_parquet(
-        os.path.join(out_dir, "documents.parquet"), index=False
+        os.path.join(out_dir, "documents.parquet"), index=False, row_group_size=2000
     )
 
     mat = np.vstack(embs["embedding"].to_numpy()).astype(np.float32)
@@ -78,7 +80,7 @@ def build_scaled(base_dir: str, out_dir: str, mult: int) -> None:
             c["embedding"] = list(scrambled)
         emb_copies.append(c)
     pd.concat(emb_copies, ignore_index=True).to_parquet(
-        os.path.join(out_dir, "embeddings.parquet"), index=False
+        os.path.join(out_dir, "embeddings.parquet"), index=False, row_group_size=1000
     )
 
 
