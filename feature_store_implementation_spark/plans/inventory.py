@@ -1099,21 +1099,40 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming execution, not a batch re-expression. No watermark: nothing
     is late against a static replay, which is exactly what makes the
     stream ≡ batch equality exact (same invariant test_streaming pins)."""
+    from ..streaming.features import tumbling_features
+
+    return _stream_events_complete(spark, sf_dir, tumbling_features).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
+
+
+def _stream_events_complete(spark, sf_dir, feature_fn):
+    """Shared harness for the driver-checked streaming queries: write a
+    normalized copy of events (the nanos-timestamp parquet can't be
+    streamed raw) to a temp dir, stream it back ONE FILE PER TRIGGER
+    through ``feature_fn`` (watermark=None: nothing is late in a static
+    replay, making stream ≡ batch exact), complete output mode into a
+    memory sink, trigger(availableNow). Returns the sink-backed
+    DataFrame; the temp files are deleted (the sink holds rows in the
+    session, not on disk)."""
     import shutil
     import tempfile
     import uuid
 
-    from ..streaming.features import read_events_stream, tumbling_features
+    from ..streaming.features import read_events_stream
 
-    tmp = tempfile.mkdtemp(prefix="q_stream_tumbling_")
+    tmp = tempfile.mkdtemp(prefix="q_stream_")
     try:
         src = f"{tmp}/in"
         load_table(spark, sf_dir, "events").repartition(4).write.mode(
             "overwrite"
         ).parquet(src)
-        name = "q_stream_tumbling_" + uuid.uuid4().hex[:8]
+        name = "q_stream_" + uuid.uuid4().hex[:8]
         q = (
-            tumbling_features(read_events_stream(spark, src), watermark=None)
+            feature_fn(read_events_stream(spark, src), watermark=None)
             .writeStream.outputMode("complete")
             .format("memory")
             .queryName(name)
@@ -1123,16 +1142,52 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if not q.awaitTermination(300):
             q.stop()
-            raise TimeoutError("q_stream_tumbling: stream did not drain in 300s")
-        # the memory sink holds rows in the session; the temp files can go
-        return spark.table(name).select(
-            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "user_id",
-            "n_events",
-            "sum_value",
-        )
+            raise TimeoutError("streaming query did not drain in 300s")
+        return spark.table(name)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_stream_session",
+    f"""
+    WITH x AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    y AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    )
+    SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS {DEC})), 2) AS DOUBLE) AS session_value
+    FROM y GROUP BY user_id, sid
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows executed by the STREAMING engine (the hard stateful
+    case: session_window state merges as triggers arrive out of order),
+    driver-checked against a gaps-and-islands DuckDB oracle — MIN(ts) is
+    the session start, MAX(ts) + gap the Spark session_window end, a new
+    session opens at ts ≥ previous + gap (session windows are half-open
+    [start, last+gap)). Same availableNow/memory-sink harness as
+    q_stream_tumbling."""
+    from ..streaming.features import session_features
+
+    return _stream_events_complete(spark, sf_dir, session_features).select(
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "user_id",
+        "n_events",
+        "session_value",
+    )
 
 
 # ---------------------------------------------------------------------------

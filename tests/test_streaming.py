@@ -300,3 +300,22 @@ def test_q_stream_tumbling_runs_real_stream_and_matches_batch(spark):
     )
     assert got == {tuple(r) for r in batch.collect()}
     assert len(got) > 0
+
+
+def test_q_stream_session_runs_real_stream_and_matches_batch(spark):
+    """Session windows through the actual streaming engine (state merge
+    across triggers) must equal the batch session aggregation."""
+    from feature_store_implementation_spark.plans.inventory import q_stream_session
+    from feature_store_implementation_spark.streaming.features import session_features
+    from pyspark.sql import functions as F
+
+    got = {tuple(r) for r in q_stream_session(spark, SF).collect()}
+    batch = session_features(load_table(spark, SF, "events")).select(
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "user_id",
+        "n_events",
+        "session_value",
+    )
+    assert got == {tuple(r) for r in batch.collect()}
+    assert len(got) > 0
