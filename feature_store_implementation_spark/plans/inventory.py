@@ -1190,6 +1190,34 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_stream_sliding",
+    """
+    SELECT strftime(make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                                   - k.k * 900000000),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events, (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)),
+                         (CAST(2 AS BIGINT)), (CAST(3 AS BIGINT))) k(k)
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h width / 15 min slide — every event lands in 4
+    overlapping windows, so the streaming state holds 4 open aggregates
+    per type at once) executed by the streaming engine; the oracle
+    replays the overlap as an explicit 4-row unnest. Same
+    availableNow/memory-sink harness as q_stream_tumbling."""
+    from ..streaming.features import sliding_features
+
+    return _stream_events_complete(spark, sf_dir, sliding_features).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.C joins — as-of (point-in-time) and range
 # ---------------------------------------------------------------------------
