@@ -193,6 +193,52 @@ def connected_components(
     return labels.localCheckpoint(eager=True)
 
 
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Count triangles in an undirected graph by the ordered-wedge algorithm:
+    canonicalize every edge to ``a < b``, build wedges ``a < b < c`` with one
+    self-join on the middle vertex, close them with a second join — each
+    triangle is counted exactly once, with hash joins only (no cartesian, no
+    factorial blowup). This is the same plan shape as ``q_triangle_count``
+    (plans/inventory.py), extracted so the scale sweep can measure its growth
+    exponent on synthetic graphs.
+
+    Scale shape: the wedge join fans out as sum(deg²) over the *canonical*
+    out-degrees, so cost is linear in |E| at constant max degree but grows
+    with skew. ``max_degree`` is the escape hatch for heavy-tailed graphs:
+    vertices whose canonical out-degree exceeds it are dropped from wedge
+    middles (the standard approximate-triangle degree cap); ``None`` keeps
+    the count exact. Returns a single row ``(n_triangles)``.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("pa"),
+            F.greatest(F.col(src), F.col(dst)).alias("pb"),
+        )
+        .filter(F.col("pa") < F.col("pb"))
+        .distinct()
+    )
+    if max_degree is not None:
+        deg = canon.groupBy("pa").agg(F.count(F.lit(1)).alias("out_deg"))
+        canon = (
+            canon.join(deg, "pa")
+            .filter(F.col("out_deg") <= max_degree)
+            .select("pa", "pb")
+        )
+    e1 = canon
+    e2 = canon.select(F.col("pa").alias("pb"), F.col("pb").alias("pc"))
+    e3 = canon.select(F.col("pa").alias("pa2"), F.col("pb").alias("pc2"))
+    return (
+        e1.join(e2, "pb")
+        .join(e3, (F.col("pa") == F.col("pa2")) & (F.col("pc") == F.col("pc2")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
 def bfs_hops(
     edges: DataFrame,
     sources: DataFrame,

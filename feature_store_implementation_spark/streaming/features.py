@@ -116,6 +116,43 @@ def session_features(
     )
 
 
+def dedup_windowed_features(
+    events: DataFrame, width: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked dedup → tumbling aggregation, the append-mode pipeline:
+    duplicates within the watermark horizon are dropped by keyed state
+    (``dropDuplicatesWithinWatermark`` — state per event_id is EVICTED once
+    the watermark passes it, so state stays bounded on an unbounded
+    stream), then the surviving events feed a windowed count/sum per
+    event_type. Under append output mode a window row is emitted exactly
+    once — when the watermark passes its end — which is what makes this
+    the one pipeline shape the complete-mode harness can't exercise: late
+    rows are dropped, closed windows are final, open windows never leave
+    the state store. In batch the SAME semantics are a global
+    dropDuplicates + GROUP BY (everything is "on time" in batch)."""
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    else:
+        src = events.dropDuplicates(["event_id"])
+    return (
+        src.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Exactly-once by event_id within the watermark horizon
     (``dropDuplicatesWithinWatermark`` keeps state bounded — a plain

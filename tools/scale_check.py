@@ -84,6 +84,36 @@ def build_scaled(base_dir: str, out_dir: str, mult: int) -> None:
     )
 
 
+def build_scaled_graph(out_dir: str, mult: int) -> None:
+    """Synthesize an edge list with linear-by-construction structure.
+
+    Per replica: ``N0`` nodes in clusters of size ``CLUSTER``; inside a
+    cluster node j connects to j+1 and j+2 (mod CLUSTER) — a chorded ring
+    with constant degree 4, exactly ``CLUSTER`` triangles per cluster and
+    diameter ~CLUSTER/4. Replicas are node-disjoint (ids shifted by
+    ID_STRIDE), so components, triangles, reachable BFS sets and PageRank
+    mass all scale exactly linearly with mult — the null hypothesis the
+    graph operators' growth exponents are measured against.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    n0, cluster = 200_000, 10
+    rows_src, rows_dst = [], []
+    base = np.arange(n0, dtype=np.int64)
+    cl = base // cluster
+    pos = base % cluster
+    for off in (1, 2):
+        nbr = cl * cluster + (pos + off) % cluster
+        rows_src.append(base)
+        rows_dst.append(nbr)
+    src0 = np.concatenate(rows_src)
+    dst0 = np.concatenate(rows_dst)
+    src = np.concatenate([src0 + k * ID_STRIDE for k in range(mult)])
+    dst = np.concatenate([dst0 + k * ID_STRIDE for k in range(mult)])
+    pd.DataFrame({"src": src, "dst": dst}).to_parquet(
+        os.path.join(out_dir, "graph_edges.parquet"), index=False, row_group_size=20_000
+    )
+
+
 def timed_count(df) -> tuple[int, float]:
     t0 = time.monotonic()
     n = df.count()
@@ -192,11 +222,69 @@ def run_routes(spark, scaled_dir: str, mult: int) -> list[dict]:
     return rows
 
 
+def run_graph_routes(spark, scaled_dir: str, mult: int) -> list[dict]:
+    """Verdict-r5 item 1: growth exponents for the graph family (the only
+    heavy operators whose 100× claims previously rested on plan shape
+    alone). All four are fixed-iteration or diameter-bounded BSP loops, so
+    at constant degree the expected exponent is ~1."""
+    from feature_store_implementation_spark.operators.graph import (
+        bfs_hops,
+        connected_components,
+        pagerank_fixed_point,
+        triangle_count,
+    )
+
+    import pyspark.sql.functions as F
+
+    edges = spark.read.parquet(os.path.join(scaled_dir, "graph_edges.parquet"))
+    n_edges = edges.count()
+    rows = []
+
+    def route(name, thunk, scalar=False):
+        # the BSP routes materialize eagerly (localCheckpoint) during plan
+        # CONSTRUCTION — time the thunk end-to-end, not just the final count
+        t0 = time.monotonic()
+        frame = thunk()
+        n = frame.collect()[0][0] if scalar else frame.count()
+        rows.append(
+            {
+                "route": name,
+                "mult": mult,
+                "corpus_rows": n_edges,
+                "candidates": None,
+                "pairs": n,
+                "seconds": round(time.monotonic() - t0, 2),
+            }
+        )
+        print(json.dumps(rows[-1]), flush=True)
+
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # one BFS source per 500 clusters: source count scales with the graph,
+    # so the reachable set (the output) grows linearly too
+    sources = edges.select("src").filter(F.col("src") % 5000 == 0).distinct()
+    route(
+        "graph_pagerank",
+        lambda: pagerank_fixed_point(
+            sym, iterations=4, assume_distinct=False, assume_symmetric=True
+        ),
+    )
+    route("graph_components", lambda: connected_components(edges))
+    route("graph_bfs", lambda: bfs_hops(edges, sources, max_hops=4))
+    # scalar=True: triangle_count returns one aggregate row — record the
+    # count itself so alpha_pairs tracks triangle growth
+    route("graph_triangles", lambda: triangle_count(edges), scalar=True)
+    return rows
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,3,10")
     ap.add_argument("--out", default=".scale")
     ap.add_argument("--base", default=SF_BASE)
+    ap.add_argument(
+        "--family", default="all", choices=["all", "dedup", "graph"],
+        help="which operator family to sweep",
+    )
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
 
@@ -216,8 +304,12 @@ def main() -> None:
     all_rows = []
     for mult in mults:
         scaled = os.path.join(args.out, f"x{mult}")
-        build_scaled(args.base, scaled, mult)
-        all_rows.extend(run_routes(spark, scaled, mult))
+        if args.family in ("all", "dedup"):
+            build_scaled(args.base, scaled, mult)
+            all_rows.extend(run_routes(spark, scaled, mult))
+        if args.family in ("all", "graph"):
+            build_scaled_graph(scaled, mult)
+            all_rows.extend(run_graph_routes(spark, scaled, mult))
 
     lo, hi = mults[0], mults[-1]
     summary = {}
