@@ -1109,15 +1109,25 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drain_memory_sink(spark, name: str) -> DataFrame:
+    """Materialize a memory-sink table into a plain local DataFrame and DROP
+    the sink's temp view — sink rows otherwise accumulate in driver memory
+    for the session lifetime (one uuid-named table per streaming query run,
+    ~170 queries per gate sweep)."""
+    sink = spark.table(name)
+    frame = spark.createDataFrame(sink.collect(), schema=sink.schema)
+    spark.catalog.dropTempView(name)
+    return frame
+
+
 def _stream_events_complete(spark, sf_dir, feature_fn):
     """Shared harness for the driver-checked streaming queries: write a
     normalized copy of events (the nanos-timestamp parquet can't be
     streamed raw) to a temp dir, stream it back ONE FILE PER TRIGGER
     through ``feature_fn`` (watermark=None: nothing is late in a static
     replay, making stream ≡ batch exact), complete output mode into a
-    memory sink, trigger(availableNow). Returns the sink-backed
-    DataFrame; the temp files are deleted (the sink holds rows in the
-    session, not on disk)."""
+    memory sink, trigger(availableNow). Returns the materialized result
+    (sink view dropped, temp files deleted)."""
     import shutil
     import tempfile
     import uuid
@@ -1143,9 +1153,105 @@ def _stream_events_complete(spark, sf_dir, feature_fn):
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError("streaming query did not drain in 300s")
-        return spark.table(name)
+        return _drain_memory_sink(spark, name)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _stream_events_append(spark, sf_dir, feature_fn, n_chunks: int = 8):
+    """Append-mode harness with a REAL watermark — the behavior class the
+    complete-mode trio can't show (state eviction, closed-window finality,
+    exactly-once emission). Events are split into ``n_chunks``
+    time-contiguous files (ntile over ts), each file's mtime set so the
+    file source replays them oldest-first one per trigger — a monotone
+    event-time replay, so the watermark trajectory is deterministic and
+    nothing is ever late-dropped. Every chunk also injects an exact
+    duplicate of each event with ``event_id % 37 == 0`` INTO THE SAME
+    chunk (guaranteed inside the dedup horizon), so the
+    dropDuplicatesWithinWatermark stage in ``feature_fn`` must actually
+    drop rows for the oracle over the ORIGINAL events to match.
+
+    After the last file, Spark's no-data batch advances the watermark to
+    global-max(ts) − delay and flushes every window whose end ≤ that
+    cutoff; still-open windows are withheld (append-mode finality). The
+    DuckDB oracle re-derives exactly that cutoff with MAX(ts)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.features import read_events_stream
+
+    tmp = tempfile.mkdtemp(prefix="q_streamwm_")
+    try:
+        src = f"{tmp}/in"
+        os.makedirs(src)
+        ev = load_table(spark, sf_dir, "events")
+        # ntile over a global ts sort → contiguous time ranges; harness-only
+        # (the single-partition sort is the test replay, not the operator)
+        chunked = ev.withColumn("__chunk", F.ntile(n_chunks).over(W.orderBy("ts")))
+        for i in range(1, n_chunks + 1):
+            chunk = chunked.filter(F.col("__chunk") == i).drop("__chunk")
+            dups = chunk.filter(F.col("event_id") % 37 == 0)
+            stage = f"{tmp}/stage_{i}"
+            chunk.union(dups).coalesce(1).write.parquet(stage)
+            part = glob.glob(f"{stage}/part-*.parquet")[0]
+            dest = f"{src}/chunk_{i:02d}.parquet"
+            shutil.move(part, dest)
+            os.utime(dest, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+        name = "q_stream_" + uuid.uuid4().hex[:8]
+        q = (
+            feature_fn(read_events_stream(spark, src))
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming query did not drain in 300s")
+        return _drain_memory_sink(spark, name)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_stream_watermark",
+    f"""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events)
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS {DEC})), 2) AS DOUBLE) AS sum_value
+    FROM events, mx
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx.m - INTERVAL 30 MINUTE
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked APPEND-mode streaming with stateful dedup — the round-6
+    driver row for the one behavior class the complete-mode trio can't
+    show. Pipeline: withWatermark(30 min) → dropDuplicatesWithinWatermark
+    (event_id keyed state, evicted past the horizon) → tumbling 1 h agg,
+    append output mode (streaming/features.py dedup_windowed_features).
+    The harness replays events oldest-first with injected same-chunk
+    duplicates (_stream_events_append), so the result proves three things
+    at once: the dedup state dropped the duplicates (else counts double),
+    closed windows were emitted exactly once, and the final open window
+    was withheld. Oracle: dedup is a no-op over the ORIGINAL events
+    (event_id is unique), and the append cutoff is re-derived as
+    window_end ≤ MAX(ts) − 30 min."""
+    from ..streaming.features import dedup_windowed_features
+
+    return _stream_events_append(spark, sf_dir, dedup_windowed_features).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
 
 
 @query(
