@@ -27,6 +27,35 @@ from ..functions.textfns import tokens_col, word_ngrams_col
 from ..functions.vector import cosine_col
 
 # ---------------------------------------------------------------------------
+# scoped caching
+# ---------------------------------------------------------------------------
+
+# The MinHash/SimHash signature frames and the n-gram shingle frame are
+# cache()d because each is referenced twice in its returned plan (candidate
+# generation + verify). A long-lived session running the full ~170-query
+# inventory would otherwise accumulate one cached frame per dedup call for
+# the session lifetime. The registry below bounds that: caching a new frame
+# evicts the oldest beyond a small window. Eviction is always CORRECT —
+# an unpersisted frame silently recomputes — so the only cost of a too-small
+# window is duplicated shingle work inside one composed pipeline; the window
+# of 8 covers every in-repo composition (pipelines/corpus.py chains at most
+# three routes before materializing).
+_LIVE_CACHES: list[DataFrame] = []
+_LIVE_CACHE_WINDOW = 8
+
+
+def _cache_scoped(df: DataFrame) -> DataFrame:
+    while len(_LIVE_CACHES) >= _LIVE_CACHE_WINDOW:
+        try:
+            _LIVE_CACHES.pop(0).unpersist()
+        except Exception:  # a stopped session invalidates old handles — drop them
+            pass
+    df = df.cache()
+    _LIVE_CACHES.append(df)
+    return df
+
+
+# ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
 
@@ -99,7 +128,7 @@ def minhash_near_dup_pairs(
     pairs-verified growth with corpus size).
     """
     r = k // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_shingle, k).cache()
+    sigs = _cache_scoped(minhash_signatures(df, text_col, id_col, n_shingle, k))
 
     banded = sigs.select(
         "doc_id",
@@ -220,6 +249,22 @@ def simhash_signatures(
     return bit_sums.select("doc_id", out.alias("simhash"))
 
 
+def _auto_simhash_bits(n_rows: int, max_hamming: int) -> int:
+    """Fingerprint width for a corpus of ``n_rows``: each pigeonhole band
+    must be ≥ ceil(log2 N) + 1 bits so the random band-collision
+    ("birthday") candidate mass N²·(d+1)/2^width stays ~linear in N — the
+    same discipline as :func:`_auto_planes` for sign-LSH (the r5 fix that
+    took measured α from 2.00 to 1.17). Rounded up to the next multiple
+    of 64 (the signature word size), floored at 64, and capped at the
+    widest fingerprint whose bands still fit one 64-bit word."""
+    import math
+
+    nb = max_hamming + 1
+    width = math.ceil(math.log2(max(n_rows, 2))) + 1
+    bits = 64 * max(1, math.ceil(width * nb / 64))
+    return min(bits, 64 * nb)  # 64·(d+1) = exact 64-bit bands, the widest legal
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -227,7 +272,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     max_bucket: int = 10000,
     stage: str = "pairs",
-    bits: int = 64,
+    bits: int | None = None,
 ) -> DataFrame:
     """All pairs within Hamming distance ``max_hamming`` of each other's
     SimHash. Pigeonhole banding: split 64 bits into (d+1) bands — any pair
@@ -245,11 +290,18 @@ def simhash_near_dup_pairs(
     ``stage="candidates"`` returns the distinct banded candidate pairs
     before the bit_count(xor) verify (scale-audit surface).
 
-    ``bits`` (default 64, multiple of 64 — see
+    ``bits`` (``None`` = auto, else a multiple of 64 — see
     :func:`simhash_signatures`) widens the fingerprint; bands become
     bits/(d+1) wide, so the random band-collision ("birthday") candidate
-    mass falls by 2^-extra_width. Pass 128 past ~10⁶ docs. Each band
+    mass falls by 2^-extra_width. The default derives the width from the
+    corpus count (:func:`_auto_simhash_bits` — one column-pruned count
+    job): 64-bit under ~32k docs, 128-bit beyond, wider still past ~10⁸ —
+    the same corpus-scaled discipline as the embedding route's
+    ``n_planes=None``, so callers never pay 256 conditional sums on a
+    small corpus nor a quadratic birthday term on a large one. Each band
     must fit one 64-bit word: bits/(max_hamming+1) must be ≤ 64."""
+    if bits is None:
+        bits = _auto_simhash_bits(df.count(), max_hamming)
     nb = max_hamming + 1
     width = bits // nb
     if width + bits % nb > 64:
@@ -258,7 +310,7 @@ def simhash_near_dup_pairs(
             f"bits={bits} over {nb} bands is {width}+{bits % nb} wide"
         )
     n_words = bits // 64
-    sigs = simhash_signatures(df, text_col, id_col, bits).cache()
+    sigs = _cache_scoped(simhash_signatures(df, text_col, id_col, bits))
     words = (
         [F.col("simhash")]
         if n_words == 1
@@ -375,7 +427,14 @@ def ngram_jaccard_pairs(
 
     ``stage="candidates"`` (shingle route only) returns the distinct
     shared-shingle candidate pairs before the exact-Jaccard verify
-    (scale-audit surface)."""
+    (scale-audit surface). The block route has no candidate stage, so
+    combining it with ``stage="candidates"`` raises rather than silently
+    returning verified 3-column pairs into a scale audit."""
+    if stage == "candidates" and candidates != "shingle":
+        raise ValueError(
+            "stage='candidates' requires the shingle candidate route; "
+            f"candidates={candidates!r} has no candidate stage"
+        )
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         (F.col(block_col) if block_col else F.lit(1)).alias("block"),
@@ -384,7 +443,7 @@ def ngram_jaccard_pairs(
     if candidates == "shingle":
         if threshold <= 0:
             raise ValueError("shingle candidates require threshold > 0")
-        sh = sh.cache()
+        sh = _cache_scoped(sh)
         posts = sh.select("doc_id", "block", F.explode("sh").alias("shingle"))
         # The verify never joins shingle ARRAYS back to the pairs: because
         # per-doc shingles are distinct (word_ngrams_col), the number of
@@ -556,11 +615,22 @@ def embedding_near_dup_pairs(
       input mode only.
 
     Passing ``block_col`` uses the blocked-quadratic form (exact inside
-    blocks) regardless of ``candidates``.
+    blocks) regardless of ``candidates`` — ``n_planes``/``n_tables`` are
+    ignored on that route (no LSH is built, so the auto width never sees
+    the per-block populations; callers wanting LSH *within* large blocks
+    should run the lsh route per block, sizing ``n_planes`` from the
+    block's own count).
 
     ``stage="candidates"`` (lsh route only) returns the distinct LSH
     candidate pairs before the exact-cosine verify (scale-audit
-    surface)."""
+    surface); combining it with the ``"all"`` route or ``block_col``
+    raises — those routes have no candidate stage, and silently
+    returning verified 3-column pairs would corrupt a scale audit."""
+    if stage == "candidates" and (block_col is not None or candidates != "lsh"):
+        raise ValueError(
+            "stage='candidates' requires the lsh candidate route "
+            "(candidates='lsh', block_col=None); this route has no candidate stage"
+        )
     v = df.select(
         F.col(id_col).alias("vid"),
         (F.col(block_col) if block_col else F.lit(1)).alias("block"),

@@ -142,6 +142,51 @@ def lsh_topk(
     )
 
 
+def _norm_rows(M: np.ndarray) -> np.ndarray:
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+
+
+def _cell_scores_fn(Cn: np.ndarray):
+    """Series-of-vectors → (rows, cells) cosine-score matrix against the
+    normalized centroid set ``Cn`` — the single assignment core shared by
+    Lloyd refinement, IVF routing/probing and corpus clustering."""
+
+    def scores(v: pd.Series) -> np.ndarray:
+        M = np.vstack(v.apply(lambda x: np.asarray(x, dtype=np.float64)).to_numpy())
+        return _norm_rows(M) @ Cn.T
+
+    return scores
+
+
+def _argmax_cell_udf(Cn: np.ndarray, base: int = 0):
+    """Arrow-batched argmax-cosine cell assignment (ties → lowest index).
+    Constructed per centroid set — the centroids change every Lloyd round,
+    so the closure must be rebuilt; the *definition* lives here, once."""
+    scores = _cell_scores_fn(Cn)
+
+    @F.pandas_udf("int")
+    def cell_of(v: pd.Series) -> pd.Series:
+        return pd.Series(scores(v).argmax(axis=1) + base)
+
+    return cell_of
+
+
+def _seed_centroids(
+    df: DataFrame, id_col: str, vec_col: str, k: int, refine_iters: int
+) -> np.ndarray:
+    """Deterministic centroid pipeline shared by :func:`ivf_topk` and
+    :func:`kmeans_clusters`: first ``k`` corpus vectors by id (a bounded
+    k-row collect), then ``refine_iters`` distributed Lloyd rounds.
+    Returns the UNnormalized centroid matrix (callers normalize)."""
+    cents = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    if not cents:
+        raise ValueError("centroid seeding requires a non-empty corpus")
+    C = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in cents])
+    if refine_iters > 0:
+        C = kmeans_refine_centroids(df, C, iters=refine_iters, vec_col=vec_col)
+    return C
+
+
 def kmeans_refine_centroids(
     corpus: DataFrame,
     C0: np.ndarray,
@@ -150,22 +195,17 @@ def kmeans_refine_centroids(
 ) -> np.ndarray:
     """Spherical k-means (Lloyd) refinement of IVF centroids, distributed:
     per iteration, (1) assign every vector to its argmax-cosine centroid via
-    an Arrow-batched matmul, (2) element-wise per-cell sums via posexplode +
-    groupBy(cell, pos) — JVM partial aggregation, so the shuffle carries
-    cells×dim×partitions rows, not the corpus, (3) normalize means on the
-    driver (cells×dim floats). Deterministic: fixed init, fixed iteration
-    count, ties to the lowest cell index. Empty cells keep their centroid."""
+    an Arrow-batched matmul (:func:`_argmax_cell_udf` — rebuilt per round
+    because the centroids it closes over change per round), (2) element-wise
+    per-cell sums via posexplode + groupBy(cell, pos) — JVM partial
+    aggregation, so the shuffle carries cells×dim×partitions rows, not the
+    corpus, (3) normalize means on the driver (cells×dim floats).
+    Deterministic: fixed init, fixed iteration count, ties to the lowest
+    cell index. Empty cells keep their centroid."""
     C = C0.copy()
     n_cells, dim = C.shape
     for _ in range(iters):
-        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
-
-        @F.pandas_udf("int")
-        def cell_of(v: pd.Series) -> pd.Series:
-            M = np.vstack(v.apply(lambda x: np.asarray(x, dtype=np.float64)).to_numpy())
-            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
-            return pd.Series((Mn @ Cn.T).argmax(axis=1))
-
+        cell_of = _argmax_cell_udf(_norm_rows(C))
         assigned = corpus.select(
             cell_of(F.col(vec_col)).alias("cell"), F.col(vec_col).alias("v")
         )
@@ -221,20 +261,9 @@ def ivf_topk(
     At 100 TB the assigned corpus would be written bucketed by ``cell`` so
     repeated query batches prune cells at scan time.
     """
-    cents = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
-    C = np.vstack([np.asarray(row[vec_col], dtype=np.float64) for row in cents])
-    if refine_iters > 0:
-        C = kmeans_refine_centroids(corpus, C, iters=refine_iters, vec_col=vec_col)
-    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
-
-    def _cell_scores(v: pd.Series) -> np.ndarray:
-        M = np.vstack(v.apply(lambda x: np.asarray(x, dtype=np.float64)).to_numpy())
-        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
-        return Mn @ Cn.T
-
-    @F.pandas_udf("int")
-    def argmax_cell(v: pd.Series) -> pd.Series:
-        return pd.Series(_cell_scores(v).argmax(axis=1) + 1)
+    Cn = _norm_rows(_seed_centroids(corpus, id_col, vec_col, n_cells, refine_iters))
+    _cell_scores = _cell_scores_fn(Cn)
+    argmax_cell = _argmax_cell_udf(Cn, base=1)
 
     @F.pandas_udf("array<int>")
     def top_cells(v: pd.Series) -> pd.Series:
@@ -285,12 +314,11 @@ def kmeans_clusters(
     argmax-cosine cluster and its cosine; ties go to the lowest cluster
     index (argmax semantics, same as IVF routing).
     """
-    cents = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
-    if not cents:
-        raise ValueError("kmeans_clusters requires a non-empty corpus")
-    C = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in cents])
-    C = kmeans_refine_centroids(df, C, iters=iters, vec_col=vec_col)
-    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    try:
+        Cn = _norm_rows(_seed_centroids(df, id_col, vec_col, k, iters))
+    except ValueError:
+        raise ValueError("kmeans_clusters requires a non-empty corpus") from None
+    scores_of = _cell_scores_fn(Cn)
 
     v = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     id_field = T.StructField("id", v.schema["__id"].dataType)
@@ -306,9 +334,7 @@ def kmeans_clusters(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            M = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
-            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
-            scores = Mn @ Cn.T
+            scores = scores_of(pdf["__v"])
             best = scores.argmax(axis=1)
             yield pd.DataFrame(
                 {

@@ -843,3 +843,60 @@ def test_kmeans_clusters_empty_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="non-empty"):
         kmeans_clusters(df)
+
+
+def test_auto_simhash_bits_scales_with_corpus():
+    from feature_store_implementation_spark.operators.dedup import _auto_simhash_bits
+
+    # width per band = ceil(log2 N) + 1, rounded up to 64-bit words
+    assert _auto_simhash_bits(1, 3) == 64
+    assert _auto_simhash_bits(5_000, 3) == 64          # 14-bit bands fit in 64
+    assert _auto_simhash_bits(32_768, 3) == 64         # 16*4 = 64 exactly
+    assert _auto_simhash_bits(50_000, 3) == 128        # 17*4 = 68 → 2 words
+    assert _auto_simhash_bits(10**8, 3) == 128         # 28*4 = 112 → 2 words
+    assert _auto_simhash_bits(10**12, 3) == 192        # 41*4 = 164 → 3 words
+    # cap: bands must fit one 64-bit word → bits ≤ 64·(d+1)
+    assert _auto_simhash_bits(10**30, 3) == 256
+    assert _auto_simhash_bits(10**30, 1) == 128
+    # narrower Hamming radius → fewer bands → same width needs fewer bits
+    assert _auto_simhash_bits(50_000, 1) == 64
+
+
+def test_auto_simhash_default_matches_explicit_width(spark):
+    df = _docs(spark)  # 6 docs → auto picks 64-bit
+    auto = sorted(map(tuple, simhash_near_dup_pairs(df, max_hamming=3).collect()))
+    explicit = sorted(
+        map(tuple, simhash_near_dup_pairs(df, max_hamming=3, bits=64).collect())
+    )
+    assert auto == explicit and len(auto) > 0
+
+
+def test_candidates_stage_rejects_routes_without_candidates(spark):
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="candidate"):
+        ngram_jaccard_pairs(
+            docs, candidates="block", block_col=None, stage="candidates"
+        )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="candidate"):
+        embedding_near_dup_pairs(vecs, candidates="all", stage="candidates")
+    with pytest.raises(ValueError, match="candidate"):
+        embedding_near_dup_pairs(
+            vecs.withColumn("blk", F.lit(1)), block_col="blk", stage="candidates"
+        )
+
+
+def test_scoped_cache_window_bounds_live_caches(spark):
+    from feature_store_implementation_spark.operators import dedup as D
+
+    df = _docs(spark)
+    before = len(D._LIVE_CACHES)
+    for _ in range(D._LIVE_CACHE_WINDOW + 3):
+        minhash_near_dup_pairs(df, threshold=0.5).count()
+    assert len(D._LIVE_CACHES) <= D._LIVE_CACHE_WINDOW
+    # evicted frames recompute correctly: the earliest result is reproducible
+    pairs = minhash_near_dup_pairs(df, threshold=0.5).collect()
+    assert any((r["doc_id_a"], r["doc_id_b"]) == (0, 1) for r in pairs)
+    assert before <= D._LIVE_CACHE_WINDOW
