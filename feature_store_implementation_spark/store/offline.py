@@ -11,10 +11,19 @@ Spark-first design:
   other versions before the scan. At 100 TB with thousands of versions this
   is the difference between scanning one version's files and the world.
 * **Values written in ONE distributed append** (vs the reference's
-  row-at-a-time INSERT loop, compute.py:74-88). Idempotence: a failed write
-  leaves at worst a partial partition directory that the compensating
-  version-row delete orphans harmlessly; Delta/Iceberg transactional commit
-  is the production drop-in.
+  row-at-a-time INSERT loop, compute.py:74-88).
+* **Manifest-commit protocol** (single-writer crash safety without
+  delta-spark, which the sandbox cannot install — SCALING.md "Storage"):
+  every append stages its parquet files, fsyncs them, moves them into the
+  version's partition directory, and only then atomically renames a
+  per-version manifest JSON listing ALL committed files for that version.
+  Readers resolve the file list through the manifests, so a writer killed
+  at ANY point leaves at worst orphaned un-manifested files that no read
+  ever sees — readers never observe a partial append. This is the
+  single-writer core of what Delta's transaction log provides; concurrent
+  multi-writer coordination remains the documented Delta/Iceberg drop-in
+  (swap the staging+manifest steps for ``format("delta")`` here and in
+  :func:`compact_version_partition`; nothing above this layer changes).
 * **Sorted within files by entity_id** (``sortWithinPartitions``) so
   parquet min/max page stats make point lookups by entity skip pages — the
   columnar analog of the reference's idx_entity_feature.
@@ -22,7 +31,11 @@ Spark-first design:
 
 from __future__ import annotations
 
+import glob
+import json
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,6 +50,25 @@ VALUES_SCHEMA = T.StructType(
     ]
 )
 
+# on-disk file schema: the partition column lives in the directory name
+_FILE_SCHEMA = T.StructType([f for f in VALUES_SCHEMA.fields if f.name != "feature_version_id"])
+
+
+def _fsync_file(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _fsync_dir(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
 
 class OfflineStore:
     def __init__(self, spark: SparkSession, root: str):
@@ -47,22 +79,76 @@ class OfflineStore:
     def exists(self) -> bool:
         return os.path.exists(self.path)
 
-    def write_values(self, version_id: int, values: DataFrame) -> int:
+    # -- manifest protocol -------------------------------------------------
+
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.path, "_manifests")
+
+    def _manifest_path(self, version_id: int) -> str:
+        return os.path.join(self._manifest_dir(), f"v{int(version_id)}.json")
+
+    def _manifest_files(self, version_id: int) -> list[str]:
+        """Relative paths of the COMMITTED files for one version (empty if
+        the version has never committed)."""
+        try:
+            with open(self._manifest_path(version_id)) as f:
+                return json.load(f)["files"]
+        except FileNotFoundError:
+            return []
+
+    def _commit_manifest(self, version_id: int, files: list[str]) -> None:
+        """The commit point: tmp-write + fsync + atomic rename. A crash
+        before the rename leaves the previous manifest (and therefore the
+        previous committed file set) fully intact."""
+        os.makedirs(self._manifest_dir(), exist_ok=True)
+        final = self._manifest_path(version_id)
+        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"files": sorted(files)}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, final)
+        _fsync_dir(self._manifest_dir())
+
+    def _committed_versions(self) -> list[int]:
+        try:
+            names = os.listdir(self._manifest_dir())
+        except FileNotFoundError:
+            return []
+        return sorted(
+            int(n[1:-5]) for n in names if n.startswith("v") and n.endswith(".json")
+        )
+
+    def _read_files(self, rel_files: list[str]) -> DataFrame:
+        if not rel_files:
+            return self.spark.createDataFrame([], VALUES_SCHEMA)
+        paths = [os.path.join(self.path, rf) for rf in rel_files]
+        return (
+            self.spark.read.option("basePath", self.path)
+            .schema(VALUES_SCHEMA)
+            .parquet(*paths)
+            .select(*[f.name for f in VALUES_SCHEMA.fields])
+        )
+
+    # -- writes ------------------------------------------------------------
+
+    def write_values(
+        self, version_id: int, values: DataFrame, _crash_before_commit: bool = False
+    ) -> int:
         """Append (entity_id, value) rows for one version in a single
-        distributed job. ``values`` must have columns entity_id (castable to
-        string) and value (already codec-encoded string).
+        distributed job, made crash-atomic by the manifest protocol:
+        stage → fsync → move into the partition dir → commit the manifest
+        (atomic rename). ``values`` must have columns entity_id (castable
+        to string) and value (already codec-encoded string). Returns the
+        number of committed rows for the version.
 
-        Returns the number of rows written (the count comes free from the
-        pre-write cache used to stabilize the row set).
-
-        Storage-format seam (SCALING.md "Storage"): this append and
-        :meth:`values` are the only physical-format touchpoints of the
-        offline store. Production swaps ``parquet`` for ``format("delta")``
-        here to gain transactional appends/MERGE/time-travel; nothing above
-        this layer changes."""
+        ``_crash_before_commit`` is the test hook for the kill-during-write
+        proof: it aborts after the data files are fully in place but before
+        the manifest commit — the exact window a crash would leave — and
+        tests assert readers see none of the staged rows."""
+        vid = int(version_id)
         out = (
             values.select(
-                F.lit(int(version_id)).cast("long").alias("feature_version_id"),
                 F.col("entity_id").cast("string").alias("entity_id"),
                 F.col("value").cast("string").alias("value"),
                 F.current_timestamp().alias("computed_at"),
@@ -70,36 +156,70 @@ class OfflineStore:
             # one shuffle-free pass; sort within files for entity data-skipping
             .sortWithinPartitions("entity_id")
         )
-        out.write.mode("append").partitionBy("feature_version_id").parquet(self.path)
-        return self.spark.read.parquet(self.path).filter(
-            F.col("feature_version_id") == version_id
-        ).count()
+        txn = uuid.uuid4().hex[:12]
+        staging = os.path.join(self.path, ".staging", txn)
+        out.write.parquet(staging)
+        part_rel = f"feature_version_id={vid}"
+        part_dir = os.path.join(self.path, part_rel)
+        os.makedirs(part_dir, exist_ok=True)
+        new_rel = []
+        try:
+            for src in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
+                _fsync_file(src)
+                name = f"{txn}-{os.path.basename(src)}"
+                os.rename(src, os.path.join(part_dir, name))
+                new_rel.append(f"{part_rel}/{name}")
+            _fsync_dir(part_dir)
+            if _crash_before_commit:
+                raise RuntimeError("simulated crash before manifest commit")
+            committed = self._manifest_files(vid) + new_rel
+            self._commit_manifest(vid, committed)
+        finally:
+            shutil.rmtree(os.path.join(self.path, ".staging", txn), ignore_errors=True)
+        return self.values_for_version(vid).count()
+
+    # -- reads -------------------------------------------------------------
 
     def values(self) -> DataFrame:
-        """The full offline store as a DataFrame (partition-pruned on
-        feature_version_id predicates)."""
-        return self.spark.read.schema(VALUES_SCHEMA).parquet(self.path)
+        """The full offline store as a DataFrame — only manifest-committed
+        files, so in-flight/crashed appends are invisible. Version
+        predicates still prune: the partition value is carried by each
+        file's directory name."""
+        rel = [f for vid in self._committed_versions() for f in self._manifest_files(vid)]
+        return self._read_files(rel)
 
     def values_for_version(self, version_id: int) -> DataFrame:
-        return self.values().filter(F.col("feature_version_id") == int(version_id))
+        """One version's committed rows: the file list comes from that
+        version's manifest alone — the read plans over exactly the files
+        it needs (manifest-level pruning, same effect as partition
+        pruning with a pre-pruned listing)."""
+        vid = int(version_id)
+        return self._read_files(self._manifest_files(vid)).filter(
+            F.col("feature_version_id") == vid
+        )
 
     def point_lookup(self, version_id: int, entity_id: str) -> DataFrame:
-        """Single-entity point read: partition pruning (version) + parquet
+        """Single-entity point read: manifest pruning (version) + parquet
         page skipping (entity sort order) — the serving hot path."""
         return self.values_for_version(version_id).filter(F.col("entity_id") == entity_id)
 
     def drop_version_values(self, version_id: int) -> bool:
-        """Remove one version's partition directory (crash recovery of a
-        writer that died mid-append, leaving partial files under a version
-        id that never activated). Partition-scoped: other versions'
-        directories are untouched. Returns True if anything was deleted."""
-        import shutil
-
-        part_dir = os.path.join(self.path, f"feature_version_id={int(version_id)}")
+        """Remove one version's committed data (crash recovery of a writer
+        that died mid-activation, or version retirement). The manifest is
+        deleted FIRST — readers stop seeing the version atomically — then
+        the partition directory. Returns True if anything was deleted."""
+        vid = int(version_id)
+        deleted = False
+        manifest = self._manifest_path(vid)
+        if os.path.exists(manifest):
+            os.remove(manifest)
+            _fsync_dir(self._manifest_dir())
+            deleted = True
+        part_dir = os.path.join(self.path, f"feature_version_id={vid}")
         if os.path.isdir(part_dir):
             shutil.rmtree(part_dir)
-            return True
-        return False
+            deleted = True
+        return deleted
 
 
 def compact_version_partition(
@@ -108,38 +228,55 @@ def compact_version_partition(
     version_id: int,
     target_file_bytes: int = 128 * 1024 * 1024,
 ) -> int:
-    """Compact one version's partition directory: many small files (from
+    """Compact one version's committed files: many small files (from
     incremental/streaming appends) → ceil(bytes/target) files, re-sorted by
     entity_id so page-stat skipping survives compaction.
 
     Small-files is THE silent killer of big scans (one task + one open per
-    file); streaming sinks make it chronic. Rewrite is per-partition and
-    atomic-by-rename(ish): write to a sibling temp dir, swap, drop old —
-    Delta/Iceberg `OPTIMIZE` is the transactional production drop-in.
-    Returns the resulting file count."""
-    import shutil
-
-    part_dir = os.path.join(root, f"feature_version_id={version_id}")
-    if not os.path.isdir(part_dir):
-        raise FileNotFoundError(part_dir)
-    size = sum(
-        os.path.getsize(os.path.join(part_dir, f))
-        for f in os.listdir(part_dir)
-        if f.endswith(".parquet")
-    )
+    file); streaming sinks make it chronic. Crash-atomic via the same
+    manifest protocol as appends: the compacted files are staged and moved
+    in under new names ALONGSIDE the old ones, the manifest swap to the new
+    file list is one atomic rename, and only then are the old files
+    removed — a reader always resolves either the complete old set or the
+    complete new set (Delta/Iceberg ``OPTIMIZE`` is the transactional
+    production drop-in). Returns the resulting committed file count."""
+    vid = int(version_id)
+    # callers pass store.path (the feature_values dir); rebuild a store on it
+    store = OfflineStore.__new__(OfflineStore)
+    store.spark = spark
+    store.root = os.path.dirname(root)
+    store.path = root
+    old_rel = store._manifest_files(vid)
+    if not old_rel:
+        raise FileNotFoundError(os.path.join(root, f"feature_version_id={vid}"))
+    size = sum(os.path.getsize(os.path.join(root, rf)) for rf in old_rel)
     n_files = max(1, -(-size // target_file_bytes))
     df = (
-        spark.read.schema(
-            T.StructType([f for f in VALUES_SCHEMA.fields if f.name != "feature_version_id"])
-        )
-        .parquet(part_dir)
+        store._read_files(old_rel)
+        .select(*[f.name for f in _FILE_SCHEMA.fields])
         .repartition(n_files)
         .sortWithinPartitions("entity_id")
     )
-    tmp_dir = part_dir + ".compact.tmp"
-    df.write.mode("overwrite").parquet(tmp_dir)
-    old_dir = part_dir + ".compact.old"
-    os.rename(part_dir, old_dir)
-    os.rename(tmp_dir, part_dir)
-    shutil.rmtree(old_dir)
-    return len([f for f in os.listdir(part_dir) if f.endswith(".parquet")])
+    txn = uuid.uuid4().hex[:12]
+    staging = os.path.join(root, ".staging", txn)
+    df.write.parquet(staging)
+    part_rel = f"feature_version_id={vid}"
+    part_dir = os.path.join(root, part_rel)
+    os.makedirs(part_dir, exist_ok=True)
+    new_rel = []
+    try:
+        for src in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
+            _fsync_file(src)
+            name = f"{txn}-{os.path.basename(src)}"
+            os.rename(src, os.path.join(part_dir, name))
+            new_rel.append(f"{part_rel}/{name}")
+        _fsync_dir(part_dir)
+        store._commit_manifest(vid, new_rel)  # the atomic cutover
+        for rf in old_rel:  # old files are garbage the moment the swap lands
+            try:
+                os.remove(os.path.join(root, rf))
+            except FileNotFoundError:
+                pass
+    finally:
+        shutil.rmtree(os.path.join(root, ".staging", txn), ignore_errors=True)
+    return len(new_rel)

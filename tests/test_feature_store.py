@@ -444,3 +444,50 @@ def test_reference_program_empty_input(spark):
     )
     assert out.collect() == []
     assert [f.name for f in out.schema.fields] == ["entity_id", "value"]
+
+
+def test_manifest_commit_crash_leaves_no_visible_rows(spark, tmp_path):
+    """Kill-during-write proof for the manifest protocol: a writer that
+    dies AFTER its data files are fully in the partition directory but
+    BEFORE the manifest commit must be invisible to every reader —
+    readers never see uncommitted rows (SCALING.md "Storage", the
+    single-writer half of the Delta seam)."""
+    import os
+
+    from feature_store_implementation_spark.store.offline import OfflineStore
+
+    store = OfflineStore(spark, str(tmp_path / "values"))
+    vals = spark.createDataFrame(
+        [("a", "1"), ("b", "2")], "entity_id string, value string"
+    )
+    assert store.write_values(5, vals) == 2
+
+    more = spark.createDataFrame([("c", "3")], "entity_id string, value string")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store.write_values(5, more, _crash_before_commit=True)
+    # the orphaned data file IS on disk in the partition dir...
+    part = os.path.join(store.path, "feature_version_id=5")
+    n_files = len([f for f in os.listdir(part) if f.endswith(".parquet")])
+    assert n_files > len(store._manifest_files(5)), "crash left no orphan to hide"
+    # ...but no reader sees it
+    assert store.values_for_version(5).count() == 2
+    assert store.values().count() == 2
+    assert {r["entity_id"] for r in store.point_lookup(5, "c").collect()} == set()
+    # the retry commits exactly once — no double-count from the orphan
+    assert store.write_values(5, more) == 3
+    assert {r["entity_id"] for r in store.values_for_version(5).collect()} == {
+        "a", "b", "c",
+    }
+
+
+def test_manifest_drop_version_is_reader_atomic(spark, tmp_path):
+    from feature_store_implementation_spark.store.offline import OfflineStore
+
+    store = OfflineStore(spark, str(tmp_path / "values"))
+    vals = spark.createDataFrame([("a", "1")], "entity_id string, value string")
+    store.write_values(1, vals)
+    store.write_values(2, vals)
+    assert store.drop_version_values(1) is True
+    assert store.drop_version_values(1) is False
+    assert store.values_for_version(1).count() == 0
+    assert store.values().count() == 1
