@@ -299,7 +299,16 @@ def simhash_near_dup_pairs(
     the same corpus-scaled discipline as the embedding route's
     ``n_planes=None``, so callers never pay 256 conditional sums on a
     small corpus nor a quadratic birthday term on a large one. Each band
-    must fit one 64-bit word: bits/(max_hamming+1) must be ≤ 64."""
+    must fit one 64-bit word: bits/(max_hamming+1) must be ≤ 64.
+
+    Semantic caveat of auto width: expected Hamming distance between two
+    documents grows with ``bits``, so a FIXED ``max_hamming`` radius over
+    a wider fingerprint is a stricter relative similarity threshold — a
+    corpus crossing the auto switchover reports fewer (higher-similarity)
+    pairs than it would at the narrower width. Callers needing one fixed
+    pair semantics across corpus sizes should pin ``bits`` explicitly
+    (measured within-width growth: α_candidates 0.92 at 128-bit vs 1.13
+    at 64-bit — SCALING.md "Measured growth")."""
     if bits is None:
         bits = _auto_simhash_bits(df.count(), max_hamming)
     nb = max_hamming + 1

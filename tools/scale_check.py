@@ -120,7 +120,7 @@ def timed_count(df) -> tuple[int, float]:
     return n, time.monotonic() - t0
 
 
-def run_routes(spark, scaled_dir: str, mult: int) -> list[dict]:
+def run_routes(spark, scaled_dir: str, mult: int, only: set | None = None) -> list[dict]:
     from feature_store_implementation_spark.operators.dedup import (
         embedding_near_dup_pairs,
         minhash_near_dup_pairs,
@@ -137,6 +137,8 @@ def run_routes(spark, scaled_dir: str, mult: int) -> list[dict]:
     rows = []
 
     def route(name, n_corpus, fn):
+        if only and name not in only:
+            return
         # candidates first (separate job), then the full verified route
         cands, _ = timed_count(fn(stage="candidates"))
         pairs, secs = timed_count(fn(stage="pairs"))
@@ -164,6 +166,16 @@ def run_routes(spark, scaled_dir: str, mult: int) -> list[dict]:
         n_docs,
         lambda stage: simhash_near_dup_pairs(
             d, "text", "doc_id", max_hamming=3, stage=stage
+        ),
+    )
+    route(
+        # fixed 128-bit: the within-width growth reference for the auto
+        # default's wide regime (auto switches width across the sweep, so
+        # its cross-mult alpha mixes two Hamming-radius semantics)
+        "simhash_wide",
+        n_docs,
+        lambda stage: simhash_near_dup_pairs(
+            d, "text", "doc_id", max_hamming=3, bits=128, stage=stage
         ),
     )
     route(
@@ -207,6 +219,8 @@ def run_routes(spark, scaled_dir: str, mult: int) -> list[dict]:
         ("line_dedup", line_dedup(d, "text", "doc_id")),
         ("unigram_logprob", unigram_logprob(d, "text", "doc_id")),
     ):
+        if only and name not in only:
+            continue
         n, secs = timed_count(frame)
         rows.append(
             {
@@ -285,6 +299,10 @@ def main() -> None:
         "--family", default="all", choices=["all", "dedup", "graph"],
         help="which operator family to sweep",
     )
+    ap.add_argument(
+        "--routes", default=None,
+        help="comma-separated route names to run (default: all in the family)",
+    )
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
 
@@ -304,9 +322,10 @@ def main() -> None:
     all_rows = []
     for mult in mults:
         scaled = os.path.join(args.out, f"x{mult}")
+        only = set(args.routes.split(",")) if args.routes else None
         if args.family in ("all", "dedup"):
             build_scaled(args.base, scaled, mult)
-            all_rows.extend(run_routes(spark, scaled, mult))
+            all_rows.extend(run_routes(spark, scaled, mult, only))
         if args.family in ("all", "graph"):
             build_scaled_graph(scaled, mult)
             all_rows.extend(run_graph_routes(spark, scaled, mult))
