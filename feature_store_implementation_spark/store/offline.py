@@ -222,6 +222,43 @@ class OfflineStore:
         return deleted
 
 
+def vacuum_orphans(store: OfflineStore, min_age_seconds: float = 24 * 3600) -> list[str]:
+    """Remove data files that no manifest references — the garbage a
+    crashed writer leaves behind (staged-and-moved but never committed) or
+    a compaction was interrupted before deleting. Mirrors Delta's VACUUM:
+    age-gated (default 24 h) so an IN-FLIGHT writer's files — moved into
+    the partition dir but not yet manifest-committed — are never swept
+    from under it. Readers are unaffected either way: they only ever
+    resolve manifested files. Returns the removed paths."""
+    import time
+
+    committed = {
+        rf
+        for vid in store._committed_versions()
+        for rf in store._manifest_files(vid)
+    }
+    removed: list[str] = []
+    cutoff = time.time() - min_age_seconds
+    for part in glob.glob(os.path.join(store.path, "feature_version_id=*")):
+        for f in os.listdir(part):
+            if not f.endswith(".parquet"):
+                continue
+            rel = f"{os.path.basename(part)}/{f}"
+            full = os.path.join(part, f)
+            if rel not in committed and os.path.getmtime(full) < cutoff:
+                os.remove(full)
+                removed.append(full)
+    # stale per-txn staging dirs (same age gate — never an in-flight writer's)
+    for stage in glob.glob(os.path.join(store.path, ".staging", "*")):
+        try:
+            if os.path.getmtime(stage) < cutoff:
+                shutil.rmtree(stage, ignore_errors=True)
+                removed.append(stage)
+        except FileNotFoundError:
+            pass
+    return removed
+
+
 def compact_version_partition(
     spark: SparkSession,
     root: str,

@@ -491,3 +491,35 @@ def test_manifest_drop_version_is_reader_atomic(spark, tmp_path):
     assert store.drop_version_values(1) is False
     assert store.values_for_version(1).count() == 0
     assert store.values().count() == 1
+
+
+def test_vacuum_orphans_sweeps_only_old_unmanifested_files(spark, tmp_path):
+    import os
+    import time
+
+    from feature_store_implementation_spark.store.offline import (
+        OfflineStore,
+        vacuum_orphans,
+    )
+
+    store = OfflineStore(spark, str(tmp_path / "values"))
+    vals = spark.createDataFrame([("a", "1")], "entity_id string, value string")
+    store.write_values(9, vals)
+    with pytest.raises(RuntimeError):
+        store.write_values(9, vals, _crash_before_commit=True)
+    part = os.path.join(store.path, "feature_version_id=9")
+    orphan = [
+        f for f in os.listdir(part)
+        if f.endswith(".parquet")
+        and f"feature_version_id=9/{f}" not in store._manifest_files(9)
+    ]
+    assert len(orphan) >= 1
+    # young orphan (a possibly in-flight writer): protected by the age gate
+    assert vacuum_orphans(store, min_age_seconds=3600) == []
+    # age them past the horizon → swept; committed files untouched
+    old = time.time() - 7200
+    for f in orphan:
+        os.utime(os.path.join(part, f), (old, old))
+    removed = vacuum_orphans(store, min_age_seconds=3600)
+    assert sorted(os.path.basename(p) for p in removed) == sorted(orphan)
+    assert store.values_for_version(9).count() == 1
