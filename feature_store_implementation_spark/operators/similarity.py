@@ -293,6 +293,94 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    refine_iters: int = 1,
+) -> int:
+    """Persist an IVF index: the corpus written as parquet PARTITIONED BY
+    its Voronoi cell, with the trained centroids in a sidecar JSON
+    (atomic-rename commit, same discipline as the offline store's
+    manifests). This is the repeated-query ANN shape at 100 TB —
+    :func:`ivf_topk` re-trains and re-assigns per call, which is right
+    for one-shot jobs; an indexed corpus pays assignment ONCE and every
+    later query batch prunes to its probe cells at SCAN time (partition
+    pruning — only n_probe/n_cells of the data is read, verified via
+    PartitionFilters in tests). Returns the number of cells written.
+
+    Centroid training is the shared :func:`_seed_centroids` pipeline
+    (first-k-by-id init + distributed Lloyd), so an index built with the
+    same corpus/params routes identically to :func:`ivf_topk`."""
+    import json
+    import os
+
+    C = _seed_centroids(corpus, id_col, vec_col, n_cells, refine_iters)
+    Cn = _norm_rows(C)
+    assigned = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).withColumn("cell", _argmax_cell_udf(Cn)(F.col("embedding")))
+    assigned.write.partitionBy("cell").parquet(os.path.join(path, "cells"))
+    tmp = os.path.join(path, ".centroids.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"n_cells": int(n_cells), "centroids": C.tolist()}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, "centroids.json"))
+    return int(n_cells)
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Search a :func:`write_ivf_index` index: route each query to its
+    ``n_probe`` nearest centroids (driver-side k×dim matmul on the sidecar
+    centroids), then scan ONLY those cell partitions — the probe-cell set
+    is a bounded collect (≤ |queries|·n_probe ints), pushed as a static
+    ``cell IN (...)`` partition filter so unprobed partitions are never
+    read — and exact-cosine re-rank inside them. With
+    ``n_probe == n_cells`` the result equals :func:`brute_force_topk`
+    exactly (asserted in tests)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as f:
+        meta = json.load(f)
+    Cn = _norm_rows(np.asarray(meta["centroids"], dtype=np.float64))
+    n_probe = min(n_probe, int(meta["n_cells"]))
+    _scores = _cell_scores_fn(Cn)
+
+    @F.pandas_udf("array<int>")
+    def top_cells(v: pd.Series) -> pd.Series:
+        s = _scores(v)
+        idx = np.argsort(-s, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(idx.astype("int32")))
+
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    probes = q.select("query_id", "qv", F.explode(top_cells(F.col("qv"))).alias("cell"))
+    cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    corpus = spark.read.parquet(os.path.join(path, "cells")).filter(
+        F.col("cell").isin(cells)
+    )
+    cands = corpus.join(F.broadcast(probes), "cell").withColumn(
+        "cosine", F.round(cosine_col(F.col("embedding"), F.col("qv")), 6)
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def kmeans_clusters(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -1620,6 +1620,45 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, q, k=10)
 
 
+@query(
+    "q_similarity_ivf_indexed",
+    f"""
+    SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+             ROUND({_cos('b.embedding', 'q.embedding')}, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY ROUND({_cos('b.embedding', 'q.embedding')}, 6) DESC,
+                                         b.vec_id) AS rank
+      FROM embeddings b, (SELECT * FROM embeddings WHERE vec_id < 5) q
+    ) WHERE rank <= 10
+    """,
+)
+def q_similarity_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED IVF index end-to-end (operators/similarity.py
+    write_ivf_index / query_ivf_index): the corpus is written partitioned
+    by its Voronoi cell with a centroid sidecar, then searched with the
+    probe-cell set pushed as a static partition filter — repeated query
+    batches read only n_probe/n_cells of the data (PartitionFilters
+    pinned in tests). Run here at FULL probe (n_probe == n_cells), where
+    the index provably equals exact brute force — hence the same DuckDB
+    oracle as q_similarity_topk. The index lands in a temp dir and the
+    bounded result (≤ 5×10 rows) is materialized before cleanup."""
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import query_ivf_index, write_ivf_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    tmp = tempfile.mkdtemp(prefix="q_ivf_index_")
+    try:
+        write_ivf_index(e, tmp, n_cells=8, refine_iters=1)
+        out = query_ivf_index(spark, tmp, q, k=10, n_probe=8)
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @query("q_similarity_ivf", None)
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN top-k (rows-only; exact-equivalence at full probe and

@@ -900,3 +900,67 @@ def test_scoped_cache_window_bounds_live_caches(spark):
     pairs = minhash_near_dup_pairs(df, threshold=0.5).collect()
     assert any((r["doc_id_a"], r["doc_id_b"]) == (0, 1) for r in pairs)
     assert before <= D._LIVE_CACHE_WINDOW
+
+
+def test_ivf_index_full_probe_equals_brute_force(spark, tmp_path):
+    from feature_store_implementation_spark.operators.similarity import (
+        brute_force_topk,
+        query_ivf_index,
+        write_ivf_index,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, (v / np.linalg.norm(v)).tolist())
+        for i, v in enumerate(rng.randn(120, 8))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf")
+    assert write_ivf_index(df, path, n_cells=6) == 6
+    got = sorted(
+        map(tuple, query_ivf_index(spark, path, q, k=5, n_probe=6).collect())
+    )
+    want = sorted(map(tuple, brute_force_topk(df, q, k=5).collect()))
+    assert got == want
+
+
+def test_ivf_index_partial_probe_prunes_partitions_with_recall(spark, tmp_path):
+    from feature_store_implementation_spark.operators.similarity import (
+        brute_force_topk,
+        query_ivf_index,
+        write_ivf_index,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(6, 8)
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for _ in range(40):
+            v = c + 0.05 * rng.randn(8)
+            rows.append((vid, (v / np.linalg.norm(v)).tolist()))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf")
+    write_ivf_index(df, path, n_cells=6, refine_iters=2)
+    out = query_ivf_index(spark, path, q, k=10, n_probe=2)
+    # the probe filter must reach the scan as a PARTITION filter (only the
+    # probed cell directories are read — the point of the persisted index)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in out.collect()
+    }
+    want = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(df, q, k=10).collect()
+    }
+    recall = len(got & want) / len(want)
+    assert recall >= 0.95, recall
