@@ -119,6 +119,7 @@ EXTRAS = [
     "q_dedup_ngram_jaccard",
     "q_dedup_simhash",
     "q_dedup_simhash_wide",
+    "q_similarity_ivf_indexed",
 ]
 
 
