@@ -1158,7 +1158,9 @@ def _stream_events_complete(spark, sf_dir, feature_fn):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _stream_events_append(spark, sf_dir, feature_fn, n_chunks: int = 8):
+def _stream_events_append(
+    spark, sf_dir, feature_fn, n_chunks: int = 8, inject_dups: bool = True
+):
     """Append-mode harness with a REAL watermark — the behavior class the
     complete-mode trio can't show (state eviction, closed-window finality,
     exactly-once emission). Events are split into ``n_chunks``
@@ -1193,9 +1195,10 @@ def _stream_events_append(spark, sf_dir, feature_fn, n_chunks: int = 8):
         chunked = ev.withColumn("__chunk", F.ntile(n_chunks).over(W.orderBy("ts")))
         for i in range(1, n_chunks + 1):
             chunk = chunked.filter(F.col("__chunk") == i).drop("__chunk")
-            dups = chunk.filter(F.col("event_id") % 37 == 0)
+            if inject_dups:  # exercised by the dedup pipeline; join/other
+                chunk = chunk.union(chunk.filter(F.col("event_id") % 37 == 0))
             stage = f"{tmp}/stage_{i}"
-            chunk.union(dups).coalesce(1).write.parquet(stage)
+            chunk.coalesce(1).write.parquet(stage)
             part = glob.glob(f"{stage}/part-*.parquet")[0]
             dest = f"{src}/chunk_{i:02d}.parquet"
             shutil.move(part, dest)
@@ -1252,6 +1255,47 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+@query(
+    "q_stream_join",
+    f"""
+    SELECT p.event_id,
+           strftime(c.ts, '{_TS_FMT_DUCK}') AS right_ts,
+           c.value AS right_value
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream interval join under the driver gate: the same
+    interval_join that q_interval_join runs in batch, executed as a
+    watermarked self-join of the replayed event stream (purchases ⋈ same
+    user's clicks in the preceding hour), append mode, availableNow
+    multi-file triggers (_stream_events_append, no injected duplicates).
+    Both sides carry a 2 h watermark and the time-range condition bounds
+    the join state; the monotone oldest-first replay keeps every needed
+    right-side row inside the state horizon (chunk span ≫ lookback), and
+    inner stream-stream joins emit matches as they occur — so the result
+    equals the batch interval join exactly, which is the oracle."""
+    from ..streaming.features import interval_join
+
+    def join_fn(events):
+        p = events.filter(F.col("event_type") == "purchase")
+        c = events.filter(F.col("event_type") == "click")
+        return interval_join(p, c, lookback="1 hour", watermark="2 hours").select(
+            "event_id",
+            F.date_format("right_ts", _TS_FMT_SPARK).alias("right_ts"),
+            "right_value",
+        )
+
+    # 4 chunks (vs the default 8): still a multi-trigger replay, but each
+    # availableNow trigger pays ~10 stateful shuffle stages — half the
+    # triggers keeps this driver row under ~20s at gate scale
+    return _stream_events_append(spark, sf_dir, join_fn, n_chunks=4, inject_dups=False)
 
 
 @query(
