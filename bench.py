@@ -120,6 +120,7 @@ EXTRAS = [
     "q_dedup_simhash",
     "q_dedup_simhash_wide",
     "q_similarity_ivf_indexed",
+    "q_semantic_dedup",
 ]
 
 

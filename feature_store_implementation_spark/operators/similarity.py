@@ -293,6 +293,63 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    iters: int = 3,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    spherical k-means clustering → EXACT cosine pairs within each cluster
+    → connected components → canonical survivor per duplicate group.
+    The cluster stage is what makes the quadratic verify tractable — pairs
+    are only scored inside a Voronoi cell, never across the corpus.
+
+    Composition of already-verified operators: :func:`kmeans_clusters`
+    (distributed Lloyd, corpus never collects),
+    ``dedup.embedding_near_dup_pairs`` with ``block_col="cluster"`` (exact
+    within blocks), and ``graph.connected_components`` (min-label BSP).
+
+    100 TB posture: within-cluster scoring is quadratic in CLUSTER size,
+    so ``k`` must scale with the corpus (clusters ≈ N/k rows — the
+    published SemDeDup practice of fixing cluster population, not cluster
+    count); pathological mega-clusters are the same failure mode as a hot
+    LSH bucket and warrant a pre-pass of :func:`kmeans_clusters` to audit
+    the cluster histogram.
+
+    Returns one row per input vector:
+    ``(id, cluster, keep_id, is_duplicate)`` — ``keep_id`` is the minimum
+    id of the vector's semantic-duplicate component (itself when it has no
+    near-duplicate), ``is_duplicate`` marks the rows a curation pipeline
+    drops."""
+    from .dedup import embedding_near_dup_pairs
+    from .graph import connected_components
+
+    clusters = kmeans_clusters(df, vec_col, id_col, k=k, iters=iters).select(
+        id_col, "cluster"
+    )
+    blocked = df.select(id_col, vec_col).join(clusters, id_col)
+    pairs = embedding_near_dup_pairs(
+        blocked, vec_col, id_col, threshold=threshold, block_col="cluster"
+    )
+    comps = connected_components(pairs, src="vec_id_a", dst="vec_id_b").select(
+        F.col("node").alias(id_col), F.col("component").alias("keep_id")
+    )
+    return (
+        clusters.join(comps, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce("keep_id", F.col(id_col)).alias("keep_id"),
+            (F.coalesce("keep_id", F.col(id_col)) != F.col(id_col)).alias(
+                "is_duplicate"
+            ),
+        )
+    )
+
+
 def write_ivf_index(
     corpus: DataFrame,
     path: str,

@@ -1717,6 +1717,22 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, q, k=10, n_cells=16, n_probe=4)
 
 
+@query("q_semantic_dedup", None)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/similarity.py
+    semantic_dedup): spherical k-means buckets → exact cosine pairs WITHIN
+    each cluster only → connected components → min-id canonical per
+    duplicate group. Rows-only (iterative numpy centroids aren't
+    SQL-expressible); planted-duplicate-group recovery and end-to-end
+    determinism pinned in tests/test_dedup_similarity.py. Threshold 0.45
+    mirrors q_embedding_neardup so the synthetic corpus yields real
+    duplicate groups."""
+    from ..operators.similarity import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, "embedding", "vec_id", k=8, iters=2, threshold=0.45)
+
+
 @query("q_embedding_kmeans", None)
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spherical k-means corpus clustering (operators/similarity.py

@@ -964,3 +964,43 @@ def test_ivf_index_partial_probe_prunes_partitions_with_recall(spark, tmp_path):
     }
     recall = len(got & want) / len(want)
     assert recall >= 0.95, recall
+
+
+def test_semantic_dedup_planted_duplicate_groups(spark):
+    from feature_store_implementation_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(3, 12)
+    rows = []
+    vid = 0
+    dup_groups = []
+    for c in centers:
+        base = None
+        group = []
+        for j in range(20):
+            if j % 5 == 0:  # every 5th vector starts a fresh point...
+                base = c + 0.3 * rng.randn(12)
+                group = [vid]
+                dup_groups.append(group)
+            else:  # ...and the next four are near-copies of it
+                group.append(vid)
+            v = base + 1e-4 * rng.randn(12)
+            rows.append((vid, (v / np.linalg.norm(v)).tolist()))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["cluster"], r["keep_id"], r["is_duplicate"])
+        for r in semantic_dedup(df, k=3, iters=3, threshold=0.999).collect()
+    }
+    assert len(out) == vid
+    for group in dup_groups:
+        keeper = min(group)
+        for member in group:
+            assert out[member][1] == keeper
+            assert out[member][2] == (member != keeper)
+    # deterministic end to end
+    again = {
+        r["vec_id"]: (r["cluster"], r["keep_id"], r["is_duplicate"])
+        for r in semantic_dedup(df, k=3, iters=3, threshold=0.999).collect()
+    }
+    assert again == out
