@@ -174,14 +174,52 @@ def _argmax_cell_udf(Cn: np.ndarray, base: int = 0):
 def _seed_centroids(
     df: DataFrame, id_col: str, vec_col: str, k: int, refine_iters: int
 ) -> np.ndarray:
-    """Deterministic centroid pipeline shared by :func:`ivf_topk` and
-    :func:`kmeans_clusters`: first ``k`` corpus vectors by id (a bounded
-    k-row collect), then ``refine_iters`` distributed Lloyd rounds.
-    Returns the UNnormalized centroid matrix (callers normalize)."""
-    cents = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
-    if not cents:
+    """Deterministic centroid pipeline shared by :func:`ivf_topk`,
+    :func:`kmeans_clusters`, :func:`write_ivf_index` and
+    :func:`semantic_dedup`: k-means++ seeding on a HASH-SPREAD sample,
+    then ``refine_iters`` distributed Lloyd rounds.
+
+    Two deliberate choices, both about scale:
+
+    * The sample is the ``max(32·k, 256)`` corpus rows minimizing
+      ``xxhash64(id)`` — ONE bounded TakeOrdered pass. Hash order, not id
+      order, because ids correlate with ingestion order at scale:
+      first-k-by-id seeds all come from the earliest slice of the corpus
+      (one domain/source), which a few Lloyd rounds cannot recover from
+      and which turns cluster-blocked consumers (semantic dedup, IVF
+      cells) into one mega-cluster. Hash order is uniform over the corpus
+      regardless of layout, and exactly as deterministic.
+    * k-means++ (spherical: D = 1 − cosine) runs driver-side on that
+      sample with a fixed RNG — the published farthest-point-weighted
+      init geometry at the cost of a k×sample matmul in numpy, no extra
+      corpus passes (the sampled flavor of k-means||'s
+      oversample-then-recluster idea).
+
+    Returns the UNnormalized centroid matrix (callers normalize); fewer
+    than ``k`` rows come back when the corpus itself has fewer."""
+    sample_n = max(32 * k, 256)
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample_n)
+        .collect()
+    )
+    if not rows:
         raise ValueError("centroid seeding requires a non-empty corpus")
-    C = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in cents])
+    X = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    Xn = _norm_rows(X)
+    rng = np.random.RandomState(42)
+    idx = [0]  # first seed: the min-hash row
+    d = None
+    for _ in range(1, min(k, len(X))):
+        nd = np.maximum(1.0 - Xn @ Xn[idx[-1]], 0.0)
+        d = nd if d is None else np.minimum(d, nd)
+        tot = d.sum()
+        if tot <= 0:  # sample fully collapsed onto the chosen seeds
+            idx.append(idx[-1])
+            continue
+        idx.append(int(np.searchsorted(np.cumsum(d), rng.rand() * tot)))
+    C = X[idx]
     if refine_iters > 0:
         C = kmeans_refine_centroids(df, C, iters=refine_iters, vec_col=vec_col)
     return C
@@ -243,9 +281,10 @@ def ivf_topk(
     cells (argmax cosine to a deterministic centroid set), search only the
     ``n_probe`` cells nearest each query, exact cosine re-rank inside them.
 
-    Centroid init is the first ``n_cells`` corpus vectors by id
-    (deterministic), then ``refine_iters`` rounds of distributed spherical
-    k-means (:func:`kmeans_refine_centroids`). The default of 1 round is
+    Centroid init is ``n_cells`` corpus vectors drawn by hash order of
+    the id (deterministic, uniform over the corpus — see
+    :func:`_seed_centroids`), then ``refine_iters`` rounds of distributed
+    spherical k-means (:func:`kmeans_refine_centroids`). The default of 1 round is
     deliberate: with raw seed centroids, routing quality — and therefore
     recall — silently depends on id order; one Lloyd round balances the
     cells for a single extra corpus pass (a recall@10 floor vs
@@ -450,8 +489,8 @@ def kmeans_clusters(
     mixture weighting (cluster counts feed ``sampling.mixture_weights``)
     or per-domain curation.
 
-    Deterministic end to end: centroids init from the first ``k`` vectors
-    by id, then ``iters`` distributed Lloyd rounds via
+    Deterministic end to end: centroids init from ``k`` hash-order seed
+    vectors (:func:`_seed_centroids`), then ``iters`` distributed Lloyd rounds via
     :func:`kmeans_refine_centroids` (per round: one Arrow-batched
     assignment pass over the corpus + a cells×dim-row shuffle — the
     corpus itself never collects; centroids are k×dim driver floats by

