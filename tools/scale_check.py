@@ -205,6 +205,7 @@ def run_routes(spark, scaled_dir: str, mult: int, only: set | None = None) -> li
         line_dedup,
     )
     from feature_store_implementation_spark.operators.text import unigram_logprob
+    from feature_store_implementation_spark.operators.similarity import semantic_dedup
 
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -227,6 +228,28 @@ def run_routes(spark, scaled_dir: str, mult: int, only: set | None = None) -> li
                 "route": name,
                 "mult": mult,
                 "corpus_rows": n_vecs if name == "similarity_lsh_topk" else n_docs,
+                "candidates": None,
+                "pairs": n,
+                "seconds": round(secs, 2),
+            }
+        )
+        print(json.dumps(rows[-1]), flush=True)
+
+    # semantic dedup with the documented scale discipline: k grows with the
+    # corpus so CLUSTER population stays constant (the published SemDeDup
+    # practice) — the within-cluster quadratic verify then does linear total
+    # work, which is exactly what this route measures
+    if (not only) or ("semantic_dedup" in only):
+        k = 8 * mult
+        frame = semantic_dedup(e, k=k, iters=2, threshold=0.45).filter(
+            F.col("is_duplicate")
+        )
+        n, secs = timed_count(frame)
+        rows.append(
+            {
+                "route": "semantic_dedup",
+                "mult": mult,
+                "corpus_rows": n_vecs,
                 "candidates": None,
                 "pairs": n,
                 "seconds": round(secs, 2),
