@@ -366,8 +366,14 @@ def semantic_dedup(
     from .dedup import embedding_near_dup_pairs
     from .graph import connected_components
 
-    clusters = kmeans_clusters(df, vec_col, id_col, k=k, iters=iters).select(
-        id_col, "cluster"
+    # materialize the assignment once — three consumers (the blocked join,
+    # the final output join, and the pair verify's lineage) would otherwise
+    # each re-run the Arrow assignment pass; one (id, cluster) row per
+    # vector, same localCheckpoint discipline as connected_components' edges
+    clusters = (
+        kmeans_clusters(df, vec_col, id_col, k=k, iters=iters)
+        .select(id_col, "cluster")
+        .localCheckpoint(eager=True)
     )
     blocked = df.select(id_col, vec_col).join(clusters, id_col)
     pairs = embedding_near_dup_pairs(

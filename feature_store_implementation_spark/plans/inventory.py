@@ -1730,7 +1730,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import semantic_dedup
 
     e = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(e, "embedding", "vec_id", k=8, iters=2, threshold=0.45)
+    # iters=1: one Lloyd round balances the cells (same duplicate groups as
+    # iters=2 on this corpus) at roughly half the eager-construction jobs
+    return semantic_dedup(e, "embedding", "vec_id", k=8, iters=1, threshold=0.45)
 
 
 @query("q_embedding_kmeans", None)

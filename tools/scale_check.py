@@ -241,10 +241,15 @@ def run_routes(spark, scaled_dir: str, mult: int, only: set | None = None) -> li
     # work, which is exactly what this route measures
     if (not only) or ("semantic_dedup" in only):
         k = 8 * mult
+        # time construction + count: the Lloyd rounds run EAGERLY during
+        # plan construction (driver collects per iteration), same caveat as
+        # the graph-family BSP routes
+        t0 = time.monotonic()
         frame = semantic_dedup(e, k=k, iters=2, threshold=0.45).filter(
             F.col("is_duplicate")
         )
-        n, secs = timed_count(frame)
+        n = frame.count()
+        secs = time.monotonic() - t0
         rows.append(
             {
                 "route": "semantic_dedup",
