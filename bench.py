@@ -121,6 +121,7 @@ EXTRAS = [
     "q_dedup_simhash_wide",
     "q_similarity_ivf_indexed",
     "q_semantic_dedup",
+    "q_chunk_tokens",
 ]
 
 

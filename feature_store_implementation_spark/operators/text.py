@@ -454,3 +454,54 @@ def bm25_rank(
         )
     )
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(top_k)
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Token-window chunking — the context-window preparation pass every
+    RAG/pretraining pipeline runs: split each document into whitespace
+    tokens and emit overlapping windows of ``window`` tokens advancing by
+    ``stride`` (overlap = window − stride keeps boundary context intact).
+
+    Plan shape at 100 TB: pure JVM expressions — ``sequence`` over chunk
+    starts, ``slice``/``array_join`` per window — exploded map-side with NO
+    shuffle at all (narrow transform of the document scan); downstream
+    sinks repartition as needed. The final window is emitted short rather
+    than dropped (a document shorter than ``window`` yields exactly one
+    chunk), and a start is emitted only while it makes progress
+    (start ≤ n_tokens), so chunk starts are 0, stride, 2·stride, … up to
+    the last start strictly below n_tokens — deterministic and exactly
+    reproducible in SQL (the DuckDB oracle replays it with
+    generate_series).
+
+    Returns ``(doc_id, chunk_id, chunk_text, n_tokens)`` with ``chunk_id``
+    0-based in document order."""
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = tokens_col(F.col(text_col))
+    n = F.greatest(F.size(toks), F.lit(1))  # empty doc → one empty chunk
+    starts = F.sequence(
+        F.lit(0), ((n - 1) / F.lit(stride)).cast("int") * F.lit(stride), F.lit(stride)
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            toks.alias("__toks"),
+            F.explode(starts).alias("start"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start") / stride).cast("long").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("start") + 1, window), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.size("__toks") - F.col("start"), F.lit(window)
+            ).cast("long").alias("n_tokens"),
+        )
+    )

@@ -2263,6 +2263,42 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways (north-star text op): whitespace split and a
     BPE-ish word/punct regex — all codegen'd expressions, no UDF."""
     d = load_table(spark, sf_dir, "documents")
+    return _q_token_count_body(d)
+
+
+@query(
+    "q_chunk_tokens",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, ((GREATEST(len(toks), 1) - 1) // 24) * 24, 24)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start // 24 AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text,
+           CAST(LEAST(len(toks) - start, 32) AS BIGINT) AS n_tokens
+    FROM s
+    """,
+)
+def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (operators/text.py chunk_tokens): overlapping
+    32-token windows advancing by 24 — the context-window prep pass for
+    RAG/pretraining. Pure JVM sequence/slice expressions exploded map-side
+    with NO shuffle; the DuckDB oracle replays the exact window arithmetic
+    with generate_series + list_slice."""
+    from ..operators.text import chunk_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_tokens(d, "text", "doc_id", window=32, stride=24)
+
+
+def _q_token_count_body(d: DataFrame) -> DataFrame:
     ws = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
     bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0))
     return d.select(

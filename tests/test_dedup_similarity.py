@@ -1012,3 +1012,42 @@ def test_semantic_dedup_planted_duplicate_groups(spark):
         for r in semantic_dedup(df, k=3, iters=3, threshold=0.999).collect()
     }
     assert again == out
+
+
+def test_chunk_tokens_matches_python_oracle(spark):
+    from feature_store_implementation_spark.operators.text import chunk_tokens
+
+    docs = [
+        (0, "a b c d e f g h i j"),          # 10 tokens
+        (1, "one two three"),                  # shorter than the window
+        (2, ""),                               # empty → one empty chunk
+        (3, "  padded   whitespace  doc  "),   # regex split robustness
+        (4, " ".join(f"t{i}" for i in range(12))),  # exact stride multiple
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    window, stride = 4, 3
+    got = sorted(
+        map(tuple, chunk_tokens(df, window=window, stride=stride).collect())
+    )
+    want = []
+    for doc_id, text in docs:
+        toks = [t for t in text.lower().split() if t]
+        n = max(len(toks), 1)
+        starts = list(range(0, ((n - 1) // stride) * stride + 1, stride))
+        for s in starts:
+            want.append(
+                (
+                    doc_id,
+                    s // stride,
+                    " ".join(toks[s : s + window]),
+                    min(len(toks) - s, window),
+                )
+            )
+    assert got == sorted(want)
+    # a doc shorter than the window yields exactly one chunk; empty too
+    per_doc = {}
+    for d_, *_ in got:
+        per_doc[d_] = per_doc.get(d_, 0) + 1
+    assert per_doc[1] == 1 and per_doc[2] == 1
+    with pytest.raises(ValueError):
+        chunk_tokens(df, window=0)
