@@ -1051,3 +1051,36 @@ def test_chunk_tokens_matches_python_oracle(spark):
     assert per_doc[1] == 1 and per_doc[2] == 1
     with pytest.raises(ValueError):
         chunk_tokens(df, window=0)
+
+
+def test_kmeans_seeding_survives_ingestion_ordered_corpus(spark):
+    """The r6 seeding fix, pinned: ids correlate with ingestion order, so a
+    corpus whose FIRST rows all come from one domain must not collapse
+    into a mega-cluster. First-k-by-id seeding put every seed inside
+    domain 0 here; hash-spread k-means++ seeds across the corpus and
+    recovers all three domains."""
+    from feature_store_implementation_spark.operators.similarity import kmeans_clusters
+
+    rng = np.random.RandomState(5)
+    centers = rng.randn(3, 16)
+    rows = []
+    vid = 0
+    truth = {}
+    # ingestion-ordered: ALL of domain 0 first, then domain 1, then 2
+    for ci, c in enumerate(centers):
+        for _ in range(60):
+            v = c + 0.05 * rng.randn(16)
+            rows.append((vid, (v / np.linalg.norm(v)).tolist()))
+            truth[vid] = ci
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_clusters(df, k=3, iters=4).collect()
+    }
+    label_of = {}
+    for vid_, cl in got.items():
+        t = truth[vid_]
+        label_of.setdefault(t, cl)
+        assert label_of[t] == cl, "a generated domain split across labels"
+    assert len(set(label_of.values())) == 3, "domains merged into a mega-cluster"
