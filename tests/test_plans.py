@@ -270,3 +270,12 @@ def test_new_text_queries_prune_scan_columns(spark):
         for rs in re.findall(r"ReadSchema: (\S+)", plan):
             for col in banned:
                 assert col not in rs, (name, rs)
+
+
+def test_chunk_tokens_is_shuffle_free(spark):
+    """Token-window chunking must stay a narrow transform of the document
+    scan (sequence/slice/explode map-side) — any Exchange would mean the
+    chunker started shuffling the corpus for no reason."""
+    plan = _plan(spark, "q_chunk_tokens")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode is there, map-side
