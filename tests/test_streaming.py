@@ -319,3 +319,51 @@ def test_q_stream_session_runs_real_stream_and_matches_batch(spark):
     )
     assert got == {tuple(r) for r in batch.collect()}
     assert len(got) > 0
+
+
+def test_stream_watermark_drops_late_rows(spark, tmp_path):
+    """The late-data class pinned explicitly: a straggler arriving AFTER
+    its window's state has been evicted is DROPPED — the already-emitted
+    append row is final, never re-emitted or revised. (Spark's actual
+    contract, verified here: a late row whose window is still in state —
+    e.g. arriving in the very batch that finalizes the window — is still
+    aggregated; only eviction makes lateness final. So the straggler must
+    arrive one batch later.) File 1 carries the 03:00 window plus a 10:00
+    event that advances the watermark to 08:00 (2h delay); file 2's
+    on-time 11:00 event lets the batch emit+evict the 03:00 window; file
+    3 replays a 03:30 straggler — state gone, row dropped. Expected
+    append output: exactly one row, the 03:00 window with the THREE
+    on-time events."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    base = dt.datetime(2024, 3, 1)
+
+    def ev(i, h, m=0):
+        return (i, base + dt.timedelta(hours=h, minutes=m), 1, "click", 1.0, "{}")
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = str(tmp_path / "late_in")
+    os.makedirs(src)
+    for n, (rows, mtime) in enumerate(
+        [
+            ([ev(1, 3), ev(2, 3, 10), ev(3, 3, 20), ev(4, 10)], 1_700_000_000),
+            ([ev(6, 11)], 1_700_000_100),
+            ([ev(5, 3, 30), ev(7, 12)], 1_700_000_200),
+        ]
+    ):
+        stage = str(tmp_path / f"stage_{n}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
+        dest = f"{src}/f{n}.parquet"
+        shutil.move(glob.glob(f"{stage}/part-*.parquet")[0], dest)
+        os.utime(dest, (mtime, mtime))
+
+    stream = read_events_stream(spark, src)
+    out = _run_stream(spark, tumbling_features(stream, watermark="2 hours"), tmp_path)
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [(base + dt.timedelta(hours=3), 1, 3, 3.0)], rows
