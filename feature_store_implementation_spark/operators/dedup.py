@@ -568,6 +568,22 @@ def _auto_planes(n_rows: int) -> int:
     return max(10, min(24, math.ceil(math.log2(max(n_rows, 2))) + 1))
 
 
+def _auto_tables(n_rows: int) -> int:
+    """Sign-LSH table count for a corpus of ``n_rows``: 8 through ~10⁷
+    rows (the regime where auto width r = ceil(log2 N)+1 is still below
+    its 24-bit clamp and measured recall at near-dup thresholds is
+    ≥ 0.99), then +4 per decade, capped at 24. Past the width clamp the
+    per-table collision probability for TRUE near-dups stops rising with
+    N, so holding recall requires more independent tables — the published
+    multi-table LSH tradeoff. Each table is one more signature column and
+    one more bucket emission per row (linear cost)."""
+    import math
+
+    if n_rows <= 10_000_000:
+        return 8
+    return min(24, 8 + 4 * math.ceil(math.log10(n_rows / 10_000_000)))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -576,7 +592,7 @@ def embedding_near_dup_pairs(
     block_col: str | None = None,
     candidates: str = "lsh",
     n_planes: int | None = None,
-    n_tables: int = 8,
+    n_tables: int | None = None,
     seed: int = 42,
     max_bucket: int = 10000,
     broadcast_verify_max_rows: int = 200_000,
@@ -606,9 +622,11 @@ def embedding_near_dup_pairs(
       ≈ n_tables·r²/2 · N — linear up to the log² factor — while
       near-dup recall at real thresholds stays ≈ 1 (per-table ≤2-bit
       match at cosine 0.9 is ≥ 0.6 for r ≤ 15, and a pair is missed
-      only when ALL 8 tables miss: < 1e-3). Beyond ~10⁷ rows per block,
-      scale ``n_tables`` too (recall at FIXED tables degrades slowly as
-      r grows past ~20).
+      only when ALL 8 tables miss: < 1e-3). ``n_tables=None`` (default)
+      scales the table count the same way (:func:`_auto_tables`): 8
+      through ~10⁷ rows, +4 per decade beyond, cap 24 — past the 24-bit
+      width clamp, recall at FIXED tables degrades as r grows, so tables
+      take over as the recall lever.
 
       Approximate: recall vs the all-pairs truth is pinned ≥ 0.95 at
       sf0.01 in tests; at real near-dup thresholds (≥ 0.9) the default
@@ -653,6 +671,8 @@ def embedding_near_dup_pairs(
         n_rows = v.count()
         if n_planes is None:
             n_planes = _auto_planes(n_rows)
+        if n_tables is None:
+            n_tables = _auto_tables(n_rows)
 
         def mapper(batches):
             import pandas as pd

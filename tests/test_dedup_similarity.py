@@ -1084,3 +1084,20 @@ def test_kmeans_seeding_survives_ingestion_ordered_corpus(spark):
         label_of.setdefault(t, cl)
         assert label_of[t] == cl, "a generated domain split across labels"
     assert len(set(label_of.values())) == 3, "domains merged into a mega-cluster"
+
+
+def test_auto_tables_scales_past_the_width_clamp():
+    from feature_store_implementation_spark.operators.dedup import (
+        _auto_planes,
+        _auto_tables,
+    )
+
+    # 8 tables throughout the regime where the auto width is still growing
+    assert _auto_tables(1) == 8
+    assert _auto_tables(10_000_000) == 8
+    # past the clamp (auto width pegged at 24 bits), +4 per decade, cap 24
+    assert _auto_planes(10**8) == 24
+    assert _auto_tables(10**8) == 12
+    assert _auto_tables(10**9) == 16
+    assert _auto_tables(10**12) == 24
+    assert _auto_tables(10**15) == 24
