@@ -122,6 +122,7 @@ EXTRAS = [
     "q_similarity_ivf_indexed",
     "q_semantic_dedup",
     "q_chunk_tokens",
+    "q_dedup_incremental",
 ]
 
 

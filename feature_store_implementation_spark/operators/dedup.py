@@ -98,6 +98,30 @@ def minhash_signatures(
     )
 
 
+def _minhash_bands(sigs: DataFrame, k: int, bands: int) -> DataFrame:
+    """(doc_id, band, bucket) rows: each signature split into ``bands``
+    row-groups of k/bands values, each group hashed to one bucket id —
+    the LSH banding shared by the batch pair route and the persisted
+    index's query path (identical hashing, so candidates agree)."""
+    r = k // bands
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b), *[F.col("signature")[b * r + i] for i in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -129,23 +153,7 @@ def minhash_near_dup_pairs(
     """
     r = k // bands
     sigs = _cache_scoped(minhash_signatures(df, text_col, id_col, n_shingle, k))
-
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.lit(b), *[F.col("signature")[b * r + i] for i in range(r)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    banded = _minhash_bands(sigs, k, bands)
 
     # in-bucket sorted-id pair generation, skipping degenerate buckets
     buckets = (
@@ -188,6 +196,105 @@ def minhash_near_dup_pairs(
         .select("doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard"))
     )
     return verified
+
+
+def minhash_index_write(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 3,
+    k: int = 32,
+) -> int:
+    """Persist the corpus's MinHash state — (doc_id, shingles, signature)
+    parquet plus a params sidecar (atomic rename, same discipline as the
+    IVF index and the offline store's manifests). This is the INCREMENTAL
+    dedup pattern at 100 TB: the corpus is shingled and signed ONCE; every
+    daily increment is checked against the stored signatures
+    (:func:`minhash_index_query`) without re-reading, re-shingling or
+    re-hashing a byte of corpus text. Returns the indexed row count."""
+    import json
+    import os
+
+    sigs = minhash_signatures(df, text_col, id_col, n_shingle, k)
+    sigs.write.parquet(os.path.join(path, "signatures"))
+    tmp = os.path.join(path, ".params.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"n_shingle": int(n_shingle), "k": int(k)}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, "params.json"))
+    # count from the written files (parquet footer metadata), not a second
+    # signature computation over the corpus
+    return (
+        df.sparkSession.read.parquet(os.path.join(path, "signatures")).count()
+    )
+
+
+def minhash_index_query(
+    spark,
+    new_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 8,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN an increment and a
+    :func:`minhash_index_write` corpus — cross pairs only (new×new dups
+    are one :func:`minhash_near_dup_pairs` call over the increment).
+    Returns ``(new_id, corpus_id, jaccard)``.
+
+    Plan shape: the increment is signed fresh with the INDEX's stored
+    params (so band hashing is bit-identical to the batch route), both
+    sides band with the shared :func:`_minhash_bands`, and candidates come
+    from a (band, bucket)-keyed equi-join — the corpus signature table is
+    scanned once, never the corpus text. Hot corpus buckets above
+    ``max_bucket`` are dropped first (one map-side-combined count over the
+    banded corpus — the same boilerplate armor as every banded route).
+    The exact-Jaccard verify joins shingles back from the increment and
+    the stored index at candidate cardinality."""
+    import json
+    import os
+
+    with open(os.path.join(path, "params.json")) as f:
+        params = json.load(f)
+    k = params["k"]
+    corpus_sigs = spark.read.parquet(os.path.join(path, "signatures"))
+    new_sigs = minhash_signatures(
+        new_df, text_col, id_col, params["n_shingle"], k
+    )
+    ob = _minhash_bands(corpus_sigs, k, bands)
+    cool = (
+        ob.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= max_bucket)
+        .select("band", "bucket")
+    )
+    nb = _minhash_bands(new_sigs, k, bands).withColumnRenamed("doc_id", "new_id")
+    cands = (
+        ob.join(cool, ["band", "bucket"], "left_semi")
+        .withColumnRenamed("doc_id", "corpus_id")
+        .join(nb, ["band", "bucket"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    sh_new = new_sigs.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("sh_n"))
+    sh_old = corpus_sigs.select(
+        F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh_c")
+    )
+    return (
+        cands.join(sh_new, "new_id")
+        .join(sh_old, "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_n", "sh_c"))
+            / F.size(F.array_union("sh_n", "sh_c")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
+    )
 
 
 # ---------------------------------------------------------------------------

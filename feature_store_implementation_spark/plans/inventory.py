@@ -1717,6 +1717,34 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, q, k=10, n_cells=16, n_probe=4)
 
 
+@query("q_dedup_incremental", None)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a PERSISTED MinHash index
+    (operators/dedup.py minhash_index_write / minhash_index_query): the
+    corpus (6 of every 7 documents) is signed once into a signature
+    parquet + params sidecar; the 'daily increment' (the remaining 1/7)
+    is then checked against the stored signatures via the shared banding
+    hash — the corpus text is never re-read. Rows-only (banded candidates
+    aren't SQL-expressible); exact agreement with the batch route's cross
+    pairs is pinned in tests/test_dedup_similarity.py. Index in a temp
+    dir; the bounded pair result is materialized before cleanup."""
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import minhash_index_query, minhash_index_write
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    new = d.filter(F.col("doc_id") % 7 == 0)
+    tmp = tempfile.mkdtemp(prefix="q_mh_index_")
+    try:
+        minhash_index_write(corpus, tmp)
+        out = minhash_index_query(spark, new, tmp, threshold=0.5)
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @query("q_semantic_dedup", None)
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (operators/similarity.py

@@ -1101,3 +1101,47 @@ def test_auto_tables_scales_past_the_width_clamp():
     assert _auto_tables(10**9) == 16
     assert _auto_tables(10**12) == 24
     assert _auto_tables(10**15) == 24
+
+
+def test_minhash_index_query_equals_batch_cross_pairs(spark, tmp_path):
+    """The persisted-index route must agree EXACTLY with the batch route
+    restricted to cross pairs: identical signature params + the shared
+    banding hash means identical candidates, and the verify is the same
+    exact Jaccard (max_bucket high so neither route caps)."""
+    from feature_store_implementation_spark.operators.dedup import (
+        minhash_index_query,
+        minhash_index_write,
+        minhash_near_dup_pairs,
+    )
+
+    corpus = _docs(spark).filter(F.col("doc_id") != 1)
+    new = _docs(spark).filter(F.col("doc_id") == 1).union(
+        spark.createDataFrame(
+            [(10, "completely novel text with no overlap whatsoever here")],
+            "doc_id long, text string",
+        )
+    )
+    path = str(tmp_path / "mhidx")
+    assert minhash_index_write(corpus, path) == 5
+
+    got = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in minhash_index_query(
+            spark, new, path, threshold=0.5, max_bucket=10**6
+        ).collect()
+    }
+    batch = minhash_near_dup_pairs(
+        _docs(spark).union(new.filter(F.col("doc_id") == 10)),
+        threshold=0.5,
+        max_bucket=10**6,
+    ).collect()
+    new_ids = {1, 10}
+    want = {}
+    for r in batch:
+        a, b = r["doc_id_a"], r["doc_id_b"]
+        if (a in new_ids) != (b in new_ids):  # cross pairs only
+            n, c = (a, b) if a in new_ids else (b, a)
+            want[(n, c)] = r["jaccard"]
+    assert got == want and len(got) > 0
+    # doc 1 is an exact duplicate of corpus doc 0
+    assert got[(1, 0)] == 1.0
