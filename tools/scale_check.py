@@ -235,6 +235,43 @@ def run_routes(spark, scaled_dir: str, mult: int, only: set | None = None) -> li
         )
         print(json.dumps(rows[-1]), flush=True)
 
+    # persisted-index incremental dedup: a FIXED increment checked against
+    # a GROWING indexed corpus — the realistic daily-batch shape; query
+    # cost should be ~linear in the corpus signature scan
+    if (not only) or ("minhash_index" in only):
+        import shutil
+        import tempfile
+
+        from feature_store_implementation_spark.operators.dedup import (
+            minhash_index_query,
+            minhash_index_write,
+        )
+
+        inc = d.filter((F.col("doc_id") % 97 == 0) & (F.col("doc_id") < ID_STRIDE))
+        corpus = d.join(inc.select("doc_id"), "doc_id", "left_anti")
+        idx = tempfile.mkdtemp(prefix="scale_mhidx_")
+        try:
+            t0 = time.monotonic()
+            n_idx = minhash_index_write(corpus, idx)
+            w_secs = time.monotonic() - t0
+            n, q_secs = timed_count(
+                minhash_index_query(spark, inc, idx, threshold=0.5)
+            )
+        finally:
+            shutil.rmtree(idx, ignore_errors=True)
+        rows.append(
+            {
+                "route": "minhash_index_query",
+                "mult": mult,
+                "corpus_rows": n_idx,
+                "candidates": None,
+                "pairs": n,
+                "seconds": round(q_secs, 2),
+                "index_write_seconds": round(w_secs, 2),
+            }
+        )
+        print(json.dumps(rows[-1]), flush=True)
+
     # semantic dedup with the documented scale discipline: k grows with the
     # corpus so CLUSTER population stays constant (the published SemDeDup
     # practice) — the within-cluster quadratic verify then does linear total
