@@ -1159,7 +1159,12 @@ def _stream_events_complete(spark, sf_dir, feature_fn):
 
 
 def _stream_events_append(
-    spark, sf_dir, feature_fn, n_chunks: int = 8, inject_dups: bool = True
+    spark,
+    sf_dir,
+    feature_fn,
+    n_chunks: int = 8,
+    inject_dups: bool = True,
+    output_mode: str = "append",
 ):
     """Append-mode harness with a REAL watermark — the behavior class the
     complete-mode trio can't show (state eviction, closed-window finality,
@@ -1206,7 +1211,7 @@ def _stream_events_append(
         name = "q_stream_" + uuid.uuid4().hex[:8]
         q = (
             feature_fn(read_events_stream(spark, src))
-            .writeStream.outputMode("append")
+            .writeStream.outputMode(output_mode)
             .format("memory")
             .queryName(name)
             .option("checkpointLocation", f"{tmp}/ckpt")
@@ -1296,6 +1301,34 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # availableNow trigger pays ~10 stateful shuffle stages — half the
     # triggers keeps this driver row under ~20s at gate scale
     return _stream_events_append(spark, sf_dir, join_fn, n_chunks=4, inject_dups=False)
+
+
+@query(
+    "q_stream_state",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful operator under the driver gate: the
+    applyInPandasWithState running per-user state (streaming/features.py
+    running_user_state) executed as a real multi-trigger update-mode
+    stream. Each trigger emits the user's running (total, n); the final
+    state per user is the row with the largest n (the count is monotone
+    across triggers), and that per-user event count must hash-match the
+    batch GROUP BY — integer-exact, so no float-order caveats. This is
+    the escape-hatch operator class (arbitrary keyed state) the windowed
+    driver rows can't represent."""
+    from ..streaming.features import running_user_state
+
+    updates = _stream_events_append(
+        spark, sf_dir, running_user_state, n_chunks=4, inject_dups=False,
+        output_mode="update",
+    )
+    return updates.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_events")
+    )
 
 
 @query(
