@@ -151,7 +151,6 @@ def minhash_near_dup_pairs(
     (tools/scale_check.py measures candidates-generated vs
     pairs-verified growth with corpus size).
     """
-    r = k // bands
     sigs = _cache_scoped(minhash_signatures(df, text_col, id_col, n_shingle, k))
     banded = _minhash_bands(sigs, k, bands)
 
@@ -205,30 +204,50 @@ def minhash_index_write(
     id_col: str = "doc_id",
     n_shingle: int = 3,
     k: int = 32,
+    bands: int = 8,
 ) -> int:
     """Persist the corpus's MinHash state — (doc_id, shingles, signature)
-    parquet plus a params sidecar (atomic rename, same discipline as the
-    IVF index and the offline store's manifests). This is the INCREMENTAL
-    dedup pattern at 100 TB: the corpus is shingled and signed ONCE; every
-    daily increment is checked against the stored signatures
-    (:func:`minhash_index_query`) without re-reading, re-shingling or
-    re-hashing a byte of corpus text. Returns the indexed row count."""
+    parquet plus a params sidecar. Crash-safe like the offline store: the
+    signature parquet is written to a staging dir and renamed into place,
+    and ``params.json`` (atomic rename) is the COMMIT MARKER — a
+    ``signatures`` dir without it is an uncommitted leftover that the next
+    write sweeps before retrying, so an interrupted write never bricks
+    the path. ``bands`` is recorded because bucket identity depends on it
+    (:func:`_minhash_bands`); the query path reads it back, so writer and
+    every reader band identically by construction.
+
+    This is the INCREMENTAL dedup pattern at 100 TB: the corpus is
+    shingled and signed ONCE; every daily increment is checked against
+    the stored signatures (:func:`minhash_index_query`) without
+    re-reading, re-shingling or re-hashing a byte of corpus text.
+    Returns the indexed row count."""
     import json
     import os
+    import shutil
+    import uuid
 
-    sigs = minhash_signatures(df, text_col, id_col, n_shingle, k)
-    sigs.write.parquet(os.path.join(path, "signatures"))
+    sig_dir = os.path.join(path, "signatures")
+    marker = os.path.join(path, "params.json")
+    if os.path.isdir(sig_dir) and not os.path.exists(marker):
+        shutil.rmtree(sig_dir)  # uncommitted leftover from a killed writer
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex[:12]}")
+    try:
+        sigs = minhash_signatures(df, text_col, id_col, n_shingle, k)
+        sigs.write.parquet(staging)
+        os.rename(staging, sig_dir)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
     tmp = os.path.join(path, ".params.tmp")
     with open(tmp, "w") as f:
-        json.dump({"n_shingle": int(n_shingle), "k": int(k)}, f)
+        json.dump(
+            {"n_shingle": int(n_shingle), "k": int(k), "bands": int(bands)}, f
+        )
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(path, "params.json"))
+    os.replace(tmp, marker)
     # count from the written files (parquet footer metadata), not a second
     # signature computation over the corpus
-    return (
-        df.sparkSession.read.parquet(os.path.join(path, "signatures")).count()
-    )
+    return df.sparkSession.read.parquet(sig_dir).count()
 
 
 def minhash_index_query(
@@ -237,7 +256,6 @@ def minhash_index_query(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bands: int = 8,
     threshold: float = 0.7,
     max_bucket: int = 1000,
 ) -> DataFrame:
@@ -247,37 +265,41 @@ def minhash_index_query(
     Returns ``(new_id, corpus_id, jaccard)``.
 
     Plan shape: the increment is signed fresh with the INDEX's stored
-    params (so band hashing is bit-identical to the batch route), both
-    sides band with the shared :func:`_minhash_bands`, and candidates come
-    from a (band, bucket)-keyed equi-join — the corpus signature table is
-    scanned once, never the corpus text. Hot corpus buckets above
-    ``max_bucket`` are dropped first (one map-side-combined count over the
-    banded corpus — the same boilerplate armor as every banded route).
-    The exact-Jaccard verify joins shingles back from the increment and
-    the stored index at candidate cardinality."""
+    params — including ``bands``, so band hashing is bit-identical to the
+    writer's by construction. The corpus signature table gets ONE banded
+    aggregation pass (capped ``collect_set`` per (band, bucket) — the
+    same hot-bucket armor as the batch route) plus one shingle-column
+    read at candidate cardinality for the verify; corpus TEXT is never
+    touched. The increment side is capped symmetrically (its per-bucket
+    population is counted and hot increment buckets dropped), so a
+    boilerplate-heavy increment cannot regenerate the quadratic blow-up
+    either."""
     import json
     import os
 
     with open(os.path.join(path, "params.json")) as f:
         params = json.load(f)
-    k = params["k"]
+    k, bands = params["k"], params["bands"]
     corpus_sigs = spark.read.parquet(os.path.join(path, "signatures"))
-    new_sigs = minhash_signatures(
-        new_df, text_col, id_col, params["n_shingle"], k
+    new_sigs = _cache_scoped(
+        minhash_signatures(new_df, text_col, id_col, params["n_shingle"], k)
     )
-    ob = _minhash_bands(corpus_sigs, k, bands)
-    cool = (
-        ob.groupBy("band", "bucket")
+    buckets = (
+        _minhash_bands(corpus_sigs, k, bands)
+        .groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") <= max_bucket)
+    )
+    nb = _minhash_bands(new_sigs, k, bands).withColumnRenamed("doc_id", "new_id")
+    nb_cool = (
+        nb.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") <= max_bucket)
         .select("band", "bucket")
     )
-    nb = _minhash_bands(new_sigs, k, bands).withColumnRenamed("doc_id", "new_id")
     cands = (
-        ob.join(cool, ["band", "bucket"], "left_semi")
-        .withColumnRenamed("doc_id", "corpus_id")
-        .join(nb, ["band", "bucket"])
-        .select("new_id", "corpus_id")
+        buckets.join(nb.join(nb_cool, ["band", "bucket"], "left_semi"), ["band", "bucket"])
+        .select("new_id", F.explode("ids").alias("corpus_id"))
         .distinct()
     )
     sh_new = new_sigs.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("sh_n"))

@@ -207,11 +207,14 @@ def triangle_count(
     (plans/inventory.py), extracted so the scale sweep can measure its growth
     exponent on synthetic graphs.
 
-    Scale shape: the wedge join fans out as sum(deg²) over the *canonical*
-    out-degrees, so cost is linear in |E| at constant max degree but grows
-    with skew. ``max_degree`` is the escape hatch for heavy-tailed graphs:
-    vertices whose canonical out-degree exceeds it are dropped from wedge
-    middles (the standard approximate-triangle degree cap); ``None`` keeps
+    Scale shape: the wedge join fans out as in_deg(b)·out_deg(b) summed
+    over wedge middles, so cost is linear in |E| at constant max degree
+    but grows with skew. ``max_degree`` is the escape hatch for
+    heavy-tailed graphs: wedges whose MIDDLE vertex (the median id of the
+    ordered triple) has undirected degree above the cap are skipped —
+    applied to the two wedge legs only, so closure edges stay complete
+    and the per-middle fan-out is bounded by cap²; triangles routed
+    through super-node middles are the documented miss. ``None`` keeps
     the count exact. Returns a single row ``(n_triangles)``.
     """
     canon = (
@@ -222,15 +225,20 @@ def triangle_count(
         .filter(F.col("pa") < F.col("pb"))
         .distinct()
     )
-    if max_degree is not None:
-        deg = canon.groupBy("pa").agg(F.count(F.lit(1)).alias("out_deg"))
-        canon = (
-            canon.join(deg, "pa")
-            .filter(F.col("out_deg") <= max_degree)
-            .select("pa", "pb")
-        )
     e1 = canon
     e2 = canon.select(F.col("pa").alias("pb"), F.col("pb").alias("pc"))
+    if max_degree is not None:
+        degs = (
+            canon.select(F.col("pa").alias("v"))
+            .union(canon.select(F.col("pb").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        ok_mid = degs.filter(F.col("deg") <= max_degree).select(
+            F.col("v").alias("pb")
+        )
+        e1 = e1.join(ok_mid, "pb", "left_semi")
+        e2 = e2.join(ok_mid, "pb", "left_semi")
     e3 = canon.select(F.col("pa").alias("pa2"), F.col("pb").alias("pc2"))
     return (
         e1.join(e2, "pb")

@@ -418,19 +418,33 @@ def write_ivf_index(
     same corpus/params routes identically to :func:`ivf_topk`."""
     import json
     import os
+    import shutil
+    import uuid
 
+    cells_dir = os.path.join(path, "cells")
+    marker = os.path.join(path, "centroids.json")
+    if os.path.isdir(cells_dir) and not os.path.exists(marker):
+        shutil.rmtree(cells_dir)  # uncommitted leftover from a killed writer
     C = _seed_centroids(corpus, id_col, vec_col, n_cells, refine_iters)
     Cn = _norm_rows(C)
     assigned = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     ).withColumn("cell", _argmax_cell_udf(Cn)(F.col("embedding")))
-    assigned.write.partitionBy("cell").parquet(os.path.join(path, "cells"))
+    # staged write + rename; the centroid sidecar rename below is the
+    # commit marker, so a writer killed at any point leaves a retryable
+    # path, never a half-visible index
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex[:12]}")
+    try:
+        assigned.write.partitionBy("cell").parquet(staging)
+        os.rename(staging, cells_dir)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
     tmp = os.path.join(path, ".centroids.tmp")
     with open(tmp, "w") as f:
         json.dump({"n_cells": int(n_cells), "centroids": C.tolist()}, f)
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(path, "centroids.json"))
+    os.replace(tmp, marker)
     return int(n_cells)
 
 
@@ -467,7 +481,13 @@ def query_ivf_index(
         return pd.Series(list(idx.astype("int32")))
 
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    probes = q.select("query_id", "qv", F.explode(top_cells(F.col("qv"))).alias("cell"))
+    # materialize the routed probes ONCE: the frame is consumed twice (the
+    # bounded cell-set collect below and the broadcast join), and a
+    # nondeterministic queries frame re-executed in each would let the
+    # partition filter disagree with the join side
+    probes = q.select(
+        "query_id", "qv", F.explode(top_cells(F.col("qv"))).alias("cell")
+    ).localCheckpoint(eager=True)
     cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
     corpus = spark.read.parquet(os.path.join(path, "cells")).filter(
         F.col("cell").isin(cells)
@@ -504,10 +524,7 @@ def kmeans_clusters(
     argmax-cosine cluster and its cosine; ties go to the lowest cluster
     index (argmax semantics, same as IVF routing).
     """
-    try:
-        Cn = _norm_rows(_seed_centroids(df, id_col, vec_col, k, iters))
-    except ValueError:
-        raise ValueError("kmeans_clusters requires a non-empty corpus") from None
+    Cn = _norm_rows(_seed_centroids(df, id_col, vec_col, k, iters))
     scores_of = _cell_scores_fn(Cn)
 
     v = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))

@@ -54,15 +54,9 @@ VALUES_SCHEMA = T.StructType(
 _FILE_SCHEMA = T.StructType([f for f in VALUES_SCHEMA.fields if f.name != "feature_version_id"])
 
 
-def _fsync_file(path: str) -> None:
-    fd = os.open(path, os.O_RDONLY)
-    try:
-        os.fsync(fd)
-    finally:
-        os.close(fd)
-
-
-def _fsync_dir(path: str) -> None:
+def _fsync_path(path: str) -> None:
+    """fsync a file or directory by path (O_RDONLY works for both on
+    Linux — directory fsync persists the entry rename)."""
     fd = os.open(path, os.O_RDONLY)
     try:
         os.fsync(fd)
@@ -108,7 +102,7 @@ class OfflineStore:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, final)
-        _fsync_dir(self._manifest_dir())
+        _fsync_path(self._manifest_dir())
 
     def _committed_versions(self) -> list[int]:
         try:
@@ -165,11 +159,11 @@ class OfflineStore:
         new_rel = []
         try:
             for src in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
-                _fsync_file(src)
+                _fsync_path(src)
                 name = f"{txn}-{os.path.basename(src)}"
                 os.rename(src, os.path.join(part_dir, name))
                 new_rel.append(f"{part_rel}/{name}")
-            _fsync_dir(part_dir)
+            _fsync_path(part_dir)
             if _crash_before_commit:
                 raise RuntimeError("simulated crash before manifest commit")
             committed = self._manifest_files(vid) + new_rel
@@ -213,7 +207,7 @@ class OfflineStore:
         manifest = self._manifest_path(vid)
         if os.path.exists(manifest):
             os.remove(manifest)
-            _fsync_dir(self._manifest_dir())
+            _fsync_path(self._manifest_dir())
             deleted = True
         part_dir = os.path.join(self.path, f"feature_version_id={vid}")
         if os.path.isdir(part_dir):
@@ -303,11 +297,11 @@ def compact_version_partition(
     new_rel = []
     try:
         for src in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
-            _fsync_file(src)
+            _fsync_path(src)
             name = f"{txn}-{os.path.basename(src)}"
             os.rename(src, os.path.join(part_dir, name))
             new_rel.append(f"{part_rel}/{name}")
-        _fsync_dir(part_dir)
+        _fsync_path(part_dir)
         store._commit_manifest(vid, new_rel)  # the atomic cutover
         for rf in old_rel:  # old files are garbage the moment the swap lands
             try:

@@ -1145,3 +1145,26 @@ def test_minhash_index_query_equals_batch_cross_pairs(spark, tmp_path):
     assert got == want and len(got) > 0
     # doc 1 is an exact duplicate of corpus doc 0
     assert got[(1, 0)] == 1.0
+
+
+def test_minhash_index_write_retry_after_crash(spark, tmp_path):
+    """A killed index writer (signatures dir present, commit marker
+    absent) must not brick the path: the retry sweeps the uncommitted
+    leftover and succeeds."""
+    import os
+
+    from feature_store_implementation_spark.operators.dedup import (
+        minhash_index_query,
+        minhash_index_write,
+    )
+
+    path = str(tmp_path / "mhidx")
+    os.makedirs(os.path.join(path, "signatures"))  # crash leftover, no marker
+    with open(os.path.join(path, "signatures", "part-junk.parquet"), "w") as f:
+        f.write("partial")
+    corpus = _docs(spark)
+    assert minhash_index_write(corpus, path) == 6
+    out = minhash_index_query(
+        spark, _docs(spark).filter(F.col("doc_id") == 1), path, threshold=0.5
+    )
+    assert any(r["corpus_id"] == 0 for r in out.collect())

@@ -238,7 +238,7 @@ def run_routes(spark, scaled_dir: str, mult: int, only: set | None = None) -> li
     # persisted-index incremental dedup: a FIXED increment checked against
     # a GROWING indexed corpus — the realistic daily-batch shape; query
     # cost should be ~linear in the corpus signature scan
-    if (not only) or ("minhash_index" in only):
+    if (not only) or ("minhash_index_query" in only):
         import shutil
         import tempfile
 
@@ -301,7 +301,7 @@ def run_routes(spark, scaled_dir: str, mult: int, only: set | None = None) -> li
     return rows
 
 
-def run_graph_routes(spark, scaled_dir: str, mult: int) -> list[dict]:
+def run_graph_routes(spark, scaled_dir: str, mult: int, only: set | None = None) -> list[dict]:
     """Verdict-r5 item 1: growth exponents for the graph family (the only
     heavy operators whose 100× claims previously rested on plan shape
     alone). All four are fixed-iteration or diameter-bounded BSP loops, so
@@ -320,6 +320,8 @@ def run_graph_routes(spark, scaled_dir: str, mult: int) -> list[dict]:
     rows = []
 
     def route(name, thunk, scalar=False):
+        if only and name not in only:
+            return
         # the BSP routes materialize eagerly (localCheckpoint) during plan
         # CONSTRUCTION — time the thunk end-to-end, not just the final count
         t0 = time.monotonic()
@@ -393,7 +395,7 @@ def main() -> None:
             all_rows.extend(run_routes(spark, scaled, mult, only))
         if args.family in ("all", "graph"):
             build_scaled_graph(scaled, mult)
-            all_rows.extend(run_graph_routes(spark, scaled, mult))
+            all_rows.extend(run_graph_routes(spark, scaled, mult, only))
 
     lo, hi = mults[0], mults[-1]
     summary = {}
