@@ -45,6 +45,7 @@ class CurationReport:
     n_after_dedup: int
     n_after_decontamination: int
     n_output: int
+    n_after_semantic: int | None = None  # None when no embeddings were given
 
 
 def curate_corpus(
@@ -60,6 +61,11 @@ def curate_corpus(
     min_avg_logprob: float | None = None,
     eval_df: DataFrame | None = None,
     decontaminate_ngram: int = 8,
+    embeddings: DataFrame | None = None,
+    embedding_col: str = "embedding",
+    embedding_id_col: str = "doc_id",
+    semantic_k: int = 16,
+    semantic_threshold: float = 0.95,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation pipeline; returns (curated_docs, report).
 
@@ -72,6 +78,14 @@ def curate_corpus(
     ``decontaminate_ngram``-gram with the held-out benchmark set, after
     dedup (so decontamination never resurrects a near-duplicate).
     ``sample_fraction`` applies the content-hash sampler last.
+    ``embeddings`` (optional: one row per document id with an
+    ``embedding_col`` vector) adds the SemDeDup semantic stage after the
+    lexical dedup — paraphrase-level duplicates that share no shingles
+    (translations, rewrites) are clustered by cosine inside k-means cells
+    (``operators/similarity.semantic_dedup``) and each duplicate group
+    keeps its minimum id, mirroring the lexical canonical choice. Only
+    surviving documents are clustered (the embedding frame is semi-joined
+    down first).
 
     Precondition: ``id_col`` must be unique and non-null. Duplicate ids
     would fan out multiplicatively in the quality/language joins and, with
@@ -138,6 +152,29 @@ def curate_corpus(
     deduped = after_l.join(losers, "doc_id", "left_anti")
     n_after_dedup = deduped.count()
 
+    n_after_semantic = None
+    if embeddings is not None:
+        from ..operators.similarity import semantic_dedup
+
+        alive = embeddings.join(
+            deduped.select(F.col("doc_id").alias(embedding_id_col)),
+            embedding_id_col,
+            "left_semi",
+        )
+        sem_losers = (
+            semantic_dedup(
+                alive,
+                vec_col=embedding_col,
+                id_col=embedding_id_col,
+                k=semantic_k,
+                threshold=semantic_threshold,
+            )
+            .filter(F.col("is_duplicate"))
+            .select(F.col(embedding_id_col).alias("doc_id"))
+        )
+        deduped = deduped.join(sem_losers, "doc_id", "left_anti")
+        n_after_semantic = deduped.count()
+
     if eval_df is not None:
         contaminated = decontaminate(
             deduped.withColumnRenamed("doc_id", id_col)
@@ -162,4 +199,5 @@ def curate_corpus(
         n_after_dedup,
         n_after_decontamination,
         n_output,
+        n_after_semantic,
     )

@@ -97,3 +97,46 @@ def test_duplicate_ids_rejected_up_front(spark):
     )
     with pytest.raises(ValueError, match="unique non-null 'doc_id'"):
         curate_corpus(df, min_quality=0.0)
+
+
+def test_semantic_stage_drops_paraphrase_duplicates(spark):
+    """The optional SemDeDup stage: documents that share NO shingles (so
+    lexical dedup keeps both) but have near-identical embeddings collapse
+    to the minimum id; without an embeddings frame the pipeline is
+    unchanged and the report field stays None."""
+    import numpy as np
+
+    from feature_store_implementation_spark.pipelines.corpus import curate_corpus
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "a speedy auburn canine leaps across an idle hound beside the water line"),
+        (2, "completely unrelated report about quarterly finance results and markets"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    rng = np.random.RandomState(9)
+    base = rng.randn(16)
+    other = rng.randn(16)
+    embs = spark.createDataFrame(
+        [
+            (0, (base / np.linalg.norm(base)).tolist()),
+            (1, ((base + 1e-3 * rng.randn(16)) / np.linalg.norm(base)).tolist()),
+            (2, (other / np.linalg.norm(other)).tolist()),
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    out_plain, rep_plain = curate_corpus(docs, min_quality=0.0, languages=("en",))
+    assert rep_plain.n_after_semantic is None
+    kept_plain = {r["doc_id"] for r in out_plain.collect()}
+    assert {0, 1} <= kept_plain  # no shared shingles -> lexical dedup keeps both
+
+    out, rep = curate_corpus(
+        docs,
+        min_quality=0.0,
+        languages=("en",),
+        embeddings=embs,
+        semantic_k=2,
+        semantic_threshold=0.99,
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 0 in kept and 1 not in kept and rep.n_after_semantic == len(kept)
