@@ -71,7 +71,12 @@ class OfflineStore:
         self.path = os.path.join(root, "feature_values")
 
     def exists(self) -> bool:
-        return os.path.exists(self.path)
+        """True when the store has COMMITTED data. Manifest-based, not a
+        bare path check: a crashed first write leaves staging/orphan files
+        under the path with nothing committed, and callers branching on
+        ``exists()`` (serving's empty-store fast path, the streaming
+        upsert sink) must treat that exactly like an empty store."""
+        return bool(self._committed_versions())
 
     # -- manifest protocol -------------------------------------------------
 
