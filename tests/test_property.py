@@ -296,3 +296,62 @@ def test_unigram_logprob_invariants(spark, texts):
     assert sum(r["n_tokens"] for r in rows) == total_tokens
     for r in rows:
         assert r["avg_logprob"] <= 1e-9
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab c\tx\n"), min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    window=st.integers(min_value=1, max_value=8),
+)
+def test_chunk_tokens_reconstruction_property(spark, texts, window):
+    """At stride == window (no overlap), concatenating a document's chunks
+    in chunk_id order reconstructs its full token stream exactly, and the
+    n_tokens column sums to the document's token count."""
+    from feature_store_implementation_spark.operators.text import chunk_tokens
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = chunk_tokens(df, window=window, stride=window).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        toks = [w for w in t.lower().split() if w]
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        rebuilt = " ".join(c["chunk_text"] for c in chunks if c["chunk_text"])
+        assert rebuilt == " ".join(toks)
+        assert sum(c["n_tokens"] for c in chunks) == len(toks)
+        # chunk ids are dense from 0 and every non-final chunk is full
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        for c in chunks[:-1]:
+            assert c["n_tokens"] == window
+
+
+@given(
+    n=st.integers(min_value=1, max_value=10**18),
+    m=st.integers(min_value=0, max_value=10**17),
+    d=st.integers(min_value=0, max_value=7),
+)
+def test_auto_width_helpers_monotone_and_legal(n, m, d):
+    """The corpus-scaled width/table helpers are monotone in corpus size
+    and always produce legal configurations (bands fit one 64-bit word;
+    table count within its clamp)."""
+    from feature_store_implementation_spark.operators.dedup import (
+        _auto_planes,
+        _auto_simhash_bits,
+        _auto_tables,
+    )
+
+    bits = _auto_simhash_bits(n, d)
+    nb = d + 1
+    assert bits % 64 == 0 and bits // nb + bits % nb <= 64
+    assert _auto_simhash_bits(n + m, d) >= bits
+    assert 10 <= _auto_planes(n) <= 24 and _auto_planes(n + m) >= _auto_planes(n)
+    assert 8 <= _auto_tables(n) <= 24 and _auto_tables(n + m) >= _auto_tables(n)
