@@ -394,6 +394,55 @@ def _auto_simhash_bits(n_rows: int, max_hamming: int) -> int:
     return min(bits, 64 * nb)  # 64·(d+1) = exact 64-bit bands, the widest legal
 
 
+def _simhash_bands(sigs: DataFrame, bits: int, max_hamming: int) -> DataFrame:
+    """(doc_id, band, bucket) pigeonhole-band rows for ``bits``-wide
+    fingerprints split into max_hamming+1 bands — shared by the batch pair
+    route and the persisted index's query path (identical band extraction,
+    so candidates agree)."""
+    nb = max_hamming + 1
+    width = bits // nb
+    n_words = bits // 64
+    words = (
+        [F.col("simhash")]
+        if n_words == 1
+        else [F.col("simhash")[i] for i in range(n_words)]
+    )
+
+    def band(b: int) -> Column:
+        start = b * width
+        w = width + (bits % nb if b == nb - 1 else 0)
+        i, off = start // 64, start % 64
+        val = F.shiftrightunsigned(words[i], off)
+        avail = 64 - off
+        if w > avail:  # band straddles a word boundary
+            val = val.bitwiseOR(F.shiftleft(words[i + 1], avail))
+        mask = F.lit(-1).cast("long") if w >= 64 else F.lit((1 << w) - 1).cast("long")
+        return val.bitwiseAND(mask)
+
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band(b).alias("bucket"))
+                    for b in range(nb)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def _hamming_col(bits: int, a: str, b: str) -> Column:
+    n_words = bits // 64
+    if n_words == 1:
+        return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
+    h = None
+    for i in range(n_words):
+        term = F.bit_count(F.col(a)[i].bitwiseXOR(F.col(b)[i]))
+        h = term if h is None else h + term
+    return h
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -447,36 +496,8 @@ def simhash_near_dup_pairs(
             "each pigeonhole band must fit in 64 bits: "
             f"bits={bits} over {nb} bands is {width}+{bits % nb} wide"
         )
-    n_words = bits // 64
     sigs = _cache_scoped(simhash_signatures(df, text_col, id_col, bits))
-    words = (
-        [F.col("simhash")]
-        if n_words == 1
-        else [F.col("simhash")[i] for i in range(n_words)]
-    )
-
-    def band(b: int) -> Column:
-        start = b * width
-        w = width + (bits % nb if b == nb - 1 else 0)
-        i, off = start // 64, start % 64
-        val = F.shiftrightunsigned(words[i], off)
-        avail = 64 - off
-        if w > avail:  # band straddles a word boundary
-            val = val.bitwiseOR(F.shiftleft(words[i + 1], avail))
-        mask = F.lit(-1).cast("long") if w >= 64 else F.lit((1 << w) - 1).cast("long")
-        return val.bitwiseAND(mask)
-
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band(b).alias("bucket"))
-                    for b in range(nb)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    banded = _simhash_bands(sigs, bits, max_hamming)
 
     # in-bucket sorted-id pair generation, skipping buckets above the cap
     buckets = (
@@ -507,19 +528,118 @@ def simhash_near_dup_pairs(
         return cands
 
     sg = sigs.select("doc_id", "simhash")
-    if n_words == 1:
-        hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    else:
-        hamming = None
-        for i in range(n_words):
-            term = F.bit_count(F.col("sh_a")[i].bitwiseXOR(F.col("sh_b")[i]))
-            hamming = term if hamming is None else hamming + term
+    hamming = _hamming_col(bits, "sh_a", "sh_b")
     return (
         cands.join(sg.withColumnsRenamed({"doc_id": "doc_id_a", "simhash": "sh_a"}), "doc_id_a")
         .join(sg.withColumnsRenamed({"doc_id": "doc_id_b", "simhash": "sh_b"}), "doc_id_b")
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_id_a", "doc_id_b", F.col("hamming").cast("long").alias("hamming"))
+    )
+
+
+def simhash_index_write(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int | None = None,
+) -> int:
+    """Persist the corpus's SimHash state — (doc_id, simhash) parquet plus
+    a params sidecar — with the same staged-rename + commit-marker
+    protocol as :func:`minhash_index_write` (an interrupted write leaves a
+    retryable path, never a half-visible index). ``bits=None`` derives the
+    width from the corpus count once, AT WRITE TIME, and records it: every
+    increment is then signed at the stored width, so the Hamming-radius
+    semantics stay fixed for the index's lifetime no matter how small the
+    increments are. ``max_hamming`` is recorded too — band extraction
+    depends on it, so writer and readers band identically by
+    construction. Returns the indexed row count."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    if bits is None:
+        bits = _auto_simhash_bits(df.count(), max_hamming)
+    sig_dir = os.path.join(path, "signatures")
+    marker = os.path.join(path, "params.json")
+    if os.path.isdir(sig_dir) and not os.path.exists(marker):
+        shutil.rmtree(sig_dir)  # uncommitted leftover from a killed writer
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex[:12]}")
+    try:
+        simhash_signatures(df, text_col, id_col, bits).write.parquet(staging)
+        os.rename(staging, sig_dir)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    tmp = os.path.join(path, ".params.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"bits": int(bits), "max_hamming": int(max_hamming)}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, marker)
+    return df.sparkSession.read.parquet(sig_dir).count()
+
+
+def simhash_index_query(
+    spark,
+    new_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 10000,
+) -> DataFrame:
+    """Pairs within the index's Hamming radius BETWEEN an increment and a
+    :func:`simhash_index_write` corpus — cross pairs only (new×new via
+    :func:`simhash_near_dup_pairs`). Returns
+    ``(new_id, corpus_id, hamming)``.
+
+    Same single-pass shape as :func:`minhash_index_query`: the increment
+    is signed at the INDEX's stored width (fixed semantics), the corpus
+    signature table gets one capped banded aggregation (hot buckets
+    dropped — the pigeonhole exhaustiveness guarantee holds everywhere
+    else), the increment side is capped symmetrically, and the
+    bit_count(xor) verify joins signatures back at candidate
+    cardinality. Corpus text is never touched."""
+    import json
+    import os
+
+    with open(os.path.join(path, "params.json")) as f:
+        params = json.load(f)
+    bits, max_hamming = params["bits"], params["max_hamming"]
+    corpus_sigs = spark.read.parquet(os.path.join(path, "signatures"))
+    new_sigs = _cache_scoped(simhash_signatures(new_df, text_col, id_col, bits))
+    buckets = (
+        _simhash_bands(corpus_sigs, bits, max_hamming)
+        .groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") <= max_bucket)
+    )
+    nb = _simhash_bands(new_sigs, bits, max_hamming).withColumnRenamed(
+        "doc_id", "new_id"
+    )
+    nb_cool = (
+        nb.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= max_bucket)
+        .select("band", "bucket")
+    )
+    cands = (
+        buckets.join(nb.join(nb_cool, ["band", "bucket"], "left_semi"), ["band", "bucket"])
+        .select("new_id", F.explode("ids").alias("corpus_id"))
+        .distinct()
+    )
+    sg_new = new_sigs.select(F.col("doc_id").alias("new_id"), F.col("simhash").alias("sh_a"))
+    sg_old = corpus_sigs.select(
+        F.col("doc_id").alias("corpus_id"), F.col("simhash").alias("sh_b")
+    )
+    return (
+        cands.join(sg_new, "new_id")
+        .join(sg_old, "corpus_id")
+        .withColumn("hamming", _hamming_col(bits, "sh_a", "sh_b"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("new_id", "corpus_id", F.col("hamming").cast("long").alias("hamming"))
     )
 
 

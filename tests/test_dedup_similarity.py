@@ -1168,3 +1168,36 @@ def test_minhash_index_write_retry_after_crash(spark, tmp_path):
         spark, _docs(spark).filter(F.col("doc_id") == 1), path, threshold=0.5
     )
     assert any(r["corpus_id"] == 0 for r in out.collect())
+
+
+def test_simhash_index_query_equals_batch_cross_pairs(spark, tmp_path):
+    """The persisted SimHash index agrees EXACTLY with the batch route
+    restricted to cross pairs (same stored width + shared band
+    extraction; pigeonhole banding is exhaustive, so with uncapped
+    buckets both sides are exact within the radius)."""
+    from feature_store_implementation_spark.operators.dedup import (
+        simhash_index_query,
+        simhash_index_write,
+        simhash_near_dup_pairs,
+    )
+
+    corpus = _docs(spark).filter(F.col("doc_id") != 1)
+    new = _docs(spark).filter(F.col("doc_id") == 1)
+    path = str(tmp_path / "shidx")
+    assert simhash_index_write(corpus, path, max_hamming=3, bits=64) == 5
+
+    got = {
+        (r["new_id"], r["corpus_id"]): r["hamming"]
+        for r in simhash_index_query(spark, new, path, max_bucket=10**6).collect()
+    }
+    batch = simhash_near_dup_pairs(
+        _docs(spark), max_hamming=3, bits=64, max_bucket=10**6
+    ).collect()
+    want = {}
+    for r in batch:
+        a, b = r["doc_id_a"], r["doc_id_b"]
+        if (a == 1) != (b == 1):
+            n, c = (a, b) if a == 1 else (b, a)
+            want[(n, c)] = r["hamming"]
+    assert got == want and len(got) > 0
+    assert got[(1, 0)] == 0  # exact duplicate of corpus doc 0
