@@ -12,21 +12,46 @@ Spark-first design:
   is the difference between scanning one version's files and the world.
 * **Values written in ONE distributed append** (vs the reference's
   row-at-a-time INSERT loop, compute.py:74-88).
-* **Manifest-commit protocol** (single-writer crash safety without
-  delta-spark, which the sandbox cannot install — SCALING.md "Storage"):
-  every append stages its parquet files, fsyncs them, moves them into the
-  version's partition directory, and only then atomically renames a
-  per-version manifest JSON listing ALL committed files for that version.
-  Readers resolve the file list through the manifests, so a writer killed
-  at ANY point leaves at worst orphaned un-manifested files that no read
-  ever sees — readers never observe a partial append. This is the
-  single-writer core of what Delta's transaction log provides; concurrent
-  multi-writer coordination remains the documented Delta/Iceberg drop-in
-  (swap the staging+manifest steps for ``format("delta")`` here and in
-  :func:`compact_version_partition`; nothing above this layer changes).
+* **Manifest-SEGMENT commit protocol** (crash safety AND multi-writer
+  append safety without delta-spark, which the sandbox cannot install —
+  SCALING.md "Storage"): every append stages its parquet files, fsyncs
+  them, moves them into the version's partition directory, and only then
+  atomically renames ITS OWN per-append segment JSON
+  (``_manifests/v{id}/{txn}.json``) listing only the files that append
+  created. Readers resolve the file list as the UNION of a version's live
+  segments, so:
+
+  - a writer killed at ANY point leaves at worst orphaned un-manifested
+    files no read ever sees (crash atomicity), and
+  - two CONCURRENT appends to the same version each commit their own
+    segment — there is no shared manifest read-modify-write to race, so
+    neither append can make the other's files invisible (the lost-update
+    hazard of a single per-version manifest).
+
+  Compaction is the one operation that must *retire* segments: it commits
+  a segment whose ``supersedes`` list names the exact segment set it
+  compacted — one atomic rename flips readers from the old file set to the
+  new one, and appends that land DURING compaction stay visible because
+  their segments are not in the snapshot being superseded. Concurrent
+  *compactions* of the same version are excluded by an O_EXCL lock file
+  (a true mutex on POSIX/HDFS; on object stores, schedule one compactor —
+  the same discipline Delta's OPTIMIZE assumes without its commit-conflict
+  retry). This is the multi-writer core of what Delta's transaction log
+  provides; the transactional production drop-in remains ``format("delta")``
+  here and in :func:`compact_version_partition`.
 * **Sorted within files by entity_id** (``sortWithinPartitions``) so
   parquet min/max page stats make point lookups by entity skip pages — the
   columnar analog of the reference's idx_entity_feature.
+
+Format migration: two older layouts remain readable. (1) the round-6
+single-file manifest ``_manifests/v{id}.json`` is treated as one pseudo-
+segment (id ``__root__``) and participates in supersedes like any other;
+(2) a pre-manifest store (plain Spark ``part-*.parquet`` files, no
+``_manifests`` at all) is read as fully committed — those files could only
+exist via the old writer's direct append — and is migrated to explicit
+``legacy`` segments on the first write, so upgrading never silently drops
+data (un-prefixed file names distinguish it from a crashed new-format
+first write, whose files carry a 12-hex txn prefix and stay invisible).
 """
 
 from __future__ import annotations
@@ -34,6 +59,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -52,6 +78,21 @@ VALUES_SCHEMA = T.StructType(
 
 # on-disk file schema: the partition column lives in the directory name
 _FILE_SCHEMA = T.StructType([f for f in VALUES_SCHEMA.fields if f.name != "feature_version_id"])
+
+# new-format data files are "{12-hex txn}-part-*.parquet"; plain "part-*"
+# names can only come from the pre-manifest writer's direct append
+_TXN_FILE_RE = re.compile(r"^[0-9a-f]{12}-part-.*\.parquet$")
+
+
+def _partition_version_ids(path: str) -> list[int]:
+    """Version ids present as partition directories (integer-strict — a
+    stray ``feature_version_id=8.tmp`` is not a partition)."""
+    vids = []
+    for part in glob.glob(os.path.join(path, "feature_version_id=*")):
+        suffix = os.path.basename(part).split("=", 1)[1]
+        if suffix.isdigit() and os.path.isdir(part):
+            vids.append(int(suffix))
+    return sorted(vids)
 
 
 def _fsync_path(path: str) -> None:
@@ -78,45 +119,124 @@ class OfflineStore:
         upsert sink) must treat that exactly like an empty store."""
         return bool(self._committed_versions())
 
-    # -- manifest protocol -------------------------------------------------
+    # -- manifest-segment protocol ------------------------------------------
 
     def _manifest_dir(self) -> str:
         return os.path.join(self.path, "_manifests")
 
-    def _manifest_path(self, version_id: int) -> str:
-        return os.path.join(self._manifest_dir(), f"v{int(version_id)}.json")
+    def _segment_dir(self, version_id: int) -> str:
+        return os.path.join(self._manifest_dir(), f"v{int(version_id)}")
 
-    def _manifest_files(self, version_id: int) -> list[str]:
-        """Relative paths of the COMMITTED files for one version (empty if
-        the version has never committed)."""
+    def _read_segments(self, version_id: int) -> dict[str, dict]:
+        """All LIVE segments for one version: the round-6 single-file
+        manifest (as pseudo-segment ``__root__``) plus every per-append
+        segment, minus any segment named in another segment's
+        ``supersedes`` list (how compaction retires what it replaced)."""
+        vid = int(version_id)
+        segs: dict[str, dict] = {}
         try:
-            with open(self._manifest_path(version_id)) as f:
-                return json.load(f)["files"]
+            with open(os.path.join(self._manifest_dir(), f"v{vid}.json")) as f:
+                segs["__root__"] = json.load(f)
+        except FileNotFoundError:
+            pass
+        try:
+            names = os.listdir(self._segment_dir(vid))
+        except FileNotFoundError:
+            names = []
+        for n in names:
+            if not n.endswith(".json"):
+                continue  # tmp files pre-rename are "*.json.tmp-*"
+            try:
+                with open(os.path.join(self._segment_dir(vid), n)) as f:
+                    segs[n[:-5]] = json.load(f)
+            except FileNotFoundError:
+                pass  # GC'd between listdir and open — it was superseded
+        superseded: set[str] = set()
+        for s in segs.values():
+            superseded.update(s.get("supersedes", []))
+        return {k: v for k, v in segs.items() if k not in superseded}
+
+    def _legacy_plain_files(self, version_id: int) -> list[str]:
+        """Pre-manifest data files for one version: plain Spark
+        ``part-*.parquet`` names (a crashed NEW-format writer's orphans are
+        txn-prefixed and never match)."""
+        part_rel = f"feature_version_id={int(version_id)}"
+        part_dir = os.path.join(self.path, part_rel)
+        try:
+            names = os.listdir(part_dir)
         except FileNotFoundError:
             return []
+        return [
+            f"{part_rel}/{n}"
+            for n in names
+            if n.startswith("part-") and n.endswith(".parquet") and not _TXN_FILE_RE.match(n)
+        ]
 
-    def _commit_manifest(self, version_id: int, files: list[str]) -> None:
-        """The commit point: tmp-write + fsync + atomic rename. A crash
-        before the rename leaves the previous manifest (and therefore the
-        previous committed file set) fully intact."""
-        os.makedirs(self._manifest_dir(), exist_ok=True)
-        final = self._manifest_path(version_id)
+    def _manifest_files(self, version_id: int) -> list[str]:
+        """Relative paths of the COMMITTED files for one version: union of
+        its live segments (empty if the version has never committed). On a
+        store with no ``_manifests`` at all, plain-named files are the old
+        format's committed data (read-side migration fallback)."""
+        segs = self._read_segments(version_id)
+        if segs:
+            return sorted({f for s in segs.values() for f in s["files"]})
+        if not os.path.isdir(self._manifest_dir()):
+            return sorted(self._legacy_plain_files(version_id))
+        return []
+
+    def _commit_segment(
+        self, version_id: int, files: list[str], supersedes: list[str] | None = None, name: str | None = None
+    ) -> str:
+        """The commit point: tmp-write + fsync + atomic rename of a NEW
+        segment file. Nothing is read-modified-written, so concurrent
+        appends commute; a crash before the rename leaves every previously
+        committed segment (and file set) fully intact."""
+        seg_dir = self._segment_dir(version_id)
+        os.makedirs(seg_dir, exist_ok=True)
+        seg_id = name or uuid.uuid4().hex[:12]
+        doc: dict = {"files": sorted(files)}
+        if supersedes:
+            doc["supersedes"] = sorted(supersedes)
+        final = os.path.join(seg_dir, f"{seg_id}.json")
         tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
-            json.dump({"files": sorted(files)}, f)
+            json.dump(doc, f)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, final)
-        _fsync_path(self._manifest_dir())
+        _fsync_path(seg_dir)
+        return seg_id
 
     def _committed_versions(self) -> list[int]:
+        md = self._manifest_dir()
+        vids: set[int] = set()
         try:
-            names = os.listdir(self._manifest_dir())
+            names = os.listdir(md)
         except FileNotFoundError:
-            return []
-        return sorted(
-            int(n[1:-5]) for n in names if n.startswith("v") and n.endswith(".json")
-        )
+            # pre-manifest store: every version with plain-named files
+            for vid in _partition_version_ids(self.path):
+                if self._legacy_plain_files(vid):
+                    vids.add(vid)
+            return sorted(vids)
+        for n in names:
+            if n.startswith("v") and n.endswith(".json"):
+                vids.add(int(n[1:-5]))
+            elif n.startswith("v") and os.path.isdir(os.path.join(md, n)):
+                if any(s.endswith(".json") for s in os.listdir(os.path.join(md, n))):
+                    vids.add(int(n[1:]))
+        return sorted(v for v in vids if self._manifest_files(v))
+
+    def _migrate_legacy_store(self) -> None:
+        """One-time upgrade of a pre-manifest store: synthesize a
+        ``legacy`` segment per version listing its plain-named files, so
+        they stay visible once ``_manifests`` exists. Called from the
+        write paths — reads use the pure fallback and never write."""
+        if os.path.isdir(self._manifest_dir()):
+            return
+        for vid in _partition_version_ids(self.path):
+            plain = self._legacy_plain_files(vid)
+            if plain:
+                self._commit_segment(vid, plain, name="legacy")
 
     def _read_files(self, rel_files: list[str]) -> DataFrame:
         if not rel_files:
@@ -132,20 +252,32 @@ class OfflineStore:
     # -- writes ------------------------------------------------------------
 
     def write_values(
-        self, version_id: int, values: DataFrame, _crash_before_commit: bool = False
+        self,
+        version_id: int,
+        values: DataFrame,
+        _crash_before_commit: bool = False,
+        _before_commit=None,
     ) -> int:
         """Append (entity_id, value) rows for one version in a single
-        distributed job, made crash-atomic by the manifest protocol:
-        stage → fsync → move into the partition dir → commit the manifest
-        (atomic rename). ``values`` must have columns entity_id (castable
-        to string) and value (already codec-encoded string). Returns the
-        number of committed rows for the version.
+        distributed job, made crash-atomic AND concurrent-append-safe by
+        the segment protocol: stage → fsync → move into the partition dir
+        → commit this append's OWN manifest segment (atomic rename; no
+        shared state is read-modified-written, so a concurrent append to
+        the same version can never hide these files). ``values`` must have
+        columns entity_id (castable to string) and value (already
+        codec-encoded string). Returns the number of committed rows for
+        the version.
 
         ``_crash_before_commit`` is the test hook for the kill-during-write
         proof: it aborts after the data files are fully in place but before
-        the manifest commit — the exact window a crash would leave — and
-        tests assert readers see none of the staged rows."""
+        the segment commit — the exact window a crash would leave — and
+        tests assert readers see none of the staged rows.
+        ``_before_commit`` is the interleaving hook for the two-writer
+        proof: it runs just before this append's commit point (e.g. a
+        second writer's complete append), and tests assert BOTH appends'
+        rows are visible afterwards."""
         vid = int(version_id)
+        self._migrate_legacy_store()
         out = (
             values.select(
                 F.col("entity_id").cast("string").alias("entity_id"),
@@ -171,8 +303,9 @@ class OfflineStore:
             _fsync_path(part_dir)
             if _crash_before_commit:
                 raise RuntimeError("simulated crash before manifest commit")
-            committed = self._manifest_files(vid) + new_rel
-            self._commit_manifest(vid, committed)
+            if _before_commit is not None:
+                _before_commit()
+            self._commit_segment(vid, new_rel, name=txn)
         finally:
             shutil.rmtree(os.path.join(self.path, ".staging", txn), ignore_errors=True)
         return self.values_for_version(vid).count()
@@ -189,9 +322,9 @@ class OfflineStore:
 
     def values_for_version(self, version_id: int) -> DataFrame:
         """One version's committed rows: the file list comes from that
-        version's manifest alone — the read plans over exactly the files
-        it needs (manifest-level pruning, same effect as partition
-        pruning with a pre-pruned listing)."""
+        version's manifest segments alone — the read plans over exactly
+        the files it needs (manifest-level pruning, same effect as
+        partition pruning with a pre-pruned listing)."""
         vid = int(version_id)
         return self._read_files(self._manifest_files(vid)).filter(
             F.col("feature_version_id") == vid
@@ -204,16 +337,22 @@ class OfflineStore:
 
     def drop_version_values(self, version_id: int) -> bool:
         """Remove one version's committed data (crash recovery of a writer
-        that died mid-activation, or version retirement). The manifest is
-        deleted FIRST — readers stop seeing the version atomically — then
-        the partition directory. Returns True if anything was deleted."""
+        that died mid-activation, or version retirement). The manifests are
+        deleted FIRST — readers stop seeing the version atomically once the
+        segment dir is gone — then the partition directory. Returns True if
+        anything was deleted."""
         vid = int(version_id)
         deleted = False
-        manifest = self._manifest_path(vid)
-        if os.path.exists(manifest):
-            os.remove(manifest)
-            _fsync_path(self._manifest_dir())
+        root_manifest = os.path.join(self._manifest_dir(), f"v{vid}.json")
+        if os.path.exists(root_manifest):
+            os.remove(root_manifest)
             deleted = True
+        seg_dir = self._segment_dir(vid)
+        if os.path.isdir(seg_dir):
+            shutil.rmtree(seg_dir)
+            deleted = True
+        if deleted:
+            _fsync_path(self._manifest_dir())
         part_dir = os.path.join(self.path, f"feature_version_id={vid}")
         if os.path.isdir(part_dir):
             shutil.rmtree(part_dir)
@@ -263,56 +402,103 @@ def compact_version_partition(
     root: str,
     version_id: int,
     target_file_bytes: int = 128 * 1024 * 1024,
+    keep_old_files: bool = False,
+    _before_commit=None,
 ) -> int:
     """Compact one version's committed files: many small files (from
     incremental/streaming appends) → ceil(bytes/target) files, re-sorted by
     entity_id so page-stat skipping survives compaction.
 
     Small-files is THE silent killer of big scans (one task + one open per
-    file); streaming sinks make it chronic. Crash-atomic via the same
-    manifest protocol as appends: the compacted files are staged and moved
-    in under new names ALONGSIDE the old ones, the manifest swap to the new
-    file list is one atomic rename, and only then are the old files
-    removed — a reader always resolves either the complete old set or the
-    complete new set (Delta/Iceberg ``OPTIMIZE`` is the transactional
-    production drop-in). Returns the resulting committed file count."""
+    file); streaming sinks make it chronic. Crash-atomic AND safe against
+    concurrent APPENDS via the segment protocol: the compacted files are
+    staged and moved in under new names ALONGSIDE the old ones, then ONE
+    atomic segment commit both publishes the new file list and
+    ``supersedes`` the exact segment snapshot that was compacted — a
+    reader always resolves either the complete old set or the complete new
+    set, and an append that lands mid-compaction keeps its own segment
+    (never in the snapshot, so never superseded). Concurrent compactions
+    of the same version are excluded by an O_EXCL lock file. Only after
+    the commit are the old data files and retired segment JSONs removed
+    (a crash in between leaves them invisible; vacuum sweeps the data
+    files). Delta/Iceberg ``OPTIMIZE`` is the transactional production
+    drop-in. Returns the resulting committed file count.
+
+    ``keep_old_files=True`` skips the immediate delete of the replaced
+    data files, leaving them un-manifested for the age-gated
+    :func:`vacuum_orphans` — the production mode when long-running readers
+    may have resolved the pre-compaction snapshot (the same reader-vs-
+    delete window Delta's VACUUM retention exists for)."""
     vid = int(version_id)
     # callers pass store.path (the feature_values dir); rebuild a store on it
     store = OfflineStore.__new__(OfflineStore)
     store.spark = spark
     store.root = os.path.dirname(root)
     store.path = root
-    old_rel = store._manifest_files(vid)
-    if not old_rel:
-        raise FileNotFoundError(os.path.join(root, f"feature_version_id={vid}"))
-    size = sum(os.path.getsize(os.path.join(root, rf)) for rf in old_rel)
-    n_files = max(1, -(-size // target_file_bytes))
-    df = (
-        store._read_files(old_rel)
-        .select(*[f.name for f in _FILE_SCHEMA.fields])
-        .repartition(n_files)
-        .sortWithinPartitions("entity_id")
-    )
-    txn = uuid.uuid4().hex[:12]
-    staging = os.path.join(root, ".staging", txn)
-    df.write.parquet(staging)
-    part_rel = f"feature_version_id={vid}"
-    part_dir = os.path.join(root, part_rel)
-    os.makedirs(part_dir, exist_ok=True)
-    new_rel = []
+    store._migrate_legacy_store()
+    os.makedirs(store._segment_dir(vid), exist_ok=True)
+    lock = os.path.join(store._segment_dir(vid), ".compact.lock")
     try:
-        for src in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
-            _fsync_path(src)
-            name = f"{txn}-{os.path.basename(src)}"
-            os.rename(src, os.path.join(part_dir, name))
-            new_rel.append(f"{part_rel}/{name}")
-        _fsync_path(part_dir)
-        store._commit_manifest(vid, new_rel)  # the atomic cutover
-        for rf in old_rel:  # old files are garbage the moment the swap lands
-            try:
-                os.remove(os.path.join(root, rf))
-            except FileNotFoundError:
-                pass
+        lock_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"another compaction is in flight for version {vid} (lock: {lock})"
+        )
+    try:
+        os.close(lock_fd)
+        snapshot = store._read_segments(vid)  # the segment set we replace
+        old_rel = sorted({f for s in snapshot.values() for f in s["files"]})
+        if not old_rel:
+            raise FileNotFoundError(os.path.join(root, f"feature_version_id={vid}"))
+        size = sum(os.path.getsize(os.path.join(root, rf)) for rf in old_rel)
+        n_files = max(1, -(-size // target_file_bytes))
+        df = (
+            store._read_files(old_rel)
+            .select(*[f.name for f in _FILE_SCHEMA.fields])
+            .repartition(n_files)
+            .sortWithinPartitions("entity_id")
+        )
+        txn = uuid.uuid4().hex[:12]
+        staging = os.path.join(root, ".staging", txn)
+        df.write.parquet(staging)
+        part_rel = f"feature_version_id={vid}"
+        part_dir = os.path.join(root, part_rel)
+        os.makedirs(part_dir, exist_ok=True)
+        new_rel = []
+        try:
+            for src in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
+                _fsync_path(src)
+                name = f"{txn}-{os.path.basename(src)}"
+                os.rename(src, os.path.join(part_dir, name))
+                new_rel.append(f"{part_rel}/{name}")
+            _fsync_path(part_dir)
+            if _before_commit is not None:  # test hook: interleave an append here
+                _before_commit()
+            # the atomic cutover: publish new files + retire the snapshot
+            store._commit_segment(vid, new_rel, supersedes=list(snapshot), name=txn)
+            if not keep_old_files:
+                for rf in old_rel:  # old files are garbage once the swap lands
+                    if rf in new_rel:
+                        continue
+                    try:
+                        os.remove(os.path.join(root, rf))
+                    except FileNotFoundError:
+                        pass
+            for seg_id in snapshot:  # retired segments are inert; GC them
+                p = (
+                    os.path.join(store._manifest_dir(), f"v{vid}.json")
+                    if seg_id == "__root__"
+                    else os.path.join(store._segment_dir(vid), f"{seg_id}.json")
+                )
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
+        finally:
+            shutil.rmtree(os.path.join(root, ".staging", txn), ignore_errors=True)
     finally:
-        shutil.rmtree(os.path.join(root, ".staging", txn), ignore_errors=True)
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
     return len(new_rel)

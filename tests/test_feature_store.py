@@ -523,3 +523,189 @@ def test_vacuum_orphans_sweeps_only_old_unmanifested_files(spark, tmp_path):
     removed = vacuum_orphans(store, min_age_seconds=3600)
     assert sorted(os.path.basename(p) for p in removed) == sorted(orphan)
     assert store.values_for_version(9).count() == 1
+
+
+def test_concurrent_appends_both_visible(spark, tmp_path):
+    """The round-7 lost-update proof: two writers append to the SAME
+    version concurrently — writer B's complete append lands in writer A's
+    stage→commit window. With per-append manifest segments there is no
+    shared manifest read-modify-write, so BOTH appends' rows must be
+    visible (the old single-manifest protocol lost whichever commit
+    renamed first)."""
+    from feature_store_implementation_spark.store.offline import OfflineStore
+
+    store = OfflineStore(spark, str(tmp_path / "values"))
+    a = spark.createDataFrame([("a1", "1"), ("a2", "2")], "entity_id string, value string")
+    b = spark.createDataFrame([("b1", "3")], "entity_id string, value string")
+
+    def interleaved_b():
+        # a SECOND store handle, as a separate writer process would hold
+        other = OfflineStore(spark, str(tmp_path / "values"))
+        assert other.write_values(4, b) == 1
+
+    assert store.write_values(4, a, _before_commit=interleaved_b) == 3
+    got = {r["entity_id"] for r in store.values_for_version(4).collect()}
+    assert got == {"a1", "a2", "b1"}
+    # and vacuum must not treat either writer's files as orphans
+    from feature_store_implementation_spark.store.offline import vacuum_orphans
+
+    assert vacuum_orphans(store, min_age_seconds=0) == []
+
+
+def test_append_during_compaction_stays_visible(spark, tmp_path):
+    """An append that commits WHILE a compaction is running is not part of
+    the compaction's snapshot — its segment must survive the cutover (the
+    compaction supersedes only the segments it actually compacted)."""
+    from feature_store_implementation_spark.store.offline import (
+        OfflineStore,
+        compact_version_partition,
+    )
+
+    store = OfflineStore(spark, str(tmp_path / "values"))
+    vals = spark.createDataFrame([("a", "1")], "entity_id string, value string")
+    for _ in range(3):
+        store.write_values(7, vals)
+
+    late = spark.createDataFrame([("late", "9")], "entity_id string, value string")
+
+    def interleaved_append():
+        store.write_values(7, late)
+
+    compact_version_partition(
+        spark, store.path, 7, _before_commit=interleaved_append
+    )
+    rows = store.values_for_version(7).collect()
+    assert len(rows) == 4
+    assert {r["entity_id"] for r in rows} == {"a", "late"}
+
+
+def test_compaction_lock_excludes_second_compactor(spark, tmp_path):
+    import os
+
+    from feature_store_implementation_spark.store.offline import (
+        OfflineStore,
+        compact_version_partition,
+    )
+
+    store = OfflineStore(spark, str(tmp_path / "values"))
+    vals = spark.createDataFrame([("a", "1")], "entity_id string, value string")
+    store.write_values(2, vals)
+    lock = os.path.join(store._segment_dir(2), ".compact.lock")
+    os.makedirs(store._segment_dir(2), exist_ok=True)
+    with open(lock, "w"):
+        pass
+    with pytest.raises(RuntimeError, match="another compaction"):
+        compact_version_partition(spark, store.path, 2)
+    os.remove(lock)
+    assert compact_version_partition(spark, store.path, 2) == 1
+    # the lock is released after a successful run too
+    assert not os.path.exists(lock)
+
+
+def test_compact_keep_old_files_defers_to_vacuum(spark, tmp_path):
+    """Production compaction mode: old files stay on disk (for readers
+    that resolved the pre-compaction snapshot) but are un-manifested, and
+    the age-gated vacuum sweeps them later."""
+    import os
+    import time
+
+    from feature_store_implementation_spark.store.offline import (
+        OfflineStore,
+        compact_version_partition,
+        vacuum_orphans,
+    )
+
+    store = OfflineStore(spark, str(tmp_path / "values"))
+    vals = spark.createDataFrame([("a", "1")], "entity_id string, value string")
+    for _ in range(3):
+        store.write_values(6, vals)
+    part = os.path.join(store.path, "feature_version_id=6")
+    before = {f for f in os.listdir(part) if f.endswith(".parquet")}
+    compact_version_partition(spark, store.path, 6, keep_old_files=True)
+    after = {f for f in os.listdir(part) if f.endswith(".parquet")}
+    assert before < after, "old files must still be on disk"
+    assert store.values_for_version(6).count() == 3  # readers see only the new set
+    old = time.time() - 7200
+    for f in before:
+        os.utime(os.path.join(part, f), (old, old))
+    removed = vacuum_orphans(store, min_age_seconds=3600)
+    assert sorted(os.path.basename(p) for p in removed) == sorted(before)
+    assert store.values_for_version(6).count() == 3
+
+
+def test_round6_single_manifest_readable_and_superseded_by_compaction(spark, tmp_path):
+    """Format migration: a round-6 store (ONE _manifests/v{id}.json listing
+    all files) reads as-is — it's the __root__ pseudo-segment — appends
+    coexist with it, and compaction retires it."""
+    import json
+    import os
+    import shutil
+
+    from feature_store_implementation_spark.store.offline import (
+        OfflineStore,
+        compact_version_partition,
+    )
+
+    store = OfflineStore(spark, str(tmp_path / "values"))
+    vals = spark.createDataFrame([("a", "1"), ("b", "2")], "entity_id string, value string")
+    store.write_values(3, vals)
+    # rewrite the store into the round-6 single-file layout
+    files = store._manifest_files(3)
+    shutil.rmtree(store._segment_dir(3))
+    root_manifest = os.path.join(store._manifest_dir(), "v3.json")
+    with open(root_manifest, "w") as f:
+        json.dump({"files": files}, f)
+
+    assert store._manifest_files(3) == files
+    assert store.values_for_version(3).count() == 2
+    # an append coexists with the old-format manifest
+    more = spark.createDataFrame([("c", "3")], "entity_id string, value string")
+    assert store.write_values(3, more) == 3
+    # compaction supersedes and GCs it
+    compact_version_partition(spark, store.path, 3)
+    assert not os.path.exists(root_manifest)
+    assert store.values_for_version(3).count() == 3
+
+
+def test_premanifest_store_reads_and_migrates_on_write(spark, tmp_path):
+    """Format migration: a pre-manifest store (plain Spark part-* files,
+    no _manifests at all) must NOT read as empty — its files were the old
+    format's commit — and the first write migrates them into explicit
+    legacy segments. A crashed NEW-format first write (txn-prefixed
+    names) is still invisible."""
+    import os
+
+    from feature_store_implementation_spark.store.offline import OfflineStore
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "values")
+    legacy_part = os.path.join(root, "feature_values", "feature_version_id=8")
+    df = spark.createDataFrame(
+        [("a", "1"), ("b", "2")], "entity_id string, value string"
+    ).select("entity_id", "value", F.current_timestamp().alias("computed_at"))
+    df.coalesce(1).write.parquet(legacy_part + ".tmp")
+    os.makedirs(legacy_part)
+    for f in os.listdir(legacy_part + ".tmp"):
+        if f.startswith("part-") and f.endswith(".parquet"):
+            os.rename(os.path.join(legacy_part + ".tmp", f), os.path.join(legacy_part, f))
+    import shutil
+
+    shutil.rmtree(legacy_part + ".tmp")
+
+    store = OfflineStore(spark, root)
+    assert store.exists()
+    assert store.values_for_version(8).count() == 2
+    assert store._committed_versions() == [8]
+
+    more = spark.createDataFrame([("c", "3")], "entity_id string, value string")
+    assert store.write_values(8, more) == 3  # migration kept the legacy rows
+    assert os.path.isdir(store._segment_dir(8))
+    assert store.values_for_version(8).count() == 3
+
+    # contrast: a crashed new-format FIRST write leaves txn-prefixed files
+    # and no manifests — that store is empty, not legacy
+    store2 = OfflineStore(spark, str(tmp_path / "values2"))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store2.write_values(1, more, _crash_before_commit=True)
+    assert not store2.exists()
+    assert store2.values().count() == 0
