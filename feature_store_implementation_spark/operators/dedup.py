@@ -197,6 +197,28 @@ def minhash_near_dup_pairs(
     return verified
 
 
+def _prepare_index_dir(sig_dir: str, marker: str, overwrite: bool) -> None:
+    """Shared pre-flight for the persisted MinHash/SimHash/IVF indexes:
+    sweep an UNCOMMITTED leftover (signatures dir, no commit marker — a
+    killed writer), fail fast with a clear contract on a COMMITTED index
+    (so the caller learns 'index already exists' before the signature
+    Spark job runs, not from an os.rename OSError after it), or demote
+    the committed index for ``overwrite`` (marker removed FIRST, so a
+    crash mid-overwrite leaves a retryable uncommitted path)."""
+    import os
+    import shutil
+
+    if os.path.isdir(sig_dir):
+        if os.path.exists(marker):
+            if not overwrite:
+                raise FileExistsError(
+                    f"index already exists at {os.path.dirname(marker)}; "
+                    "pass overwrite=True to rebuild it"
+                )
+            os.remove(marker)
+        shutil.rmtree(sig_dir)
+
+
 def minhash_index_write(
     df: DataFrame,
     path: str,
@@ -205,6 +227,7 @@ def minhash_index_write(
     n_shingle: int = 3,
     k: int = 32,
     bands: int = 8,
+    overwrite: bool = False,
 ) -> int:
     """Persist the corpus's MinHash state — (doc_id, shingles, signature)
     parquet plus a params sidecar. Crash-safe like the offline store: the
@@ -220,7 +243,13 @@ def minhash_index_write(
     shingled and signed ONCE; every daily increment is checked against
     the stored signatures (:func:`minhash_index_query`) without
     re-reading, re-shingling or re-hashing a byte of corpus text.
-    Returns the indexed row count."""
+    Returns the indexed row count.
+
+    A COMMITTED index at ``path`` fails fast (before any Spark job runs)
+    unless ``overwrite=True``, which demotes the old index to an
+    uncommitted leftover (marker removed first — readers racing the
+    overwrite see either the old committed index or a retryable absent
+    one, never a half-rebuilt mix) and rebuilds."""
     import json
     import os
     import shutil
@@ -228,8 +257,7 @@ def minhash_index_write(
 
     sig_dir = os.path.join(path, "signatures")
     marker = os.path.join(path, "params.json")
-    if os.path.isdir(sig_dir) and not os.path.exists(marker):
-        shutil.rmtree(sig_dir)  # uncommitted leftover from a killed writer
+    _prepare_index_dir(sig_dir, marker, overwrite)
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex[:12]}")
     try:
         sigs = minhash_signatures(df, text_col, id_col, n_shingle, k)
@@ -266,14 +294,17 @@ def minhash_index_query(
 
     Plan shape: the increment is signed fresh with the INDEX's stored
     params — including ``bands``, so band hashing is bit-identical to the
-    writer's by construction. The corpus signature table gets ONE banded
-    aggregation pass (capped ``collect_set`` per (band, bucket) — the
-    same hot-bucket armor as the batch route) plus one shingle-column
-    read at candidate cardinality for the verify; corpus TEXT is never
-    touched. The increment side is capped symmetrically (its per-bucket
-    population is counted and hot increment buckets dropped), so a
-    boilerplate-heavy increment cannot regenerate the quadratic blow-up
-    either."""
+    writer's by construction. The corpus band rows are first semi-joined
+    to the increment's (band, bucket) keys — at 100 TB the corpus-side
+    aggregation input shrinks from every corpus band row to only the
+    buckets the increment actually collides with — then ONE banded
+    ``collect_set`` pass builds the surviving buckets. The hot-bucket cap
+    is applied to the COMBINED (corpus + increment) bucket population, so
+    it drops exactly the buckets the batch route over corpus∪increment
+    would drop — the cross-pair agreement with
+    :func:`minhash_near_dup_pairs` holds cap-for-cap, not only with caps
+    disabled. The verify reads the shingle column at candidate
+    cardinality; corpus TEXT is never touched."""
     import json
     import os
 
@@ -284,21 +315,18 @@ def minhash_index_query(
     new_sigs = _cache_scoped(
         minhash_signatures(new_df, text_col, id_col, params["n_shingle"], k)
     )
+    nb = _minhash_bands(new_sigs, k, bands).withColumnRenamed("doc_id", "new_id")
+    nb_counts = nb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n_new"))
     buckets = (
         _minhash_bands(corpus_sigs, k, bands)
+        .join(nb_counts.select("band", "bucket"), ["band", "bucket"], "left_semi")
         .groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .filter(F.size("ids") <= max_bucket)
-    )
-    nb = _minhash_bands(new_sigs, k, bands).withColumnRenamed("doc_id", "new_id")
-    nb_cool = (
-        nb.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") <= max_bucket)
-        .select("band", "bucket")
     )
     cands = (
-        buckets.join(nb.join(nb_cool, ["band", "bucket"], "left_semi"), ["band", "bucket"])
+        buckets.join(nb_counts, ["band", "bucket"])
+        .filter(F.size("ids") + F.col("n_new") <= max_bucket)
+        .join(nb, ["band", "bucket"])
         .select("new_id", F.explode("ids").alias("corpus_id"))
         .distinct()
     )
@@ -545,6 +573,7 @@ def simhash_index_write(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bits: int | None = None,
+    overwrite: bool = False,
 ) -> int:
     """Persist the corpus's SimHash state — (doc_id, simhash) parquet plus
     a params sidecar — with the same staged-rename + commit-marker
@@ -555,7 +584,15 @@ def simhash_index_write(
     semantics stay fixed for the index's lifetime no matter how small the
     increments are. ``max_hamming`` is recorded too — band extraction
     depends on it, so writer and readers band identically by
-    construction. Returns the indexed row count."""
+    construction. Returns the indexed row count.
+
+    An explicit ``bits`` is validated against the same band-fit rule as
+    :func:`simhash_near_dup_pairs` (bits/(max_hamming+1) ≤ 64) BEFORE
+    anything is written — an illegal width recorded in params.json would
+    otherwise silently degrade bucket selectivity (truncated bands) for
+    the index's whole lifetime. A COMMITTED index at ``path`` fails fast
+    unless ``overwrite=True`` (same contract as
+    :func:`minhash_index_write`)."""
     import json
     import os
     import shutil
@@ -563,10 +600,15 @@ def simhash_index_write(
 
     if bits is None:
         bits = _auto_simhash_bits(df.count(), max_hamming)
+    nb = max_hamming + 1
+    if bits // nb + bits % nb > 64:
+        raise ValueError(
+            "each pigeonhole band must fit in 64 bits: "
+            f"bits={bits} over {nb} bands is {bits // nb}+{bits % nb} wide"
+        )
     sig_dir = os.path.join(path, "signatures")
     marker = os.path.join(path, "params.json")
-    if os.path.isdir(sig_dir) and not os.path.exists(marker):
-        shutil.rmtree(sig_dir)  # uncommitted leftover from a killed writer
+    _prepare_index_dir(sig_dir, marker, overwrite)
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex[:12]}")
     try:
         simhash_signatures(df, text_col, id_col, bits).write.parquet(staging)
@@ -597,9 +639,12 @@ def simhash_index_query(
 
     Same single-pass shape as :func:`minhash_index_query`: the increment
     is signed at the INDEX's stored width (fixed semantics), the corpus
-    signature table gets one capped banded aggregation (hot buckets
-    dropped — the pigeonhole exhaustiveness guarantee holds everywhere
-    else), the increment side is capped symmetrically, and the
+    band rows are semi-join-pruned to the increment's colliding buckets
+    before the one capped banded aggregation, and the hot-bucket cap is
+    applied to the COMBINED (corpus + increment) bucket population — the
+    same buckets the batch route over corpus∪increment would drop, so
+    cross-pair agreement with :func:`simhash_near_dup_pairs` holds
+    cap-for-cap (pigeonhole exhaustiveness holds everywhere else). The
     bit_count(xor) verify joins signatures back at candidate
     cardinality. Corpus text is never touched."""
     import json
@@ -610,23 +655,20 @@ def simhash_index_query(
     bits, max_hamming = params["bits"], params["max_hamming"]
     corpus_sigs = spark.read.parquet(os.path.join(path, "signatures"))
     new_sigs = _cache_scoped(simhash_signatures(new_df, text_col, id_col, bits))
-    buckets = (
-        _simhash_bands(corpus_sigs, bits, max_hamming)
-        .groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .filter(F.size("ids") <= max_bucket)
-    )
     nb = _simhash_bands(new_sigs, bits, max_hamming).withColumnRenamed(
         "doc_id", "new_id"
     )
-    nb_cool = (
-        nb.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") <= max_bucket)
-        .select("band", "bucket")
+    nb_counts = nb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n_new"))
+    buckets = (
+        _simhash_bands(corpus_sigs, bits, max_hamming)
+        .join(nb_counts.select("band", "bucket"), ["band", "bucket"], "left_semi")
+        .groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
     )
     cands = (
-        buckets.join(nb.join(nb_cool, ["band", "bucket"], "left_semi"), ["band", "bucket"])
+        buckets.join(nb_counts, ["band", "bucket"])
+        .filter(F.size("ids") + F.col("n_new") <= max_bucket)
+        .join(nb, ["band", "bucket"])
         .select("new_id", F.explode("ids").alias("corpus_id"))
         .distinct()
     )

@@ -402,6 +402,7 @@ def write_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     refine_iters: int = 1,
+    overwrite: bool = False,
 ) -> int:
     """Persist an IVF index: the corpus written as parquet PARTITIONED BY
     its Voronoi cell, with the trained centroids in a sidecar JSON
@@ -415,16 +416,22 @@ def write_ivf_index(
 
     Centroid training is the shared :func:`_seed_centroids` pipeline
     (first-k-by-id init + distributed Lloyd), so an index built with the
-    same corpus/params routes identically to :func:`ivf_topk`."""
+    same corpus/params routes identically to :func:`ivf_topk`.
+
+    A COMMITTED index at ``path`` fails fast (before training runs)
+    unless ``overwrite=True``, which demotes it to an uncommitted
+    leftover (marker removed first) and rebuilds — same contract as
+    ``minhash_index_write``."""
     import json
     import os
     import shutil
     import uuid
 
+    from .dedup import _prepare_index_dir
+
     cells_dir = os.path.join(path, "cells")
     marker = os.path.join(path, "centroids.json")
-    if os.path.isdir(cells_dir) and not os.path.exists(marker):
-        shutil.rmtree(cells_dir)  # uncommitted leftover from a killed writer
+    _prepare_index_dir(cells_dir, marker, overwrite)
     C = _seed_centroids(corpus, id_col, vec_col, n_cells, refine_iters)
     Cn = _norm_rows(C)
     assigned = corpus.select(

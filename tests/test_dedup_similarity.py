@@ -1201,3 +1201,129 @@ def test_simhash_index_query_equals_batch_cross_pairs(spark, tmp_path):
             want[(n, c)] = r["hamming"]
     assert got == want and len(got) > 0
     assert got[(1, 0)] == 0  # exact duplicate of corpus doc 0
+
+
+def test_index_write_fails_fast_on_committed_index_and_overwrites(spark, tmp_path):
+    """ADVICE r6: a committed index must fail fast with a clear contract
+    BEFORE the signature job runs — not an obscure os.rename OSError after
+    it — and overwrite=True must rebuild cleanly."""
+    from feature_store_implementation_spark.operators.dedup import (
+        minhash_index_query,
+        minhash_index_write,
+        simhash_index_write,
+    )
+
+    corpus = _docs(spark)
+    path = str(tmp_path / "mhidx")
+    assert minhash_index_write(corpus, path) == 6
+    with pytest.raises(FileExistsError, match="index already exists"):
+        minhash_index_write(corpus, path)
+    # overwrite rebuilds (smaller corpus → the new index, not the old one)
+    assert minhash_index_write(corpus.limit(3), path, overwrite=True) == 3
+    out = minhash_index_query(spark, corpus.limit(1), path, threshold=0.5)
+    assert out.count() >= 1  # doc 0 matches itself in the rebuilt corpus
+
+    spath = str(tmp_path / "shidx")
+    simhash_index_write(corpus, spath, bits=64)
+    with pytest.raises(FileExistsError, match="index already exists"):
+        simhash_index_write(corpus, spath, bits=64)
+    assert simhash_index_write(corpus, spath, bits=64, overwrite=True) == 6
+
+
+def test_ivf_index_write_fails_fast_on_committed_index(spark, tmp_path):
+    from feature_store_implementation_spark.operators.similarity import (
+        write_ivf_index,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)], "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "ivf")
+    write_ivf_index(vecs, path, n_cells=2)
+    with pytest.raises(FileExistsError, match="index already exists"):
+        write_ivf_index(vecs, path, n_cells=2)
+    assert write_ivf_index(vecs, path, n_cells=4, overwrite=True) == 4
+
+
+def test_simhash_index_write_rejects_band_overflow(spark, tmp_path):
+    """ADVICE r6: an illegal explicit width (band > 64 bits) must raise at
+    WRITE time, not silently record a params.json whose truncated bands
+    degrade selectivity for the index's lifetime."""
+    import os
+
+    from feature_store_implementation_spark.operators.dedup import (
+        simhash_index_write,
+    )
+
+    path = str(tmp_path / "shidx")
+    with pytest.raises(ValueError, match="pigeonhole band"):
+        simhash_index_write(_docs(spark), path, max_hamming=3, bits=512)
+    assert not os.path.exists(os.path.join(path, "params.json"))
+
+
+def test_index_query_caps_on_combined_bucket_population(spark, tmp_path):
+    """ADVICE r6: the index route's hot-bucket cap applies to the JOINED
+    (corpus + increment) bucket population — exactly the buckets the batch
+    route over corpus∪increment drops — so cross-pair agreement holds with
+    realistic caps, not only with caps effectively disabled."""
+    from feature_store_implementation_spark.operators.dedup import (
+        minhash_index_query,
+        minhash_index_write,
+        minhash_near_dup_pairs,
+        simhash_index_query,
+        simhash_index_write,
+        simhash_near_dup_pairs,
+    )
+
+    hot = "identical boilerplate text repeated verbatim across documents"
+    corpus = spark.createDataFrame(
+        [(i, hot) for i in range(4)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(100 + i, hot) for i in range(4)], "doc_id long, text string"
+    )
+
+    def batch_cross(pairs):
+        return {
+            (max(r[0], r[1]), min(r[0], r[1]))
+            for r in pairs
+            if (r[0] >= 100) != (r[1] >= 100)
+        }
+
+    mh_path = str(tmp_path / "mh")
+    minhash_index_write(corpus, mh_path)
+    # combined population 8 > 6: BOTH routes drop the bucket
+    assert minhash_index_query(spark, new, mh_path, max_bucket=6).count() == 0
+    assert (
+        batch_cross(
+            minhash_near_dup_pairs(corpus.union(new), max_bucket=6)
+            .select("doc_id_a", "doc_id_b")
+            .collect()
+        )
+        == set()
+    )
+    # combined population 8 ≤ 8: BOTH routes keep it, and agree (4×4 pairs)
+    idx = {
+        (r["new_id"], r["corpus_id"])
+        for r in minhash_index_query(spark, new, mh_path, max_bucket=8).collect()
+    }
+    bat = batch_cross(
+        minhash_near_dup_pairs(corpus.union(new), max_bucket=8)
+        .select("doc_id_a", "doc_id_b")
+        .collect()
+    )
+    assert idx == bat and len(idx) == 16
+
+    sh_path = str(tmp_path / "sh")
+    simhash_index_write(corpus, sh_path, bits=64)
+    assert simhash_index_query(spark, new, sh_path, max_bucket=6).count() == 0
+    idx = {
+        (r["new_id"], r["corpus_id"])
+        for r in simhash_index_query(spark, new, sh_path, max_bucket=8).collect()
+    }
+    bat = batch_cross(
+        simhash_near_dup_pairs(corpus.union(new), bits=64, max_bucket=8)
+        .select("doc_id_a", "doc_id_b")
+        .collect()
+    )
+    assert idx == bat and len(idx) == 16

@@ -76,3 +76,21 @@ def test_bfs_hops_path_graph(spark):
     sources2 = spark.createDataFrame([(1,), (5,)], "node long")
     out2 = {r["node"]: r["hops"] for r in bfs_hops(edges, sources2, max_hops=4).collect()}
     assert out2 == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_triangle_count_max_degree_caps_only_wedge_middles(spark):
+    """ADVICE r6 pin for the capped-path contract: wedges through a
+    super-node MIDDLE are skipped, but triangles whose middle is low-degree
+    survive even when an endpoint is the super-node (closure edges stay
+    complete), and max_degree=None stays exact."""
+    from feature_store_implementation_spark.operators.graph import triangle_count
+
+    edges = [(1, 2), (2, 3), (1, 3)]            # triangle A: all low degree
+    edges += [(5, x) for x in range(100, 141)]  # hub 5: degree 41+
+    edges += [(1, 5), (9, 5), (1, 9)]           # triangle B: middle IS the hub
+    edges += [(5, 200), (200, 201), (5, 201)]   # triangle C: hub endpoint, middle 200
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    assert triangle_count(df).collect()[0]["n_triangles"] == 3
+    capped = triangle_count(df, max_degree=10).collect()[0]["n_triangles"]
+    assert capped == 2  # B is the documented miss; A and C survive
