@@ -1778,6 +1778,36 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@query("q_dedup_incremental_simhash", None)
+def q_dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a PERSISTED SimHash index
+    (operators/dedup.py simhash_index_write / simhash_index_query): the
+    corpus (6 of every 7 documents) is fingerprinted once at a width
+    derived from ITS size and recorded in the params sidecar; the 'daily
+    increment' (the remaining 1/7) is signed at the stored width — so the
+    Hamming-radius semantics never drift with increment size — and banded
+    with the shared pigeonhole extraction. Corpus text is never re-read.
+    Rows-only (banded candidates aren't SQL-expressible); exact agreement
+    with the batch route's cross pairs is pinned in
+    tests/test_dedup_similarity.py. Index in a temp dir; the bounded pair
+    result is materialized before cleanup."""
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import simhash_index_query, simhash_index_write
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    new = d.filter(F.col("doc_id") % 7 == 0)
+    tmp = tempfile.mkdtemp(prefix="q_sh_index_")
+    try:
+        simhash_index_write(corpus, tmp, max_hamming=3)
+        out = simhash_index_query(spark, new, tmp)
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @query("q_semantic_dedup", None)
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (operators/similarity.py

@@ -367,3 +367,84 @@ def test_stream_watermark_drops_late_rows(spark, tmp_path):
     out = _run_stream(spark, tumbling_features(stream, watermark="2 hours"), tmp_path)
     rows = [tuple(r) for r in out.collect()]
     assert rows == [(base + dt.timedelta(hours=3), 1, 3, 3.0)], rows
+
+
+def test_stream_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """Exactly-once across a RESTART: run the watermarked append-mode
+    dedup+window pipeline over the first half of the chunks, let the query
+    terminate, then start a NEW query on the SAME checkpoint with the rest
+    of the chunks (including duplicates of phase-1 events, so the restart
+    must restore the dedup state, not just the source offsets). The final
+    file-sink contents must equal an unbroken single-query run: no window
+    emitted twice, none lost, no duplicate admitted."""
+    import glob
+    import os
+
+    from pyspark.sql import Window as W
+
+    from feature_store_implementation_spark.streaming.features import (
+        dedup_windowed_features,
+    )
+
+    n_chunks = 8
+    ev = load_table(spark, SF, "events")
+    chunked = ev.withColumn("__chunk", F.ntile(n_chunks).over(W.orderBy("ts")))
+
+    def write_chunk(src, i, extra=None):
+        chunk = chunked.filter(F.col("__chunk") == i).drop("__chunk")
+        if extra is not None:
+            chunk = chunk.union(extra)
+        stage = str(tmp_path / f"stage_{os.path.basename(src)}_{i}")
+        chunk.coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dest = f"{src}/chunk_{i:02d}.parquet"
+        shutil.move(part, dest)
+        os.utime(dest, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    # duplicates of PHASE-1 (chunk 4) events injected into chunk 5: across
+    # the restart boundary they are either deduped via RESTORED state or
+    # late-dropped below the restored watermark — both exclude them, in the
+    # broken and unbroken runs alike
+    boundary_dups = chunked.filter(
+        (F.col("__chunk") == 4) & (F.col("event_id") % 37 == 0)
+    ).drop("__chunk")
+
+    def run(src_dir, out_dir, ckpt, phases):
+        os.makedirs(src_dir, exist_ok=True)
+        for lo, hi in phases:
+            for i in range(lo, hi + 1):
+                write_chunk(src_dir, i, extra=boundary_dups if i == 5 else None)
+            q = (
+                dedup_windowed_features(read_events_stream(spark, src_dir))
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(300), "stream did not drain"
+        return (
+            spark.read.parquet(out_dir)
+            .select("window_start", "event_type", "n_events", "sum_value")
+        )
+
+    restarted = run(
+        str(tmp_path / "in_a"),
+        str(tmp_path / "out_a"),
+        str(tmp_path / "ckpt_a"),
+        [(1, 4), (5, 8)],  # two separate queries, same checkpoint
+    )
+    unbroken = run(
+        str(tmp_path / "in_b"),
+        str(tmp_path / "out_b"),
+        str(tmp_path / "ckpt_b"),
+        [(1, 8)],  # one query end to end
+    )
+
+    a = sorted(map(tuple, restarted.collect()))
+    b = sorted(map(tuple, unbroken.collect()))
+    assert len(a) > 0
+    assert a == b
+    # and no row was emitted twice across the restart
+    assert len(a) == len(set(a))
