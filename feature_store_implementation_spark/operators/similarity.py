@@ -332,6 +332,48 @@ def ivf_topk(
     )
 
 
+def kmeans_assign_topn(
+    df: DataFrame,
+    Cn: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_assign: int = 2,
+) -> DataFrame:
+    """Assign each vector to its ``n_assign`` highest-cosine cells against
+    the normalized centroid matrix ``Cn`` in ONE Arrow-batched matmul pass:
+    returns ``(id, cluster, cells)`` where ``cluster`` is the argmax cell
+    (identical to :func:`kmeans_clusters`' assignment, ties to the lowest
+    index) and ``cells`` the top-n list. The multi-assignment is the
+    standard cross-cluster-recall mitigation for cluster-blocked pair
+    generation (:func:`semantic_dedup`): a duplicate pair straddling a
+    Voronoi boundary is caught when ANY assigned cell is shared."""
+    scores_of = _cell_scores_fn(Cn)
+    n = max(1, min(int(n_assign), Cn.shape[0]))
+
+    v = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    out_schema = T.StructType(
+        [
+            T.StructField("id", v.schema["__id"].dataType),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("cells", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            scores = scores_of(pdf["__v"])
+            # stable argsort of -scores: ties to the lowest cell index,
+            # column 0 ≡ argmax — the shared assignment semantics
+            top = np.argsort(-scores, axis=1, kind="stable")[:, :n].astype("int32")
+            yield pd.DataFrame(
+                {"id": pdf["__id"], "cluster": top[:, 0], "cells": list(top)}
+            )
+
+    return v.mapInPandas(assign, schema=out_schema).withColumnRenamed("id", id_col)
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -339,6 +381,7 @@ def semantic_dedup(
     k: int = 16,
     iters: int = 3,
     threshold: float = 0.95,
+    n_assign: int = 2,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     spherical k-means clustering → EXACT cosine pairs within each cluster
@@ -346,17 +389,31 @@ def semantic_dedup(
     The cluster stage is what makes the quadratic verify tractable — pairs
     are only scored inside a Voronoi cell, never across the corpus.
 
-    Composition of already-verified operators: :func:`kmeans_clusters`
-    (distributed Lloyd, corpus never collects),
-    ``dedup.embedding_near_dup_pairs`` with ``block_col="cluster"`` (exact
-    within blocks), and ``graph.connected_components`` (min-label BSP).
+    Composition of already-verified operators: :func:`_seed_centroids` +
+    :func:`kmeans_assign_topn` (distributed Lloyd + one Arrow assignment
+    pass, corpus never collects), ``dedup.embedding_near_dup_pairs`` with
+    ``block_col`` (exact within blocks), and
+    ``graph.connected_components`` (min-label BSP).
+
+    Cross-cluster recall: a duplicate pair split across a Voronoi boundary
+    is invisible to single-cell blocking — measured at sf0.01/sf0.1,
+    threshold 0.45 (an adversarially low threshold, deep in the
+    random-cosine bulk), k ∈ {8, 16}: single-assignment recovers only
+    0.29-0.42 of the exact all-pairs duplicates, top-2 assignment
+    0.69-0.93 (SCALING.md "Semantic-dedup pair recall"). ``n_assign=2``
+    (default) generates pairs in each vector's TOP-2 cells — the standard
+    mitigation — roughly doubling the blocked work for that recall lift;
+    a ≥0.7 floor (and strict improvement over single-assignment) is
+    pinned in tests. Higher thresholds (the published ≥0.95 regime, where
+    duplicate groups are tight) sit far above these numbers.
+    ``n_assign=1`` restores pure SemDeDup blocking.
 
     100 TB posture: within-cluster scoring is quadratic in CLUSTER size,
-    so ``k`` must scale with the corpus (clusters ≈ N/k rows — the
-    published SemDeDup practice of fixing cluster population, not cluster
-    count); pathological mega-clusters are the same failure mode as a hot
-    LSH bucket and warrant a pre-pass of :func:`kmeans_clusters` to audit
-    the cluster histogram.
+    so ``k`` must scale with the corpus (clusters ≈ n_assign·N/k rows —
+    the published SemDeDup practice of fixing cluster population, not
+    cluster count); pathological mega-clusters are the same failure mode
+    as a hot LSH bucket and warrant a pre-pass of :func:`kmeans_clusters`
+    to audit the cluster histogram.
 
     Returns one row per input vector:
     ``(id, cluster, keep_id, is_duplicate)`` — ``keep_id`` is the minimum
@@ -366,19 +423,22 @@ def semantic_dedup(
     from .dedup import embedding_near_dup_pairs
     from .graph import connected_components
 
+    Cn = _norm_rows(_seed_centroids(df, id_col, vec_col, k, iters))
     # materialize the assignment once — three consumers (the blocked join,
     # the final output join, and the pair verify's lineage) would otherwise
-    # each re-run the Arrow assignment pass; one (id, cluster) row per
-    # vector, same localCheckpoint discipline as connected_components' edges
-    clusters = (
-        kmeans_clusters(df, vec_col, id_col, k=k, iters=iters)
-        .select(id_col, "cluster")
-        .localCheckpoint(eager=True)
+    # each re-run the Arrow assignment pass; one (id, cluster, cells) row
+    # per vector, same localCheckpoint discipline as connected_components
+    assigned = kmeans_assign_topn(df, Cn, vec_col, id_col, n_assign).localCheckpoint(
+        eager=True
     )
-    blocked = df.select(id_col, vec_col).join(clusters, id_col)
+    clusters = assigned.select(id_col, "cluster")
+    blocked = df.select(id_col, vec_col).join(
+        assigned.select(id_col, F.explode("cells").alias("__cell")), id_col
+    )
     pairs = embedding_near_dup_pairs(
-        blocked, vec_col, id_col, threshold=threshold, block_col="cluster"
-    )
+        blocked, vec_col, id_col, threshold=threshold, block_col="__cell"
+        # a pair sharing BOTH top-2 cells is generated once per shared cell
+    ).select("vec_id_a", "vec_id_b").distinct()
     comps = connected_components(pairs, src="vec_id_a", dst="vec_id_b").select(
         F.col("node").alias(id_col), F.col("component").alias("keep_id")
     )

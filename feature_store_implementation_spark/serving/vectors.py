@@ -169,7 +169,16 @@ class FeatureStore:
         if feature_names:
             resolved = resolved.filter(F.col("feature_name").isin(feature_names))  # B3
 
-        values = self.store.values().filter(F.col("entity_id") == entity_id)  # B2
+        # resolve the version ids driver-side first (registry metadata, KBs)
+        # so the values read opens ONLY those versions' manifested files —
+        # with thousands of versions in the store, a serve touching two
+        # features reads two versions' files, not the store's
+        vids = [r["feature_version_id"] for r in resolved.select("feature_version_id").collect()]
+        if not vids:
+            raise NotFoundError(f"No feature values found for entity '{entity_id}'")
+        values = self.store.values_for_versions(vids).filter(
+            F.col("entity_id") == entity_id
+        )  # B2
         rows = (
             values.join(F.broadcast(resolved), "feature_version_id")  # B1
             .select("feature_name", "value")

@@ -330,6 +330,16 @@ class OfflineStore:
             F.col("feature_version_id") == vid
         )
 
+    def values_for_versions(self, version_ids: list[int]) -> DataFrame:
+        """Several versions' committed rows in one read — the serving-path
+        shape: the file list is the union of exactly the named versions'
+        manifests, so with thousands of versions in the store a serve that
+        resolves to a handful reads a handful (manifest-level pruning,
+        before any Spark planning happens)."""
+        vids = sorted({int(v) for v in version_ids})
+        rel = [f for vid in vids for f in self._manifest_files(vid)]
+        return self._read_files(rel).filter(F.col("feature_version_id").isin(vids))
+
     def point_lookup(self, version_id: int, entity_id: str) -> DataFrame:
         """Single-entity point read: manifest pruning (version) + parquet
         page skipping (entity sort order) — the serving hot path."""

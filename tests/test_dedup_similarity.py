@@ -1327,3 +1327,91 @@ def test_index_query_caps_on_combined_bucket_population(spark, tmp_path):
         .collect()
     )
     assert idx == bat and len(idx) == 16
+
+
+def test_kmeans_assign_topn_contract(spark):
+    """cells[0] ≡ cluster ≡ kmeans_clusters' argmax assignment; cells are
+    distinct, length min(n_assign, k); n_assign=1 degenerates to argmax."""
+    from feature_store_implementation_spark.operators.similarity import (
+        _norm_rows,
+        _seed_centroids,
+        kmeans_assign_topn,
+        kmeans_clusters,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (i, (v / np.linalg.norm(v)).tolist())
+        for i, v in enumerate(rng.randn(120, 8))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    k, iters = 5, 2
+    Cn = _norm_rows(_seed_centroids(df, "vec_id", "embedding", k, iters))
+
+    top2 = {r["vec_id"]: r for r in kmeans_assign_topn(df, Cn, n_assign=2).collect()}
+    ref = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_clusters(df, k=k, iters=iters).collect()
+    }
+    assert set(top2) == set(ref)
+    for vid, r in top2.items():
+        assert r["cluster"] == ref[vid]  # shared argmax semantics
+        assert r["cells"][0] == r["cluster"]
+        assert len(r["cells"]) == 2 and len(set(r["cells"])) == 2
+
+    one = {r["vec_id"]: r for r in kmeans_assign_topn(df, Cn, n_assign=1).collect()}
+    assert all(r["cells"] == [ref[vid]] for vid, r in one.items())
+    # n_assign beyond k clamps to k
+    wide = kmeans_assign_topn(df, Cn, n_assign=99).first()
+    assert len(wide["cells"]) == k
+
+
+def test_semantic_dedup_multiassign_recall_floor(spark):
+    """The SCALING.md 'Semantic-dedup pair recall' pin: on the real sf0.01
+    embeddings at the adversarial threshold 0.45, top-2 cell assignment
+    must recover ≥0.7 of the exact all-pairs duplicates and strictly beat
+    single-assignment blocking (measured 0.79 vs 0.29 at k=8)."""
+    from feature_store_implementation_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+    from feature_store_implementation_spark.operators.similarity import (
+        _norm_rows,
+        _seed_centroids,
+        kmeans_assign_topn,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    rows = df.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    Xn = _norm_rows(np.vstack([np.asarray(r["embedding"], float) for r in rows]))
+    S = Xn @ Xn.T
+    iu = np.triu_indices(len(ids), k=1)
+    hit = S[iu] >= 0.45
+    exact = {
+        (min(ids[a], ids[b]), max(ids[a], ids[b]))
+        for a, b in zip(iu[0][hit], iu[1][hit])
+    }
+    assert exact  # the pin is vacuous on an empty truth set
+
+    Cn = _norm_rows(_seed_centroids(df, "vec_id", "embedding", 8, 3))
+
+    def blocked_recall(n_assign):
+        assigned = kmeans_assign_topn(df, Cn, n_assign=n_assign)
+        blocked = df.select("vec_id", "embedding").join(
+            assigned.select("vec_id", F.explode("cells").alias("__cell")), "vec_id"
+        )
+        got = {
+            (min(r[0], r[1]), max(r[0], r[1]))
+            for r in embedding_near_dup_pairs(
+                blocked, threshold=0.45, block_col="__cell"
+            )
+            .select("vec_id_a", "vec_id_b")
+            .distinct()
+            .collect()
+        }
+        assert got <= exact  # blocking can only MISS pairs, never invent
+        return len(got & exact) / len(exact)
+
+    r1, r2 = blocked_recall(1), blocked_recall(2)
+    assert r2 >= 0.7, (r1, r2)
+    assert r2 > r1, (r1, r2)

@@ -709,3 +709,68 @@ def test_premanifest_store_reads_and_migrates_on_write(spark, tmp_path):
         store2.write_values(1, more, _crash_before_commit=True)
     assert not store2.exists()
     assert store2.values().count() == 0
+
+
+def test_values_for_versions_reads_only_named_manifests(spark, tmp_path):
+    """The serving-path read shape: values_for_versions opens exactly the
+    named versions' manifested files — with many versions in the store, a
+    serve resolving to two features reads two versions' files (manifest-
+    level pruning before Spark planning)."""
+    import os
+
+    from feature_store_implementation_spark.store.offline import OfflineStore
+
+    store = OfflineStore(spark, str(tmp_path / "values"))
+    for vid in (1, 2, 3):
+        df = spark.createDataFrame(
+            [(f"e{i}", f"v{vid}.{i}") for i in range(3)],
+            "entity_id string, value string",
+        )
+        store.write_values(vid, df)
+
+    out = store.values_for_versions([3, 1])
+    got = {(r["feature_version_id"], r["entity_id"], r["value"]) for r in out.collect()}
+    want = {
+        (vid, f"e{i}", f"v{vid}.{i}") for vid in (1, 3) for i in range(3)
+    }
+    assert got == want
+
+    # the scan's file list is exactly v1+v3's manifests — v2 never opened
+    opened = {p.removeprefix("file://") for p in out.inputFiles()}
+    manifested = {
+        os.path.abspath(os.path.join(store.path, f))
+        for vid in (1, 3)
+        for f in store._manifest_files(vid)
+    }
+    assert opened == manifested
+    assert not any("feature_version_id=2" in p for p in opened)
+
+
+def test_serve_vector_reads_only_resolved_versions(spark, tmp_path):
+    """End-to-end serving pin: with three feature versions in the store,
+    serve_vector's values read must not touch the unresolved version's
+    partition (the values_for_versions path wired into FeatureStore)."""
+    from feature_store_implementation_spark.serving.vectors import FeatureStore
+
+    fs = FeatureStore(spark, str(tmp_path / "fs"))
+    t = fs.register_raw_table("accts", {"required_columns": ["id", "amount"]}, "d")
+    data = spark.createDataFrame(
+        [("e1", 10.0), ("e2", 20.0)], "id string, amount double"
+    )
+    f1 = fs.create_feature("f_sum", t.id, "SUM(amount)", "numeric")
+    f2 = fs.create_feature("f_cnt", t.id, "COUNT(*)", "numeric")
+    v1 = fs.compute_version(f1.id, "v1.0", data)
+    fs.compute_version(f2.id, "v1.0", data)
+    # a superseded version of f1: latest-version resolution must skip it
+    v1b = fs.compute_version(f1.id, "v2.0", data)
+
+    vec = fs.serve_vector("e1")
+    assert set(vec.features) == {"f_sum", "f_cnt"}
+
+    resolved = {
+        r["feature_version_id"]
+        for r in fs._resolved_versions(None).collect()
+    }
+    assert v1.id not in resolved and v1b.id in resolved
+    opened = fs.store.values_for_versions(sorted(resolved)).inputFiles()
+    assert opened and not any(f"feature_version_id={v1.id}/" in p for p in opened)

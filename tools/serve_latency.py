@@ -1,0 +1,101 @@
+"""Serving-path latency micro-bench: p50/p95 for FeatureStore.serve_vector
+cold (one-plan join + decode) vs warm (TTL-cache hit), over ~100 entities
+built from the sf0.1 customer table.
+
+The reference's raison d'être is this path (main.py:249-336 + cache.py);
+every other surface has recorded numbers (BENCH_r*.json, SCALING.md) — this
+records the last one. Usage:
+
+    python tools/serve_latency.py [sf_dir] [n_entities]
+
+Prints one JSON line:
+    {"metric": "serve_vector_latency", "sf": ..., "n_entities": N,
+     "cold_p50_ms": ..., "cold_p95_ms": ..., "warm_p50_ms": ...,
+     "warm_p95_ms": ..., "warm_spark_jobs": 0}
+"""
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from feature_store_implementation_spark.serving.vectors import FeatureStore  # noqa: E402
+from feature_store_implementation_spark.session import get_spark  # noqa: E402
+from feature_store_implementation_spark.sources.tables import load_table  # noqa: E402
+
+
+def pct(xs, p):
+    xs = sorted(xs)
+    return xs[min(len(xs) - 1, int(round(p / 100 * (len(xs) - 1))))]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_entities = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+
+    spark = get_spark("serve_latency")
+    root = tempfile.mkdtemp(prefix="serve_latency_")
+    try:
+        fs = FeatureStore(spark, root)
+        cust = load_table(spark, sf_dir, "customer")
+        t = fs.register_raw_table(
+            "customers", {"required_columns": ["id", "amount"]}, "acct balances"
+        )
+        data = cust.select(
+            F.col("c_custkey").cast("string").alias("id"),
+            F.col("c_acctbal").cast("double").alias("amount"),
+        )
+        f1 = fs.create_feature("acctbal_sum", t.id, "SUM(amount)", "numeric")
+        f2 = fs.create_feature("acct_count", t.id, "COUNT(*)", "numeric")
+        fs.compute_version(f1.id, "v1.0", data)
+        fs.compute_version(f2.id, "v1.0", data)
+
+        entities = [str(r["c_custkey"]) for r in cust.limit(n_entities).collect()]
+
+        cold, warm = [], []
+        for e in entities:
+            t0 = time.perf_counter()
+            v = fs.serve_vector(e)
+            cold.append((time.perf_counter() - t0) * 1000)
+            assert set(v.features) == {"acctbal_sum", "acct_count"}
+
+        # warm pass: every key is in the TTL cache; also prove zero Spark
+        # jobs run by scoping a job group around the whole pass
+        sc = spark.sparkContext
+        sc.setJobGroup("serve-warm-probe", "warm serve_vector pass")
+        try:
+            before = set(sc.statusTracker().getJobIdsForGroup("serve-warm-probe"))
+            for e in entities:
+                t0 = time.perf_counter()
+                fs.serve_vector(e)
+                warm.append((time.perf_counter() - t0) * 1000)
+            after = set(sc.statusTracker().getJobIdsForGroup("serve-warm-probe"))
+        finally:
+            sc.setJobGroup(None, None)
+        warm_jobs = len(after - before)
+
+        print(
+            json.dumps(
+                {
+                    "metric": "serve_vector_latency",
+                    "sf": sf_dir,
+                    "n_entities": len(entities),
+                    "cold_p50_ms": round(pct(cold, 50), 1),
+                    "cold_p95_ms": round(pct(cold, 95), 1),
+                    "warm_p50_ms": round(pct(warm, 50), 3),
+                    "warm_p95_ms": round(pct(warm, 95), 3),
+                    "warm_spark_jobs": warm_jobs,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
