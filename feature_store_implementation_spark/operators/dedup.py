@@ -75,26 +75,57 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_signature(shingles: Column, k: int) -> Column:
-    """k seeded xxhash64 min-hashes as an array<bigint>. Seeding via a
-    leading literal column keeps everything JVM-side and run-deterministic."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, j=j: F.xxhash64(F.lit(j), s)))
-            for j in range(k)
-        ]
-    )
+def _minhash_signature(hashed: Column, k: int) -> Column:
+    """k seeded min-hashes over PRE-HASHED shingle keys (array<bigint>),
+    as an array<bigint>, all JVM-side and run-deterministic. The k
+    min-wise functions hash an 8-byte long with a leading seed literal
+    instead of re-hashing ~30-byte shingle strings k times (measured 45%
+    faster at sf0.1; a pmod universal-hash family was measured SLOWER
+    than xxhash64-on-long, so xxhash64 stays the hash of choice).
+    Independence is unchanged — pre-hash collisions are 2⁻⁶⁴.
+
+    The caller MUST materialize ``hashed`` behind a projection boundary
+    (an attribute, not an inline expression): higher-order functions
+    evaluate interpreted (no whole-stage-codegen subexpression
+    elimination), so an inline shingle pipeline would be RE-RUN once per
+    min-hash branch — measured 84s vs 4s at sf0.1 for k=32."""
+
+    def min_j(j: int) -> Column:
+        # single-arg lambda on purpose: a 2-arg transform lambda would
+        # receive (element, index) and shadow the seed
+        return F.array_min(F.transform(hashed, lambda h: F.xxhash64(F.lit(j), h)))
+
+    return F.array(*[min_j(j) for j in range(k)])
 
 
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n_shingle: int = 3, k: int = 32
 ) -> DataFrame:
+    """(doc_id, shingles, signature), where ``shingles`` is the DISTINCT
+    xxhash64 KEY SET of the document's word n-grams (array<bigint>), not
+    the strings: Jaccard over the key sets equals Jaccard over the string
+    sets (intersect/union are set-semantic either way; collisions are
+    2⁻⁶⁴), while the persisted index shrinks ~4× and the verify
+    intersects 8-byte longs instead of ~30-byte strings. Built in chained
+    projections that Catalyst provably keeps separate (CollapseProject
+    declines to inline a non-cheap alias referenced more than once), so
+    the shingle pipeline and the string→long hash each run ONCE no matter
+    how many min-hash branches read them — see :func:`_minhash_signature`
+    on why inlining would be catastrophic under interpreted HOF
+    evaluation."""
     toks = tokens_col(F.col(text_col))
     sh = word_ngrams_col(toks, n_shingle)
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        sh.alias("shingles"),
-        _minhash_signature(sh, k).alias("signature"),
+    staged = df.select(F.col(id_col).alias("doc_id"), sh.alias("__sh"))
+    staged = staged.select(
+        "doc_id",
+        F.array_distinct(F.transform("__sh", lambda s: F.xxhash64(s))).alias(
+            "shingles"
+        ),
+    )
+    return staged.select(
+        "doc_id",
+        "shingles",
+        _minhash_signature(F.col("shingles"), k).alias("signature"),
     )
 
 
@@ -268,7 +299,15 @@ def minhash_index_write(
     tmp = os.path.join(path, ".params.tmp")
     with open(tmp, "w") as f:
         json.dump(
-            {"n_shingle": int(n_shingle), "k": int(k), "bands": int(bands)}, f
+            {
+                "n_shingle": int(n_shingle),
+                "k": int(k),
+                "bands": int(bands),
+                # shingle column format: distinct xxhash64 keys, not strings
+                # (minhash_signatures) — queries validate before joining
+                "shingle_format": "xxhash64-set",
+            },
+            f,
         )
         f.flush()
         os.fsync(f.fileno())
@@ -310,6 +349,12 @@ def minhash_index_query(
 
     with open(os.path.join(path, "params.json")) as f:
         params = json.load(f)
+    if params.get("shingle_format") != "xxhash64-set":
+        raise ValueError(
+            f"minhash index at {path} was written by an older version "
+            "(string shingles); rebuild it with minhash_index_write(..., "
+            "overwrite=True) before querying"
+        )
     k, bands = params["k"], params["bands"]
     corpus_sigs = spark.read.parquet(os.path.join(path, "signatures"))
     new_sigs = _cache_scoped(
@@ -875,6 +920,102 @@ def _auto_tables(n_rows: int) -> int:
     return min(24, 8 + 4 * math.ceil(math.log10(n_rows / 10_000_000)))
 
 
+def _einsum_verify(
+    v2: DataFrame,
+    pairs: DataFrame,
+    threshold: float,
+    broadcast_verify_max_rows: int,
+    n_rows: int,
+):
+    """Exact-cosine verify of candidate id pairs, vectorized: the
+    candidate set at aggressive thresholds is a large fraction of all
+    pairs, so per-pair SQL higher-order-function cosine dominates the
+    runtime (measured at sf0.1, 745k candidates: 4.8s HOF vs 0.9s numpy
+    einsum). ``v2`` is one (vid, v) row per vector; ``pairs`` is
+    (vid_a, vid_b). Two routes, same pairs and same exactness:
+
+    * broadcast (corpus ≤ broadcast_verify_max_rows, default 200k ≈
+      100 MB at 64-d float64): normalized matrix broadcast once, the
+      pairs frame stays two ids wide, cosines come from indexed
+      einsum — no vector ever ships per pair (measured 2.7s vs 3.9s
+      join route at sf0.1, same 125 pairs).
+    * join (the 100 TB path): two equi-joins attach vectors to
+      pairs, then the same einsum per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    verify_schema = T.StructType(
+        [
+            T.StructField("vec_id_a", v2.schema["vid"].dataType),
+            T.StructField("vec_id_b", v2.schema["vid"].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _norm(mat):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    if broadcast_verify_max_rows and n_rows <= broadcast_verify_max_rows:
+        vp = v2.toPandas()
+        mat = _norm(np.vstack(vp["v"].to_numpy()).astype(np.float64))
+        index = dict(zip(vp["vid"], range(len(vp))))
+        b_mat = v2.sparkSession.sparkContext.broadcast(mat)
+        b_idx = v2.sparkSession.sparkContext.broadcast(index)
+
+        def verify_bcast(batches):
+            mat_, idx_ = b_mat.value, b_idx.value
+            for p in batches:
+                if len(p) == 0:
+                    continue
+                ra = p["vid_a"].map(idx_).to_numpy(dtype=np.int64)
+                rb = p["vid_b"].map(idx_).to_numpy(dtype=np.int64)
+                cos = np.einsum("ij,ij->i", mat_[ra], mat_[rb])
+                # NaN (zero-norm input) compares False, like cosine_col's
+                # NULL; threshold applies to the UNROUNDED value, rounding
+                # is display-only — both exactly as the HOF verify did
+                keep = cos >= threshold
+                yield pd.DataFrame(
+                    {
+                        "vec_id_a": p["vid_a"][keep],
+                        "vec_id_b": p["vid_b"][keep],
+                        "cosine": np.round(cos[keep], 6),
+                    }
+                )
+
+        return pairs.mapInPandas(verify_bcast, schema=verify_schema)
+
+    va = v2.select(F.col("vid").alias("vid_a"), F.col("v").alias("v_a"))
+    vb = v2.select(F.col("vid").alias("vid_b"), F.col("v").alias("v_b"))
+
+    def verify_join(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # float64 like the broadcast route (and like the SQL-double
+            # HOF verify) — float32 embeddings would otherwise leave
+            # float32 artifacts in the rounded cosine
+            a = _norm(np.vstack(pdf["v_a"].to_numpy()).astype(np.float64))
+            b = _norm(np.vstack(pdf["v_b"].to_numpy()).astype(np.float64))
+            cos = np.einsum("ij,ij->i", a, b)
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "vec_id_a": pdf["vid_a"][keep],
+                    "vec_id_b": pdf["vid_b"][keep],
+                    "cosine": np.round(cos[keep], 6),
+                }
+            )
+
+    return (
+        pairs.join(va, "vid_a")
+        .join(vb, "vid_b")
+        .mapInPandas(verify_join, schema=verify_schema)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -1035,91 +1176,27 @@ def embedding_near_dup_pairs(
             return pairs.select(
                 F.col("vid_a").alias("vec_id_a"), F.col("vid_b").alias("vec_id_b")
             )
-        # Exact-cosine verify, vectorized: the candidate set at aggressive
-        # thresholds is a large fraction of all pairs, so per-pair SQL
-        # higher-order-function cosine dominates the runtime (measured at
-        # sf0.1, 745k candidates: 4.8s HOF vs 0.9s numpy einsum). Two
-        # routes, same pairs and same exactness:
-        #
-        # * broadcast (corpus ≤ broadcast_verify_max_rows, default 200k ≈
-        #   100 MB at 64-d float64): normalized matrix broadcast once, the
-        #   pairs frame stays two ids wide, cosines come from indexed
-        #   einsum — no vector ever ships per pair (measured 2.7s vs 3.9s
-        #   join route at sf0.1, same 125 pairs).
-        # * join (the 100 TB path): two equi-joins attach vectors to
-        #   pairs, then the same einsum per Arrow batch.
-        verify_schema = T.StructType(
-            [
-                T.StructField("vec_id_a", v.schema["vid"].dataType),
-                T.StructField("vec_id_b", v.schema["vid"].dataType),
-                T.StructField("cosine", T.DoubleType()),
-            ]
+        return _einsum_verify(
+            v.select("vid", "v"), pairs, threshold, broadcast_verify_max_rows, n_rows
         )
-
-        def _norm(mat):
-            with np.errstate(divide="ignore", invalid="ignore"):
-                return mat / np.linalg.norm(mat, axis=1, keepdims=True)
-
-        if broadcast_verify_max_rows and n_rows <= broadcast_verify_max_rows:
-            vp = v.select("vid", "v").toPandas()
-            mat = _norm(np.vstack(vp["v"].to_numpy()).astype(np.float64))
-            index = dict(zip(vp["vid"], range(len(vp))))
-            b_mat = df.sparkSession.sparkContext.broadcast(mat)
-            b_idx = df.sparkSession.sparkContext.broadcast(index)
-
-            def verify_bcast(batches):
-                import pandas as pd
-
-                mat_, idx_ = b_mat.value, b_idx.value
-                for p in batches:
-                    if len(p) == 0:
-                        continue
-                    ra = p["vid_a"].map(idx_).to_numpy(dtype=np.int64)
-                    rb = p["vid_b"].map(idx_).to_numpy(dtype=np.int64)
-                    cos = np.einsum("ij,ij->i", mat_[ra], mat_[rb])
-                    # NaN (zero-norm input) compares False, like
-                    # cosine_col's NULL; threshold applies to the UNROUNDED
-                    # value, rounding is display-only — both exactly as the
-                    # HOF verify did
-                    keep = cos >= threshold
-                    yield pd.DataFrame(
-                        {
-                            "vec_id_a": p["vid_a"][keep],
-                            "vec_id_b": p["vid_b"][keep],
-                            "cosine": np.round(cos[keep], 6),
-                        }
-                    )
-
-            return pairs.mapInPandas(verify_bcast, schema=verify_schema)
-
-        va = v.select(F.col("vid").alias("vid_a"), F.col("v").alias("v_a"))
-        vb = v.select(F.col("vid").alias("vid_b"), F.col("v").alias("v_b"))
-
-        def verify_join(batches):
-            import pandas as pd
-
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                # float64 like the broadcast route (and like the previous
-                # SQL-double HOF verify) — float32 embeddings would
-                # otherwise leave float32 artifacts in the rounded cosine
-                a = _norm(np.vstack(pdf["v_a"].to_numpy()).astype(np.float64))
-                b = _norm(np.vstack(pdf["v_b"].to_numpy()).astype(np.float64))
-                cos = np.einsum("ij,ij->i", a, b)
-                keep = cos >= threshold
-                yield pd.DataFrame(
-                    {
-                        "vec_id_a": pdf["vid_a"][keep],
-                        "vec_id_b": pdf["vid_b"][keep],
-                        "cosine": np.round(cos[keep], 6),
-                    }
-                )
-
-        return (
-            pairs.join(va, "vid_a")
-            .join(vb, "vid_b")
-            .mapInPandas(verify_join, schema=verify_schema)
+    if block_col is not None:
+        # Blocked-quadratic, in two separated stages: the pair-id join
+        # carries TWO ids per row (never two 64-d vectors — the old form
+        # shipped both vectors through the self-join and paid a per-pair
+        # SQL higher-order-function cosine, measured 41s vs 3s at sf0.1
+        # under semantic_dedup's top-2 cell blocking), then the shared
+        # vectorized einsum verify. A vector assigned to several blocks
+        # (semantic_dedup n_assign>1) emits its pair once per shared
+        # block, exactly like the old route — callers dedup on the pair
+        # key.
+        ids = v.select("vid", "block")
+        a, b = ids.alias("a"), ids.alias("b")
+        pair_ids = a.join(
+            b, (F.col("a.block") == F.col("b.block")) & (F.col("a.vid") < F.col("b.vid"))
+        ).select(F.col("a.vid").alias("vid_a"), F.col("b.vid").alias("vid_b"))
+        v2 = v.select("vid", "v").dropDuplicates(["vid"])
+        return _einsum_verify(
+            v2, pair_ids, threshold, broadcast_verify_max_rows, v2.count()
         )
     a, b = v.alias("a"), v.alias("b")
     return (

@@ -232,32 +232,65 @@ def kmeans_refine_centroids(
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """Spherical k-means (Lloyd) refinement of IVF centroids, distributed:
-    per iteration, (1) assign every vector to its argmax-cosine centroid via
-    an Arrow-batched matmul (:func:`_argmax_cell_udf` — rebuilt per round
-    because the centroids it closes over change per round), (2) element-wise
-    per-cell sums via posexplode + groupBy(cell, pos) — JVM partial
-    aggregation, so the shuffle carries cells×dim×partitions rows, not the
-    corpus, (3) normalize means on the driver (cells×dim floats).
-    Deterministic: fixed init, fixed iteration count, ties to the lowest
-    cell index. Empty cells keep their centroid."""
+    per iteration, ONE fused Arrow pass assigns every vector to its
+    argmax-cosine centroid AND accumulates per-cell partial sums inside
+    the partition (numpy ``add.at`` — the corpus row never leaves Python
+    as more than its cells×dim partial), so the shuffle carries
+    partitions×cells×dim scalar rows, never corpus×dim (the previous
+    posexplode form shuffled 64 rows per VECTOR per round — the dominant
+    Lloyd cost at any scale); a JVM groupBy merges partials and the
+    driver normalizes means (cells×dim floats). Deterministic: fixed
+    init, fixed iteration count, ties to the lowest cell index. Empty
+    cells keep their centroid."""
     C = C0.copy()
     n_cells, dim = C.shape
     for _ in range(iters):
-        cell_of = _argmax_cell_udf(_norm_rows(C))
-        assigned = corpus.select(
-            cell_of(F.col(vec_col)).alias("cell"), F.col(vec_col).alias("v")
-        )
+        scores_of = _cell_scores_fn(_norm_rows(C))
+
+        def partials(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+            sums = np.zeros((n_cells, dim))
+            counts = np.zeros(n_cells, dtype=np.int64)
+            seen = False
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                seen = True
+                M = np.vstack(
+                    pdf["__v"].apply(lambda x: np.asarray(x, dtype=np.float64)).to_numpy()
+                )
+                cells = scores_of(pdf["__v"]).argmax(axis=1)
+                np.add.at(sums, cells, M)
+                counts += np.bincount(cells, minlength=n_cells)
+            if not seen:
+                return
+            nz = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {
+                    "cell": nz.astype("int32"),
+                    "s": list(sums[nz]),
+                    "n": counts[nz],
+                }
+            )
+
         rows = (
-            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            corpus.select(F.col(vec_col).alias("__v"))
+            .mapInPandas(partials, "cell int, s array<double>, n long")
+            .select("cell", "n", F.posexplode("s").alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum("x").alias("s"),
+                F.sum(F.when(F.col("pos") == 0, F.col("n")).otherwise(F.lit(0))).alias(
+                    "n0"
+                ),
+            )
             .collect()
         )
         sums = np.zeros((n_cells, dim))
         counts = np.zeros(n_cells)
         for r in rows:
             sums[r["cell"], r["pos"]] = r["s"]
-            counts[r["cell"]] = r["n"]
+            if r["pos"] == 0:
+                counts[r["cell"]] = r["n0"]
         for j in range(n_cells):
             if counts[j] > 0:
                 norm = np.linalg.norm(sums[j])
