@@ -137,3 +137,43 @@ def mixture_temperature_weights(
             F.col("pw").cast("double") / F.col("pw_sum").cast("double"), 6
         ).alias("weight"),
     )
+
+
+def weighted_sample_wor(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_cols: list[str],
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    public): each row draws the portable md5-uniform
+    ``u = int(md5(keys)[:13 hex], 16) / 16¹³`` and the sample is the k
+    rows maximizing ``u^(1/w)`` — equivalently ``ln(u)/w``, which is what
+    we rank on (one log, no pow). Inclusion probability is proportional
+    to weight in the without-replacement sense of A-ES; the heaviest rows
+    are near-certain members, light rows proportionally unlikely — the
+    importance-weighted corpus subset shape (quality-score-weighted
+    pretraining pools).
+
+    Engine-portable and append-stable like :func:`portable_sample`: u
+    depends only on the row's OWN keys (any md5-bearing engine recomputes
+    membership bit-for-bit; ties broken on the keys). Rows with
+    non-positive weight are excluded (ln(u)/w flips sign there — A-ES is
+    defined on w > 0). u is clamped one step away from 0 so ln is finite
+    (p = 16⁻¹³ per row).
+
+    Scale shape: map-only scoring then ONE global top-k —
+    TakeOrderedAndProject (per-partition heaps + driver merge of k·P
+    rows), never a global sort."""
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    u = F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("double") / F.lit(
+        float(16**13)
+    )
+    es = F.log(F.greatest(u, F.lit(1.0 / 16**13))) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__es", es)
+        .orderBy(F.desc("__es"), *key_cols)
+        .limit(int(k))
+        .drop("__es")
+    )

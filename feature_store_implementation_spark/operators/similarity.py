@@ -653,3 +653,160 @@ def kmeans_clusters(
 
     out = v.mapInPandas(assign, schema=out_schema)
     return out.withColumnRenamed("id", id_col)
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Johnson–Lindenstrauss Gaussian random projection to ``out_dim``
+    dimensions: y = (1/√out_dim) · R x with R_ij ~ N(0,1) drawn once,
+    driver-side, from a fixed RNG — deterministic, and every executor
+    rebuilds the identical matrix from (dim, out_dim, seed) inside the
+    closure (KBs; no corpus pass to fit anything, the defining advantage
+    over PCA at 100 TB). Pairwise distances distort by ≤ (1±ε) with
+    ε ≈ √(8·ln n / out_dim) (the JL bound; a distortion ceiling is
+    pinned in tests). Map-only: one Arrow-batched matmul, no shuffle;
+    composes with downstream ANN/dedup at out_dim cost.
+
+    Returns (id, projected: array<double>)."""
+    n = int(out_dim)
+    if n <= 0:
+        raise ValueError("out_dim must be positive")
+
+    v = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    out_schema = T.StructType(
+        [
+            T.StructField("id", v.schema["__id"].dataType),
+            T.StructField("projected", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        R = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(
+                pdf["__v"].apply(lambda x: np.asarray(x, dtype=np.float64)).to_numpy()
+            )
+            if R is None:  # deterministic in (dim, out_dim, seed)
+                R = np.random.RandomState(seed).randn(M.shape[1], n) / np.sqrt(n)
+            yield pd.DataFrame({"id": pdf["__id"], "projected": list(M @ R)})
+
+    return v.mapInPandas(project, schema=out_schema).withColumnRenamed("id", id_col)
+
+
+def pca_fit(
+    df: DataFrame,
+    out_dim: int,
+    vec_col: str = "embedding",
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """Fit PCA with ONE distributed pass: per-partition moment partials
+    (n, Σx, ΣxxT) accumulate inside an Arrow pass (the same fused-partial
+    shape as :func:`kmeans_refine_centroids` — the corpus never leaves
+    the executors as more than d² floats per partition), a JVM groupBy
+    merges them, and the driver does the d×d eigendecomposition
+    (`numpy.linalg.eigh` on the covariance). Feasible for d up to ~1k
+    (d²=10⁶ doubles per partial); past that, use
+    :func:`random_projection` first — the published sketch-then-PCA
+    recipe.
+
+    Deterministic: eigh on an exactly-merged covariance (partials sum in
+    a canonical order driver-side after a sorted collect), components
+    sign-canonicalized (largest-|coordinate| entry made positive).
+
+    Returns (mean: d, components: d×out_dim columns = top eigenvectors by
+    descending eigenvalue, explained_variance: out_dim)."""
+    v = df.select(F.col(vec_col).alias("__v"))
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = None
+        g = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(
+                pdf["__v"].apply(lambda x: np.asarray(x, dtype=np.float64)).to_numpy()
+            )
+            n += len(M)
+            s = M.sum(axis=0) if s is None else s + M.sum(axis=0)
+            g = M.T @ M if g is None else g + M.T @ M
+        if n == 0:
+            return
+        yield pd.DataFrame(
+            {"n": [n], "s": [s], "g": [g.reshape(-1)]}
+        )
+
+    rows = sorted(
+        v.mapInPandas(
+            partials, "n long, s array<double>, g array<double>"
+        ).collect(),
+        key=lambda r: (r["n"], tuple(r["s"])),  # canonical merge order
+    )
+    if not rows:
+        raise ValueError("pca_fit requires a non-empty corpus")
+    n_total = sum(r["n"] for r in rows)
+    d = len(rows[0]["s"])
+    s = np.zeros(d)
+    g = np.zeros((d, d))
+    for r in rows:
+        s += np.asarray(r["s"])
+        g += np.asarray(r["g"]).reshape(d, d)
+    mean = s / n_total
+    denom = max(n_total - 1, 1)
+    cov = (g - np.outer(mean, s) - np.outer(s, mean) + n_total * np.outer(mean, mean)) / denom
+    w, V = np.linalg.eigh(cov)  # ascending eigenvalues
+    order = np.argsort(w)[::-1][: int(out_dim)]
+    comps = V[:, order]
+    # sign canonicalization: make each component's largest-|entry| positive
+    flips = np.sign(comps[np.abs(comps).argmax(axis=0), np.arange(comps.shape[1])])
+    flips[flips == 0] = 1.0
+    comps = comps * flips
+    return mean, comps, np.maximum(w[order], 0.0)
+
+
+def pca_project(
+    df: DataFrame,
+    out_dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    whiten: bool = False,
+) -> DataFrame:
+    """PCA dimensionality reduction: :func:`pca_fit` (one moment pass +
+    driver eigh) then one map-only Arrow projection pass — two corpus
+    passes total, no shuffle in either. ``whiten=True`` scales each
+    component by 1/√variance (unit-variance scores — the preprocessing
+    step for cosine-based SemDeDup on anisotropic embeddings).
+
+    Returns (id, projected: array<double>)."""
+    mean, comps, var = pca_fit(df, out_dim, vec_col)
+    if whiten:
+        comps = comps / np.sqrt(np.maximum(var, 1e-300))
+    spark = df.sparkSession
+    b_mean = spark.sparkContext.broadcast(mean)
+    b_comps = spark.sparkContext.broadcast(comps)
+
+    v = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    out_schema = T.StructType(
+        [
+            T.StructField("id", v.schema["__id"].dataType),
+            T.StructField("projected", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m, C = b_mean.value, b_comps.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(
+                pdf["__v"].apply(lambda x: np.asarray(x, dtype=np.float64)).to_numpy()
+            )
+            yield pd.DataFrame({"id": pdf["__id"], "projected": list((M - m) @ C)})
+
+    return v.mapInPandas(project, schema=out_schema).withColumnRenamed("id", id_col)

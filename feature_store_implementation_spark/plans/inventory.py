@@ -6410,3 +6410,77 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
     return mad_outliers(li, "l_extendedprice", ["l_returnflag"], k=3.0)
+
+
+@query(
+    "q_weighted_sample_wor",
+    """
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             ln(greatest(
+               CAST(concat('0x', substr(md5(concat_ws('|', CAST(doc_id AS VARCHAR))), 1, 13)) AS BIGINT)
+                 / power(16, 13),
+               1.0 / power(16, 13)
+             )) / CAST(n_chars AS DOUBLE) AS es
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight
+    FROM s
+    ORDER BY es DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q_weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement
+    (operators/sampling.py weighted_sample_wor): the 100 documents
+    maximizing ln(u)/w where u is the portable md5-uniform and w =
+    n_chars — the importance-weighted corpus subset (longer docs
+    proportionally likelier, never duplicated). Engine-portable: DuckDB
+    recomputes the same u by parsing the same 13 md5 hex chars; both
+    engines rank on identical doubles (the ranking KEY stays internal, so
+    a last-ulp ln() divergence could only matter on an exact rank-k tie).
+    Plan: map-only scoring + ONE global top-k (TakeOrderedAndProject)."""
+    from ..operators.sampling import weighted_sample_wor
+
+    d = load_table(spark, sf_dir, "documents")
+    return weighted_sample_wor(d, 100, "n_chars", ["doc_id"]).select(
+        "doc_id", F.col("n_chars").cast("long").alias("weight")
+    )
+
+
+@query("q_random_projection", None)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss Gaussian random projection 64-d → 16-d
+    (operators/similarity.py random_projection): deterministic matrix
+    from a fixed seed, one Arrow-batched matmul, map-only. Rows-only (a
+    seeded Gaussian matrix isn't SQL-expressible); numpy parity and the
+    JL pairwise-distance distortion ceiling are pinned in
+    tests/test_dedup_similarity.py. Output rounded for stable hashing."""
+    from ..operators.similarity import random_projection
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = random_projection(e, 16)
+    return out.select(
+        "vec_id",
+        F.transform("projected", lambda x: F.round(x, 6)).alias("projected"),
+    )
+
+
+@query("q_pca_project", None)
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA 64-d → 8-d (operators/similarity.py pca_project): ONE
+    distributed moment pass (per-partition n/Σx/ΣxxT partials fused into
+    an Arrow pass — the corpus never leaves executors as more than d²
+    floats per partition), driver-side d×d eigh, then one map-only
+    projection pass. Rows-only (no SQL eigendecomposition); numpy parity,
+    determinism and explained-variance ordering pinned in
+    tests/test_dedup_similarity.py."""
+    from ..operators.similarity import pca_project
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = pca_project(e, 8)
+    return out.select(
+        "vec_id",
+        F.transform("projected", lambda x: F.round(x, 6)).alias("projected"),
+    )

@@ -1415,3 +1415,86 @@ def test_semantic_dedup_multiassign_recall_floor(spark):
     r1, r2 = blocked_recall(1), blocked_recall(2)
     assert r2 >= 0.7, (r1, r2)
     assert r2 > r1, (r1, r2)
+
+
+def test_random_projection_numpy_parity_and_jl_distortion(spark):
+    """The projection equals the driver-side numpy matmul exactly, is
+    deterministic across runs, and pairwise Euclidean distances distort
+    within the JL envelope on the real sf0.01 embeddings (out_dim=32 →
+    eps ~ sqrt(8 ln 500 / 32) ~ 1.25 is vacuous; we pin the MEASURED
+    p95 distortion well inside it, 0.5)."""
+    from feature_store_implementation_spark.operators.similarity import (
+        random_projection,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    rows = df.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    X = np.vstack([np.asarray(r["embedding"], float) for r in rows])
+
+    out = {r["vec_id"]: np.asarray(r["projected"]) for r in random_projection(df, 32).collect()}
+    R = np.random.RandomState(42).randn(X.shape[1], 32) / np.sqrt(32)
+    want = X @ R
+    got = np.vstack([out[i] for i in ids])
+    assert np.allclose(got, want, atol=1e-12)
+
+    again = {r["vec_id"]: np.asarray(r["projected"]) for r in random_projection(df, 32).collect()}
+    assert all(np.array_equal(out[i], again[i]) for i in ids)
+
+    rng = np.random.RandomState(0)
+    ratios = []
+    for _ in range(300):
+        a, b = rng.randint(0, len(ids), 2)
+        if a == b:
+            continue
+        d0 = np.linalg.norm(X[a] - X[b])
+        if d0 == 0:
+            continue
+        ratios.append(np.linalg.norm(got[a] - got[b]) / d0)
+    dist = np.abs(np.array(ratios) - 1.0)
+    assert np.percentile(dist, 95) < 0.5, np.percentile(dist, 95)
+
+
+def test_pca_project_matches_numpy_eigh(spark):
+    """pca_fit's distributed moment pass reproduces the numpy covariance
+    eigendecomposition: same explained variance, projections equal up to
+    the canonical per-component sign; whiten=True yields unit-variance
+    scores; deterministic across runs."""
+    from feature_store_implementation_spark.operators.similarity import (
+        pca_fit,
+        pca_project,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    rows = df.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    X = np.vstack([np.asarray(r["embedding"], float) for r in rows])
+
+    mean, comps, var = pca_fit(df, 8)
+    Xc = X - X.mean(axis=0)
+    cov = Xc.T @ Xc / (len(X) - 1)
+    w, V = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:8]
+    assert np.allclose(var, w[order], atol=1e-8)
+    # components agree up to sign; the operator's sign is canonical
+    for j in range(8):
+        ref = V[:, order[j]]
+        assert np.allclose(comps[:, j], ref, atol=1e-8) or np.allclose(
+            comps[:, j], -ref, atol=1e-8
+        )
+
+    out = {r["vec_id"]: np.asarray(r["projected"]) for r in pca_project(df, 8).collect()}
+    got = np.vstack([out[i] for i in ids])
+    want = (X - mean) @ comps
+    assert np.allclose(got, want, atol=1e-8)
+    # projected variance per component ≡ eigenvalue; whiten → unit variance
+    assert np.allclose(got.var(axis=0, ddof=1), var, rtol=1e-6)
+    outw = {
+        r["vec_id"]: np.asarray(r["projected"])
+        for r in pca_project(df, 8, whiten=True).collect()
+    }
+    gw = np.vstack([outw[i] for i in ids])
+    assert np.allclose(gw.var(axis=0, ddof=1), np.ones(8), rtol=1e-6)
+
+    again = {r["vec_id"]: np.asarray(r["projected"]) for r in pca_project(df, 8).collect()}
+    assert all(np.array_equal(out[i], again[i]) for i in ids)

@@ -125,3 +125,46 @@ def test_mixture_temperature_alpha_one_is_natural(spark):
     df = spark.createDataFrame(rows, "doc_id long, lang string")
     for r in mixture_temperature_weights(df, "lang", alpha=1.0).collect():
         assert abs(r["weight"] - r["share"]) < 1e-5
+
+
+def test_weighted_sample_wor_inclusion_and_stability(spark):
+    """A-ES semantics: k=N returns every positive-weight row exactly once
+    (without replacement), a dominant weight is always included, zero/
+    negative weights are excluded, and membership is append-stable (the
+    ES key depends only on the row's own keys and weight)."""
+    from feature_store_implementation_spark.operators.sampling import (
+        weighted_sample_wor,
+    )
+
+    rows = [(i, 1.0 if i else 10_000.0) for i in range(50)] + [(50, 0.0), (51, -2.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+
+    all_pos = weighted_sample_wor(df, 50, "w", ["id"]).collect()
+    assert sorted(r["id"] for r in all_pos) == list(range(50))
+
+    top = {r["id"] for r in weighted_sample_wor(df, 10, "w", ["id"]).collect()}
+    assert 0 in top  # the 10_000x weight row is a near-certain member
+    assert len(top) == 10
+
+    # append stability: adding rows never flips an existing row's ES key,
+    # so the old sample is a subset of the new top-(k + new rows) superset
+    more = df.union(
+        spark.createDataFrame([(100 + i, 1.0) for i in range(20)], "id long, w double")
+    )
+    top_again = {r["id"] for r in weighted_sample_wor(more, 10, "w", ["id"]).collect()}
+    # keys of shared rows are identical; only genuinely higher-key newcomers
+    # may displace — verify by recomputing both key sets driver-side
+    import hashlib
+    import math
+
+    def es(i, w):
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) / 16**13
+        return math.log(max(u, 1.0 / 16**13)) / w
+
+    want = set(
+        sorted((i for i, w in rows if w > 0), key=lambda i: -es(i, dict(rows)[i]))[:10]
+    )
+    assert top == want
+    allr = dict(rows) | {100 + i: 1.0 for i in range(20)}
+    want2 = set(sorted((i for i, w in allr.items() if w > 0), key=lambda i: -es(i, allr[i]))[:10])
+    assert top_again == want2
