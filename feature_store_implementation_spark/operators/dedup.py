@@ -250,6 +250,67 @@ def _prepare_index_dir(sig_dir: str, marker: str, overwrite: bool) -> None:
         shutil.rmtree(sig_dir)
 
 
+def _read_index_signatures(spark, path: str) -> DataFrame:
+    """Every COMMITTED signature row of a persisted index: the base
+    write's flat files plus each appended segment subdir
+    (``signatures/seg-<txn>/``), via recursive file lookup. Crash safety
+    falls out of the layout: an append stages OUTSIDE ``signatures/`` and
+    commits with ONE atomic directory rename, so a killed appender leaves
+    only an invisible staging dir — a reader never sees a partial
+    segment."""
+    import os
+
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(path, "signatures"))
+    )
+
+
+def _append_index_segment(sigs: DataFrame, path: str) -> int:
+    """Commit one signature segment to a persisted index: write the
+    segment parquet to ``path/.staging-<txn>``, fsync its files and
+    directory entries, then ONE atomic rename to
+    ``path/signatures/seg-<txn>`` (the commit point — same discipline as
+    the offline store's manifest rename). Concurrent appends commit
+    disjoint segment names, so neither can hide the other; a crash at any
+    point leaves a swept-on-sight invisible staging dir. Returns the
+    appended row count (from the committed files' parquet footers)."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    sig_dir = os.path.join(path, "signatures")
+    if not os.path.isdir(sig_dir):
+        raise FileNotFoundError(
+            f"no committed index at {path}; write one before appending"
+        )
+    txn = uuid.uuid4().hex[:12]
+    staging = os.path.join(path, f".staging-{txn}")
+    try:
+        sigs.write.parquet(staging)
+        for f in glob.glob(os.path.join(staging, "*")):
+            _index_fsync(f)
+        _index_fsync(staging)
+        seg = os.path.join(sig_dir, f"seg-{txn}")
+        os.rename(staging, seg)
+        _index_fsync(sig_dir)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    return sigs.sparkSession.read.parquet(seg).count()
+
+
+def _index_fsync(p: str) -> None:
+    import os
+
+    fd = os.open(p, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def minhash_index_write(
     df: DataFrame,
     path: str,
@@ -356,7 +417,7 @@ def minhash_index_query(
             "overwrite=True) before querying"
         )
     k, bands = params["k"], params["bands"]
-    corpus_sigs = spark.read.parquet(os.path.join(path, "signatures"))
+    corpus_sigs = _read_index_signatures(spark, path)
     new_sigs = _cache_scoped(
         minhash_signatures(new_df, text_col, id_col, params["n_shingle"], k)
     )
@@ -390,6 +451,65 @@ def minhash_index_query(
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def minhash_index_append(
+    new_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Fold an increment INTO a persisted MinHash index — the maintenance
+    half of the incremental-dedup loop (:func:`minhash_index_query` finds
+    today's duplicates against the corpus; the survivors are appended so
+    TOMORROW's increment checks against corpus + today, with no index
+    rebuild — at 100 TB a rebuild is a full corpus re-shingle, an append
+    is one increment-sized pass).
+
+    The increment is signed with the INDEX's stored params (including the
+    hashed-shingle format — writer and every reader stay bit-identical by
+    construction) and committed as one atomically-renamed segment
+    (:func:`_append_index_segment`): crash-safe at any kill point,
+    lost-update-free under concurrent appends. No doc_id uniqueness is
+    enforced (same contract as the batch routes) — the intended flow
+    appends only documents that passed the dedup gate. Returns the
+    appended row count."""
+    import json
+    import os
+
+    with open(os.path.join(path, "params.json")) as f:
+        params = json.load(f)
+    if params.get("shingle_format") != "xxhash64-set":
+        raise ValueError(
+            f"minhash index at {path} was written by an older version "
+            "(string shingles); rebuild it with minhash_index_write(..., "
+            "overwrite=True) before appending"
+        )
+    sigs = minhash_signatures(
+        new_df, text_col, id_col, params["n_shingle"], params["k"]
+    )
+    return _append_index_segment(sigs, path)
+
+
+def simhash_index_append(
+    new_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Fold an increment INTO a persisted SimHash index — same
+    maintenance contract as :func:`minhash_index_append` (atomic segment
+    commit, concurrent-append safe, no rebuild). The increment is signed
+    at the index's STORED width, so the Hamming-radius semantics never
+    drift no matter how many appends accumulate. Returns the appended
+    row count."""
+    import json
+    import os
+
+    with open(os.path.join(path, "params.json")) as f:
+        params = json.load(f)
+    sigs = simhash_signatures(new_df, text_col, id_col, params["bits"])
+    return _append_index_segment(sigs, path)
 
 
 # ---------------------------------------------------------------------------
@@ -698,7 +818,7 @@ def simhash_index_query(
     with open(os.path.join(path, "params.json")) as f:
         params = json.load(f)
     bits, max_hamming = params["bits"], params["max_hamming"]
-    corpus_sigs = spark.read.parquet(os.path.join(path, "signatures"))
+    corpus_sigs = _read_index_signatures(spark, path)
     new_sigs = _cache_scoped(simhash_signatures(new_df, text_col, id_col, bits))
     nb = _simhash_bands(new_sigs, bits, max_hamming).withColumnRenamed(
         "doc_id", "new_id"

@@ -6484,3 +6484,40 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("projected", lambda x: F.round(x, 6)).alias("projected"),
     )
+
+
+@query("q_dedup_index_grow", None)
+def q_dedup_index_grow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full incremental-dedup LOOP against a growing persisted index
+    (operators/dedup.py minhash_index_write/_query/_append): day 0 signs
+    the base corpus (doc_id %7 ∈ {2..6}); day 1's increment (%7 == 0) is
+    checked, then FOLDED IN via one atomically-renamed segment — no
+    rebuild, no corpus re-shingle; day 2's increment (%7 == 1) is checked
+    against base∪day1 and must see day-1 documents among its duplicate
+    partners. Rows-only (banded candidates aren't SQL-expressible);
+    append ≡ rebuild is pinned in tests/test_dedup_similarity.py."""
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import (
+        minhash_index_append,
+        minhash_index_query,
+        minhash_index_write,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 7 >= 2)
+    day1 = d.filter(F.col("doc_id") % 7 == 0)
+    day2 = d.filter(F.col("doc_id") % 7 == 1)
+    tmp = tempfile.mkdtemp(prefix="q_mh_grow_")
+    try:
+        minhash_index_write(base, tmp)
+        day1_pairs = minhash_index_query(spark, day1, tmp, threshold=0.5)
+        n_day1 = day1_pairs.count()
+        minhash_index_append(day1, tmp)
+        out = minhash_index_query(spark, day2, tmp, threshold=0.5).withColumn(
+            "day1_pairs", F.lit(n_day1).cast("long")
+        )
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

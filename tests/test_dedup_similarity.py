@@ -1498,3 +1498,93 @@ def test_pca_project_matches_numpy_eigh(spark):
 
     again = {r["vec_id"]: np.asarray(r["projected"]) for r in pca_project(df, 8).collect()}
     assert all(np.array_equal(out[i], again[i]) for i in ids)
+
+
+def test_minhash_index_append_agrees_with_rebuild(spark, tmp_path):
+    """Appending an increment into a persisted MinHash index must answer
+    exactly like a full rebuild over corpus∪increment: same cross pairs
+    for the NEXT increment, same row counts; a killed append (staged but
+    never renamed) is invisible; a second append composes."""
+    import os
+
+    from feature_store_implementation_spark.operators.dedup import (
+        minhash_index_append,
+        minhash_index_query,
+        minhash_index_write,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    part_a = d.filter(F.col("doc_id") % 3 == 0)
+    part_b = d.filter(F.col("doc_id") % 3 == 1)
+    part_c = d.filter(F.col("doc_id") % 3 == 2)
+
+    grown = str(tmp_path / "grown")
+    assert minhash_index_write(part_a, grown) == part_a.count()
+    assert minhash_index_append(part_b, grown) == part_b.count()
+
+    rebuilt = str(tmp_path / "rebuilt")
+    minhash_index_write(part_a.union(part_b), rebuilt)
+
+    def pairs(path):
+        return {
+            (r["new_id"], r["corpus_id"], r["jaccard"])
+            for r in minhash_index_query(
+                spark, part_c, path, threshold=0.3, max_bucket=10**6
+            ).collect()
+        }
+
+    got, want = pairs(grown), pairs(rebuilt)
+    assert got == want and got  # non-vacuous
+
+    # killed append: staging exists, rename never happened → invisible
+    staging = os.path.join(grown, ".staging-deadbeef0000")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "part-00000.parquet"), "wb") as f:
+        f.write(b"partial")
+    assert pairs(grown) == want
+
+    # appends compose: fold part_c in; c×c self pairs via the batch route
+    assert minhash_index_append(part_c, grown) == part_c.count()
+    from feature_store_implementation_spark.operators.dedup import (
+        _read_index_signatures,
+    )
+
+    assert _read_index_signatures(spark, grown).count() == d.count()
+
+
+def test_simhash_index_append_signs_at_stored_width(spark, tmp_path):
+    """SimHash appends sign at the index's stored width and agree with a
+    rebuild over corpus∪increment; appending to a fresh path fails with
+    a clear no-index error."""
+    import pytest as _pytest
+
+    from feature_store_implementation_spark.operators.dedup import (
+        simhash_index_append,
+        simhash_index_query,
+        simhash_index_write,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    part_a = d.filter(F.col("doc_id") % 3 == 0)
+    part_b = d.filter(F.col("doc_id") % 3 == 1)
+    part_c = d.filter(F.col("doc_id") % 3 == 2)
+
+    grown = str(tmp_path / "grown")
+    simhash_index_write(part_a, grown, bits=128, max_hamming=3)
+    assert simhash_index_append(part_b, grown) == part_b.count()
+
+    rebuilt = str(tmp_path / "rebuilt")
+    simhash_index_write(part_a.union(part_b), rebuilt, bits=128, max_hamming=3)
+
+    def pairs(path):
+        return {
+            (r["new_id"], r["corpus_id"], r["hamming"])
+            for r in simhash_index_query(
+                spark, part_c, path, max_bucket=10**6
+            ).collect()
+        }
+
+    assert pairs(grown) == pairs(rebuilt)
+
+    with _pytest.raises(FileNotFoundError, match="no committed index|No such file"):
+        simhash_index_append(part_c, str(tmp_path / "missing"))
