@@ -266,15 +266,20 @@ def _read_index_signatures(spark, path: str) -> DataFrame:
     )
 
 
-def _append_index_segment(sigs: DataFrame, path: str) -> int:
+def _append_index_segment(sigs: DataFrame, path: str, txn: str | None = None) -> int:
     """Commit one signature segment to a persisted index: write the
     segment parquet to ``path/.staging-<txn>``, fsync its files and
     directory entries, then ONE atomic rename to
     ``path/signatures/seg-<txn>`` (the commit point — same discipline as
     the offline store's manifest rename). Concurrent appends commit
     disjoint segment names, so neither can hide the other; a crash at any
-    point leaves a swept-on-sight invisible staging dir. Returns the
-    appended row count (from the committed files' parquet footers)."""
+    point leaves a swept-on-sight invisible staging dir.
+
+    A caller-supplied ``txn`` makes the append IDEMPOTENT on that token:
+    if the segment already exists the call is a no-op returning 0 — the
+    exactly-once hook for streaming foreachBatch replays (token = the
+    micro-batch epoch id). Returns the appended row count (from the
+    committed files' parquet footers)."""
     import glob
     import os
     import shutil
@@ -285,14 +290,16 @@ def _append_index_segment(sigs: DataFrame, path: str) -> int:
         raise FileNotFoundError(
             f"no committed index at {path}; write one before appending"
         )
-    txn = uuid.uuid4().hex[:12]
+    txn = uuid.uuid4().hex[:12] if txn is None else str(txn)
+    seg = os.path.join(sig_dir, f"seg-{txn}")
+    if os.path.isdir(seg):
+        return 0  # this token already committed (replayed trigger)
     staging = os.path.join(path, f".staging-{txn}")
     try:
         sigs.write.parquet(staging)
         for f in glob.glob(os.path.join(staging, "*")):
             _index_fsync(f)
         _index_fsync(staging)
-        seg = os.path.join(sig_dir, f"seg-{txn}")
         os.rename(staging, seg)
         _index_fsync(sig_dir)
     except BaseException:
@@ -458,6 +465,7 @@ def minhash_index_append(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    txn: str | None = None,
 ) -> int:
     """Fold an increment INTO a persisted MinHash index — the maintenance
     half of the incremental-dedup loop (:func:`minhash_index_query` finds
@@ -488,7 +496,7 @@ def minhash_index_append(
     sigs = minhash_signatures(
         new_df, text_col, id_col, params["n_shingle"], params["k"]
     )
-    return _append_index_segment(sigs, path)
+    return _append_index_segment(sigs, path, txn)
 
 
 def simhash_index_append(
@@ -496,6 +504,7 @@ def simhash_index_append(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    txn: str | None = None,
 ) -> int:
     """Fold an increment INTO a persisted SimHash index — same
     maintenance contract as :func:`minhash_index_append` (atomic segment
@@ -509,7 +518,7 @@ def simhash_index_append(
     with open(os.path.join(path, "params.json")) as f:
         params = json.load(f)
     sigs = simhash_signatures(new_df, text_col, id_col, params["bits"])
-    return _append_index_segment(sigs, path)
+    return _append_index_segment(sigs, path, txn)
 
 
 # ---------------------------------------------------------------------------

@@ -6521,3 +6521,56 @@ def q_dedup_index_grow(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), schema=out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query("q_stream_dedup_ingest", None)
+def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming corpus intake behind the growing near-dup gate
+    (streaming/features.py streaming_dedup_ingest): documents arrive as
+    two availableNow file-triggers (doc_id %3 == 1, then %3 == 2 — the
+    second containing near-dups of the first per the synthetic corpus's
+    planted structure); each trigger is gated in-batch, checked against
+    the persisted MinHash index seeded with %3 == 0, written to an
+    ingest_batch partition, and FOLDED INTO the index before the next
+    trigger fires. Returns (ingest_batch, doc_id) survivors — rows-only
+    (banded candidates aren't SQL-expressible); exactly-once replay and
+    controlled-duplicate gating are pinned in tests/test_streaming.py."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import minhash_index_write
+    from ..streaming.features import streaming_dedup_ingest
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="q_stream_ingest_")
+    try:
+        index = os.path.join(root, "index")
+        minhash_index_write(d.filter(F.col("doc_id") % 3 == 0), index)
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        for i, m in enumerate((1, 2)):
+            stage = os.path.join(root, f"stage{i}")
+            d.filter(F.col("doc_id") % 3 == m).coalesce(1).write.parquet(stage)
+            dest = os.path.join(src, f"chunk_{i}.parquet")
+            shutil.move(glob.glob(f"{stage}/part-*.parquet")[0], dest)
+            os.utime(dest, (1_700_000_000 + i * 10,) * 2)
+        out = os.path.join(root, "out")
+        q = streaming_dedup_ingest(
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            index,
+            out,
+            os.path.join(root, "ckpt"),
+            threshold=0.5,
+        )
+        if not q.awaitTermination(300):
+            raise TimeoutError("ingest stream did not drain")
+        res = spark.read.parquet(out).select(
+            F.col("ingest_batch").cast("long").alias("ingest_batch"), "doc_id"
+        )
+        return spark.createDataFrame(res.collect(), schema=res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

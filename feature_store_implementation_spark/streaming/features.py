@@ -336,3 +336,87 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup_ingest(
+    docs: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+):
+    """Continuous corpus ingestion behind a GROWING near-dup gate: each
+    micro-batch is (1) deduped in-batch, (2) checked against the persisted
+    MinHash index (operators/dedup.py minhash_index_query — the corpus is
+    never re-shingled), (3) survivors land in ``out_path`` under an
+    ``ingest_batch=<epoch>`` partition, and (4) the SAME survivors are
+    folded into the index as an atomically-renamed segment named by the
+    epoch id — so the next trigger's duplicates of this batch are caught.
+    This is the streaming face of the write→query→append loop
+    (q_dedup_index_grow), the shape a 100 TB training-corpus intake runs
+    daily.
+
+    Exactly-once under trigger replay, by construction, in both effects:
+
+    * the survivor write overwrites its own ``ingest_batch=<epoch>``
+      partition (deterministic content → idempotent overwrite);
+    * the index append is keyed on the epoch id
+      (``_append_index_segment`` txn) — a replayed trigger finds its
+      segment already committed and no-ops.
+
+    A replayed batch re-queries an index that already CONTAINS its own
+    survivors; self-matches are excluded on ``new_id == corpus_id``, and
+    surviving docs are mutually non-duplicate (in-batch gate), so the
+    replay recomputes the identical survivor set — pinned in
+    tests/test_streaming.py.
+
+    In-batch rule (greedy, deterministic): any doc appearing as the
+    GREATER id of an in-batch near-dup pair is dropped — pessimistic on
+    chains versus the batch pipeline's connected-components canonical
+    rule (pipelines/corpus.py), the standard streaming trade of per-batch
+    state for a slightly stricter gate. The index must exist before the
+    stream starts (write the base corpus, or an empty frame, with
+    minhash_index_write)."""
+    import os
+
+    from ..operators.dedup import (
+        minhash_index_append,
+        minhash_index_query,
+        minhash_near_dup_pairs,
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(F.col(id_col), F.col(text_col)).localCheckpoint(
+            eager=True
+        )
+        if batch.isEmpty():
+            return
+        in_batch = minhash_near_dup_pairs(
+            batch, text_col, id_col, threshold=threshold
+        ).select(F.col("doc_id_b").alias(id_col)).distinct()
+        fresh = batch.join(in_batch, id_col, "left_anti")
+        vs_corpus = (
+            minhash_index_query(
+                batch.sparkSession, fresh, index_path, text_col, id_col, threshold
+            )
+            .filter(F.col("new_id") != F.col("corpus_id"))  # replayed self-rows
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        survivors = fresh.join(vs_corpus, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"ingest_batch={int(batch_id)}")
+        )
+        minhash_index_append(survivors, index_path, text_col, id_col, txn=f"b{int(batch_id):012d}")
+
+    writer = docs.writeStream.foreachBatch(ingest).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -448,3 +448,89 @@ def test_stream_checkpoint_restart_is_exactly_once(spark, tmp_path):
     assert a == b
     # and no row was emitted twice across the restart
     assert len(a) == len(set(a))
+
+
+def test_streaming_dedup_ingest_grows_index_and_replays_exactly_once(spark, tmp_path):
+    """The streaming dedup gate (streaming/features.py
+    streaming_dedup_ingest): batch 2's copies of batch-1 documents are
+    dropped because batch 1's survivors were FOLDED INTO the index between
+    triggers; in-batch duplicates are gated too; and a full REPLAY (fresh
+    checkpoint, same files → same epoch ids) recomputes the identical
+    survivor partitions while every index append no-ops on its committed
+    segment — byte-identical outcome, no double-growth."""
+    import glob
+    import os
+
+    from feature_store_implementation_spark.operators.dedup import (
+        _read_index_signatures,
+        minhash_index_write,
+    )
+    from feature_store_implementation_spark.streaming.features import (
+        streaming_dedup_ingest,
+    )
+
+    # synthetic corpus with CONTROLLED duplicate structure: 30 docs of
+    # disjoint random word streams (pairwise Jaccard ~ 0 at threshold 0.9)
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{j}" for j in range(4000)]
+
+    def doc(i):
+        return (i, " ".join(rng.sample(words, 60)))
+
+    all_docs = [doc(i) for i in range(30)]
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    docs = mk(all_docs)
+    base = docs.filter(F.col("doc_id") < 10)              # pre-indexed corpus
+    b1 = docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20))
+    b1_copy = b1.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    b2_fresh = docs.filter(F.col("doc_id") >= 20)
+    # batch 1: fresh docs + ONE in-batch duplicate pair (greater id drops);
+    # batch 2: exact copies of batch 1 (cross-batch dups) + fresh docs
+    in_batch_dup = b1.limit(1).select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    batch1 = b1.union(in_batch_dup)
+    batch2 = b1_copy.union(b2_fresh)
+
+    index = str(tmp_path / "index")
+    minhash_index_write(base, index)
+    n_base = _read_index_signatures(spark, index).count()
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, chunk in enumerate((batch1, batch2)):
+        stage = str(tmp_path / f"stage{i}")
+        chunk.coalesce(1).write.parquet(stage)
+        dest = f"{src}/chunk_{i}.parquet"
+        shutil.move(glob.glob(f"{stage}/part-*.parquet")[0], dest)
+        os.utime(dest, (1_700_000_000 + i * 10,) * 2)
+
+    out = str(tmp_path / "out")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(batch1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_dedup_ingest(
+            stream, index, out, str(tmp_path / ckpt), threshold=0.9
+        )
+        assert q.awaitTermination(300), "stream did not drain"
+        return {
+            (r["ingest_batch"], r["doc_id"])
+            for r in spark.read.parquet(out).select("ingest_batch", "doc_id").collect()
+        }
+
+    got = run("ckpt_a")
+    b1_ids = {r["doc_id"] for r in b1.collect()}
+    b2_ids = {r["doc_id"] for r in b2_fresh.collect()}
+    want = {(0, i) for i in b1_ids} | {(1, i) for i in b2_ids}
+    assert got == want  # copies (+100000/+200000 ids) all gated
+    n_grown = _read_index_signatures(spark, index).count()
+    assert n_grown == n_base + len(b1_ids) + len(b2_ids)
+
+    # REPLAY: fresh checkpoint, same source files → same epochs 0/1
+    again = run("ckpt_b")
+    assert again == want
+    assert _read_index_signatures(spark, index).count() == n_grown  # no re-growth
