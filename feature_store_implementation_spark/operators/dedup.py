@@ -290,6 +290,7 @@ def _append_index_segment(sigs: DataFrame, path: str, txn: str | None = None) ->
         raise FileNotFoundError(
             f"no committed index at {path}; write one before appending"
         )
+    _sweep_superseded_segments(sig_dir)  # finish any interrupted compaction
     txn = uuid.uuid4().hex[:12] if txn is None else str(txn)
     seg = os.path.join(sig_dir, f"seg-{txn}")
     if os.path.isdir(seg):
@@ -316,6 +317,85 @@ def _index_fsync(p: str) -> None:
         os.fsync(fd)
     finally:
         os.close(fd)
+
+
+def _sweep_superseded_segments(sig_dir: str) -> None:
+    """Finish any interrupted compaction: a committed merged segment
+    carries ``_supersedes.json`` naming the exact flat files / segment
+    dirs it replaced; delete whichever of them still exist. Idempotent —
+    already-deleted entries are skipped — so writers run it on sight."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    for seg in glob.glob(os.path.join(sig_dir, "seg-*")):
+        marker = os.path.join(seg, "_supersedes.json")
+        if not os.path.exists(marker):
+            continue
+        with open(marker) as f:
+            names = json.load(f)["supersedes"]
+        for n in names:
+            p = os.path.join(sig_dir, os.path.basename(n))
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            elif os.path.exists(p):
+                os.remove(p)
+
+
+def index_compact(spark, path: str) -> int:
+    """Merge a persisted index's base files and appended segments into ONE
+    segment — the small-file hygiene pass for streaming intake, where
+    every trigger committed its own segment (same motivation as the
+    offline store's compact_version_partition).
+
+    Protocol: read everything committed, stage the merged parquet PLUS a
+    ``_supersedes.json`` naming the exact sources it replaces (underscore
+    prefix — invisible to parquet reads), one atomic rename to commit,
+    then delete the sources. A crash after commit but before deletion
+    leaves a bounded transient window where the superseded rows exist
+    twice — queries in that window can emit duplicate pair rows — and the
+    NEXT writer (append or compact) finishes the deletion via
+    :func:`_sweep_superseded_segments` before doing anything else.
+    Concurrent appends are safe (a segment committed during compaction is
+    not in the supersedes list and survives); run ONE compactor at a
+    time, the same discipline as the offline store's. Returns the merged
+    row count, or 0 when there is nothing to merge."""
+    import glob
+    import json
+    import os
+    import uuid
+
+    sig_dir = os.path.join(path, "signatures")
+    if not os.path.isdir(sig_dir):
+        raise FileNotFoundError(f"no committed index at {path}")
+    _sweep_superseded_segments(sig_dir)
+    flat = sorted(
+        os.path.basename(f) for f in glob.glob(os.path.join(sig_dir, "*.parquet"))
+    )
+    segs = sorted(
+        os.path.basename(d)
+        for d in glob.glob(os.path.join(sig_dir, "seg-*"))
+        if os.path.isdir(d)
+    )
+    if len(flat) + len(segs) <= 1 or not segs:
+        return 0  # a lone base (or lone segment) is already compact
+    merged = _read_index_signatures(spark, path)
+    txn = uuid.uuid4().hex[:12]
+    staging = os.path.join(path, f".staging-{txn}")
+    merged.write.parquet(staging)
+    with open(os.path.join(staging, "_supersedes.json"), "w") as f:
+        json.dump({"supersedes": flat + segs}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    for p in glob.glob(os.path.join(staging, "*")):
+        _index_fsync(p)
+    _index_fsync(staging)
+    seg = os.path.join(sig_dir, f"seg-{txn}")
+    os.rename(staging, seg)
+    _index_fsync(sig_dir)
+    _sweep_superseded_segments(sig_dir)
+    return spark.read.parquet(seg).count()
 
 
 def minhash_index_write(

@@ -548,6 +548,58 @@ def write_ivf_index(
     return int(n_cells)
 
 
+def ivf_index_append(
+    new_df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    txn: str | None = None,
+) -> int:
+    """Fold new vectors INTO a persisted IVF index without retraining:
+    the increment is assigned with the index's STORED centroids (routing
+    stays bit-identical to the base by construction) and committed as one
+    atomically-renamed segment dir (``segments/seg-<txn>/``, itself
+    partitioned by cell) — same crash/concurrency/idempotent-``txn``
+    contract as the signature indexes' ``_append_index_segment``.
+    :func:`query_ivf_index` reads base + segments as sibling roots, so
+    the probe-cell partition filter prunes inside every segment exactly
+    as it does in the base.
+
+    Centroids are deliberately FIXED across appends — that is what keeps
+    old and new vectors comparable in one probe — so after heavy growth
+    the cells drift from the data and recall decays; periodically rebuild
+    with ``write_ivf_index(..., overwrite=True)`` to retrain (standard
+    IVF practice). Returns the appended row count."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    with open(os.path.join(path, "centroids.json")) as f:
+        meta = json.load(f)
+    if not os.path.isdir(os.path.join(path, "cells")):
+        raise FileNotFoundError(f"no committed IVF index at {path}")
+    Cn = _norm_rows(np.asarray(meta["centroids"], dtype=np.float64))
+    assigned = new_df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).withColumn("cell", _argmax_cell_udf(Cn)(F.col("embedding")))
+
+    txn = uuid.uuid4().hex[:12] if txn is None else str(txn)
+    seg_root = os.path.join(path, "segments")
+    os.makedirs(seg_root, exist_ok=True)
+    seg = os.path.join(seg_root, f"seg-{txn}")
+    if os.path.isdir(seg):
+        return 0  # this token already committed (replayed trigger)
+    staging = os.path.join(path, f".staging-{txn}")
+    try:
+        assigned.write.partitionBy("cell").parquet(staging)
+        os.rename(staging, seg)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    return new_df.sparkSession.read.parquet(seg).count()
+
+
 def query_ivf_index(
     spark,
     path: str,
@@ -589,8 +641,21 @@ def query_ivf_index(
         "query_id", "qv", F.explode(top_cells(F.col("qv"))).alias("cell")
     ).localCheckpoint(eager=True)
     cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
-    corpus = spark.read.parquet(os.path.join(path, "cells")).filter(
-        F.col("cell").isin(cells)
+    import glob as _glob
+    from functools import reduce
+
+    roots = [os.path.join(path, "cells")] + sorted(
+        d
+        for d in _glob.glob(os.path.join(path, "segments", "seg-*"))
+        if os.path.isdir(d)
+    )
+    # one scan per root, unioned: each root is its own partitioned layout
+    # (base vs appended segments differ in depth, so a single multi-path
+    # read would need a common basePath it cannot have); the probe-cell
+    # filter pushes into EVERY scan as a partition filter
+    corpus = reduce(
+        DataFrame.unionByName,
+        [spark.read.parquet(r).filter(F.col("cell").isin(cells)) for r in roots],
     )
     cands = corpus.join(F.broadcast(probes), "cell").withColumn(
         "cosine", F.round(cosine_col(F.col("embedding"), F.col("qv")), 6)

@@ -1588,3 +1588,119 @@ def test_simhash_index_append_signs_at_stored_width(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError, match="no committed index|No such file"):
         simhash_index_append(part_c, str(tmp_path / "missing"))
+
+
+def test_index_compact_merges_segments_and_recovers_from_crash(spark, tmp_path):
+    """index_compact folds base + appended segments into ONE segment with
+    identical query answers; an interrupted compaction (merged segment
+    committed, sources not yet deleted) is finished by the next writer's
+    sweep, restoring exact (duplicate-free) reads."""
+    import glob
+    import os
+    import shutil
+
+    from feature_store_implementation_spark.operators.dedup import (
+        _read_index_signatures,
+        index_compact,
+        minhash_index_append,
+        minhash_index_query,
+        minhash_index_write,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    part = [d.filter(F.col("doc_id") % 4 == i) for i in range(4)]
+    path = str(tmp_path / "idx")
+    minhash_index_write(part[0], path)
+    minhash_index_append(part[1], path)
+    minhash_index_append(part[2], path)
+
+    def pairs():
+        return sorted(
+            map(
+                tuple,
+                minhash_index_query(
+                    spark, part[3], path, threshold=0.3, max_bucket=10**6
+                ).collect(),
+            )
+        )
+
+    before = pairs()
+    n_before = _read_index_signatures(spark, path).count()
+    assert index_compact(spark, path) == n_before
+    sig_dir = os.path.join(path, "signatures")
+    assert not glob.glob(os.path.join(sig_dir, "*.parquet"))  # base folded in
+    assert len(glob.glob(os.path.join(sig_dir, "seg-*"))) == 1
+    assert pairs() == before
+    assert _read_index_signatures(spark, path).count() == n_before
+    # idempotent no-op on an already-compact index
+    assert index_compact(spark, path) == 0
+
+    # crash window: re-append a segment, then simulate a compaction that
+    # committed its merged segment but died before deleting the sources —
+    # by cloning the live state into the supersedes list of a fake merge
+    minhash_index_append(part[1], path)
+    live = sorted(os.path.basename(s) for s in glob.glob(os.path.join(sig_dir, "seg-*")))
+    merged_rows = _read_index_signatures(spark, path).count()
+    target = pairs()
+    staging = str(tmp_path / "fake-merge")
+    _read_index_signatures(spark, path).write.parquet(staging)
+    import json
+
+    with open(os.path.join(staging, "_supersedes.json"), "w") as f:
+        json.dump({"supersedes": live}, f)
+    shutil.move(staging, os.path.join(sig_dir, "seg-fakemerge00"))
+    # transient double-count window (documented), then a writer sweeps
+    assert _read_index_signatures(spark, path).count() == 2 * merged_rows
+    minhash_index_append(part[0].limit(0), path)  # any writer triggers the sweep
+    assert _read_index_signatures(spark, path).count() == merged_rows
+    assert pairs() == target
+
+
+def test_ivf_index_append_full_probe_equals_brute_force(spark, tmp_path):
+    """Appended IVF segments are routed with the STORED centroids and
+    probed through the same partition filter: at full probe the grown
+    index answers exactly like brute force over base∪increment; a killed
+    append (staged, never renamed) is invisible; the idempotency token
+    no-ops on replay."""
+    import os
+
+    from feature_store_implementation_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_index_append,
+        query_ivf_index,
+        write_ivf_index,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base = df.filter(F.col("vec_id") % 3 != 0)
+    inc = df.filter(F.col("vec_id") % 3 == 0)
+    q = df.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf")
+    write_ivf_index(base, path, n_cells=6, refine_iters=2)
+    assert ivf_index_append(inc, path, txn="day1") == inc.count()
+    assert ivf_index_append(inc, path, txn="day1") == 0  # replay no-op
+
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in query_ivf_index(spark, path, q, k=10, n_probe=6).collect()
+    }
+    want = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(df, q, k=10).collect()
+    }
+    assert got == want
+
+    # partition pruning still fires through the segment roots
+    out = query_ivf_index(spark, path, q, k=10, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+    # killed append: staging dir never renamed → invisible
+    os.makedirs(os.path.join(path, ".staging-dead"), exist_ok=True)
+    got2 = {
+        (r["query_id"], r["vec_id"])
+        for r in query_ivf_index(spark, path, q, k=10, n_probe=6).collect()
+    }
+    assert got2 == want
