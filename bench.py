@@ -123,6 +123,11 @@ EXTRAS = [
     "q_semantic_dedup",
     "q_chunk_tokens",
     "q_dedup_incremental",
+    "q_weighted_sample_wor",
+    "q_random_projection",
+    "q_pca_project",
+    "q_dedup_index_grow",
+    "q_stream_dedup_ingest",
 ]
 
 

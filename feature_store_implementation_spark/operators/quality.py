@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -170,3 +170,66 @@ def observed_expectations(df: DataFrame, expectations: list[Expectation]):
         for e in expectations
     ]
     return df.observe(obs, *aggs), obs
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    sample of ``col`` — the standard distribution-drift gate a corpus
+    pipeline runs between snapshots (PSI < 0.1 stable, 0.1-0.25 drifting,
+    > 0.25 shifted; the summed index is the consumer's one number, the
+    per-bin terms say WHERE it moved).
+
+    Binning is fixed-width from the REFERENCE min/max (two scalar
+    aggregates collected driver-side — the bin edges must come from the
+    reference alone so drift moves mass, not edges); assignment is plain
+    arithmetic ``least(greatest(floor((v-min)/w), 0), bins-1) + 1`` —
+    engine-portable on purpose (no width_bucket dialect drift), with
+    out-of-range current values clamped into the edge bins. One
+    aggregation per side on the bin key (map-side combined), a full outer
+    join over ≤ ``bins`` rows, ε-smoothed log ratio. Returns one row per
+    occupied bin: (bin, ref_frac, cur_frac, psi_term), fractions and
+    terms rounded to 6."""
+    stats = ref.agg(
+        F.min(F.col(col).cast("double")).alias("lo"),
+        F.max(F.col(col).cast("double")).alias("hi"),
+    ).collect()[0]
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    w = max((hi - lo) / bins, 1e-12)
+
+    def binned(df: DataFrame, name: str) -> DataFrame:
+        b = (
+            F.least(
+                F.greatest(
+                    F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(w)),
+                    F.lit(0),
+                ),
+                F.lit(bins - 1),
+            )
+            + 1
+        ).cast("long")
+        out = df.select(b.alias("bin")).groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+        total = F.sum("n").over(Window.partitionBy())
+        return out.select("bin", (F.col("n") / total).alias(name))
+
+    r = binned(ref, "ref_frac")
+    c = binned(cur, "cur_frac")
+    j = r.join(c, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("ref_frac", F.lit(0.0)).alias("ref_frac"),
+        F.coalesce("cur_frac", F.lit(0.0)).alias("cur_frac"),
+    )
+    term = (F.col("cur_frac") - F.col("ref_frac")) * F.log(
+        (F.col("cur_frac") + F.lit(eps)) / (F.col("ref_frac") + F.lit(eps))
+    )
+    return j.select(
+        "bin",
+        F.round("ref_frac", 6).alias("ref_frac"),
+        F.round("cur_frac", 6).alias("cur_frac"),
+        F.round(term, 6).alias("psi_term"),
+    )

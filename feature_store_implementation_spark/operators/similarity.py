@@ -875,3 +875,49 @@ def pca_project(
             yield pd.DataFrame({"id": pdf["__id"], "projected": list((M - m) @ C)})
 
     return v.mapInPandas(project, schema=out_schema).withColumnRenamed("id", id_col)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor, the ``k``
+    highest-cosine corpus vectors carrying a DIFFERENT label — the
+    training-pair construction step for embedding-model fine-tuning
+    (the negatives that are hard precisely because they score high).
+    Same exact plan shape as :func:`brute_force_topk` (anchors broadcast,
+    corpus partition-local scoring, per-anchor window top-k, no corpus
+    shuffle); swap the corpus side for :func:`query_ivf_index` candidates
+    when the anchor set is large. Returns
+    (anchor_id, vec_id, label, cosine, rank)."""
+    q = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("anchor_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("label"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("label") != F.col("anchor_label"))
+        .withColumn("cosine", F.round(cosine_col(F.col("cv"), F.col("qv")), 6))
+    )
+    w = W.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "anchor_id",
+            "vec_id",
+            "label",
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -6461,10 +6461,10 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     out = random_projection(e, 16)
+    # scalar-only output for the driver canon: one row per coordinate
     return out.select(
-        "vec_id",
-        F.transform("projected", lambda x: F.round(x, 6)).alias("projected"),
-    )
+        "vec_id", F.posexplode("projected").alias("pos", "value")
+    ).select("vec_id", F.col("pos").cast("long").alias("pos"), F.round("value", 6).alias("value"))
 
 
 @query("q_pca_project", None)
@@ -6480,10 +6480,10 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     out = pca_project(e, 8)
+    # scalar-only output for the driver canon: one row per coordinate
     return out.select(
-        "vec_id",
-        F.transform("projected", lambda x: F.round(x, 6)).alias("projected"),
-    )
+        "vec_id", F.posexplode("projected").alias("pos", "value")
+    ).select("vec_id", F.col("pos").cast("long").alias("pos"), F.round("value", 6).alias("value"))
 
 
 @query("q_dedup_index_grow", None)
@@ -6574,3 +6574,70 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(res.collect(), schema=res.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "q_hard_negatives",
+    f"""
+    SELECT anchor_id, vec_id, label, cosine, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT q.vec_id AS anchor_id, b.vec_id AS vec_id, b.label,
+             ROUND({_cos('b.embedding', 'q.embedding')}, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY ROUND({_cos('b.embedding', 'q.embedding')}, 6) DESC,
+                                         b.vec_id) AS rank
+      FROM embeddings b, (SELECT * FROM embeddings WHERE vec_id < 5) q
+      WHERE b.label <> q.label
+    ) WHERE rank <= 5
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (operators/similarity.py
+    hard_negatives): for each anchor (vec_id < 5), the 5 highest-cosine
+    vectors with a DIFFERENT label — the fine-tuning pair-construction
+    step where negatives matter precisely because they score high. Same
+    broadcast-anchors/no-corpus-shuffle plan as q_similarity_topk with
+    the label inequality filtered before ranking."""
+    from ..operators.similarity import hard_negatives
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+@query(
+    "q_drift_psi",
+    """
+    WITH ref AS (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE event_id % 2 = 0),
+         cur AS (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE event_id % 2 = 1),
+         edges AS (SELECT MIN(v) AS lo, greatest((MAX(v) - MIN(v)) / 10, 1e-12) AS w FROM ref),
+         rb AS (
+           SELECT CAST(least(greatest(floor((v - lo) / w), 0), 9) + 1 AS BIGINT) AS bin,
+                  COUNT(*) / CAST((SELECT COUNT(*) FROM ref) AS DOUBLE) AS ref_frac
+           FROM ref, edges GROUP BY 1
+         ),
+         cb AS (
+           SELECT CAST(least(greatest(floor((v - lo) / w), 0), 9) + 1 AS BIGINT) AS bin,
+                  COUNT(*) / CAST((SELECT COUNT(*) FROM cur) AS DOUBLE) AS cur_frac
+           FROM cur, edges GROUP BY 1
+         )
+    SELECT COALESCE(rb.bin, cb.bin) AS bin,
+           ROUND(COALESCE(ref_frac, 0), 6) AS ref_frac,
+           ROUND(COALESCE(cur_frac, 0), 6) AS cur_frac,
+           ROUND((COALESCE(cur_frac, 0) - COALESCE(ref_frac, 0))
+                 * ln((COALESCE(cur_frac, 0) + 1e-6) / (COALESCE(ref_frac, 0) + 1e-6)), 6) AS psi_term
+    FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin
+    """,
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift gate (operators/quality.py
+    psi_drift): events split deterministically by event_id parity into a
+    reference and a current sample; fixed-width bins from the REFERENCE
+    min/max (edges must not move with the drift), explicit clamp
+    arithmetic instead of width_bucket (dialect-portable on purpose),
+    one map-side-combined aggregation per side over ≤10 bin keys, full
+    outer join, ε-smoothed log-ratio terms."""
+    from ..operators.quality import psi_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0).select(F.col("value"))
+    cur = ev.filter(F.col("event_id") % 2 == 1).select(F.col("value"))
+    return psi_drift(ref, cur, "value", bins=10)

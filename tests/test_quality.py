@@ -100,3 +100,24 @@ def test_observed_expectations_match_dedicated_scan(spark):
         )
     with _pytest.raises(ValueError, match="unique"):
         observed_expectations(df, [Expectation("u", "id", "unique")])
+
+
+def test_psi_drift_detects_shift_and_is_zero_on_identity(spark):
+    """PSI semantics: identical samples give per-bin terms of ~0; a mean
+    shift pushes the summed index past the standard 0.25 'shifted'
+    threshold; bins come from the REFERENCE so out-of-range current
+    values clamp into edge bins instead of moving the edges."""
+    from feature_store_implementation_spark.operators.quality import psi_drift
+
+    base = spark.range(0, 2000).select((F.col("id") % 100).cast("double").alias("v"))
+    same = psi_drift(base, base, "v", bins=10).collect()
+    assert same and all(abs(r["psi_term"]) < 1e-9 for r in same)
+
+    shifted = spark.range(0, 2000).select(
+        ((F.col("id") % 100) + 80).cast("double").alias("v")
+    )
+    rows = psi_drift(base, shifted, "v", bins=10).collect()
+    assert sum(r["psi_term"] for r in rows) > 0.25
+    # current mass above the reference max clamps into the top bin
+    top = {r["bin"]: r for r in rows}[10]
+    assert top["cur_frac"] > top["ref_frac"]
