@@ -209,9 +209,16 @@ class FeatureStore:
         resolved = self._resolved_versions(version)
         if feature_names:
             resolved = resolved.filter(F.col("feature_name").isin(feature_names))
-        names = [r["feature_name"] for r in resolved.select("feature_name").distinct().collect()]
+        # one driver-side metadata collect resolves names AND version ids, so
+        # the matrix read opens only the resolved versions' manifested files
+        # (same pruning as serve_vector)
+        meta = resolved.select("feature_name", "feature_version_id").collect()
+        names = sorted({r["feature_name"] for r in meta})
+        vids = sorted({r["feature_version_id"] for r in meta})
+        if not vids:
+            raise NotFoundError("No feature values have been written yet")
         return (
-            self.store.values()
+            self.store.values_for_versions(vids)
             .join(F.broadcast(resolved), "feature_version_id")
             .groupBy("entity_id")
             .pivot("feature_name", names)  # explicit values → no extra pass
