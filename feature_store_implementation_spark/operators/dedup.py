@@ -55,6 +55,24 @@ def _cache_scoped(df: DataFrame) -> DataFrame:
     return df
 
 
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """CPU-heavy per-row stages (shingling, token hashing, fingerprint
+    sums) inherit the SCAN's partitioning — and a corpus arriving as a
+    handful of small parquet row-groups runs them nearly single-threaded
+    (parquet cannot split below a row group; sf0.1's documents table is
+    ONE 600 KB row group, so the whole signature pipeline ran on 1 of 32
+    cores — measured 9.7s → 2.0s after spreading). When the input has
+    fewer partitions than the cluster has slots, repartition up front:
+    in that regime the text shuffle is tiny by definition (few small
+    row-groups). At 100 TB the scan already has ≥ slots partitions and
+    this is a NO-OP — the corpus never shuffles for it."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
@@ -115,7 +133,9 @@ def minhash_signatures(
     evaluation."""
     toks = tokens_col(F.col(text_col))
     sh = word_ngrams_col(toks, n_shingle)
-    staged = df.select(F.col(id_col).alias("doc_id"), sh.alias("__sh"))
+    staged = _spread_small_input(df).select(
+        F.col(id_col).alias("doc_id"), sh.alias("__sh")
+    )
     staged = staged.select(
         "doc_id",
         F.array_distinct(F.transform("__sh", lambda s: F.xxhash64(s))).alias(
@@ -628,7 +648,7 @@ def simhash_signatures(
     if bits <= 0 or bits % 64:
         raise ValueError("bits must be a positive multiple of 64")
     n_words = bits // 64
-    toks = df.select(
+    toks = _spread_small_input(df).select(
         F.col(id_col).alias("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("tok")
     ).select(
         "doc_id",
@@ -989,7 +1009,7 @@ def ngram_jaccard_pairs(
             "stage='candidates' requires the shingle candidate route; "
             f"candidates={candidates!r} has no candidate stage"
         )
-    sh = df.select(
+    sh = _spread_small_input(df).select(
         F.col(id_col).alias("doc_id"),
         (F.col(block_col) if block_col else F.lit(1)).alias("block"),
         word_ngrams_col(tokens_col(F.col(text_col)), n).alias("sh"),
@@ -1447,7 +1467,7 @@ def decontaminate(
 
     ev = shingles(eval_df).select("shingle").distinct()
     return (
-        shingles(train)
+        shingles(_spread_small_input(train))
         .join(F.broadcast(ev), "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
