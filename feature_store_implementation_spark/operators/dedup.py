@@ -313,8 +313,12 @@ def _append_index_segment(sigs: DataFrame, path: str, txn: str | None = None) ->
     _sweep_superseded_segments(sig_dir)  # finish any interrupted compaction
     txn = uuid.uuid4().hex[:12] if txn is None else str(txn)
     seg = os.path.join(sig_dir, f"seg-{txn}")
-    if os.path.isdir(seg):
-        return 0  # this token already committed (replayed trigger)
+    if os.path.isdir(seg) or f"seg-{txn}" in _superseded_names(sig_dir):
+        # this token already committed — either its segment dir is live, or
+        # a compaction folded it into a merged segment (whose supersedes
+        # record keeps the txn durable for the index's lifetime, so a
+        # trigger replayed AFTER compaction still no-ops: exactly-once)
+        return 0
     staging = os.path.join(path, f".staging-{txn}")
     try:
         sigs.write.parquet(staging)
@@ -339,28 +343,41 @@ def _index_fsync(p: str) -> None:
         os.close(fd)
 
 
+def _superseded_names(sig_dir: str) -> set[str]:
+    """Union of every live segment's ``_supersedes.json`` — the permanent
+    record of which sources (and, transitively, which append txns) have
+    been folded into a merged segment. Compaction carries the union
+    forward (see :func:`index_compact`), so a txn stays in this set for
+    the index's lifetime even after its original segment dir is gone —
+    what keeps epoch-keyed streaming appends exactly-once across
+    compactions."""
+    import glob
+    import json
+    import os
+
+    names: set[str] = set()
+    for seg in glob.glob(os.path.join(sig_dir, "seg-*")):
+        marker = os.path.join(seg, "_supersedes.json")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                names.update(json.load(f)["supersedes"])
+    return names
+
+
 def _sweep_superseded_segments(sig_dir: str) -> None:
     """Finish any interrupted compaction: a committed merged segment
     carries ``_supersedes.json`` naming the exact flat files / segment
     dirs it replaced; delete whichever of them still exist. Idempotent —
     already-deleted entries are skipped — so writers run it on sight."""
-    import glob
-    import json
     import os
     import shutil
 
-    for seg in glob.glob(os.path.join(sig_dir, "seg-*")):
-        marker = os.path.join(seg, "_supersedes.json")
-        if not os.path.exists(marker):
-            continue
-        with open(marker) as f:
-            names = json.load(f)["supersedes"]
-        for n in names:
-            p = os.path.join(sig_dir, os.path.basename(n))
-            if os.path.isdir(p):
-                shutil.rmtree(p, ignore_errors=True)
-            elif os.path.exists(p):
-                os.remove(p)
+    for n in _superseded_names(sig_dir):
+        p = os.path.join(sig_dir, os.path.basename(n))
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        elif os.path.exists(p):
+            os.remove(p)
 
 
 def index_compact(spark, path: str) -> int:
@@ -404,8 +421,13 @@ def index_compact(spark, path: str) -> int:
     txn = uuid.uuid4().hex[:12]
     staging = os.path.join(path, f".staging-{txn}")
     merged.write.parquet(staging)
+    # carry forward the TRANSITIVE superseded-name record: the sources'
+    # own supersedes lists die with the source dirs, but a once-committed
+    # append txn must stay recorded forever or a streaming trigger
+    # replayed after compaction would re-append its batch (duplicates)
+    record = sorted(set(flat + segs) | _superseded_names(sig_dir))
     with open(os.path.join(staging, "_supersedes.json"), "w") as f:
-        json.dump({"supersedes": flat + segs}, f)
+        json.dump({"supersedes": record}, f)
         f.flush()
         os.fsync(f.fileno())
     for p in glob.glob(os.path.join(staging, "*")):

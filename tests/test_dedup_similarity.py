@@ -1704,3 +1704,38 @@ def test_ivf_index_append_full_probe_equals_brute_force(spark, tmp_path):
         for r in query_ivf_index(spark, path, q, k=10, n_probe=6).collect()
     }
     assert got2 == want
+
+
+def test_index_append_stays_exactly_once_across_compaction(spark, tmp_path):
+    """The replay hole compaction could open: an epoch-keyed append whose
+    segment was folded into a merged segment must STILL no-op on replay —
+    the merged segment's supersedes record keeps the txn durable, and a
+    second compaction carries the record forward transitively."""
+    from feature_store_implementation_spark.operators.dedup import (
+        _read_index_signatures,
+        index_compact,
+        minhash_index_append,
+        minhash_index_write,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = d.filter(F.col("doc_id") % 3 == 0)
+    b = d.filter(F.col("doc_id") % 3 == 1)
+    c = d.filter(F.col("doc_id") % 3 == 2)
+    path = str(tmp_path / "idx")
+    minhash_index_write(a, path)
+    assert minhash_index_append(b, path, txn="b000") == b.count()
+    n1 = _read_index_signatures(spark, path).count()
+
+    assert index_compact(spark, path) == n1
+    # replay of the compacted-away epoch: must no-op, not re-append
+    assert minhash_index_append(b, path, txn="b000") == 0
+    assert _read_index_signatures(spark, path).count() == n1
+
+    # chain: another append + compaction; the ORIGINAL txn stays recorded
+    assert minhash_index_append(c, path, txn="b001") == c.count()
+    n2 = _read_index_signatures(spark, path).count()
+    assert index_compact(spark, path) == n2
+    assert minhash_index_append(b, path, txn="b000") == 0
+    assert minhash_index_append(c, path, txn="b001") == 0
+    assert _read_index_signatures(spark, path).count() == n2
