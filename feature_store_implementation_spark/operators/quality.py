@@ -199,10 +199,13 @@ def psi_drift(
         F.min(F.col(col).cast("double")).alias("lo"),
         F.max(F.col(col).cast("double")).alias("hi"),
     ).collect()[0]
+    if stats["lo"] is None:
+        raise ValueError("psi_drift requires a non-empty, non-null reference sample")
     lo, hi = float(stats["lo"]), float(stats["hi"])
     w = max((hi - lo) / bins, 1e-12)
 
     def binned(df: DataFrame, name: str) -> DataFrame:
+        df = df.filter(F.col(col).isNotNull())  # NULLs carry no bin
         b = (
             F.least(
                 F.greatest(
