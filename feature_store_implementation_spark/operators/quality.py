@@ -236,3 +236,33 @@ def psi_drift(
         F.round("cur_frac", 6).alias("cur_frac"),
         F.round(term, 6).alias("psi_term"),
     )
+
+
+def psi_finalize(
+    bin_counts: DataFrame,
+    ref_fracs: DataFrame,
+    group_cols: list[str],
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Turn per-group bin COUNTS (e.g. the output of
+    ``streaming.windowed_drift_bins``, one row per (group, bin)) into
+    per-group PSI terms against reference fractions: group totals via a
+    window over the AGGREGATED frame (bounded: groups × bins rows, never
+    the corpus), reference joined broadcast on bin. Emits only observed
+    (group, bin) rows — a current sample is a subset of the reference's
+    support when the edges came from the reference, so ``ref_frac`` is
+    always matched. Returns group_cols + (bin, ref_frac, cur_frac,
+    psi_term), rounded to 6."""
+    total = F.sum("n").over(Window.partitionBy(*group_cols))
+    cur = bin_counts.withColumn("cur_frac", F.col("n") / total)
+    j = cur.join(F.broadcast(ref_fracs), "bin")
+    term = (F.col("cur_frac") - F.col("ref_frac")) * F.log(
+        (F.col("cur_frac") + F.lit(eps)) / (F.col("ref_frac") + F.lit(eps))
+    )
+    return j.select(
+        *group_cols,
+        "bin",
+        F.round("ref_frac", 6).alias("ref_frac"),
+        F.round("cur_frac", 6).alias("cur_frac"),
+        F.round(term, 6).alias("psi_term"),
+    )

@@ -6641,3 +6641,72 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = ev.filter(F.col("event_id") % 2 == 0).select(F.col("value"))
     cur = ev.filter(F.col("event_id") % 2 == 1).select(F.col("value"))
     return psi_drift(ref, cur, "value", bins=10)
+
+
+@query(
+    "q_stream_psi",
+    """
+    WITH ev AS (SELECT date_trunc('hour', ts) AS ws, CAST(value AS DOUBLE) AS v
+                FROM events WHERE value IS NOT NULL),
+         edges AS (SELECT MIN(v) AS lo, greatest((MAX(v) - MIN(v)) / 10, 1e-12) AS w FROM ev),
+         binned AS (SELECT ws, CAST(least(greatest(floor((v - lo) / w), 0), 9) + 1 AS BIGINT) AS bin
+                    FROM ev, edges),
+         ref AS (SELECT bin, COUNT(*) / CAST((SELECT COUNT(*) FROM binned) AS DOUBLE) AS ref_frac
+                 FROM binned GROUP BY 1),
+         cur AS (SELECT ws, bin, COUNT(*) AS n FROM binned GROUP BY 1, 2),
+         tot AS (SELECT ws, SUM(n) AS t FROM cur GROUP BY 1)
+    SELECT strftime(c.ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           c.bin,
+           ROUND(r.ref_frac, 6) AS ref_frac,
+           ROUND(c.n / CAST(t.t AS DOUBLE), 6) AS cur_frac,
+           ROUND((c.n / CAST(t.t AS DOUBLE) - r.ref_frac)
+                 * ln((c.n / CAST(t.t AS DOUBLE) + 1e-6) / (r.ref_frac + 1e-6)), 6) AS psi_term
+    FROM cur c JOIN tot t ON c.ws = t.ws JOIN ref r ON c.bin = r.bin
+    """,
+)
+def q_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming drift monitor under the driver gate: per-hour value
+    histograms against reference bin edges (streaming/features.py
+    windowed_drift_bins — one stateful agg keyed (window, bin), bounded
+    state) executed as an availableNow multi-trigger run, then
+    quality.psi_finalize turns the aggregated counts into per-window PSI
+    terms against the global reference distribution (fractions need
+    window totals — a second pass over the windows×bins AGGREGATE, never
+    the stream). Oracle: the identical windowed-histogram PSI derived
+    from the static events table."""
+    from ..operators.quality import psi_finalize
+    from ..streaming.features import windowed_drift_bins
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    stats = ev.agg(
+        F.min(F.col("value").cast("double")).alias("lo"),
+        F.max(F.col("value").cast("double")).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    lo = float(stats["lo"])
+    w = max((float(stats["hi"]) - lo) / 10, 1e-12)
+    bin_expr = (
+        F.least(
+            F.greatest(F.floor((F.col("value").cast("double") - F.lit(lo)) / F.lit(w)), F.lit(0)),
+            F.lit(9),
+        )
+        + 1
+    ).cast("long")
+    ref = (
+        ev.select(bin_expr.alias("bin"))
+        .groupBy("bin")
+        .agg((F.count(F.lit(1)) / F.lit(int(stats["n"]))).alias("ref_frac"))
+    )
+
+    def fn(stream, watermark=None):
+        return windowed_drift_bins(stream, lo, w, bins=10, watermark=watermark)
+
+    counts = _stream_events_complete(spark, sf_dir, fn)
+    out = psi_finalize(counts, ref, ["window_start"])
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "bin",
+        "ref_frac",
+        "cur_frac",
+        "psi_term",
+    )

@@ -420,3 +420,41 @@ def streaming_dedup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_drift_bins(
+    events: DataFrame,
+    ref_lo: float,
+    ref_w: float,
+    bins: int = 10,
+    col: str = "value",
+    window: str = "1 hour",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Per-event-time-window value histogram against FIXED reference bin
+    edges — the streaming half of the PSI drift monitor (the edges come
+    from a batch reference via ``quality.psi_drift``'s rule: fixed-width
+    from the reference min/max, clamp arithmetic identical to the batch
+    operator, so stream and batch land every value in the same bin).
+    One stateful streaming aggregation keyed on (window, bin) — bounded
+    state: windows in flight × bins. Finalize fractions + PSI terms
+    downstream with ``quality.psi_finalize`` (fractions need the window
+    total, a second pass over the AGGREGATED frame, not the stream).
+    Returns (window_start, bin, n)."""
+    e = events.withWatermark("ts", watermark) if watermark else events
+    b = (
+        F.least(
+            F.greatest(
+                F.floor((F.col(col).cast("double") - F.lit(ref_lo)) / F.lit(ref_w)),
+                F.lit(0),
+            ),
+            F.lit(bins - 1),
+        )
+        + 1
+    ).cast("long")
+    return (
+        e.filter(F.col(col).isNotNull())
+        .groupBy(F.window("ts", window).alias("w"), b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "bin", "n")
+    )

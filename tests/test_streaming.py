@@ -534,3 +534,51 @@ def test_streaming_dedup_ingest_grows_index_and_replays_exactly_once(spark, tmp_
     again = run("ckpt_b")
     assert again == want
     assert _read_index_signatures(spark, index).count() == n_grown  # no re-growth
+
+
+def test_q_stream_psi_runs_real_stream_and_matches_batch(spark):
+    """The streaming drift monitor must (a) run an actual availableNow
+    streaming aggregation and (b) equal the batch windowed-histogram PSI
+    computed from the same events with the same reference edges."""
+    from feature_store_implementation_spark.operators.quality import psi_finalize
+    from feature_store_implementation_spark.plans.inventory import q_stream_psi
+
+    got = {tuple(r) for r in q_stream_psi(spark, SF).collect()}
+
+    ev = load_table(spark, SF, "events").filter(F.col("value").isNotNull())
+    stats = ev.agg(
+        F.min(F.col("value").cast("double")).alias("lo"),
+        F.max(F.col("value").cast("double")).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    lo = float(stats["lo"])
+    w = max((float(stats["hi"]) - lo) / 10, 1e-12)
+    b = (
+        F.least(
+            F.greatest(F.floor((F.col("value").cast("double") - F.lit(lo)) / F.lit(w)), F.lit(0)),
+            F.lit(9),
+        )
+        + 1
+    ).cast("long")
+    ref = ev.select(b.alias("bin")).groupBy("bin").agg(
+        (F.count(F.lit(1)) / F.lit(int(stats["n"]))).alias("ref_frac")
+    )
+    counts = (
+        ev.select(F.window("ts", "1 hour").alias("wd"), b.alias("bin"))
+        .groupBy("wd", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("wd.start").alias("window_start"), "bin", "n")
+    )
+    want = {
+        tuple(r)
+        for r in psi_finalize(counts, ref, ["window_start"])
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "bin",
+            "ref_frac",
+            "cur_frac",
+            "psi_term",
+        )
+        .collect()
+    }
+    assert got == want and got
