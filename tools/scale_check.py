@@ -272,6 +272,45 @@ def run_routes(spark, scaled_dir: str, mult: int, only: set | None = None) -> li
         )
         print(json.dumps(rows[-1]), flush=True)
 
+    # index APPEND vs REBUILD: fold a FIXED daily increment into a GROWING
+    # index. Append cost should stay ~flat (one increment-sized pass); the
+    # rebuild alternative is the full corpus re-sign, linear in the corpus —
+    # the write_seconds column above IS that rebuild cost, so the contrast
+    # is (append_seconds ~ const) vs (index_write_seconds ~ mult)
+    if (not only) or ("minhash_index_append" in only):
+        import shutil
+        import tempfile
+
+        from feature_store_implementation_spark.operators.dedup import (
+            minhash_index_append,
+            minhash_index_write,
+        )
+
+        inc = d.filter((F.col("doc_id") % 97 == 0) & (F.col("doc_id") < ID_STRIDE))
+        corpus = d.join(inc.select("doc_id"), "doc_id", "left_anti")
+        idx = tempfile.mkdtemp(prefix="scale_mhapp_")
+        try:
+            t0 = time.monotonic()
+            n_idx = minhash_index_write(corpus, idx)
+            w_secs = time.monotonic() - t0
+            t0 = time.monotonic()
+            n_app = minhash_index_append(inc, idx)
+            a_secs = time.monotonic() - t0
+        finally:
+            shutil.rmtree(idx, ignore_errors=True)
+        rows.append(
+            {
+                "route": "minhash_index_append",
+                "mult": mult,
+                "corpus_rows": n_idx,
+                "candidates": None,
+                "pairs": n_app,
+                "seconds": round(a_secs, 2),
+                "index_write_seconds": round(w_secs, 2),
+            }
+        )
+        print(json.dumps(rows[-1]), flush=True)
+
     # semantic dedup with the documented scale discipline: k grows with the
     # corpus so CLUSTER population stays constant (the published SemDeDup
     # practice) — the within-cluster quadratic verify then does linear total
