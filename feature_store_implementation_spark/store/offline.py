@@ -127,11 +127,23 @@ class OfflineStore:
     def _segment_dir(self, version_id: int) -> str:
         return os.path.join(self._manifest_dir(), f"v{int(version_id)}")
 
-    def _read_segments(self, version_id: int) -> dict[str, dict]:
+    def _read_segments(
+        self, version_id: int, as_of: float | None = None
+    ) -> dict[str, dict]:
         """All LIVE segments for one version: the round-6 single-file
         manifest (as pseudo-segment ``__root__``) plus every per-append
         segment, minus any segment named in another segment's
-        ``supersedes`` list (how compaction retires what it replaced)."""
+        ``supersedes`` list (how compaction retires what it replaced).
+
+        ``as_of`` (unix seconds) gives the SNAPSHOT view: only segments
+        committed at or before that instant participate — including in
+        supersedes resolution, so a compaction committed after the
+        snapshot does not retire what the snapshot saw. Segments from
+        before the ``committed_at`` field existed sort as time 0 (always
+        visible). Superseded segment records are never deleted, so
+        snapshots stay resolvable until ``vacuum_orphans`` removes the
+        compacted-away DATA files (age-gated) — the same time-travel
+        lifetime contract as Delta's VACUUM."""
         vid = int(version_id)
         segs: dict[str, dict] = {}
         try:
@@ -151,6 +163,12 @@ class OfflineStore:
                     segs[n[:-5]] = json.load(f)
             except FileNotFoundError:
                 pass  # GC'd between listdir and open — it was superseded
+        if as_of is not None:
+            segs = {
+                k: v
+                for k, v in segs.items()
+                if float(v.get("committed_at", 0.0)) <= as_of
+            }
         superseded: set[str] = set()
         for s in segs.values():
             superseded.update(s.get("supersedes", []))
@@ -193,8 +211,10 @@ class OfflineStore:
         committed segment (and file set) fully intact."""
         seg_dir = self._segment_dir(version_id)
         os.makedirs(seg_dir, exist_ok=True)
+        import time
+
         seg_id = name or uuid.uuid4().hex[:12]
-        doc: dict = {"files": sorted(files)}
+        doc: dict = {"files": sorted(files), "committed_at": time.time()}
         if supersedes:
             doc["supersedes"] = sorted(supersedes)
         final = os.path.join(seg_dir, f"{seg_id}.json")
@@ -328,6 +348,71 @@ class OfflineStore:
         vid = int(version_id)
         return self._read_files(self._manifest_files(vid)).filter(
             F.col("feature_version_id") == vid
+        )
+
+    @staticmethod
+    def _as_of_seconds(as_of) -> float:
+        if isinstance(as_of, str):
+            from datetime import datetime, timezone
+
+            dt = datetime.fromisoformat(as_of)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            return dt.timestamp()
+        return float(as_of)
+
+    def values_for_version_as_of(self, version_id: int, as_of) -> DataFrame:
+        """TIME-TRAVEL read: one version's rows exactly as a reader at
+        instant ``as_of`` (unix seconds, or an ISO-8601 string — naive
+        times are UTC) would have resolved them. Appends committed later
+        are invisible; a compaction committed later does NOT retire the
+        segments the snapshot saw (superseded records are kept on disk
+        precisely for this). The reproducible-training-set primitive:
+        pin the snapshot instant in the experiment config and the same
+        rows come back no matter how the version grew since — valid
+        until ``vacuum_orphans`` collects compacted-away data files
+        (age-gated, Delta-VACUUM lifetime contract)."""
+        vid = int(version_id)
+        secs = self._as_of_seconds(as_of)
+        segs = self._read_segments(vid, as_of=secs)
+        files = sorted({f for s in segs.values() for f in s["files"]})
+        return self._read_files(files).filter(F.col("feature_version_id") == vid)
+
+    def history(self, version_id: int) -> list[dict]:
+        """The version's commit log, oldest first: every segment record
+        ever committed — including superseded ones — as
+        ``(segment, committed_at, n_files, supersedes)``. The audit/debug
+        face of the manifest protocol (what Delta's DESCRIBE HISTORY is
+        to its transaction log); feed a row's ``committed_at`` to
+        :meth:`values_for_version_as_of` to reproduce that moment."""
+        vid = int(version_id)
+        segs = self._read_segments(vid, as_of=None)
+        # also surface superseded records (filtered out of the live view)
+        all_segs: dict[str, dict] = {}
+        try:
+            names = os.listdir(self._segment_dir(vid))
+        except FileNotFoundError:
+            names = []
+        for n in names:
+            if n.endswith(".json"):
+                try:
+                    with open(os.path.join(self._segment_dir(vid), n)) as f:
+                        all_segs[n[:-5]] = json.load(f)
+                except FileNotFoundError:
+                    pass
+        all_segs.update(segs)
+        return sorted(
+            (
+                {
+                    "segment": k,
+                    "committed_at": float(v.get("committed_at", 0.0)),
+                    "n_files": len(v.get("files", [])),
+                    "supersedes": sorted(v.get("supersedes", [])),
+                    "live": k in segs,
+                }
+                for k, v in all_segs.items()
+            ),
+            key=lambda r: (r["committed_at"], r["segment"]),
         )
 
     def values_for_versions(self, version_ids: list[int]) -> DataFrame:
@@ -494,16 +579,13 @@ def compact_version_partition(
                         os.remove(os.path.join(root, rf))
                     except FileNotFoundError:
                         pass
-            for seg_id in snapshot:  # retired segments are inert; GC them
-                p = (
-                    os.path.join(store._manifest_dir(), f"v{vid}.json")
-                    if seg_id == "__root__"
-                    else os.path.join(store._segment_dir(vid), f"{seg_id}.json")
-                )
-                try:
-                    os.remove(p)
-                except FileNotFoundError:
-                    pass
+            # retired segment records are KEPT (r7): they are inert for live
+            # reads (the compactor's supersedes list hides them) but are the
+            # commit log — history() and values_for_version_as_of resolve
+            # pre-compaction snapshots through them. KB-scale JSON; the data
+            # files they name follow keep_old_files/vacuum, so a snapshot
+            # outlives a compaction only in keep_old_files mode (the
+            # Delta-VACUUM retention contract).
         finally:
             shutil.rmtree(os.path.join(root, ".staging", txn), ignore_errors=True)
     finally:

@@ -661,9 +661,12 @@ def test_round6_single_manifest_readable_and_superseded_by_compaction(spark, tmp
     # an append coexists with the old-format manifest
     more = spark.createDataFrame([("c", "3")], "entity_id string, value string")
     assert store.write_values(3, more) == 3
-    # compaction supersedes and GCs it
+    # compaction supersedes it; the retired record is KEPT as commit log
+    # (r7: history()/as-of snapshots resolve through it) but is inert for
+    # live reads
     compact_version_partition(spark, store.path, 3)
-    assert not os.path.exists(root_manifest)
+    assert os.path.exists(root_manifest)
+    assert "__root__" not in store._read_segments(3)
     assert store.values_for_version(3).count() == 3
 
 
@@ -774,3 +777,52 @@ def test_serve_vector_reads_only_resolved_versions(spark, tmp_path):
     assert v1.id not in resolved and v1b.id in resolved
     opened = fs.store.values_for_versions(sorted(resolved)).inputFiles()
     assert opened and not any(f"feature_version_id={v1.id}/" in p for p in opened)
+
+
+def test_offline_store_time_travel_snapshots(spark, tmp_path):
+    """values_for_version_as_of reproduces the rows a reader at that
+    instant saw: later appends invisible, a later compaction does not
+    retire the snapshot's segments, and history() lists every commit
+    (superseded included) oldest-first."""
+    import time
+
+    from feature_store_implementation_spark.store.offline import (
+        OfflineStore,
+        compact_version_partition,
+    )
+
+    store = OfflineStore(spark, str(tmp_path / "values"))
+    df1 = spark.createDataFrame([("a", "1"), ("b", "2")], "entity_id string, value string")
+    store.write_values(7, df1)
+    t1 = time.time()
+    time.sleep(0.05)
+    df2 = spark.createDataFrame([("c", "3")], "entity_id string, value string")
+    store.write_values(7, df2)
+    t2 = time.time()
+
+    def ids(df):
+        return sorted(r["entity_id"] for r in df.collect())
+
+    assert ids(store.values_for_version_as_of(7, t1)) == ["a", "b"]
+    assert ids(store.values_for_version_as_of(7, t2)) == ["a", "b", "c"]
+    assert ids(store.values_for_version(7)) == ["a", "b", "c"]
+    # ISO-8601 form resolves identically (naive = UTC)
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(t1, tz=timezone.utc).isoformat()
+    assert ids(store.values_for_version_as_of(7, iso)) == ["a", "b"]
+
+    # a compaction AFTER t1 must not retire what the t1 snapshot saw
+    time.sleep(0.05)
+    compact_version_partition(spark, store.path, 7, keep_old_files=True)
+    assert ids(store.values_for_version(7)) == ["a", "b", "c"]
+    assert ids(store.values_for_version_as_of(7, t1)) == ["a", "b"]
+    assert ids(store.values_for_version_as_of(7, t2)) == ["a", "b", "c"]
+
+    h = store.history(7)
+    assert [r["live"] for r in h].count(True) == 1  # only the compaction
+    assert h == sorted(h, key=lambda r: (r["committed_at"], r["segment"]))
+    assert any(r["supersedes"] for r in h)
+    # pre-compaction snapshot via the history log's own timestamps
+    first = h[0]["committed_at"]
+    assert ids(store.values_for_version_as_of(7, first)) == ["a", "b"]
