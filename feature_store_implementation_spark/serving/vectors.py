@@ -199,11 +199,19 @@ class FeatureStore:
         return vec
 
     def serve_matrix(
-        self, feature_names: list[str] | None = None, version: str | None = None
+        self,
+        feature_names: list[str] | None = None,
+        version: str | None = None,
+        as_of=None,
     ) -> DataFrame:
         """Batch serving: the full entity × feature matrix as ONE pivoted
         DataFrame (the training-set export path — what the reference would
-        need N×M requests for)."""
+        need N×M requests for). ``as_of`` (unix seconds or ISO-8601) pins
+        the values read to a storage snapshot: the matrix an export at
+        that instant produced, reproducible later no matter how the
+        versions grew — the experiment-config primitive
+        (store.values_for_versions as-of resolution; valid until vacuum
+        collects compacted-away files)."""
         if not self.store.exists():
             raise NotFoundError("No feature values have been written yet")
         resolved = self._resolved_versions(version)
@@ -218,7 +226,7 @@ class FeatureStore:
         if not vids:
             raise NotFoundError("No feature values have been written yet")
         return (
-            self.store.values_for_versions(vids)
+            self.store.values_for_versions(vids, as_of=as_of)
             .join(F.broadcast(resolved), "feature_version_id")
             .groupBy("entity_id")
             .pivot("feature_name", names)  # explicit values → no extra pass

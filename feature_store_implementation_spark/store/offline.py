@@ -415,14 +415,29 @@ class OfflineStore:
             key=lambda r: (r["committed_at"], r["segment"]),
         )
 
-    def values_for_versions(self, version_ids: list[int]) -> DataFrame:
+    def values_for_versions(
+        self, version_ids: list[int], as_of=None
+    ) -> DataFrame:
         """Several versions' committed rows in one read — the serving-path
         shape: the file list is the union of exactly the named versions'
         manifests, so with thousands of versions in the store a serve that
         resolves to a handful reads a handful (manifest-level pruning,
-        before any Spark planning happens)."""
+        before any Spark planning happens). ``as_of`` applies the
+        time-travel snapshot per version (see
+        :meth:`values_for_version_as_of`) — the reproducible
+        training-export read."""
         vids = sorted({int(v) for v in version_ids})
-        rel = [f for vid in vids for f in self._manifest_files(vid)]
+        if as_of is None:
+            rel = [f for vid in vids for f in self._manifest_files(vid)]
+        else:
+            secs = self._as_of_seconds(as_of)
+            rel = [
+                f
+                for vid in vids
+                for s in self._read_segments(vid, as_of=secs).values()
+                for f in s["files"]
+            ]
+            rel = sorted(set(rel))
         return self._read_files(rel).filter(F.col("feature_version_id").isin(vids))
 
     def point_lookup(self, version_id: int, entity_id: str) -> DataFrame:

@@ -826,3 +826,23 @@ def test_offline_store_time_travel_snapshots(spark, tmp_path):
     # pre-compaction snapshot via the history log's own timestamps
     first = h[0]["committed_at"]
     assert ids(store.values_for_version_as_of(7, first)) == ["a", "b"]
+
+
+def test_serve_matrix_as_of_reproduces_past_export(fs, spark):
+    """serve_matrix(as_of=t) returns the matrix an export at instant t
+    produced, even after more values landed for the same version."""
+    import time
+
+    t = fs.register_raw_table("t_asof", {"required_columns": ["id", "amount"]})
+    f = fs.create_feature("amt_sum", t.id, "SUM(amount)", "numeric")
+    v = fs.compute_version(f.id, "v1.0", [{"id": "e1", "amount": 2.0}])
+    t_snap = time.time()
+    time.sleep(0.05)
+    # a later append to the SAME version (the streaming-sink shape)
+    more = spark.createDataFrame([("e2", "9.0")], "entity_id string, value string")
+    fs.store.write_values(v.id, more)
+
+    now = {r["entity_id"] for r in fs.serve_matrix().collect()}
+    assert now == {"e1", "e2"}
+    past = {r["entity_id"] for r in fs.serve_matrix(as_of=t_snap).collect()}
+    assert past == {"e1"}
