@@ -380,6 +380,30 @@ def _sweep_superseded_segments(sig_dir: str) -> None:
             os.remove(p)
 
 
+def index_vacuum(path: str, min_age_seconds: float = 24 * 3600) -> list[str]:
+    """Remove a persisted index's stale staging dirs — what a writer
+    killed BEFORE its commit rename leaves behind (readers never see
+    them; this reclaims the disk). Age-gated like the offline store's
+    ``vacuum_orphans`` so an in-flight writer's staging is never swept
+    from under it. Works for the signature indexes and the IVF index
+    (same ``.staging-*`` convention). Returns the removed paths."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    removed: list[str] = []
+    cutoff = time.time() - float(min_age_seconds)
+    for stage in glob.glob(os.path.join(path, ".staging-*")):
+        try:
+            if os.path.getmtime(stage) < cutoff:
+                shutil.rmtree(stage, ignore_errors=True)
+                removed.append(stage)
+        except FileNotFoundError:
+            pass
+    return removed
+
+
 def index_compact(spark, path: str) -> int:
     """Merge a persisted index's base files and appended segments into ONE
     segment — the small-file hygiene pass for streaming intake, where

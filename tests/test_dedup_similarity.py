@@ -1739,3 +1739,32 @@ def test_index_append_stays_exactly_once_across_compaction(spark, tmp_path):
     assert minhash_index_append(b, path, txn="b000") == 0
     assert minhash_index_append(c, path, txn="b001") == 0
     assert _read_index_signatures(spark, path).count() == n2
+
+
+def test_index_vacuum_sweeps_only_stale_staging(spark, tmp_path):
+    """index_vacuum removes aged-out crashed-writer staging dirs and never
+    a fresh (possibly in-flight) one or committed data."""
+    import os
+    import time
+
+    from feature_store_implementation_spark.operators.dedup import (
+        _read_index_signatures,
+        index_vacuum,
+        minhash_index_write,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").limit(50)
+    path = str(tmp_path / "idx")
+    n = minhash_index_write(d, path)
+
+    stale = os.path.join(path, ".staging-deadbeef0001")
+    fresh = os.path.join(path, ".staging-deadbeef0002")
+    os.makedirs(stale)
+    os.makedirs(fresh)
+    old = time.time() - 48 * 3600
+    os.utime(stale, (old, old))
+
+    removed = index_vacuum(path, min_age_seconds=24 * 3600)
+    assert removed == [stale]
+    assert not os.path.isdir(stale) and os.path.isdir(fresh)
+    assert _read_index_signatures(spark, path).count() == n
