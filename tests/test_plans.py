@@ -279,3 +279,36 @@ def test_chunk_tokens_is_shuffle_free(spark):
     plan = _plan(spark, "q_chunk_tokens")
     assert "Exchange" not in plan
     assert "Generate" in plan  # the explode is there, map-side
+
+
+def test_weighted_sample_wor_is_shuffle_free_topk(spark):
+    """A-ES weighted sampling must compile to ONE TakeOrderedAndProject
+    (per-partition heaps + driver merge) over the scan — no Exchange, no
+    global sort materialized."""
+    import re as _re
+
+    plan = _plan(spark, "q_weighted_sample_wor")
+    assert "TakeOrderedAndProject" in plan
+    assert not _re.findall(r"^\(\d+\) Exchange", plan, flags=_re.M)
+    assert "Sort " not in plan  # TakeOrdered subsumes the ordering
+
+
+def test_hard_negatives_broadcasts_anchors(spark):
+    """The anchor side (tiny) broadcasts through the inequality join —
+    corpus never shuffles for candidate generation (the only Exchanges
+    are the per-anchor window and the final projection lineage)."""
+    plan = _plan(spark, "q_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan  # label != label has no equi-key
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_drift_psi_scans_value_column_only(spark):
+    """Each PSI side is one aggregation over the value column alone —
+    column pruning must reach both scans; the global windows run over
+    ≤bins aggregate rows (documented), never the corpus."""
+    import re as _re
+
+    plan = _plan(spark, "q_drift_psi")
+    for rs in _re.findall(r"ReadSchema: (\S+)", plan):
+        assert "value" in rs and "event_type" not in rs and "user_id" not in rs
