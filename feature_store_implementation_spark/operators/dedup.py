@@ -441,7 +441,18 @@ def index_compact(spark, path: str) -> int:
     )
     if len(flat) + len(segs) <= 1 or not segs:
         return 0  # a lone base (or lone segment) is already compact
-    merged = _read_index_signatures(spark, path)
+    # size the output like the offline store's compactor: ceil(bytes/128MB)
+    # files — compacting 40 streaming micro-segments into 32 shuffle-count
+    # files would defeat the point
+    total_bytes = 0
+    for base, _dirs, names in os.walk(sig_dir):
+        total_bytes += sum(
+            os.path.getsize(os.path.join(base, n))
+            for n in names
+            if n.endswith(".parquet")
+        )
+    n_files = max(1, -(-total_bytes // (128 * 1024 * 1024)))
+    merged = _read_index_signatures(spark, path).coalesce(n_files)
     txn = uuid.uuid4().hex[:12]
     staging = os.path.join(path, f".staging-{txn}")
     merged.write.parquet(staging)

@@ -233,6 +233,36 @@ class FeatureStore:
             .agg(F.first("value"))
         )
 
+    def export_online_snapshot(
+        self,
+        path: str,
+        n_shards: int = 16,
+        feature_names: list[str] | None = None,
+        version: str | None = None,
+        as_of=None,
+    ) -> int:
+        """Bulk-load export for an online serving tier — the production
+        posture behind the cold-serve numbers in SCALING.md ("Serving-path
+        latency"): batch Spark computes/export, a KV store serves. The
+        :meth:`serve_matrix` rows are written as ``n_shards`` hash-sharded
+        (``shard = pmod(xxhash64(entity_id), n_shards)`` — the same rule an
+        online router applies to point reads), ENTITY-SORTED parquet files,
+        one file per shard — the standard bulk-ingest layout (HBase bulk
+        load / RocksDB SST ingest: each shard streams in key order into one
+        run). ``as_of`` pins the export to a storage snapshot. Returns the
+        exported row count."""
+        m = self.serve_matrix(feature_names, version, as_of=as_of)
+        out = m.withColumn(
+            "shard", F.pmod(F.xxhash64("entity_id"), F.lit(int(n_shards)))
+        )
+        (
+            out.repartition(int(n_shards), "shard")
+            .sortWithinPartitions("shard", "entity_id")
+            .write.partitionBy("shard")
+            .parquet(path)
+        )
+        return self.spark.read.parquet(path).count()
+
     # -- registry passthrough (reference main.py:37-135, 233-244) ---------
 
     def register_raw_table(self, name, schema_definition, description=None):

@@ -846,3 +846,39 @@ def test_serve_matrix_as_of_reproduces_past_export(fs, spark):
     assert now == {"e1", "e2"}
     past = {r["entity_id"] for r in fs.serve_matrix(as_of=t_snap).collect()}
     assert past == {"e1"}
+
+
+def test_export_online_snapshot_sharded_sorted(fs, spark, tmp_path):
+    """The online bulk-load export: one entity-sorted file per hash shard,
+    content identical to serve_matrix, shard routing = pmod(xxhash64)."""
+    import glob
+    import os
+
+    t = fs.register_raw_table("t_exp", {"required_columns": ["id", "amount"]})
+    f = fs.create_feature("amt", t.id, "SUM(amount)", "numeric")
+    fs.compute_version(
+        f.id, "v1.0", [{"id": f"e{i:03d}", "amount": float(i)} for i in range(40)]
+    )
+    out = str(tmp_path / "snap")
+    n = fs.export_online_snapshot(out, n_shards=4)
+    assert n == 40
+
+    back = spark.read.parquet(out)
+    want = {(r["entity_id"], r["amt"]) for r in fs.serve_matrix().collect()}
+    assert {(r["entity_id"], r["amt"]) for r in back.collect()} == want
+
+    shard_dirs = sorted(glob.glob(os.path.join(out, "shard=*")))
+    assert len(shard_dirs) == 4
+    from pyspark.sql import functions as F
+
+    for sd in shard_dirs:
+        files = [x for x in os.listdir(sd) if x.endswith(".parquet")]
+        assert len(files) == 1  # one run per shard — the bulk-ingest shape
+        rows = spark.read.parquet(os.path.join(sd, files[0])).collect()
+        ids = [r["entity_id"] for r in rows]
+        assert ids == sorted(ids)  # key order within the run
+        shard = int(os.path.basename(sd).split("=")[1])
+        chk = spark.createDataFrame([(i,) for i in ids], "entity_id string").select(
+            F.pmod(F.xxhash64("entity_id"), F.lit(4)).alias("s")
+        )
+        assert {r["s"] for r in chk.collect()} == {shard}
