@@ -128,6 +128,9 @@ EXTRAS = [
     "q_pca_project",
     "q_dedup_index_grow",
     "q_stream_dedup_ingest",
+    "q_bpe_train_encode",
+    "q_hard_negatives",
+    "q_drift_psi",
 ]
 
 

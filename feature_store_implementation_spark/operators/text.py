@@ -505,3 +505,138 @@ def chunk_tokens(
             ).cast("long").alias("n_tokens"),
         )
     )
+
+
+def learn_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 200,
+    min_word_freq: int = 1,
+) -> list[tuple[str, str]]:
+    """Learn byte-pair-encoding merges from a corpus — with the trainer
+    architecture every published BPE implementation uses (Sennrich 2016,
+    SentencePiece, HF tokenizers): the merge loop operates on the
+    (word, frequency) DICTIONARY, not the raw corpus, so Spark's job is
+    exactly ONE distributed pass — tokenize + hash-aggregate word counts
+    (map-side combined) — and the classic loop then runs driver-side on
+    that bounded aggregate (distinct words, not corpus rows; at 100 TB
+    raise ``min_word_freq`` to floor the dictionary — hapax legomena
+    cannot win a merge anyway at any realistic ``n_merges``).
+
+    Deterministic: merge ties break lexicographically; words are lowercase
+    whitespace tokens with a ``</w>`` end-of-word sentinel (the original
+    BPE formulation, so merges never cross word boundaries). Returns the
+    ordered merge list — feed to :func:`bpe_encode`."""
+    counts = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_word_freq)
+        .collect()
+    )
+    # driver loop over the bounded dictionary
+    words: dict[tuple[str, ...], int] = {}
+    for r in counts:
+        words[tuple(r["w"]) + ("</w>",)] = words.get(tuple(r["w"]) + ("</w>",), 0) + r["n"]
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for sym, n in words.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + n
+        if not pair_counts:
+            break
+        # ties: highest count, then SHORTEST merged symbol, then lexicographic
+        best = max(
+            pair_counts.items(),
+            key=lambda kv: (kv[1], -len(kv[0][0] + kv[0][1]), kv[0]),
+        )
+        if best[1] < 2:
+            break  # merging singletons adds vocabulary without compression
+        a, b = best[0]
+        merges.append((a, b))
+        merged = a + b
+        out: dict[tuple[str, ...], int] = {}
+        for sym, n in words.items():
+            s: list[str] = []
+            i = 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    s.append(merged)
+                    i += 2
+                else:
+                    s.append(sym[i])
+                    i += 1
+            t = tuple(s)
+            out[t] = out.get(t, 0) + n
+        words = out
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents with learned BPE merges — the distributed half:
+    the merge table broadcasts (KBs) and encoding is an Arrow-batched
+    map-only pass (the standard encoder: per word, repeatedly apply the
+    LOWEST-RANK applicable merge until none applies — exactly the
+    segmentation training converged to on training words). Returns
+    (id, pieces array<string>, n_pieces); ``concat(pieces)`` per word
+    round-trips to word+``</w>`` by construction."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    rank = {tuple(m): i for i, m in enumerate(merges)}
+    spark = df.sparkSession
+    b_rank = spark.sparkContext.broadcast(rank)
+
+    v = df.select(F.col(id_col).alias("__id"), tokens_col(F.col(text_col)).alias("__toks"))
+    out_schema = T.StructType(
+        [
+            T.StructField("id", v.schema["__id"].dataType),
+            T.StructField("pieces", T.ArrayType(T.StringType())),
+            T.StructField("n_pieces", T.LongType()),
+        ]
+    )
+
+    def encode(batches):
+        rk = b_rank.value
+        cache: dict[str, list[str]] = {}
+
+        def enc_word(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            sym = list(w) + ["</w>"]
+            while len(sym) > 1:
+                best_i, best_r = -1, None
+                for i in range(len(sym) - 1):
+                    r = rk.get((sym[i], sym[i + 1]))
+                    if r is not None and (best_r is None or r < best_r):
+                        best_i, best_r = i, r
+                if best_r is None:
+                    break
+                sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+            cache[w] = sym
+            return sym
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pieces = [
+                [p for w in toks for p in enc_word(w)] for toks in pdf["__toks"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["__id"],
+                    "pieces": pieces,
+                    "n_pieces": [len(p) for p in pieces],
+                }
+            )
+
+    return v.mapInPandas(encode, schema=out_schema).withColumnRenamed("id", id_col)

@@ -6710,3 +6710,24 @@ def q_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cur_frac",
         "psi_term",
     )
+
+
+@query("q_bpe_train_encode", None)
+def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training + corpus encoding (operators/text.py
+    learn_bpe / bpe_encode): merges learned with the published trainer
+    architecture — ONE distributed word-frequency pass, the merge loop on
+    the bounded (word, count) dictionary driver-side — then a broadcast-
+    merge-table Arrow encode pass. Returns (doc_id, n_pieces, n_chars)
+    per document — the pieces-per-char compression the tokenizer
+    achieves. Rows-only (an iterative merge loop isn't SQL-expressible);
+    the classic-example merges, round-trip and determinism are pinned in
+    tests/test_inventory_extras.py."""
+    from ..operators.text import bpe_encode, learn_bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe(d, n_merges=100, min_word_freq=2)
+    enc = bpe_encode(d, merges)
+    return enc.join(d.select("doc_id", "n_chars"), "doc_id").select(
+        "doc_id", "n_pieces", F.col("n_chars").cast("long").alias("n_chars")
+    )

@@ -95,3 +95,48 @@ def test_no_oracle_queries_emit_only_scalar_columns(spark):
             if isinstance(field.dataType, (T.ArrayType, T.MapType, T.StructType)):
                 bad.append(f"{spec.name}.{field.name}: {field.dataType.simpleString()}")
     assert not bad, f"complex-typed output columns break driver canon: {bad}"
+
+
+def test_learn_bpe_classic_example_and_roundtrip(spark):
+    """The Sennrich-style corpus learns the expected early merges; encoding
+    round-trips (concatenated pieces == each word + </w>); training words
+    encode to their converged training segmentation; deterministic."""
+    from feature_store_implementation_spark.operators.text import (
+        bpe_encode,
+        learn_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low low low lower lower"),
+            (2, "newest newest newest newest newest newest widest widest widest"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = learn_bpe(docs, n_merges=10)
+    assert merges[:3] == [("s", "t"), ("e", "st"), ("est", "</w>")]
+    assert ("l", "ow") in merges and ("new", "est</w>") in merges
+    assert learn_bpe(docs, n_merges=10) == merges  # deterministic
+
+    enc = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+    # round-trip: pieces concatenate back to the word stream with sentinels
+    for doc_id, text in [(1, "low low low low low lower lower"),
+                         (2, "newest newest newest newest newest newest widest widest widest")]:
+        want = "".join(w + "</w>" for w in text.split())
+        assert "".join(enc[doc_id]["pieces"]) == want
+        assert enc[doc_id]["n_pieces"] == len(enc[doc_id]["pieces"])
+    # frequent training words converge to single tokens
+    assert "low</w>" in enc[1]["pieces"] and "newest</w>" in enc[2]["pieces"]
+
+
+def test_learn_bpe_min_freq_and_merge_floor(spark):
+    """min_word_freq floors the dictionary; merges below count 2 are never
+    learned (singleton merges add vocab without compression)."""
+    from feature_store_implementation_spark.operators.text import learn_bpe
+
+    docs = spark.createDataFrame(
+        [(1, "aaa aaa aaa zq")], "doc_id long, text string"
+    )
+    merges = learn_bpe(docs, n_merges=50, min_word_freq=2)  # 'zq' dropped
+    assert all("z" not in a + b and "q" not in a + b for a, b in merges)
+    assert len(merges) <= 3  # a+a, aa+a|a</w>, ...: the floor stops the loop
