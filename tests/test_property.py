@@ -355,3 +355,83 @@ def test_auto_width_helpers_monotone_and_legal(n, m, d):
     assert _auto_simhash_bits(n + m, d) >= bits
     assert 10 <= _auto_planes(n) <= 24 and _auto_planes(n + m) >= _auto_planes(n)
     assert 8 <= _auto_tables(n) <= 24 and _auto_tables(n + m) >= _auto_tables(n)
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(1, 1000)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.integers(1, 10),
+)
+def test_weighted_sample_wor_matches_python_oracle(spark, rows, k):
+    """A-ES membership is pointwise-recomputable: the Spark top-k equals
+    the pure-Python ranking on md5-derived keys for ANY ids/weights/k,
+    and sample size is exactly min(k, n)."""
+    import hashlib
+    import math
+
+    from feature_store_implementation_spark.operators.sampling import (
+        weighted_sample_wor,
+    )
+
+    df = spark.createDataFrame([(i, float(w)) for i, w in rows], "id long, w double")
+    got = sorted(r["id"] for r in weighted_sample_wor(df, k, "w", ["id"]).collect())
+
+    def es(i, w):
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) / 16**13
+        return math.log(max(u, 1.0 / 16**13)) / w
+
+    want = sorted(
+        i for i, _ in sorted(rows, key=lambda t: (-es(t[0], t[1]), t[0]))[:k]
+    )
+    assert got == want
+    assert len(got) == min(k, len(rows))
+
+
+@SETTINGS
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=5, max_size=60),
+    bins=st.integers(2, 12),
+)
+def test_psi_drift_identity_is_zero_and_fracs_sum(spark, vals, bins):
+    """For ANY sample: PSI(ref, ref) per-bin terms are 0, both fraction
+    columns sum to 1, and bins stay within [1, bins]."""
+    from feature_store_implementation_spark.operators.quality import psi_drift
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    rows = psi_drift(df, df, "v", bins=bins).collect()
+    assert rows
+    assert all(abs(r["psi_term"]) < 1e-9 for r in rows)
+    assert abs(sum(r["ref_frac"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["cur_frac"] for r in rows) - 1.0) < 1e-4
+    assert all(1 <= r["bin"] <= bins for r in rows)
+
+
+@SETTINGS
+@given(texts=st.lists(st.text(alphabet="abcd ", min_size=1, max_size=30), min_size=1, max_size=8))
+def test_bpe_roundtrip_property(spark, texts):
+    """For ANY corpus: bpe_encode pieces concatenate back to each doc's
+    word stream with </w> sentinels, under merges learned from the same
+    corpus."""
+    from feature_store_implementation_spark.functions.textfns import tokens_col
+    from feature_store_implementation_spark.operators.text import (
+        bpe_encode,
+        learn_bpe,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = learn_bpe(docs, n_merges=20)
+    enc = {r["doc_id"]: r["pieces"] for r in bpe_encode(docs, merges).collect()}
+    toks = {
+        r["doc_id"]: r["t"]
+        for r in docs.select("doc_id", tokens_col(F.col("text")).alias("t")).collect()
+    }
+    for i in enc:
+        assert "".join(enc[i]) == "".join(w + "</w>" for w in toks[i])
