@@ -31,6 +31,8 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import fcntl
+from contextlib import contextmanager
 from dataclasses import asdict, dataclass, field
 from datetime import datetime, timezone
 from typing import Any
@@ -116,24 +118,53 @@ class Catalog:
         rows = self._rows[table]
         return (max(r.id for r in rows) + 1) if rows else 1
 
+    @contextmanager
+    def _write_txn(self):
+        """Serialize catalog mutations ACROSS instances/processes: an
+        exclusive flock on ``<root>/.lock``, with every table reloaded
+        fresh under the lock before the mutation runs — so the
+        read-modify-write (id assignment, uniqueness/FK guards, the flush
+        of the WHOLE table file) can never lose a concurrent writer's
+        row, the hazard the reference's SQLite transactions covered.
+        flock is advisory/POSIX — correct on local disk and NFSv4; on an
+        object store, front the catalog with a single writer (registry
+        metadata is admin-plane and KB-scale — Delta/JDBC is the
+        transactional production drop-in, as with the value store).
+        Readers on OTHER instances refresh via :meth:`refresh` (driver
+        reads) or :meth:`df` (Spark reads the files directly)."""
+        fd = os.open(os.path.join(self.root, ".lock"), os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            self.refresh()
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
+    def refresh(self) -> None:
+        """Re-read all tables from disk — picks up rows committed by other
+        catalog instances since this one loaded."""
+        self._rows = {t: self._load(t) for t in _TABLES}
+
     # -- raw tables (reference main.py:37-82) ------------------------------
 
     def register_raw_table(
         self, name: str, schema_definition: dict[str, Any], description: str | None = None
     ) -> RawTableRow:
-        if any(r.name == name for r in self._rows["raw_tables"]):
-            raise ConflictError(f"Table with name '{name}' already exists")
-        row = RawTableRow(
-            id=self._next_id("raw_tables"),
-            name=name,
-            description=description,
-            schema_definition=schema_definition,
-            created_at=_now(),
-            updated_at=_now(),
-        )
-        self._rows["raw_tables"].append(row)
-        self._flush("raw_tables")
-        return row
+        with self._write_txn():
+            if any(r.name == name for r in self._rows["raw_tables"]):
+                raise ConflictError(f"Table with name '{name}' already exists")
+            row = RawTableRow(
+                id=self._next_id("raw_tables"),
+                name=name,
+                description=description,
+                schema_definition=schema_definition,
+                created_at=_now(),
+                updated_at=_now(),
+            )
+            self._rows["raw_tables"].append(row)
+            self._flush("raw_tables")
+            return row
 
     def list_raw_tables(self, skip: int = 0, limit: int = 100) -> list[RawTableRow]:
         return sorted(self._rows["raw_tables"], key=lambda r: r.id)[skip : skip + limit]
@@ -153,18 +184,19 @@ class Catalog:
         computation_logic: str,
         feature_type: str,
     ) -> FeatureRow:
-        self.get_raw_table(raw_table_id)  # FK guard (main.py:97-103)
-        row = FeatureRow(
-            id=self._next_id("features"),
-            name=name,
-            raw_table_id=raw_table_id,
-            computation_logic=computation_logic,
-            feature_type=feature_type,
-            created_at=_now(),
-        )
-        self._rows["features"].append(row)
-        self._flush("features")
-        return row
+        with self._write_txn():
+            self.get_raw_table(raw_table_id)  # FK guard (main.py:97-103)
+            row = FeatureRow(
+                id=self._next_id("features"),
+                name=name,
+                raw_table_id=raw_table_id,
+                computation_logic=computation_logic,
+                feature_type=feature_type,
+                created_at=_now(),
+            )
+            self._rows["features"].append(row)
+            self._flush("features")
+            return row
 
     def list_features(self, skip: int = 0, limit: int = 100) -> list[FeatureRow]:
         return sorted(self._rows["features"], key=lambda r: r.id)[skip : skip + limit]
@@ -197,31 +229,33 @@ class Catalog:
         metadata: dict[str, Any] | None = None,
         status: str = "active",
     ) -> VersionRow:
-        self.get_feature(feature_id)  # FK guard (main.py:156-161)
-        self.check_version_free(feature_id, version)  # main.py:163-172
-        if status not in VALID_STATUSES:
-            raise ValueError(f"status must be one of {VALID_STATUSES}")
-        row = VersionRow(
-            id=self._next_id("feature_versions"),
-            feature_id=feature_id,
-            version=version,
-            status=status,
-            version_metadata=metadata,
-        )
-        self._rows["feature_versions"].append(row)
-        self._flush("feature_versions")
-        return row
+        with self._write_txn():
+            self.get_feature(feature_id)  # FK guard (main.py:156-161)
+            self.check_version_free(feature_id, version)  # main.py:163-172
+            if status not in VALID_STATUSES:
+                raise ValueError(f"status must be one of {VALID_STATUSES}")
+            row = VersionRow(
+                id=self._next_id("feature_versions"),
+                feature_id=feature_id,
+                version=version,
+                status=status,
+                version_metadata=metadata,
+            )
+            self._rows["feature_versions"].append(row)
+            self._flush("feature_versions")
+            return row
 
     def set_version_status(self, version_id: int, status: str) -> VersionRow:
         """Version lifecycle: active → deprecated → archived (models.py:52)."""
         if status not in VALID_STATUSES:
             raise ValueError(f"status must be one of {VALID_STATUSES}")
-        for v in self._rows["feature_versions"]:
-            if v.id == version_id:
-                v.status = status
-                self._flush("feature_versions")
-                return v
-        raise NotFoundError(f"Feature version {version_id} not found")
+        with self._write_txn():
+            for v in self._rows["feature_versions"]:
+                if v.id == version_id:
+                    v.status = status
+                    self._flush("feature_versions")
+                    return v
+            raise NotFoundError(f"Feature version {version_id} not found")
 
     def list_pending(self) -> list[VersionRow]:
         """All 'pending' versions — crash-recovery input (a pending row
@@ -240,10 +274,11 @@ class Catalog:
     def delete_version(self, version_id: int) -> None:
         """Compensating delete used when a value write fails (fixes the
         reference's orphan-version bug, main.py:216 vs 224)."""
-        self._rows["feature_versions"] = [
-            v for v in self._rows["feature_versions"] if v.id != version_id
-        ]
-        self._flush("feature_versions")
+        with self._write_txn():
+            self._rows["feature_versions"] = [
+                v for v in self._rows["feature_versions"] if v.id != version_id
+            ]
+            self._flush("feature_versions")
 
     # -- Spark views for one-plan serving ----------------------------------
 

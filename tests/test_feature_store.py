@@ -882,3 +882,38 @@ def test_export_online_snapshot_sharded_sorted(fs, spark, tmp_path):
             F.pmod(F.xxhash64("entity_id"), F.lit(4)).alias("s")
         )
         assert {r["s"] for r in chk.collect()} == {shard}
+
+
+def test_catalog_concurrent_instances_do_not_lose_updates(tmp_path):
+    """Two Catalog instances on the SAME root (two services, two
+    processes): each write reloads under an exclusive lock, so neither
+    instance's flush can drop the other's rows — the lost-update hazard
+    the reference's SQLite transactions covered. Ids stay unique and
+    uniqueness guards see the other writer's rows."""
+    from feature_store_implementation_spark.errors import ConflictError
+    from feature_store_implementation_spark.registry.catalog import Catalog
+
+    root = str(tmp_path / "catalog")
+    a = Catalog(root)
+    b = Catalog(root)  # loaded BEFORE a writes anything
+
+    ra = a.register_raw_table("from_a", {})
+    rb = b.register_raw_table("from_b", {})  # stale cache must not clobber a's row
+    assert ra.id != rb.id
+
+    fresh = Catalog(root)
+    assert {t.name for t in fresh.list_raw_tables()} == {"from_a", "from_b"}
+
+    # uniqueness guard sees the OTHER instance's committed row
+    with pytest.raises(ConflictError):
+        a.register_raw_table("from_b", {})
+
+    # interleaved version writes on one feature keep distinct ids too
+    f = a.create_feature("f1", ra.id, "SUM(x)", "numeric")
+    b.refresh()
+    v1 = a.create_version(f.id, "v1")
+    v2 = b.create_version(f.id, "v2")
+    assert v1.id != v2.id
+    assert {v.version for v in Catalog(root).list_versions(f.id)} == {"v1", "v2"}
+    with pytest.raises(ConflictError):
+        b.create_version(f.id, "v1")  # committed by the other instance
