@@ -131,6 +131,7 @@ EXTRAS = [
     "q_bpe_train_encode",
     "q_hard_negatives",
     "q_drift_psi",
+    "q_stream_scd2_enrich",
 ]
 
 

@@ -6731,3 +6731,101 @@ def q_bpe_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.join(d.select("doc_id", "n_chars"), "doc_id").select(
         "doc_id", "n_pieces", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+@query(
+    "q_stream_scd2_enrich",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                       IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    r AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                               ROWS UNBOUNDED PRECEDING) AS run
+      FROM o
+    ),
+    g AS (
+      SELECT user_id, run, MIN(event_type) AS browse_state, MIN(ts) AS vf
+      FROM r GROUP BY user_id, run
+    ),
+    dim AS (
+      SELECT user_id, browse_state, vf AS valid_from,
+             LEAD(vf) OVER (PARTITION BY user_id ORDER BY run) AS valid_to
+      FROM g
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           d.browse_state
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN dim d
+      ON p.user_id = d.user_id AND p.ts >= d.valid_from
+         AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    """,
+)
+def q_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME stream enrichment (streaming/features.py
+    enrich_stream_scd2): purchases replayed as a REAL availableNow stream
+    pick up the browsing state (the SCD2 validity interval built from the
+    user's non-purchase events — same gaps-and-islands construction as
+    q_scd2_compact, unformatted timestamps) that was active AT PURCHASE
+    TIME. Broadcast stream-static interval join, no state store; the
+    oracle is the identical batch interval join — streaming and batch
+    agreeing row-for-row IS the training/serving-skew guarantee."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.features import enrich_stream_scd2, read_events_stream
+
+    e = load_table(spark, sf_dir, "events")
+    nonp = e.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))).cast("int")
+    runs = nonp.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(chg).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("run"),
+    )
+    g = runs.groupBy("user_id", "run").agg(
+        F.min("event_type").alias("browse_state"), F.min("ts").alias("vf")
+    )
+    wr = W.partitionBy("user_id").orderBy("run")
+    dim = g.select(
+        "user_id",
+        "browse_state",
+        F.col("vf").alias("valid_from"),
+        F.lead("vf").over(wr).alias("valid_to"),
+    )
+
+    tmp = tempfile.mkdtemp(prefix="q_scd2_stream_")
+    try:
+        src = f"{tmp}/in"
+        e.filter(F.col("event_type") == "purchase").repartition(4).write.parquet(src)
+        name = "q_scd2_" + uuid.uuid4().hex[:8]
+        q = (
+            enrich_stream_scd2(read_events_stream(spark, src), dim)
+            .select(
+                "event_id",
+                "user_id",
+                F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+                "browse_state",
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("scd2 enrich stream did not drain")
+        return _drain_memory_sink(spark, name)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

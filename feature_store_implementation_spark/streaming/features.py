@@ -458,3 +458,34 @@ def windowed_drift_bins(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "bin", "n")
     )
+
+
+def enrich_stream_scd2(
+    events: DataFrame,
+    dim_intervals: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """POINT-IN-TIME-correct stream enrichment against an SCD2 dimension:
+    each event picks up the dimension row whose validity interval
+    contains its event time — ``key`` equality plus
+    ``valid_from ≤ ts < valid_to`` (an open current row has NULL
+    valid_to). This is the streaming face of the as-of join: a batch
+    as-of backfill and this enrichment agree row-for-row (pinned via the
+    inventory oracle), which is exactly the training/serving-skew
+    guarantee a feature store exists to provide.
+
+    Stream-static shape: the interval table broadcasts and is re-resolved
+    per micro-batch (dimension updates between triggers are picked up; no
+    state store, no watermark — same mechanics as :func:`enrich_stream`).
+    LEFT join: events before any interval survive with NULL attributes.
+    Works identically on a batch frame (unified API)."""
+    d = dim_intervals.withColumnRenamed(key, "__dk")
+    cond = (
+        (F.col(key) == F.col("__dk"))
+        & (F.col(ts_col) >= F.col(valid_from))
+        & (F.col(valid_to).isNull() | (F.col(ts_col) < F.col(valid_to)))
+    )
+    return events.join(F.broadcast(d), cond, "left").drop("__dk")

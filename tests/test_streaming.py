@@ -582,3 +582,56 @@ def test_q_stream_psi_runs_real_stream_and_matches_batch(spark):
         .collect()
     }
     assert got == want and got
+
+
+def test_enrich_stream_scd2_matches_batch_interval_join(spark):
+    """Point-in-time SCD2 enrichment: the streaming run equals the batch
+    interval join row-for-row (the training/serving-skew guarantee), and
+    events before any interval survive with NULL state."""
+    from feature_store_implementation_spark.plans.inventory import (
+        q_stream_scd2_enrich,
+    )
+    from feature_store_implementation_spark.streaming.features import (
+        enrich_stream_scd2,
+    )
+
+    got = {tuple(r) for r in q_stream_scd2_enrich(spark, SF).collect()}
+    assert got
+
+    # batch equivalence via the SAME operator on batch frames
+    e = load_table(spark, SF, "events")
+    from pyspark.sql import Window as W
+
+    nonp = e.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))).cast("int")
+    runs = nonp.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(chg).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("run"),
+    )
+    g = runs.groupBy("user_id", "run").agg(
+        F.min("event_type").alias("browse_state"), F.min("ts").alias("vf")
+    )
+    wr = W.partitionBy("user_id").orderBy("run")
+    dim = g.select(
+        "user_id",
+        "browse_state",
+        F.col("vf").alias("valid_from"),
+        F.lead("vf").over(wr).alias("valid_to"),
+    )
+    batch = {
+        tuple(r)
+        for r in enrich_stream_scd2(e.filter(F.col("event_type") == "purchase"), dim)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "browse_state",
+        )
+        .collect()
+    }
+    assert got == batch
