@@ -132,6 +132,7 @@ EXTRAS = [
     "q_hard_negatives",
     "q_drift_psi",
     "q_stream_scd2_enrich",
+    "q_similarity_pq_adc",
 ]
 
 

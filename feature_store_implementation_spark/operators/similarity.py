@@ -921,3 +921,269 @@ def hard_negatives(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization: compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    nbits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    (L2-normalized) vector into ``m`` contiguous subvectors and run an
+    independent k-means with ``2**nbits`` centroids in each subspace.
+    Returns the codebook tensor ``(m, 2**nbits, dim//m)`` float64.
+
+    Training is sample-based BY DESIGN (same as FAISS): the sample is the
+    bounded hash-spread draw shared with :func:`_seed_centroids` —
+    ``max(64·2**nbits, 1024)`` corpus rows minimizing ``xxhash64(id)`` —
+    so codebook quality is independent of corpus layout and the cost is
+    one TakeOrdered pass + driver-side numpy Lloyd on (sample × dim/m)
+    slices, never a distributed iteration. Deterministic: fixed RNG,
+    k-means++ init per subspace, stable tie-breaks. With fewer distinct
+    sample points than centroids the surplus codebook rows duplicate
+    chosen seeds (harmless: encode's argmin takes the first occurrence).
+
+    ``dim`` must be divisible by ``m``; vectors are normalized before
+    splitting so the ADC inner-product score in :func:`pq_topk`
+    approximates COSINE, matching every other operator in this module."""
+    k = 1 << int(nbits)
+    if nbits > 8:
+        raise ValueError(f"nbits must be <= 8 (one byte per code), got {nbits}")
+    sample_n = max(64 * k, 1024)
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample_n)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_train requires a non-empty corpus")
+    X = _norm_rows(np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in rows]))
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m, k, dsub))
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        # k-means++ init (L2) on the subspace sample, fixed RNG
+        idx = [0]
+        d = None
+        for _ in range(1, min(k, len(S))):
+            nd = ((S - S[idx[-1]]) ** 2).sum(axis=1)
+            d = nd if d is None else np.minimum(d, nd)
+            tot = d.sum()
+            if tot <= 0:
+                idx.append(idx[-1])
+                continue
+            idx.append(int(np.searchsorted(np.cumsum(d), rng.rand() * tot)))
+        C = S[idx]
+        if len(C) < k:  # fewer sample points than centroids: duplicate seeds
+            C = np.vstack([C, np.repeat(C[-1:], k - len(C), axis=0)])
+        for _ in range(int(iters)):
+            # assignment: argmin L2 == argmax (2<s,c> - |c|^2); first hit wins ties
+            d2 = (C**2).sum(axis=1)[None, :] - 2.0 * (S @ C.T)
+            a = d2.argmin(axis=1)
+            for c_id in np.unique(a):
+                C[c_id] = S[a == c_id].mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode each corpus vector to its ``m``-byte PQ code: per subspace,
+    the argmin-L2 codebook entry of the NORMALIZED subvector, packed as a
+    single ``binary`` column (uint8 per subspace — ``nbits <= 8`` is
+    enforced at train time). One Arrow-batched map pass, no shuffle.
+
+    The compression is the point at 100 TB: a float32[64] embedding is
+    256 bytes; its m=8 code is 8 bytes — 32×. The codes table is what a
+    compressed-domain scan (:func:`pq_topk`) reads; the raw embedding
+    column never has to leave cold storage. Returns (id, code)."""
+    m, k, dsub = codebooks.shape
+    B = codebooks  # (m, k, dsub)
+    v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+    out_schema = T.StructType(
+        [
+            T.StructField("id", v.schema["id"].dataType),
+            T.StructField("code", T.BinaryType()),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = _norm_rows(
+                np.vstack(pdf["__v"].apply(lambda x: np.asarray(x, dtype=np.float64)).to_numpy())
+            )
+            codes = np.empty((len(M), m), dtype=np.uint8)
+            for j in range(m):
+                S = M[:, j * dsub : (j + 1) * dsub]
+                d2 = (B[j] ** 2).sum(axis=1)[None, :] - 2.0 * (S @ B[j].T)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({"id": pdf["id"], "code": [c.tobytes() for c in codes]})
+
+    return v.mapInPandas(encode, schema=out_schema)
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "id",
+    code_col: str = "code",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    rerank: int = 0,
+    corpus: DataFrame | None = None,
+    corpus_id_col: str = "vec_id",
+) -> DataFrame:
+    """Compressed-domain ANN top-k by asymmetric distance computation
+    (ADC): per query, an ``(m, 2**nbits)`` lookup table of subvector
+    inner products against the codebooks is built ONCE driver-side
+    (queries are the small side, exactly as in :func:`brute_force_topk`);
+    each executor then scores its codes partition with pure uint8 gathers
+    + a sum over ``m`` — the corpus is never decoded and only per-
+    partition top-k survivors (≤ partitions × queries × k rows) reach the
+    final global window. No corpus shuffle; the scan reads m bytes per
+    vector instead of 4·dim. Returns (query_id, vec_id, score, rank)
+    where score ≈ cosine (ADC inner product on normalized vectors).
+
+    ``rerank=r`` with ``corpus`` is the standard production refinement:
+    the ADC scan keeps the top ``r`` (> k) survivors per query, those
+    ≤ |queries|·r ids alone are joined back to the raw ``corpus``
+    (broadcast of the bounded candidate set — the 100 TB corpus side
+    streams) and re-scored with exact cosine before the final top-k; at
+    sf0.01, r = 5·k recovers recall@10 = 1.0 from the raw scan's 0.72
+    (m=8) — pinned in tests along with the raw floor."""
+    if rerank:
+        if corpus is None:
+            raise ValueError("rerank requires the raw corpus DataFrame")
+        if rerank < k:
+            raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
+        cand = pq_topk(
+            codes, queries, codebooks, k=int(rerank),
+            id_col=id_col, code_col=code_col, vec_col=vec_col,
+            query_id_col=query_id_col,
+        ).select("query_id", "vec_id")
+        raw = corpus.select(
+            F.col(corpus_id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+        )
+        qv = queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        scored = (
+            raw.join(F.broadcast(cand), "vec_id")
+            .join(F.broadcast(qv), "query_id")
+            .withColumn("score", F.round(cosine_col(F.col("cv"), F.col("qv")), 6))
+        )
+        w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(k))
+            .select("query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))
+        )
+    m, nk, dsub = codebooks.shape
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    if not qrows:
+        spark = codes.sparkSession
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", queries.schema[query_id_col].dataType),
+                    T.StructField("vec_id", codes.schema[id_col].dataType),
+                    T.StructField("score", T.DoubleType()),
+                    T.StructField("rank", T.LongType()),
+                ]
+            ),
+        )
+    qids = [r["query_id"] for r in qrows]
+    Q = _norm_rows(np.vstack([np.asarray(r["qv"], dtype=np.float64) for r in qrows]))
+    # LUT[q, j, c] = <Q[q] subvector j, codebook[j][c]>
+    LUT = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), m, dsub), codebooks)
+
+    c = codes.select(F.col(id_col).alias("vec_id"), F.col(code_col).alias("__c"))
+    part_schema = T.StructType(
+        [
+            T.StructField("qi", T.IntegerType()),
+            T.StructField("vec_id", c.schema["vec_id"].dataType),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    kk = int(k)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # running per-query top-k: memory stays (nq × (k + batch)) however
+        # many millions of codes the partition holds
+        run_v: np.ndarray | None = None  # (nq, <=k) candidate ids
+        run_s: np.ndarray | None = None  # (nq, <=k) candidate scores
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.frombuffer(b"".join(pdf["__c"]), dtype=np.uint8).reshape(-1, m)
+            # gather: (nq, n) = sum_j LUT[:, j, C[:, j]]
+            s = np.zeros((len(Q), len(C)))
+            for j in range(m):
+                s += LUT[:, j, C[:, j]]
+            vid = np.broadcast_to(pdf["vec_id"].to_numpy(), (len(Q), len(C)))
+            if run_s is not None:
+                s = np.concatenate([run_s, s], axis=1)
+                vid = np.concatenate([run_v, vid], axis=1)
+            top = min(kk, s.shape[1])
+            cand = np.argpartition(-s, top - 1, axis=1)[:, :top]
+            rows = np.arange(len(Q))[:, None]
+            run_s, run_v = s[rows, cand], vid[rows, cand]
+        if run_s is None:
+            return
+        nq, top = run_s.shape
+        yield pd.DataFrame(
+            {
+                "qi": np.repeat(np.arange(nq, dtype=np.int32), top),
+                "vec_id": run_v.ravel(),
+                "score": run_s.ravel(),
+            }
+        )
+
+    part_top = c.mapInPandas(scan, schema=part_schema)
+    qmap = codes.sparkSession.createDataFrame(
+        [(i, q) for i, q in enumerate(qids)],
+        T.StructType(
+            [
+                T.StructField("qi", T.IntegerType()),
+                T.StructField("query_id", queries.schema[query_id_col].dataType),
+            ]
+        ),
+    )
+    w = W.partitionBy("qi").orderBy(F.desc(F.round(F.col("score"), 6)), F.asc("vec_id"))
+    return (
+        part_top.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .join(F.broadcast(qmap), "qi")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("score"), 6).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
