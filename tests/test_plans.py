@@ -312,3 +312,15 @@ def test_drift_psi_scans_value_column_only(spark):
     plan = _plan(spark, "q_drift_psi")
     for rs in _re.findall(r"ReadSchema: (\S+)", plan):
         assert "value" in rs and "event_type" not in rs and "user_id" not in rs
+
+
+def test_pq_rerank_broadcasts_survivors_no_cartesian(spark):
+    """The PQ rerank join must broadcast the bounded survivor/query sides
+    against the streaming raw corpus — never a cartesian/sort-merge — and
+    the raw ADC scan must stay a map-side pass + one bounded final window."""
+    plan = _plan(spark, "q_similarity_pq")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    adc = _plan(spark, "q_similarity_pq_adc")
+    assert "CartesianProduct" not in adc
