@@ -133,6 +133,7 @@ EXTRAS = [
     "q_drift_psi",
     "q_stream_scd2_enrich",
     "q_similarity_pq_adc",
+    "q_leakage_split",
 ]
 
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .graph import connected_components
+
 
 def stratified_sample(
     df: DataFrame,
@@ -177,3 +179,59 @@ def weighted_sample_wor(
         .limit(int(k))
         .drop("__es")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    pair_a: str | None = None,
+    pair_b: str | None = None,
+    prefix_len: int = 4,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Train/valid/test assignment that near-duplicate documents cannot
+    straddle: the split is decided by the document's DUP-CLUSTER, not the
+    document — the contamination guard an LLM corpus split needs (a test
+    document whose near-twin sits in train is leaked eval data; random
+    per-doc splits leak exactly proportionally to the dup rate).
+
+    ``pairs`` is any near-dup pair frame from the dedup routes
+    (``{id}_a``/``{id}_b`` columns by default — exact_dedup, MinHash,
+    SimHash, n-gram Jaccard, embedding or semantic pairs all qualify);
+    connected components over it (operators/graph.py) labels each doc
+    with its cluster's minimum id, unpaired docs are their own cluster,
+    and membership is the engine-portable md5-prefix rule of
+    :func:`portable_sample` applied to the CLUSTER id — deterministic,
+    append-stable (new docs never move old ones between splits unless
+    they bridge clusters), reproducible in any md5-bearing engine.
+
+    ``fractions`` maps split name → fraction in ASSIGNMENT order; they
+    must sum to 1 (±1e-6) and the last split absorbs the rounding tail.
+    Returns ``df`` plus ``(cluster, split)``. Scale: the pair list (a
+    tiny fraction of the corpus) drives the BSP label propagation; the
+    corpus itself sees one broadcast-able left join + a map-only CASE."""
+    total = sum(fractions.values())
+    if not fractions or abs(total - 1.0) > 1e-6:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    cluster = F.col(id_col)
+    out = df
+    if pairs is not None:
+        a = pair_a or f"{id_col}_a"
+        b = pair_b or f"{id_col}_b"
+        labels = connected_components(pairs, src=a, dst=b, max_iter=max_iter).select(
+            F.col("node").alias(id_col), F.col("component").alias("__cluster")
+        )
+        out = df.join(labels, id_col, "left")
+        cluster = F.coalesce(F.col("__cluster"), F.col(id_col))
+    h = F.substring(F.md5(cluster.cast("string")), 1, prefix_len)
+    names = list(fractions)
+    cum, split = 0.0, F.when(F.lit(False), F.lit(""))
+    for name in names[:-1]:
+        cum += fractions[name]
+        thr = format(min(int(cum * 16**prefix_len), 16**prefix_len - 1), f"0{prefix_len}x")
+        split = split.when(h < F.lit(thr), F.lit(name))
+    split = split.otherwise(F.lit(names[-1]))
+    out = out.withColumn("cluster", cluster).withColumn("split", split)
+    return out.drop("__cluster") if pairs is not None else out

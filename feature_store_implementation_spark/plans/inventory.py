@@ -6176,6 +6176,49 @@ def q_portable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_leakage_split",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY substr(text, 1, 40)) AS cluster
+      FROM documents
+    )
+    SELECT doc_id, cluster,
+           CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 4) < 'e666' THEN 'train'
+                WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 4) < 'f333' THEN 'valid'
+                ELSE 'test' END AS split
+    FROM c
+    """,
+)
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split (operators/sampling.py
+    leakage_safe_split): membership is decided by the document's
+    DUP-CLUSTER — connected components over a near-dup pair list, then
+    the engine-portable md5-prefix rule on the CLUSTER id — so near-
+    duplicates can never straddle train and eval (the contamination
+    guard random per-doc splits lack). Pairs here come from a shared
+    40-char text prefix (a blocking key both engines can express), which
+    makes the components plain equality groups: the DuckDB oracle's
+    window-MIN reproduces the iterative BSP labeling exactly, so this
+    row hash-checks the full cluster→md5→split chain; arbitrary
+    (MinHash/SimHash/embedding) pair inputs ride the same code path and
+    are pinned straddle-free in tests/test_sampling.py."""
+    from ..operators.sampling import leakage_safe_split
+
+    d = load_table(spark, sf_dir, "documents")
+    p = d.select("doc_id", F.substring("text", 1, 40).alias("pfx"))
+    pairs = (
+        p.select(F.col("doc_id").alias("doc_id_a"), "pfx")
+        .join(p.select(F.col("doc_id").alias("doc_id_b"), "pfx"), "pfx")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+    )
+    return leakage_safe_split(
+        d, {"train": 0.9, "valid": 0.05, "test": 0.05}, pairs=pairs
+    ).select("doc_id", "cluster", "split")
+
+
+@query(
     "q_pack_sequences",
     r"""
     WITH t AS (

@@ -168,3 +168,100 @@ def test_weighted_sample_wor_inclusion_and_stability(spark):
     allr = dict(rows) | {100 + i: 1.0 for i in range(20)}
     want2 = set(sorted((i for i, w in allr.items() if w > 0), key=lambda i: -es(i, allr[i]))[:10])
     assert top_again == want2
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_split_neardups_never_straddle(spark):
+    """Pairs from the REAL MinHash route: both members of every near-dup
+    pair (hence every transitive cluster) land in the same split."""
+    import pytest
+    from feature_store_implementation_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+    from feature_store_implementation_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    pairs = minhash_near_dup_pairs(d, threshold=0.5).select("doc_id_a", "doc_id_b")
+    assert pairs.count() > 0  # the guard is vacuous on a pair-free corpus
+    r = leakage_safe_split(d, {"train": 0.8, "valid": 0.1, "test": 0.1}, pairs=pairs)
+    r = r.select("doc_id", "cluster", "split").cache()
+    j = (
+        pairs.join(
+            r.select(F.col("doc_id").alias("doc_id_a"), F.col("split").alias("sa")),
+            "doc_id_a",
+        ).join(
+            r.select(F.col("doc_id").alias("doc_id_b"), F.col("split").alias("sb")),
+            "doc_id_b",
+        )
+    )
+    assert j.filter("sa != sb").count() == 0
+    # every doc assigned exactly once, fractions in the right ballpark
+    assert r.count() == d.count()
+    by = {x["split"]: x["count"] for x in r.groupBy("split").count().collect()}
+    assert by.get("train", 0) > by.get("valid", 0)
+    assert set(by) <= {"train", "valid", "test"}
+
+
+def test_leakage_split_append_stable_and_portable(spark):
+    """Without pairs the rule degenerates to the portable per-doc md5
+    split; appending new docs never moves an old doc's assignment."""
+    from feature_store_implementation_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    base = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    r1 = {
+        x["doc_id"]: x["split"]
+        for x in leakage_safe_split(base, {"train": 0.9, "test": 0.1}).collect()
+    }
+    more = base.union(spark.createDataFrame([(i,) for i in range(200, 400)], "doc_id long"))
+    r2 = {
+        x["doc_id"]: x["split"]
+        for x in leakage_safe_split(more, {"train": 0.9, "test": 0.1}).collect()
+    }
+    assert all(r2[i] == r1[i] for i in range(200))
+    # python-side md5 oracle for the portable rule
+    import hashlib
+
+    for i in (0, 7, 123):
+        want = "train" if hashlib.md5(str(i).encode()).hexdigest()[:4] < "e666" else "test"
+        assert r1[i] == want
+
+
+def test_leakage_split_bridging_pair_merges_clusters(spark):
+    """A pair bridging two docs forces them into ONE cluster (the min id)
+    and therefore one split, whatever the per-doc hashes said."""
+    from feature_store_implementation_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 5), (5, 9)], "doc_id_a long, doc_id_b long"  # 0-5-9 chain
+    )
+    r = {
+        x["doc_id"]: (x["cluster"], x["split"])
+        for x in leakage_safe_split(docs, {"train": 0.5, "test": 0.5}, pairs=pairs).collect()
+    }
+    assert r[0][0] == r[5][0] == r[9][0] == 0  # transitive min-id cluster
+    assert r[0][1] == r[5][1] == r[9][1]
+    assert r[1][0] == 1  # untouched docs stay their own cluster
+
+
+def test_leakage_split_fraction_validation(spark):
+    import pytest
+    from feature_store_implementation_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="sum to 1"):
+        leakage_safe_split(docs, {"train": 0.8, "test": 0.1})
+    with pytest.raises(ValueError, match="sum to 1"):
+        leakage_safe_split(docs, {})
