@@ -214,6 +214,46 @@ def run_routes(spark, scaled_dir: str, mult: int, only: set | None = None) -> li
     # realistic shape: the benchmark set doesn't scale with training data
     ev = d.filter((F.col("doc_id") < ID_STRIDE) & (F.col("doc_id") % 97 == 0))
     tr = d.join(ev.select("doc_id"), "doc_id", "left_anti")
+    # PQ compressed-domain ANN: build (train+encode, one linear pass) and
+    # the fixed-query ADC scan over pre-built codes (the repeated-search
+    # shape) measured separately — both should grow ~linearly
+    from feature_store_implementation_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    if not only or {"pq_build_encode", "pq_adc_scan"} & only:
+        t0 = time.monotonic()
+        books = pq_train(e, m=8, nbits=8)
+        codes = pq_encode(e, books).localCheckpoint(eager=True)
+        build_secs = time.monotonic() - t0
+        if not only or "pq_build_encode" in only:
+            rows.append(
+                {
+                    "route": "pq_build_encode",
+                    "mult": mult,
+                    "corpus_rows": n_vecs,
+                    "candidates": None,
+                    "pairs": n_vecs,
+                    "seconds": round(build_secs, 2),
+                }
+            )
+            print(json.dumps(rows[-1]), flush=True)
+        if not only or "pq_adc_scan" in only:
+            n, secs = timed_count(pq_topk(codes, q, books, k=10))
+            rows.append(
+                {
+                    "route": "pq_adc_scan",
+                    "mult": mult,
+                    "corpus_rows": n_vecs,
+                    "candidates": None,
+                    "pairs": n,
+                    "seconds": round(secs, 2),
+                }
+            )
+            print(json.dumps(rows[-1]), flush=True)
+
     for name, frame in (
         ("similarity_lsh_topk", lsh_topk(e, q, k=10)),
         ("decontaminate", decontaminate(tr, ev, "text", "doc_id", n=4)),
