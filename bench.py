@@ -134,6 +134,7 @@ EXTRAS = [
     "q_stream_scd2_enrich",
     "q_similarity_pq_adc",
     "q_leakage_split",
+    "q_similarity_ivfpq",
 ]
 
 

@@ -1736,6 +1736,46 @@ def q_similarity_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@query(
+    "q_similarity_ivfpq",
+    f"""
+    SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+             ROUND({_cos('b.embedding', 'q.embedding')}, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY ROUND({_cos('b.embedding', 'q.embedding')}, 6) DESC,
+                                         b.vec_id) AS rank
+      FROM embeddings b, (SELECT * FROM embeddings WHERE vec_id < 5) q
+    ) WHERE rank <= 10
+    """,
+)
+def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ persisted index end-to-end (operators/similarity.py
+    write_ivf_index(pq_m=8) / query_ivf_index(pq_rerank=...)): the corpus
+    is partitioned by Voronoi cell WITH an 8-byte PQ code per vector, so
+    a probe scans cell-pruned codes (partition pruning × 32× byte
+    reduction — the raw embedding column stays unread in the probe scan,
+    ReadSchema-pinned in tests) and only the bounded ADC survivor set is
+    re-ranked exactly from raw vectors. Run at full probe + full rerank,
+    where the result provably equals brute force — same DuckDB oracle as
+    q_similarity_topk; the probe/rerank operating point is pinned in
+    tests/test_dedup_similarity.py."""
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import query_ivf_index, write_ivf_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    tmp = tempfile.mkdtemp(prefix="q_ivfpq_index_")
+    try:
+        write_ivf_index(e, tmp, n_cells=8, refine_iters=1, pq_m=8)
+        out = query_ivf_index(spark, tmp, q, k=10, n_probe=8, pq_rerank=e.count())
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @query("q_similarity_ivf", None)
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN top-k (rows-only; exact-equivalence at full probe and
