@@ -135,6 +135,7 @@ EXTRAS = [
     "q_similarity_pq_adc",
     "q_leakage_split",
     "q_similarity_ivfpq",
+    "q_corpus_shuffle",
 ]
 
 

@@ -235,3 +235,106 @@ def leakage_safe_split(
     split = split.otherwise(F.lit(names[-1]))
     out = out.withColumn("cluster", cluster).withColumn("split", split)
     return out.drop("__cluster") if pairs is not None else out
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    seed: int | str = 0,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic, engine-portable GLOBAL shuffle + sharding — the
+    training-export permutation: every row gets ``shard`` (which of the
+    ``n_shards`` dataloader streams it belongs to) and ``pos`` (its read
+    order within the shard), derived ONLY from ``md5(seed | keys)`` —
+
+    * reproducible: same seed → the same permutation on any engine with
+      md5 (the published-corpus requirement), and a NEW seed is a fresh
+      epoch-level reshuffle with zero state;
+    * unbiased: md5 output is uniform, so shard sizes balance to
+      n/n_shards ± √n and the within-shard order is independent of any
+      ingestion/domain order the corpus arrived in — the locality a
+      training run must NOT see;
+    * scale-shaped: one hash per row (map-only) and ONE shuffle to rank
+      within shards; no global sort, no driver state.
+
+    Returns ``df`` + ``(shard, pos)``; :func:`write_training_shards`
+    turns the result into one-run-per-shard files."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key_cols = key_cols or ["doc_id"]
+    h = F.md5(
+        F.concat_ws(
+            "|", F.lit(str(seed)), *[F.col(c).cast("string") for c in key_cols]
+        )
+    )
+    shard = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards).alias(
+        "shard"
+    )
+    out = df.withColumn("shard", shard).withColumn("__h", h)
+    w = Window.partitionBy("shard").orderBy(F.col("__h"), *key_cols)
+    return (
+        out.withColumn("pos", F.row_number().over(w).cast("long")).drop("__h")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    seed: int | str = 0,
+    key_cols: list[str] | None = None,
+) -> dict:
+    """Materialize :func:`shuffle_shards` as the dataloader layout: one
+    parquet file per ``shard=N`` directory, rows pre-sorted by ``pos``
+    (each worker streams its shard top-to-bottom — no further shuffling
+    or sorting at load time), plus a ``_manifest.json`` sidecar
+    (tmp-write + atomic rename) recording per-shard row counts and
+    bytes so a loader can size epochs and detect truncation without
+    listing/reading data files. Returns the manifest dict.
+
+    Scale shape: the single ``repartition(n_shards, shard)`` shuffle is
+    the write's only wide stage; each shard lands in exactly one task's
+    partition, so every ``shard=N`` dir holds one entity-ordered run —
+    the HBase-bulk-load/WebDataset-shard discipline on parquet."""
+    import json
+    import os
+    import uuid
+
+    out = shuffle_shards(df, n_shards, seed=seed, key_cols=key_cols)
+    (
+        out.repartition(int(n_shards), "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.partitionBy("shard")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    counts = {
+        int(r["shard"]): int(r["n"])
+        for r in spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    shards = {}
+    for s, n in sorted(counts.items()):
+        d = os.path.join(path, f"shard={s}")
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        shards[str(s)] = {
+            "rows": n,
+            "files": len(files),
+            "bytes": sum(os.path.getsize(os.path.join(d, f)) for f in files),
+        }
+    manifest = {
+        "n_shards": int(n_shards),
+        "seed": str(seed),
+        "total_rows": sum(c["rows"] for c in shards.values()),
+        "shards": shards,
+    }
+    tmp = os.path.join(path, f".manifest.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, "_manifest.json"))
+    return manifest

@@ -6259,6 +6259,40 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_corpus_shuffle",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             md5(concat_ws('|', '0', CAST(doc_id AS VARCHAR))) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) % 16 AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) % 16
+             ORDER BY h, doc_id
+           ) AS BIGINT) AS pos
+    FROM s
+    """,
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic engine-portable global shuffle + sharding
+    (operators/sampling.py shuffle_shards): every document gets its
+    dataloader stream (``shard = int(md5(seed|id)[:8],16) % n``) and
+    read position (rank of the md5 within the shard) from the hash
+    alone — the reproducible training-order permutation (same seed →
+    same order in any md5-bearing engine; new seed → fresh epoch
+    reshuffle; uniform, so shard sizes balance and ingestion/domain
+    locality is destroyed). One map-side hash + one rank shuffle, no
+    global sort; write_training_shards materializes it as one
+    pos-ordered file per shard with a manifest sidecar."""
+    from ..operators.sampling import shuffle_shards
+
+    d = load_table(spark, sf_dir, "documents")
+    return shuffle_shards(d, 16, seed=0).select("doc_id", "shard", "pos")
+
+
+@query(
     "q_pack_sequences",
     r"""
     WITH t AS (

@@ -265,3 +265,86 @@ def test_leakage_split_fraction_validation(spark):
         leakage_safe_split(docs, {"train": 0.8, "test": 0.1})
     with pytest.raises(ValueError, match="sum to 1"):
         leakage_safe_split(docs, {})
+
+
+# ---------------------------------------------------------------------------
+# shuffle_shards / write_training_shards
+# ---------------------------------------------------------------------------
+
+
+def test_shuffle_shards_matches_python_md5_oracle(spark):
+    import hashlib
+    from collections import defaultdict
+
+    from feature_store_implementation_spark.operators.sampling import (
+        shuffle_shards,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    rows = shuffle_shards(d, 16, seed=0).select("doc_id", "shard", "pos").collect()
+
+    def py(doc_id, seed="0"):
+        h = hashlib.md5(f"{seed}|{doc_id}".encode()).hexdigest()
+        return int(h[:8], 16) % 16, h
+
+    exp = {r["doc_id"]: py(r["doc_id"]) for r in rows}
+    assert all(exp[r["doc_id"]][0] == r["shard"] for r in rows)
+    by = defaultdict(list)
+    for i, (s, h) in exp.items():
+        by[s].append((h, i))
+    pos = {}
+    for s, lst in by.items():
+        for p, (h, i) in enumerate(sorted(lst), 1):
+            pos[i] = p
+    assert all(pos[r["doc_id"]] == r["pos"] for r in rows)
+
+
+def test_shuffle_shards_seed_reshuffles_and_balances(spark):
+    from feature_store_implementation_spark.operators.sampling import (
+        shuffle_shards,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    a = {r["doc_id"]: (r["shard"], r["pos"]) for r in shuffle_shards(d, 8, seed=0).collect()}
+    b = {r["doc_id"]: (r["shard"], r["pos"]) for r in shuffle_shards(d, 8, seed=1).collect()}
+    # a fresh seed is a fresh permutation, not a relabeling
+    assert sum(a[i] != b[i] for i in a) > len(a) // 2
+    # uniform hash → shard sizes balance around n/8 (500/8 ≈ 62)
+    from collections import Counter
+
+    sizes = Counter(s for s, _ in a.values())
+    assert len(sizes) == 8 and min(sizes.values()) > 30 and max(sizes.values()) < 95
+
+
+def test_write_training_shards_layout_and_manifest(spark, tmp_path):
+    import json
+    import os
+
+    from feature_store_implementation_spark.operators.sampling import (
+        write_training_shards,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    path = str(tmp_path / "shards")
+    m = write_training_shards(d, path, 8, seed=3)
+    assert m["total_rows"] == d.count()
+    assert set(m["shards"]) == {str(i) for i in range(8)}
+    # one pos-ordered file per shard; pos contiguous from 1
+    for s, info in m["shards"].items():
+        assert info["files"] == 1 and info["bytes"] > 0
+        part = spark.read.parquet(os.path.join(path, f"shard={s}"))
+        ps = [r["pos"] for r in part.select("pos").collect()]
+        assert sorted(ps) == list(range(1, info["rows"] + 1))
+    disk = json.load(open(os.path.join(path, "_manifest.json")))
+    assert disk == m
+
+
+def test_shuffle_shards_validates_n(spark):
+    import pytest
+    from feature_store_implementation_spark.operators.sampling import (
+        shuffle_shards,
+    )
+
+    d = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="n_shards"):
+        shuffle_shards(d, 0)
