@@ -136,6 +136,7 @@ EXTRAS = [
     "q_leakage_split",
     "q_similarity_ivfpq",
     "q_corpus_shuffle",
+    "q_quantile_digest",
 ]
 
 

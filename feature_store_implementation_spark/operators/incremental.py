@@ -141,3 +141,158 @@ def finalize_rollup(state: DataFrame, keys: list[str]) -> DataFrame:
     if "hll" in state.columns:
         cols.append(F.hll_sketch_estimate("hll").alias("approx_distinct"))
     return state.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile digests
+# ---------------------------------------------------------------------------
+
+_DIGEST_FIELDS = "means array<double>, weights array<long>"
+
+
+def _compress(means, weights, k: int):
+    """Recompress a MEAN-SORTED weighted centroid list into <= k equal-
+    cumulative-weight chunks (weighted means preserved per chunk). The
+    deterministic core of the digest: rank error per (re)compression is
+    bounded by total_weight / k."""
+    import numpy as np
+
+    means = np.asarray(means, dtype=np.float64)
+    weights = np.asarray(weights, dtype=np.int64)
+    if len(means) <= k:
+        return means, weights
+    total = int(weights.sum())
+    bounds = np.linspace(0, total, k + 1)  # cumulative-weight chunk edges
+    cum = np.cumsum(weights)
+    # chunk of centroid i = which bound interval its cumulative END falls in
+    idx = np.minimum(np.searchsorted(bounds, cum, side="left"), k) - 1
+    idx = np.maximum(idx, 0)
+    out_m = np.zeros(k)
+    out_w = np.zeros(k, dtype=np.int64)
+    np.add.at(out_w, idx, weights)
+    np.add.at(out_m, idx, means * weights)
+    nz = out_w > 0
+    return out_m[nz] / out_w[nz], out_w[nz]
+
+
+def quantile_digest_partial(
+    df: DataFrame, keys: list[str], value: str, k: int = 128
+) -> DataFrame:
+    """Mergeable QUANTILE state — the one statistic the algebraic rollup
+    can't carry (quantiles don't combine from sums): per group, a
+    weighted centroid summary (``means``/``weights`` arrays, ≤ ``k``
+    entries) built by sorting each Arrow batch's values and chunking
+    into equal-count runs — the equi-weight simplification of a
+    t-digest (uniform rank error ≤ W/k per compression instead of
+    t-digest's tail-tightened bound; same merge algebra).
+
+    Scale shape: digests are built PER BATCH inside ``mapInPandas`` —
+    raw values never shuffle; what reaches :func:`merge_quantile_digests`
+    is ≤ batches × k centroids per group. Multiple rows per (group) come
+    back — this is the PARTIAL state, exactly like the map side of a
+    combiner; merging is where groups collapse to one row. Estimates are
+    approximate (rank error compounds one W/k term per merge LEVEL, not
+    per merge — pinned in tests); the exact analogue for one-shot use is
+    ``percentile_approx``/DuckDB ``quantile_cont``."""
+    import pandas as pd
+
+    key_struct = df.select(*keys, F.col(value).cast("double").alias("__v"))
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.select(*keys).schema.fields
+    )
+    kk = int(k)
+
+    def build(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for gkey, grp in pdf.groupby(keys, dropna=False, sort=True):
+                v = np.sort(grp["__v"].dropna().to_numpy())
+                if len(v) == 0:
+                    continue
+                m, w = _compress(v, np.ones(len(v), dtype=np.int64), kk)
+                row = dict(zip(keys, gkey if isinstance(gkey, tuple) else (gkey,)))
+                row["means"] = list(m)
+                row["weights"] = [int(x) for x in w]
+                yield pd.DataFrame([row])
+
+    return key_struct.mapInPandas(build, schema=f"{out_schema}, {_DIGEST_FIELDS}")
+
+
+def merge_quantile_digests(
+    keys: list[str], *states: DataFrame, k: int = 128
+) -> DataFrame:
+    """Combine digest states: per group, centroids from all partials are
+    merged in mean order and recompressed to ≤ ``k`` — the shuffle
+    carries centroids only (≤ partials × k rows per group, never raw
+    values). Output: ONE digest row per group. APPROXIMATELY associative
+    (unlike :func:`merge_rollups`' exact algebra): nesting merges
+    compresses intermediate states, shifting estimates by ≤ one W/k
+    rank-error term per extra level — pinned in tests."""
+    import pandas as pd
+
+    if not states:
+        raise ValueError("need at least one state")
+    unioned = reduce(lambda a, b: a.unionByName(b), states)
+    kk = int(k)
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in unioned.schema.fields
+        if f.name in keys
+    )
+
+    def merge(gkey, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        m = np.concatenate([np.asarray(x, dtype=np.float64) for x in pdf["means"]])
+        w = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["weights"]])
+        order = np.argsort(m, kind="stable")
+        mm, ww = _compress(m[order], w[order], kk)
+        row = dict(zip(keys, gkey))
+        row["means"] = list(mm)
+        row["weights"] = [int(x) for x in ww]
+        return pd.DataFrame([row])
+
+    return unioned.groupBy(*keys).applyInPandas(
+        merge, schema=f"{out_schema}, {_DIGEST_FIELDS}"
+    )
+
+
+def quantile_from_digest(
+    state: DataFrame, keys: list[str], qs: list[float]
+) -> DataFrame:
+    """Read quantile estimates off a digest: cumulative-weight midpoint
+    interpolation over the centroid list (the standard digest read). One
+    map pass over the ≤ |groups| digest rows."""
+    import pandas as pd
+
+    names = [f"q_{str(q).replace('.', '_')}" for q in qs]
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in state.schema.fields
+        if f.name in keys
+    ) + ", " + ", ".join(f"`{n}` double" for n in names)
+    qv = [float(q) for q in qs]
+
+    def read(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for _, r in pdf.iterrows():
+                m = np.asarray(r["means"], dtype=np.float64)
+                w = np.asarray(r["weights"], dtype=np.float64)
+                total = w.sum()
+                # centroid midpoints in cumulative-rank space
+                mid = (np.cumsum(w) - w / 2.0) / total
+                row = {kcol: r[kcol] for kcol in keys}
+                for q, n in zip(qv, names):
+                    row[n] = float(np.interp(q, mid, m))
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    return state.mapInPandas(read, schema=out_schema)
