@@ -435,3 +435,99 @@ def test_bpe_roundtrip_property(spark, texts):
     }
     for i in enc:
         assert "".join(enc[i]) == "".join(w + "</w>" for w in toks[i])
+
+
+# ---------------------------------------------------------------------------
+# round-7 pure kernels: digest compression, PQ encode, shard assignment
+# ---------------------------------------------------------------------------
+
+
+@given(
+    vals=st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=400),
+    k=st.integers(2, 64),
+)
+@settings(deadline=None, max_examples=60)
+def test_digest_compress_invariants(vals, k):
+    """_compress on sorted unit-weight values: total weight conserved,
+    chunk means sorted, <= k centroids, every mean inside [min, max],
+    and quantile reads stay within the 1/k+epsilon rank-error bound."""
+    import bisect
+
+    import numpy as np
+
+    from feature_store_implementation_spark.operators.incremental import _compress
+
+    v = np.sort(np.asarray(vals, dtype=np.float64))
+    m, w = _compress(v, np.ones(len(v), dtype=np.int64), k)
+    assert len(m) <= k
+    assert int(w.sum()) == len(v)
+    assert all(w > 0)
+    assert (np.diff(m) >= -1e-9).all()
+    assert v.min() - 1e-9 <= m.min() and m.max() <= v.max() + 1e-9
+    # midpoint read at q=0.5 lands within ~1/k of true rank (plus one
+    # value-slot of slack for duplicate-heavy inputs)
+    mid = (np.cumsum(w) - w / 2.0) / len(v)
+    est = float(np.interp(0.5, mid, m))
+    lo = bisect.bisect_left(list(v), est) / len(v)
+    hi = bisect.bisect_right(list(v), est) / len(v)
+    dist = 0.0 if lo <= 0.5 <= hi else min(abs(lo - 0.5), abs(hi - 0.5))
+    assert dist <= 1.0 / k + 1.0 / len(v) + 1e-9
+
+
+@given(
+    n=st.integers(1, 60),
+    dim_m=st.sampled_from([(8, 2), (8, 4), (16, 4), (64, 8)]),
+    seed=st.integers(0, 5),
+)
+@settings(deadline=None, max_examples=40)
+def test_pq_encode_kernel_picks_nearest_centroid(n, dim_m, seed):
+    """_pq_encode_mat: every code indexes the argmin-L2 centroid of its
+    normalized subvector (checked against a direct numpy argmin)."""
+    import numpy as np
+
+    from feature_store_implementation_spark.operators.similarity import (
+        _norm_rows,
+        _pq_encode_mat,
+    )
+
+    dim, m = dim_m
+    rng = np.random.RandomState(seed)
+    M = _norm_rows(rng.randn(n, dim))
+    books = rng.randn(m, 16, dim // m)
+    codes = _pq_encode_mat(M, books)
+    assert codes.shape == (n, m) and codes.dtype == np.uint8
+    dsub = dim // m
+    for j in range(m):
+        S = M[:, j * dsub : (j + 1) * dsub]
+        d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        assert (codes[:, j] == d2.argmin(axis=1)).all()
+
+
+@given(
+    ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=200, unique=True),
+    n_shards=st.integers(1, 32),
+    seed=st.integers(0, 3),
+)
+@settings(deadline=None, max_examples=30, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_shuffle_shards_pointwise_portable(spark, ids, n_shards, seed):
+    """shard/pos depend only on (seed, id): the Spark assignment equals
+    the pure-python md5 recomputation row for row, for any id set."""
+    import hashlib
+    from collections import defaultdict
+
+    from feature_store_implementation_spark.operators.sampling import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shuffle_shards(df, n_shards, seed=seed).collect()
+    }
+    hs = {i: hashlib.md5(f"{seed}|{i}".encode()).hexdigest() for i in ids}
+    by = defaultdict(list)
+    for i, h in hs.items():
+        by[int(h[:8], 16) % n_shards].append((h, i))
+    want = {}
+    for s, lst in by.items():
+        for p, (h, i) in enumerate(sorted(lst), 1):
+            want[i] = (s, p)
+    assert got == want
