@@ -137,6 +137,7 @@ EXTRAS = [
     "q_similarity_ivfpq",
     "q_corpus_shuffle",
     "q_quantile_digest",
+    "q_audience_overlap",
 ]
 
 

@@ -34,7 +34,11 @@ _STATE_COLS = ("cnt", "sum_v", "sum_sq", "min_v", "max_v")
 
 
 def rollup_partial(
-    df: DataFrame, keys: list[str], value: str, distinct_col: str | None = None
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    distinct_col: str | None = None,
+    with_quantiles: bool = False,
 ) -> DataFrame:
     """Mergeable per-group state for ``value``: (cnt, sum, sum-of-squares,
     min, max). One map-side-combinable aggregation.
@@ -46,7 +50,14 @@ def rollup_partial(
     a few counts because union promotes the sketch's internal mode, but
     both sit inside the configured rsd). This is how a 100 TB rollup keeps
     an incrementally-maintainable distinct count without ever rescanning
-    history."""
+    history.
+
+    ``with_quantiles`` keeps a Datasketches KLL sketch of ``value``
+    (binary ``kll``) — quantiles don't combine from sums either, but the
+    KLL sketch merges with a published rank-error guarantee, JVM-side.
+    This is the built-in production path; the pure-python
+    :func:`quantile_digest_partial` family remains for its provably-
+    exact uncompressed mode and engine-portable state."""
     v = F.col(value).cast(DEC)
     aggs = [
         F.count(F.lit(1)).alias("cnt"),
@@ -57,6 +68,10 @@ def rollup_partial(
     ]
     if distinct_col is not None:
         aggs.append(F.hll_sketch_agg(distinct_col).alias("hll"))
+    if with_quantiles:
+        aggs.append(
+            F.kll_sketch_agg_double(F.col(value).cast("double")).alias("kll")
+        )
     return df.groupBy(*keys).agg(*aggs)
 
 
@@ -76,6 +91,8 @@ def merge_rollups(keys: list[str], *states: DataFrame) -> DataFrame:
     ]
     if "hll" in unioned.columns:
         aggs.append(F.hll_union_agg("hll").alias("hll"))
+    if "kll" in unioned.columns:
+        aggs.append(F.kll_merge_agg_double("kll").alias("kll"))
     return unioned.groupBy(*keys).agg(*aggs)
 
 
@@ -140,6 +157,11 @@ def finalize_rollup(state: DataFrame, keys: list[str]) -> DataFrame:
     ]
     if "hll" in state.columns:
         cols.append(F.hll_sketch_estimate("hll").alias("approx_distinct"))
+    if "kll" in state.columns:
+        for q, n in ((0.5, "approx_p50"), (0.95, "approx_p95")):
+            cols.append(
+                F.kll_sketch_get_quantile_double("kll", F.lit(q)).alias(n)
+            )
     return state.select(*cols)
 
 

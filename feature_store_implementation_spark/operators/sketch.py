@@ -125,3 +125,52 @@ def frequent_items(df: DataFrame, col: str, k: int) -> DataFrame:
         )
         out = out.unionByName(null_row)
     return out
+
+
+def theta_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Set-operation cardinalities between two frames' ``col`` values —
+    the audience-overlap / cohort-retention shape: how many distinct
+    users/parts/docs appear in BOTH a and b, in either, or only in a.
+    Built on Spark's Datasketches THETA sketches (``theta_sketch_agg`` +
+    ``theta_intersection``/``theta_union``/``theta_difference``): unlike
+    HLL, theta supports intersections and differences, which is why this
+    exists alongside the rollup's ``hll`` column.
+
+    Each side aggregates to one sketch per group (map-side combinable,
+    one tiny shuffle of sketch bytes), the two sketch frames join on
+    ``keys`` (broadcast when small; no raw values cross), and the set
+    estimates read off JVM-side. Returns ``keys + (n_a, n_b,
+    n_intersection, n_union, n_only_a)``.
+
+    Exactness: a theta sketch is EXACT below its nominal entry count
+    (default 4,096 distinct values) and a sampled estimate beyond — so
+    small/medium group overlaps are exact (the oracle-checked driver
+    regime at sf0.01) and 100 TB-cardinality overlaps degrade to the
+    published relative-error bound instead of failing."""
+    keys = keys or []
+
+    def sk(df: DataFrame, alias: str) -> DataFrame:
+        agg = F.theta_sketch_agg(col).alias(alias)
+        return df.groupBy(*keys).agg(agg) if keys else df.agg(agg)
+
+    sa, sb = sk(a, "ta"), sk(b, "tb")
+    joined = sa.join(sb, keys) if keys else sa.crossJoin(sb)
+    return joined.select(
+        *keys,
+        F.theta_sketch_estimate("ta").cast("long").alias("n_a"),
+        F.theta_sketch_estimate("tb").cast("long").alias("n_b"),
+        F.theta_sketch_estimate(F.theta_intersection("ta", "tb"))
+        .cast("long")
+        .alias("n_intersection"),
+        F.theta_sketch_estimate(F.theta_union("ta", "tb"))
+        .cast("long")
+        .alias("n_union"),
+        F.theta_sketch_estimate(F.theta_difference("ta", "tb"))
+        .cast("long")
+        .alias("n_only_a"),
+    )

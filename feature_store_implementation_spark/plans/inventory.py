@@ -6259,6 +6259,47 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_audience_overlap",
+    """
+    WITH a AS (SELECT DISTINCT l_returnflag g, l_partkey p FROM lineitem WHERE l_orderkey % 2 = 0),
+         b AS (SELECT DISTINCT l_returnflag g, l_partkey p FROM lineitem WHERE l_orderkey % 2 = 1),
+         na AS (SELECT g, count(*) n FROM a GROUP BY g),
+         nb AS (SELECT g, count(*) n FROM b GROUP BY g),
+         ni AS (SELECT a.g, count(*) n FROM a JOIN b ON a.g = b.g AND a.p = b.p GROUP BY a.g),
+         nu AS (SELECT g, count(DISTINCT p) n
+                FROM (SELECT * FROM a UNION ALL SELECT * FROM b) GROUP BY g)
+    SELECT na.g AS l_returnflag,
+           CAST(na.n AS BIGINT) AS n_a,
+           CAST(nb.n AS BIGINT) AS n_b,
+           CAST(COALESCE(ni.n, 0) AS BIGINT) AS n_intersection,
+           CAST(nu.n AS BIGINT) AS n_union,
+           CAST(na.n - COALESCE(ni.n, 0) AS BIGINT) AS n_only_a
+    FROM na
+    JOIN nb ON na.g = nb.g
+    JOIN nu ON na.g = nu.g
+    LEFT JOIN ni ON na.g = ni.g
+    """,
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation cardinalities via Datasketches THETA sketches
+    (operators/sketch.py theta_overlap): distinct parts ordered in BOTH
+    halves of the order stream / either / only one, per return flag —
+    the audience-overlap & cohort-retention shape. Each side shuffles
+    ONE sketch per group (never raw values); intersections and
+    differences — which HLL cannot do — read off JVM-side. Exact below
+    the sketch's nominal 4,096 entries (the case here: ~2,000 distinct
+    partkeys per side at sf0.01 — hence the exact COUNT DISTINCT
+    oracle); beyond that it degrades to the published relative-error
+    bound instead of failing — the 100 TB posture."""
+    from ..operators.sketch import theta_overlap
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 == 1)
+    return theta_overlap(a, b, "l_partkey", keys=["l_returnflag"])
+
+
+@query(
     "q_quantile_digest",
     """
     WITH o AS (

@@ -224,3 +224,32 @@ def test_quantile_digest_nested_merge_stays_in_bound(spark):
         assert abs(rank - 0.5) <= 4 / 128
     with _pytest.raises(ValueError, match="at least one"):
         merge_quantile_digests(["x"])
+
+
+def test_kll_rollup_merge_quantile_error(spark):
+    """Built-in KLL path: partials from two halves merged, p50/p95 read
+    off in finalize — estimates within 2% relative of exact."""
+    from pyspark.sql import functions as F
+
+    from feature_store_implementation_spark.operators.incremental import (
+        finalize_rollup,
+        merge_rollups,
+        rollup_partial,
+    )
+
+    li, a, b = _digest_parts(spark)
+    m = merge_rollups(
+        ["l_returnflag"],
+        rollup_partial(a, ["l_returnflag"], "l_extendedprice", with_quantiles=True),
+        rollup_partial(b, ["l_returnflag"], "l_extendedprice", with_quantiles=True),
+    )
+    out = {r["l_returnflag"]: r for r in finalize_rollup(m, ["l_returnflag"]).collect()}
+    exact = {
+        r["l_returnflag"]: r["p"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("p"))
+        .collect()
+    }
+    for k_, (p50, p95) in exact.items():
+        assert abs(out[k_]["approx_p50"] - p50) / p50 < 0.02
+        assert abs(out[k_]["approx_p95"] - p95) / p95 < 0.02

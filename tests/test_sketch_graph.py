@@ -162,3 +162,44 @@ def test_zvalue_rejects_key_overflow(spark):
     with pytest.raises(ValueError, match="> 63"):
         zvalue(ranks, 12)  # 6 * 12 = 72 bits would wrap mod 64
     zvalue(ranks, 10)  # 60 bits fits
+
+
+def test_theta_overlap_exact_below_nominal(spark):
+    """Theta set-operation estimates are EXACT below the sketch's nominal
+    4,096 entries — keyed and global forms both match python sets on the
+    sf0.01 partkeys (~2,000 distinct per side)."""
+    from pyspark.sql import functions as F
+
+    from feature_store_implementation_spark.operators.sketch import theta_overlap
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 == 1)
+    got = {
+        r["l_returnflag"]: r
+        for r in theta_overlap(a, b, "l_partkey", keys=["l_returnflag"]).collect()
+    }
+    for flag in got:
+        ia = {
+            r["l_partkey"]
+            for r in a.filter(F.col("l_returnflag") == flag)
+            .select("l_partkey")
+            .distinct()
+            .collect()
+        }
+        ib = {
+            r["l_partkey"]
+            for r in b.filter(F.col("l_returnflag") == flag)
+            .select("l_partkey")
+            .distinct()
+            .collect()
+        }
+        r = got[flag]
+        assert (r["n_a"], r["n_b"]) == (len(ia), len(ib))
+        assert r["n_intersection"] == len(ia & ib)
+        assert r["n_union"] == len(ia | ib)
+        assert r["n_only_a"] == len(ia - ib)
+    g = theta_overlap(a, b, "l_partkey").collect()[0]
+    ia = {r["l_partkey"] for r in a.select("l_partkey").distinct().collect()}
+    ib = {r["l_partkey"] for r in b.select("l_partkey").distinct().collect()}
+    assert g["n_union"] == len(ia | ib) and g["n_intersection"] == len(ia & ib)
