@@ -256,7 +256,10 @@ def shuffle_shards(
       ingestion/domain order the corpus arrived in — the locality a
       training run must NOT see;
     * scale-shaped: one hash per row (map-only) and ONE shuffle to rank
-      within shards; no global sort, no driver state.
+      within shards; no global sort, no driver state. Each shard ranks
+      in a single task, so size ``n_shards`` to the corpus (thousands at
+      100 TB — shard files of a few GB are also what the dataloader
+      wants), not to a small constant.
 
     Returns ``df`` + ``(shard, pos)``; :func:`write_training_shards`
     turns the result into one-run-per-shard files."""
