@@ -138,6 +138,7 @@ EXTRAS = [
     "q_corpus_shuffle",
     "q_quantile_digest",
     "q_audience_overlap",
+    "q_hash_embed",
 ]
 
 

@@ -640,3 +640,55 @@ def bpe_encode(
             )
 
     return v.mapInPandas(encode, schema=out_schema).withColumnRenamed("id", id_col)
+
+
+def hash_embed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic feature-hashing document embeddings (the "hashing
+    trick", Weinberger et al., ICML 2009): every token adds ±1 (sign and
+    bucket both from md5 of the token) into a ``dim``-wide vector, which
+    is then L2-normalized — a no-model, no-vocabulary dense embedding
+    whose cosine approximates token-multiset similarity. The cheap
+    text→vector on-ramp to the ENTIRE similarity stack (brute force /
+    LSH / IVF / PQ / semantic dedup all consume its output) when no
+    neural embedder is in the pipeline.
+
+    Entirely JVM expressions — explode → two map-side-combinable
+    keyed aggregations → one higher-order-function densify/normalize
+    pass; no UDF anywhere, so it runs at whole-stage-codegen speed.
+    Engine-portable by construction (md5 bucket + sign — any engine
+    reproduces the vectors bit-for-bit; the DuckDB oracle does).
+    Documents with no tokens produce no row (no direction to point).
+    Returns (id_col, embedding array<double>, unit-norm)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = F.md5(F.col("tok"))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % dim
+    sign = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("long") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    sums = (
+        toks.select("id", bucket.alias("b"), sign.alias("sc"))
+        .groupBy("id", "b")
+        .agg(F.sum("sc").alias("s"))
+    )
+    m = sums.groupBy("id").agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "s"))).alias("m")
+    )
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.col("m")[i.cast("long")], F.lit(0)).cast("double"),
+    )
+    with_norm = m.select(F.col("id").alias(id_col), raw.alias("raw")).withColumn(
+        "n", F.sqrt(F.aggregate("raw", F.lit(0.0), lambda a, x: a + x * x))
+    )
+    emb = F.transform(
+        "raw", lambda x: F.when(F.col("n") > 0, x / F.col("n")).otherwise(F.lit(0.0))
+    )
+    return with_norm.select(id_col, emb.alias("embedding"))

@@ -6259,6 +6259,62 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_hash_embed",
+    r"""
+    WITH occ AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS b,
+             CASE WHEN CAST(concat('0x', substr(md5(tok), 9, 1)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS sc
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+      )
+    ),
+    bs AS (SELECT doc_id, b, CAST(SUM(sc) AS DOUBLE) AS s FROM occ GROUP BY 1, 2),
+    grid AS (
+      SELECT d.doc_id, gs.i
+      FROM (SELECT DISTINCT doc_id FROM occ) d, generate_series(0, 63) gs(i)
+    ),
+    vec AS (
+      SELECT g.doc_id, g.i, COALESCE(bs.s, 0) AS v
+      FROM grid g LEFT JOIN bs ON bs.doc_id = g.doc_id AND bs.b = g.i
+    ),
+    nrm AS (SELECT doc_id, sqrt(SUM(v * v)) AS n FROM vec GROUP BY 1)
+    SELECT v.doc_id,
+           array_to_string(
+             list(CAST(ROUND(CASE WHEN n.n > 0 THEN v.v / n.n ELSE 0 END * 1000000)
+                       AS BIGINT) ORDER BY v.i), ',') AS embedding_csv
+    FROM vec v JOIN nrm n ON v.doc_id = n.doc_id
+    GROUP BY v.doc_id, n.n
+    """,
+)
+def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document embeddings (operators/text.py
+    hash_embed — the Weinberger et al. hashing trick): md5-bucketed ±1
+    token sums, L2-normalized — a no-model dense text→vector on-ramp to
+    the whole similarity stack, entirely JVM expressions (no UDF, runs
+    in whole-stage codegen). Engine-portable by construction, which is
+    what the oracle proves: DuckDB rebuilds the identical vectors from
+    the same md5 arithmetic (both sides sum exact integers, divide by
+    the same sqrt, and emit CSV of round(x·10⁶) so the array compares
+    engine-neutrally — the q_embedding_quantize precedent)."""
+    from ..operators.text import hash_embed
+
+    d = load_table(spark, sf_dir, "documents")
+    e = hash_embed(d, dim=64)
+    csv = F.array_join(
+        F.transform(
+            "embedding", lambda x: F.round(x * 1e6).cast("long").cast("string")
+        ),
+        ",",
+    )
+    return e.select("doc_id", csv.alias("embedding_csv"))
+
+
+@query(
     "q_audience_overlap",
     """
     WITH a AS (SELECT DISTINCT l_returnflag g, l_partkey p FROM lineitem WHERE l_orderkey % 2 = 0),

@@ -28,3 +28,50 @@ def test_views_cover_all_tables(spark):
     for t in ("region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents", "embeddings"):
         assert spark.sql(f"SELECT * FROM {t} LIMIT 1").count() >= 0
+
+
+def test_hash_embed_python_parity_and_composition(spark):
+    """hash_embed matches a pure-python md5 oracle vector-for-vector,
+    produces unit-norm embeddings, and feeds the similarity stack
+    (brute_force_topk consumes its output directly)."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from feature_store_implementation_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from feature_store_implementation_spark.operators.text import hash_embed
+    from feature_store_implementation_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    e = hash_embed(d).cache()
+    docs = {r["doc_id"]: r["text"] for r in d.collect()}
+
+    def py_embed(text, dim=64):
+        v = [0.0] * dim
+        for t in text.lower().split():
+            if not t:
+                continue
+            h = hashlib.md5(t.encode()).hexdigest()
+            v[int(h[:8], 16) % dim] += 1 if int(h[8], 16) % 2 == 0 else -1
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n if n > 0 else 0.0 for x in v]
+
+    rows = e.collect()
+    assert len(rows) == len(docs)
+    for r in rows:
+        want = py_embed(docs[r["doc_id"]])
+        assert all(abs(a - b) < 1e-12 for a, b in zip(r["embedding"], want))
+        assert abs(math.sqrt(sum(x * x for x in r["embedding"])) - 1) < 1e-9
+    q = e.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    )
+    topk = brute_force_topk(e, q, k=5, id_col="doc_id")
+    assert topk.count() == 15
+    # a doc's nearest neighbor is itself (cosine 1.0)
+    self_hits = topk.filter(
+        (F.col("rank") == 1) & (F.col("query_id") == F.col("vec_id"))
+    )
+    assert self_hits.count() == 3
