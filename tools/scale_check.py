@@ -254,11 +254,29 @@ def run_routes(spark, scaled_dir: str, mult: int, only: set | None = None) -> li
             )
             print(json.dumps(rows[-1]), flush=True)
 
+    from feature_store_implementation_spark.operators.incremental import (
+        merge_quantile_digests,
+        quantile_digest_partial,
+        quantile_from_digest,
+    )
+    from feature_store_implementation_spark.operators.text import hash_embed
+
     for name, frame in (
         ("similarity_lsh_topk", lsh_topk(e, q, k=10)),
         ("decontaminate", decontaminate(tr, ev, "text", "doc_id", n=4)),
         ("line_dedup", line_dedup(d, "text", "doc_id")),
         ("unigram_logprob", unigram_logprob(d, "text", "doc_id")),
+        ("hash_embed", hash_embed(d, "text", "doc_id")),
+        (
+            "quantile_digest",
+            quantile_from_digest(
+                merge_quantile_digests(
+                    ["lang"], quantile_digest_partial(d, ["lang"], "n_chars")
+                ),
+                ["lang"],
+                [0.5, 0.95],
+            ),
+        ),
     ):
         if only and name not in only:
             continue
