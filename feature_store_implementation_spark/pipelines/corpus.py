@@ -61,7 +61,7 @@ def curate_corpus(
     min_avg_logprob: float | None = None,
     eval_df: DataFrame | None = None,
     decontaminate_ngram: int = 8,
-    embeddings: DataFrame | None = None,
+    embeddings: DataFrame | str | None = None,
     embedding_col: str = "embedding",
     embedding_id_col: str = "doc_id",
     semantic_k: int = 16,
@@ -85,7 +85,13 @@ def curate_corpus(
     (``operators/similarity.semantic_dedup``) and each duplicate group
     keeps its minimum id, mirroring the lexical canonical choice. Only
     surviving documents are clustered (the embedding frame is semi-joined
-    down first).
+    down first). Passing the string ``"hash"`` instead of a frame builds
+    :func:`~..operators.text.hash_embed` vectors from the surviving
+    documents themselves — semantic dedup with ZERO external inputs.
+    Hash embeddings are bag-of-words, so this mode catches duplicates
+    lexical shingling structurally misses (word-order shuffles share few
+    3-gram shingles but have the identical hash vector — pinned in
+    tests); true paraphrase detection still needs neural embeddings.
 
     Precondition: ``id_col`` must be unique and non-null. Duplicate ids
     would fan out multiplicatively in the quality/language joins and, with
@@ -156,11 +162,27 @@ def curate_corpus(
     if embeddings is not None:
         from ..operators.similarity import semantic_dedup
 
-        alive = embeddings.join(
-            deduped.select(F.col("doc_id").alias(embedding_id_col)),
-            embedding_id_col,
-            "left_semi",
-        )
+        if isinstance(embeddings, str):
+            if embeddings != "hash":
+                raise ValueError(
+                    f"embeddings must be a DataFrame, 'hash', or None — got {embeddings!r}"
+                )
+            from ..operators.text import hash_embed
+
+            embedding_col, embedding_id_col = "embedding", "doc_id"
+            alive = hash_embed(
+                deduped.withColumnRenamed("doc_id", id_col)
+                if id_col != "doc_id"
+                else deduped,
+                text_col,
+                id_col,
+            ).withColumnRenamed(id_col, "doc_id")
+        else:
+            alive = embeddings.join(
+                deduped.select(F.col("doc_id").alias(embedding_id_col)),
+                embedding_id_col,
+                "left_semi",
+            )
         sem_losers = (
             semantic_dedup(
                 alive,

@@ -140,3 +140,46 @@ def test_semantic_stage_drops_paraphrase_duplicates(spark):
     )
     kept = {r["doc_id"] for r in out.collect()}
     assert 0 in kept and 1 not in kept and rep.n_after_semantic == len(kept)
+
+
+def test_hash_semantic_stage_catches_word_order_shuffles(spark):
+    """embeddings='hash': a word-order-shuffled duplicate shares almost no
+    3-gram shingles (lexical MinHash misses it at threshold 0.7) but has
+    the IDENTICAL bag-of-words hash embedding — the zero-external-input
+    semantic stage removes it, keeping the minimum id."""
+    from feature_store_implementation_spark.pipelines.corpus import curate_corpus
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs into "
+        "the green field with great joy before the evening rain begins"
+    )
+    shuffled = " ".join(reversed(base.split()))
+    distinct = (
+        "a completely unrelated report about the quarterly finance results "
+        "and the market outlook for investors during the coming year ahead"
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, shuffled), (3, distinct)], "doc_id long, text string"
+    )
+    # without the semantic stage the shuffle survives lexical dedup
+    out_lex, rep_lex = curate_corpus(
+        docs, min_quality=0.0, languages=("en",), dedup_threshold=0.7
+    )
+    assert {r["doc_id"] for r in out_lex.select("doc_id").collect()} == {1, 2, 3}
+    # with embeddings="hash" the shuffled twin is caught, min id kept
+    out, rep = curate_corpus(
+        docs,
+        min_quality=0.0,
+        languages=("en",),
+        dedup_threshold=0.7,
+        embeddings="hash",
+        semantic_k=1,
+        semantic_threshold=0.99,
+    )
+    assert {r["doc_id"] for r in out.select("doc_id").collect()} == {1, 3}
+    assert rep.n_after_semantic == 2
+    # bad sentinel rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hash"):
+        curate_corpus(docs, embeddings="neural")
