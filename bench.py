@@ -139,6 +139,7 @@ EXTRAS = [
     "q_quantile_digest",
     "q_audience_overlap",
     "q_hash_embed",
+    "q_stream_sketch_profile",
 ]
 
 

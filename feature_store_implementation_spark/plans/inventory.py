@@ -1109,6 +1109,30 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_stream_sketch_profile", None)
+def q_stream_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed streaming metrics profile with mergeable sketches
+    (streaming/features.py sketch_profile_stream): per tumbling window,
+    count + exact sum + KLL p50/p95/p99 + HLL distinct users — run as a
+    REAL multi-trigger availableNow stream into a memory sink. The
+    drift/SLO monitor at 100 TB/day: per-window state is two fixed-size
+    sketches, never the row multiset exact percentiles would need.
+    Rows-only (sketch estimates carry Datasketches error bounds, not
+    hash equality); accuracy floors vs exact percentile/distinct and
+    stream≡batch window parity are pinned in tests/test_streaming.py."""
+    from ..streaming.features import sketch_profile_stream
+
+    return _stream_events_complete(spark, sf_dir, sketch_profile_stream).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_events",
+        "sum_value",
+        "p50",
+        "p95",
+        "p99",
+        "approx_users",
+    )
+
+
 def _drain_memory_sink(spark, name: str) -> DataFrame:
     """Materialize a memory-sink table into a plain local DataFrame and DROP
     the sink's temp view — sink rows otherwise accumulate in driver memory

@@ -489,3 +489,49 @@ def enrich_stream_scd2(
         & (F.col(valid_to).isNull() | (F.col(ts_col) < F.col(valid_to)))
     )
     return events.join(F.broadcast(d), cond, "left").drop("__dk")
+
+
+def sketch_profile_stream(
+    events: DataFrame,
+    value_col: str = "value",
+    distinct_col: str = "user_id",
+    width: str = "1 hour",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Windowed STREAMING metrics profile carrying mergeable sketches:
+    per tumbling window — row count, exact decimal sum, a Datasketches
+    KLL sketch of ``value_col`` read out as p50/p95/p99, and an HLL
+    distinct estimate of ``distinct_col``. The drift/SLO monitor shape:
+    distribution quantiles and cardinality of a 100 TB/day stream
+    maintained incrementally in bounded state (each window holds two
+    fixed-size sketches, never its rows), where exact percentiles would
+    need the window's full value multiset in state.
+
+    Works batch-or-streaming like every feature here (the stream≡batch
+    parity tests rely on it); same windowing/watermark discipline as
+    :func:`tumbling_features`. The KLL/HLL estimates carry the published
+    Datasketches error bounds; pair with `operators/incremental.py`
+    rollups when the sketch STATE itself must be persisted and merged
+    across jobs rather than read out per window."""
+    src = (
+        events.withWatermark("ts", watermark)
+        if (events.isStreaming and watermark)
+        else events
+    )
+    agg = src.groupBy(F.window("ts", width).alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum(F.col(value_col).cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+        F.kll_sketch_agg_double(F.col(value_col).cast("double")).alias("_kll"),
+        F.hll_sketch_agg(F.col(distinct_col)).alias("_hll"),
+    )
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        "n_events",
+        "sum_value",
+        F.round(F.kll_sketch_get_quantile_double("_kll", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.kll_sketch_get_quantile_double("_kll", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.kll_sketch_get_quantile_double("_kll", F.lit(0.99)), 6).alias("p99"),
+        F.hll_sketch_estimate("_hll").cast("long").alias("approx_users"),
+    )

@@ -635,3 +635,47 @@ def test_enrich_stream_scd2_matches_batch_interval_join(spark):
         .collect()
     }
     assert got == batch
+
+
+def test_sketch_profile_stream_accuracy_and_windows(spark, events_dir, tmp_path):
+    """sketch_profile_stream over a real multi-trigger stream: window set
+    and exact columns (n_events, sum_value) equal the batch run; the KLL
+    quantiles — ORDER STATISTICS under the Datasketches inclusive-rank
+    convention (smallest v with rank ≥ q), exact below the sketch's
+    k=200 — equal the python order statistic for these small windows;
+    the HLL user count lands within 5% of exact distinct."""
+    import math
+    from collections import defaultdict
+
+    from feature_store_implementation_spark.streaming.features import (
+        sketch_profile_stream,
+    )
+
+    batch_src = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    stream_src = read_events_stream(spark, events_dir)
+    got = {
+        r["window_start"]: r
+        for r in _run_stream(
+            spark,
+            sketch_profile_stream(stream_src, watermark=None),
+            tmp_path,
+            mode="complete",
+        ).collect()
+    }
+    rows = batch_src.select(
+        F.date_trunc("hour", "ts").alias("w"), "value", "user_id"
+    ).collect()
+    vals, users = defaultdict(list), defaultdict(set)
+    for r in rows:
+        vals[r["w"]].append(float(r["value"]))
+        users[r["w"]].add(r["user_id"])
+    assert set(got) == set(vals) and len(got) > 0
+    for w, v in vals.items():
+        g = got[w]
+        v = sorted(v)
+        assert g["n_events"] == len(v)
+        for q, name in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            want = round(v[max(0, math.ceil(q * len(v)) - 1)], 6)
+            assert g[name] == want, (w, name, g[name], want)
+        assert abs(g["approx_users"] - len(users[w])) <= max(0.05 * len(users[w]), 2)
+        assert g["p50"] <= g["p95"] <= g["p99"]
