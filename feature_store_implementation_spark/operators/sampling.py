@@ -306,7 +306,10 @@ def write_training_shards(
 
     out = shuffle_shards(df, n_shards, seed=seed, key_cols=key_cols)
     (
-        out.repartition(int(n_shards), "shard")
+        # range- not hash-partitioned: contiguous int shard ids land one-
+        # per-task (hash would collide ~1/e of tasks into double-shard
+        # stragglers and leave others empty)
+        out.repartitionByRange(int(n_shards), "shard")
         .sortWithinPartitions("shard", "pos")
         .write.partitionBy("shard")
         .parquet(path)
