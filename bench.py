@@ -140,6 +140,7 @@ EXTRAS = [
     "q_audience_overlap",
     "q_hash_embed",
     "q_stream_sketch_profile",
+    "q_warc_ingest",
 ]
 
 

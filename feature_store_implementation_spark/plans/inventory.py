@@ -6283,6 +6283,57 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_warc_ingest",
+    """
+    SELECT doc_id, text FROM documents
+    """,
+)
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingest round-trip (sources/files.py warc_source /
+    warc_text_documents — the Common Crawl arrival format, parsed with a
+    dependency-free ISO 28500 framing reader): the documents table is
+    serialized to gzipped multi-record WARC archives (fixture built
+    harness-side; bounded at gate scales), read back DISTRIBUTED — one
+    binaryFile task per archive, the right unit since gzipped WARCs are
+    unsplittable, exactly how CC runs at petabyte scale — and must
+    reproduce (doc_id, text) byte-for-byte, which the trivial oracle
+    checks. Multi-member gzip, HTTP-header stripping, Content-Length
+    framing (payloads containing 'WARC/' don't split records) are pinned
+    in tests/test_file_sources.py."""
+    import gzip
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.files import warc_source, warc_text_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    rows = d.select("doc_id", "text").collect()
+    tmp = tempfile.mkdtemp(prefix="q_warc_")
+    try:
+        blobs = [b""] * 4
+        for i, r in enumerate(rows):
+            body = r["text"].encode()
+            hdr = (
+                f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+                f"WARC-Record-ID: {r['doc_id']}\r\n"
+                f"WARC-Target-URI: http://x/{r['doc_id']}\r\n"
+                f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                f"Content-Type: text/plain\r\nContent-Length: {len(body)}\r\n\r\n"
+            ).encode()
+            blobs[i % 4] += hdr + body + b"\r\n\r\n"
+        for i, b in enumerate(blobs):
+            with open(os.path.join(tmp, f"part{i}.warc.gz"), "wb") as f:
+                f.write(gzip.compress(b))
+        out = warc_text_documents(warc_source(spark, tmp + "/*")).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "q_hash_embed",
     r"""
     WITH occ AS (

@@ -102,3 +102,108 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+WARC_SCHEMA = (
+    "path string, record_id string, warc_type string, target_uri string, "
+    "warc_date string, content_type string, payload binary"
+)
+
+
+def _parse_warc_stream(data: bytes):
+    """Sequential WARC/1.x record parser (ISO 28500 framing): each record
+    is a version line, CRLF header block, exactly Content-Length payload
+    bytes, then a CRLF CRLF separator. Pure-python, no warcio — the
+    format's framing is simple enough that a dependency buys nothing."""
+    pos, n = 0, len(data)
+    while pos < n:
+        start = data.find(b"WARC/", pos)
+        if start < 0:
+            return
+        hdr_end = data.find(b"\r\n\r\n", start)
+        if hdr_end < 0:
+            return
+        headers: dict[str, str] = {}
+        for line in data[start:hdr_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            if _:
+                headers[k.strip().lower().decode("ascii", "ignore")] = v.strip().decode(
+                    "utf-8", "ignore"
+                )
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            length = 0
+        body_start = hdr_end + 4
+        yield headers, data[body_start : body_start + length]
+        pos = body_start + length
+
+
+def warc_source(spark: SparkSession, path: str) -> DataFrame:
+    """Read WARC archives (the Common Crawl / web-corpus arrival format)
+    into (path, record_id, warc_type, target_uri, warc_date,
+    content_type, payload). ``.gz`` members are decompressed in-task
+    (multi-member streams included — the per-record-gzipped CC layout).
+
+    Scale shape: ``binaryFile`` read + Arrow-batched ``mapInPandas`` —
+    ONE task per archive file, which is the right unit because gzipped
+    WARCs are not splittable anyway (exactly how CC is processed at
+    petabyte scale: parallelism = number of archive files, each ~1 GB).
+    No shuffle; compose with `operators/text.py` gates downstream. Pair
+    with :func:`warc_text_documents` for the documents-table shape."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    binf = spark.read.format("binaryFile").load(path)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
+        import io
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                data = row["content"]
+                if row["path"].endswith(".gz"):
+                    with gzip.GzipFile(fileobj=io.BytesIO(data)) as g:
+                        data = g.read()  # GzipFile drains multi-member streams
+                out = []
+                for headers, payload in _parse_warc_stream(bytes(data)):
+                    out.append(
+                        {
+                            "path": row["path"],
+                            "record_id": headers.get("warc-record-id", ""),
+                            "warc_type": headers.get("warc-type", ""),
+                            "target_uri": headers.get("warc-target-uri", ""),
+                            "warc_date": headers.get("warc-date", ""),
+                            "content_type": headers.get("content-type", ""),
+                            "payload": payload,
+                        }
+                    )
+                if out:
+                    yield pd.DataFrame(out)
+
+    return binf.select("path", "content").mapInPandas(parse, schema=WARC_SCHEMA)
+
+
+def warc_text_documents(records: DataFrame) -> DataFrame:
+    """WARC records → the ``documents`` shape: keep ``conversion`` (WET
+    extracted-text) and ``response`` records, strip the HTTP header block
+    from responses (payload after the first CRLF CRLF), decode utf-8
+    lossily, emit (doc_id = record id, url, text). Map-only."""
+    from pyspark.sql import functions as F
+
+    txt = F.decode(F.col("payload"), "UTF-8")
+    sep = F.concat(F.lit("\r"), F.lit("\n"), F.lit("\r"), F.lit("\n"))
+    body = F.when(
+        (F.col("warc_type") == "response") & (F.instr(txt, sep) > 0),
+        F.expr("substring(decode(payload, 'UTF-8'), instr(decode(payload, 'UTF-8'), '\r\n\r\n') + 4)"),
+    ).otherwise(txt)
+    return (
+        records.filter(F.col("warc_type").isin("conversion", "response"))
+        .select(
+            F.col("record_id").alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            body.alias("text"),
+        )
+    )
