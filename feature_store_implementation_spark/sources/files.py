@@ -207,3 +207,56 @@ def warc_text_documents(records: DataFrame) -> DataFrame:
             body.alias("text"),
         )
     )
+
+
+def jsonl_quarantine_source(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL ingest that SALVAGES instead of failing: returns
+    ``(good, quarantine)`` where ``good`` carries schema-conforming rows
+    and ``quarantine`` the raw text of every line that failed to parse
+    or conform (``(raw, path)``) — the web-scrape reality where a
+    petabyte of JSONL always contains truncated lines, stray logs, and
+    schema drift, and one bad line must cost one quarantined row, not
+    the job (FAILFAST, the pipeline default in :func:`json_source`) or a
+    silent null row (plain PERMISSIVE).
+
+    One ``text`` scan feeds both frames — each line goes through
+    ``from_json`` against the declared schema; a line is quarantined
+    when it fails to parse (null struct) or parses to a row where every
+    declared field is null (valid JSON, wrong shape). Quarantine is
+    replayable: the ORIGINAL line is preserved byte-for-byte in every
+    case (the PERMISSIVE ``_corrupt_record`` route loses the raw text of
+    wrong-shape-but-valid-JSON lines, which is why this reads via
+    ``text``), so a schema fix reprocesses the quarantine directly."""
+    from pyspark.sql import functions as F
+
+    corrupt = "_corrupt_record"
+    opts = {"columnNameOfCorruptRecord": corrupt, **options}
+    full = T.StructType([*schema.fields, T.StructField(corrupt, T.StringType(), True)])
+    raw = (
+        spark.read.text(path)
+        .withColumn("_src", F.input_file_name())
+        .filter(F.trim("value") != "")
+    )
+    parsed = raw.select(F.from_json("value", full, opts).alias("j"), "value", "_src")
+    declared = [f.name for f in schema.fields]
+    all_null = F.lit(True)
+    for c in declared:
+        all_null = all_null & F.col("j").getField(c).isNull()
+    # bad = unparseable (null struct), type-violating (corrupt col set by
+    # PERMISSIVE from_json), or valid JSON of a completely wrong shape;
+    # a MISSING field alone is nullable-column semantics, not quarantine
+    bad = (
+        F.col("j").isNull()
+        | F.col("j").getField(corrupt).isNotNull()
+        | all_null
+    )
+    good = parsed.filter(~bad).select(*[F.col("j").getField(c).alias(c) for c in declared])
+    quarantine = parsed.filter(bad).select(
+        F.col("value").alias("raw"), F.col("_src").alias("path")
+    )
+    return good, quarantine

@@ -199,3 +199,40 @@ def test_warc_documents_roundtrip_table(spark, tmp_path):
         for r in warc_text_documents(warc_source(spark, str(tmp_path) + "/*")).collect()
     }
     assert got == {(r["doc_id"], r["text"]) for r in rows}
+
+
+def test_jsonl_quarantine_salvages_and_preserves_raw(spark, tmp_path):
+    """One text scan → (good, quarantine): unparseable lines, type
+    clashes, and wrong-shape JSON quarantine WITH their original bytes;
+    missing fields are nullable-column semantics; blank lines drop."""
+    from pyspark.sql import types as T
+
+    from feature_store_implementation_spark.sources.files import (
+        jsonl_quarantine_source,
+    )
+
+    lines = [
+        '{"doc_id": 1, "text": "good row"}',
+        "{broken json!!",
+        '{"wrong_shape": true}',
+        '{"doc_id": "not_an_int", "text": "type clash"}',
+        "",
+        '{"doc_id": 3}',
+    ]
+    (tmp_path / "a.jsonl").write_text("\n".join(lines))
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    good, quar = jsonl_quarantine_source(spark, str(tmp_path), schema)
+    assert sorted((r["doc_id"], r["text"]) for r in good.collect()) == [
+        (1, "good row"),
+        (3, None),
+    ]
+    assert sorted(r["raw"] for r in quar.collect()) == sorted(
+        [
+            "{broken json!!",
+            '{"wrong_shape": true}',
+            '{"doc_id": "not_an_int", "text": "type clash"}',
+        ]
+    )
+    assert all(r["path"].endswith("a.jsonl") for r in quar.collect())
