@@ -141,6 +141,7 @@ EXTRAS = [
     "q_hash_embed",
     "q_stream_sketch_profile",
     "q_warc_ingest",
+    "q_text_normalize",
 ]
 
 

@@ -692,3 +692,71 @@ def hash_embed(
         "raw", lambda x: F.when(F.col("n") > 0, x / F.col("n")).otherwise(F.lit(0.0))
     )
     return with_norm.select(id_col, emb.alias("embedding"))
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    form: str = "NFC",
+    lowercase: bool = False,
+    strip_accents: bool = False,
+    collapse_whitespace: bool = False,
+) -> DataFrame:
+    """Unicode normalization — the canonical pre-dedup step: visually
+    identical strings with different byte sequences (composed vs
+    decomposed accents, compatibility forms like ﬁ-ligatures or
+    full-width digits) hash differently and silently defeat EXACT dedup
+    and shingle fingerprints; normalizing first makes byte equality mean
+    text equality. ``form`` ∈ NFC/NFKC/NFD/NFKD (NFC for storage, NFKC
+    when compatibility folding is wanted); optional lowercasing,
+    accent stripping (NFD → drop combining marks → recompose), and
+    whitespace collapsing.
+
+    Unicode tables live in python's ``unicodedata`` (Spark SQL has no
+    normalization expression), so this is the legitimate Pandas-UDF
+    case: one Arrow-batched map pass, no shuffle — at 100 TB it runs at
+    scan bandwidth alongside the other row-local gates. Returns
+    (id_col, text_col) with the normalized text."""
+    from pyspark.sql import types as T
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"form must be NFC|NFKC|NFD|NFKD, got {form!r}")
+
+    src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, src.schema["__id"].dataType),
+            T.StructField(text_col, T.StringType()),
+        ]
+    )
+
+    def norm(batches):
+        import re as _re
+        import unicodedata
+
+        import pandas as pd
+
+        def one(x):
+            if x is None:
+                return None
+            t = unicodedata.normalize(form, x)
+            if strip_accents:
+                t = unicodedata.normalize(
+                    "NFC",
+                    "".join(
+                        c
+                        for c in unicodedata.normalize("NFD", t)
+                        if not unicodedata.combining(c)
+                    ),
+                )
+            if lowercase:
+                t = t.lower()
+            if collapse_whitespace:
+                t = _re.sub(r"\s+", " ", t).strip()
+            return t
+
+        for pdf in batches:
+            yield pd.DataFrame({id_col: pdf["__id"], text_col: pdf["__t"].apply(one)})
+
+    return src.mapInPandas(norm, schema=out_schema)

@@ -6283,6 +6283,36 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_text_normalize",
+    """
+    SELECT doc_id,
+           lower(strip_accents(nfc_normalize(
+             text || ' Cafe' || chr(769) || ' Ångström'
+           ))) AS text
+    FROM documents
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization (operators/text.py normalize_text): NFC +
+    accent-strip + lowercase — the pre-dedup pass that makes byte
+    equality mean text equality (composed vs decomposed accents hash
+    differently and silently defeat exact dedup). The corpus is ASCII,
+    so the harness appends a DECOMPOSED suffix ('Cafe'+combining-acute,
+    'Ångström') to every document before normalizing — both engines do
+    real composition/stripping work and must agree byte-for-byte: Spark
+    runs python unicodedata (Arrow-batched map pass), the oracle DuckDB's
+    nfc_normalize/strip_accents/lower. NFKC/whitespace modes and None
+    passthrough are pinned in tests (DuckDB has no NFKC function)."""
+    from ..operators.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" Café Ångström")).alias("text"),
+    )
+    return normalize_text(d, form="NFC", lowercase=True, strip_accents=True)
+
+
+@query(
     "q_warc_ingest",
     """
     SELECT doc_id, text FROM documents

@@ -75,3 +75,40 @@ def test_hash_embed_python_parity_and_composition(spark):
         (F.col("rank") == 1) & (F.col("query_id") == F.col("vec_id"))
     )
     assert self_hits.count() == 3
+
+
+def test_normalize_text_unicode_modes(spark):
+    """normalize_text: NFKC folds ligatures/full-width digits, accent
+    stripping via NFD-drop-combining, whitespace collapse, None
+    passthrough, and NFC composes decomposed accents (len shrinks)."""
+    import pytest as _pytest
+
+    from feature_store_implementation_spark.operators.text import normalize_text
+
+    d = spark.createDataFrame(
+        [
+            (1, "Café and ﬁne １２３"),
+            (2, "MIXED   Case\twith\nspace"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    r = {
+        x["doc_id"]: x["text"]
+        for x in normalize_text(
+            d,
+            form="NFKC",
+            lowercase=True,
+            strip_accents=True,
+            collapse_whitespace=True,
+        ).collect()
+    }
+    assert r[1] == "cafe and fine 123"
+    assert r[2] == "mixed case with space"
+    assert r[3] is None
+    composed = normalize_text(
+        spark.createDataFrame([(1, "Café")], "doc_id long, text string")
+    ).collect()[0]["text"]
+    assert composed == "Café" and len(composed) == 4
+    with _pytest.raises(ValueError, match="NFC"):
+        normalize_text(d, form="NFX")
