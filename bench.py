@@ -142,6 +142,7 @@ EXTRAS = [
     "q_stream_sketch_profile",
     "q_warc_ingest",
     "q_text_normalize",
+    "q_script_profile",
 ]
 
 

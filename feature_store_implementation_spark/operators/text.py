@@ -760,3 +760,51 @@ def normalize_text(
             yield pd.DataFrame({id_col: pdf["__id"], text_col: pdf["__t"].apply(one)})
 
     return src.mapInPandas(norm, schema=out_schema)
+
+
+_SCRIPT_CLASSES = {
+    # literal-char codepoint ranges: engine-neutral (Java regex and RE2
+    # both accept [literal-literal] classes, unlike \\uXXXX vs \\x{XXXX})
+    "latin": "A-Za-zÀ-ɏ",
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "arabic": "؀-ۿ",
+    "cjk": "一-鿿぀-ヿ가-힯",
+    "digit": "0-9",
+}
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Unicode SCRIPT composition — the multilingual triage
+    signal language-ID models sit on top of: the fraction of non-space
+    characters in Latin / Cyrillic / Greek / Arabic / CJK (incl. kana +
+    hangul) / digit classes, plus the argmax ``dominant_script`` (ties →
+    lexicographic; ``none`` when a doc has no non-space chars). Routing
+    by script is the cheap first cut at 100 TB — a CJK doc should never
+    enter a Latin-only dedup/quality path, and mixed-script docs are a
+    spam signal.
+
+    Pure JVM: one ``regexp_replace``+``length`` per class, map-only, no
+    UDF — the counts are "chars remaining after deleting non-class",
+    expressed with literal-character codepoint ranges so the same
+    pattern means the same thing in any regex engine (the DuckDB oracle
+    runs it verbatim)."""
+    nonspace = F.regexp_replace(F.col(text_col), r"\s", "")
+    total = F.length(nonspace)
+    cols = [F.col(id_col), total.alias("n_chars")]
+    ratio_cols = []
+    for name, cls in _SCRIPT_CLASSES.items():
+        n = F.length(F.regexp_replace(nonspace, f"[^{cls}]", ""))
+        r = F.when(total > 0, F.round(n / total, 6)).otherwise(F.lit(0.0))
+        cols.append(r.alias(f"{name}_ratio"))
+        ratio_cols.append((name, f"{name}_ratio"))
+    out = df.select(*cols)
+    dom = F.lit("none")
+    best = F.lit(0.0)
+    for name, rc in sorted(ratio_cols):
+        better = F.col(rc) > best
+        dom = F.when(better, F.lit(name)).otherwise(dom)
+        best = F.when(better, F.col(rc)).otherwise(best)
+    return out.withColumn("dominant_script", F.when(F.col("n_chars") > 0, dom).otherwise(F.lit("none")))

@@ -6283,6 +6283,56 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_script_profile",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             regexp_replace(text || ' Привет 你好 мир مرحبا 123', '\\s', '', 'g') AS ns
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, length(ns) AS n_chars,
+        CASE WHEN length(ns) > 0 THEN ROUND(CAST(length(regexp_replace(ns, '[^A-Za-zÀ-ɏ]', '', 'g')) AS DOUBLE) / length(ns), 6) ELSE 0 END AS latin_ratio,
+        CASE WHEN length(ns) > 0 THEN ROUND(CAST(length(regexp_replace(ns, '[^Ѐ-ӿ]', '', 'g')) AS DOUBLE) / length(ns), 6) ELSE 0 END AS cyrillic_ratio,
+        CASE WHEN length(ns) > 0 THEN ROUND(CAST(length(regexp_replace(ns, '[^Ͱ-Ͽ]', '', 'g')) AS DOUBLE) / length(ns), 6) ELSE 0 END AS greek_ratio,
+        CASE WHEN length(ns) > 0 THEN ROUND(CAST(length(regexp_replace(ns, '[^؀-ۿ]', '', 'g')) AS DOUBLE) / length(ns), 6) ELSE 0 END AS arabic_ratio,
+        CASE WHEN length(ns) > 0 THEN ROUND(CAST(length(regexp_replace(ns, '[^一-鿿぀-ヿ가-힯]', '', 'g')) AS DOUBLE) / length(ns), 6) ELSE 0 END AS cjk_ratio,
+        CASE WHEN length(ns) > 0 THEN ROUND(CAST(length(regexp_replace(ns, '[^0-9]', '', 'g')) AS DOUBLE) / length(ns), 6) ELSE 0 END AS digit_ratio
+      FROM s
+    )
+    SELECT doc_id, CAST(n_chars AS INTEGER) AS n_chars,
+           latin_ratio, cyrillic_ratio, greek_ratio, arabic_ratio, cjk_ratio, digit_ratio,
+           CASE
+             WHEN n_chars = 0 THEN 'none'
+             WHEN GREATEST(latin_ratio, cyrillic_ratio, greek_ratio, arabic_ratio, cjk_ratio, digit_ratio) = 0 THEN 'none'
+             WHEN arabic_ratio = GREATEST(latin_ratio, cyrillic_ratio, greek_ratio, arabic_ratio, cjk_ratio, digit_ratio) THEN 'arabic'
+             WHEN cjk_ratio = GREATEST(latin_ratio, cyrillic_ratio, greek_ratio, arabic_ratio, cjk_ratio, digit_ratio) THEN 'cjk'
+             WHEN cyrillic_ratio = GREATEST(latin_ratio, cyrillic_ratio, greek_ratio, arabic_ratio, cjk_ratio, digit_ratio) THEN 'cyrillic'
+             WHEN digit_ratio = GREATEST(latin_ratio, cyrillic_ratio, greek_ratio, arabic_ratio, cjk_ratio, digit_ratio) THEN 'digit'
+             WHEN greek_ratio = GREATEST(latin_ratio, cyrillic_ratio, greek_ratio, arabic_ratio, cjk_ratio, digit_ratio) THEN 'greek'
+             ELSE 'latin'
+           END AS dominant_script
+    FROM r
+    """,
+)
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script composition (operators/text.py script_profile):
+    per-doc Latin/Cyrillic/Greek/Arabic/CJK/digit fractions + dominant
+    script — the multilingual routing signal (a CJK doc should never
+    enter a Latin-only dedup path). Pure JVM regexp_replace+length with
+    LITERAL-CHARACTER codepoint ranges, which is what makes the oracle
+    possible: the same class patterns mean the same thing in Java regex
+    and DuckDB's RE2. The ASCII corpus gets a multi-script suffix
+    appended harness-side so every class does real counting work."""
+    from ..operators.text import script_profile
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), F.lit(" Привет 你好 мир مرحبا 123")).alias("text")
+    )
+    return script_profile(d).withColumn("n_chars", F.col("n_chars").cast("int"))
+
+
+@query(
     "q_text_normalize",
     """
     SELECT doc_id,

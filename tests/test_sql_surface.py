@@ -112,3 +112,45 @@ def test_normalize_text_unicode_modes(spark):
     assert composed == "Café" and len(composed) == 4
     with _pytest.raises(ValueError, match="NFC"):
         normalize_text(d, form="NFX")
+
+
+def test_script_profile_classes_and_dominance(spark):
+    """script_profile: known multi-script docs get the right ratios and
+    dominant script; whitespace-only and punctuation-only docs are
+    'none'; ratios over non-space chars sum to <= 1."""
+    from feature_store_implementation_spark.operators.text import script_profile
+
+    d = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "привет мир hello"),
+            (3, "你好 世界 こんにちは 한글"),
+            (4, "مرحبا بالعالم"),
+            (5, "12345"),
+            (6, "   "),
+            (7, "!!! ??? ..."),
+        ],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in script_profile(d).collect()}
+    assert r[1]["dominant_script"] == "latin" and r[1]["latin_ratio"] == 1.0
+    assert r[2]["dominant_script"] == "cyrillic"
+    assert abs(r[2]["cyrillic_ratio"] - 9 / 14) < 1e-6
+    assert r[3]["dominant_script"] == "cjk" and r[3]["cjk_ratio"] == 1.0
+    assert r[4]["dominant_script"] == "arabic" and r[4]["arabic_ratio"] == 1.0
+    assert r[5]["dominant_script"] == "digit"
+    assert r[6]["dominant_script"] == "none" and r[6]["n_chars"] == 0
+    assert r[7]["dominant_script"] == "none"  # non-space chars, no script hits
+    for x in r.values():
+        total = sum(
+            x[c]
+            for c in (
+                "latin_ratio",
+                "cyrillic_ratio",
+                "greek_ratio",
+                "arabic_ratio",
+                "cjk_ratio",
+                "digit_ratio",
+            )
+        )
+        assert total <= 1.0 + 1e-9
