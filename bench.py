@@ -143,6 +143,7 @@ EXTRAS = [
     "q_warc_ingest",
     "q_text_normalize",
     "q_script_profile",
+    "q_repeated_spans",
 ]
 
 

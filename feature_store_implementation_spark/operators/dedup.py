@@ -1603,3 +1603,77 @@ def line_dedup(
             F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
         )
     )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+) -> DataFrame:
+    """Span-level exact-substring dedup (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" shape,
+    word-granular): any run of ``n`` consecutive tokens that occurs MORE
+    THAN ONCE in the corpus — across documents or within one — is
+    removed from every document carrying it. Doc-level dedup misses
+    this entirely: boilerplate headers, license blocks, and quoted
+    chunks repeat inside otherwise-unique documents, and the model
+    memorizes exactly those spans.
+
+    Plan (all keyed, all linear): token positions → n-gram at each
+    start (JVM slice/concat) → global gram frequency (ONE shuffle on
+    the gram — the corpus's token count in rows, the same scale as any
+    inverted index here) → duplicated grams semi-join back → covered
+    token positions (start..start+n−1, distinct) → anti-join against
+    token positions → per-doc ordered reassembly. Tokens are the
+    lowercase whitespace tokens shared with every other text operator,
+    so the whole chain is oracle-expressible. Returns
+    (doc_id, clean_text, n_tokens, n_removed) — every input doc
+    appears, clean_text '' when everything was repeated."""
+    toks = tokens_col(F.col(text_col))
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).cache()
+    pos_tok = base.select(
+        "doc_id", F.posexplode_outer("toks").alias("pos", "tok")
+    )
+    gram_arr = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+            lambda i: F.array_join(F.slice("toks", i, n), "\x01"),
+        ),
+    ).otherwise(F.array().cast("array<string>"))  # sequence(1,0) would DESCEND
+    grams = base.select(
+        "doc_id", F.posexplode(gram_arr).alias("start", "gram")
+    )
+    dup_grams = grams.groupBy("gram").count().filter(F.col("count") > 1).select("gram")
+    covered = (
+        grams.join(dup_grams, "gram", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("start"), F.col("start") + (n - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = pos_tok.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("tok").alias("n_kept"),
+    )
+    return (
+        base.select("doc_id", F.size("toks").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

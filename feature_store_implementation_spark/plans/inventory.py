@@ -6283,6 +6283,61 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_repeated_spans",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT t.doc_id, u.i - 1 AS start,
+             array_to_string(toks[u.i : u.i + 9], chr(1)) AS gram
+      FROM t, UNNEST(range(1, len(toks) - 10 + 2)) AS u(i)
+      WHERE len(toks) >= 10
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+    cov AS (
+      SELECT DISTINCT g.doc_id, g.start + s.x AS pos
+      FROM g JOIN dup USING (gram), UNNEST(range(0, 10)) AS s(x)
+    ),
+    pt AS (
+      SELECT doc_id, u.i - 1 AS pos, toks[u.i] AS tok
+      FROM t, UNNEST(range(1, len(toks) + 1)) AS u(i)
+    ),
+    kept AS (
+      SELECT pt.doc_id, pt.pos, pt.tok
+      FROM pt ANTI JOIN cov ON pt.doc_id = cov.doc_id AND pt.pos = cov.pos
+    ),
+    reb AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(reb.clean_text, '') AS clean_text,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_removed
+    FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id
+    """,
+)
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup (operators/dedup.py
+    remove_repeated_spans — the Lee et al. 2022 shape, word-granular):
+    every 10-token run occurring more than once in the corpus is masked
+    out of every document carrying it — the boilerplate/license/quote
+    memorization case doc-level dedup can't touch. All keyed and linear
+    (gram-frequency shuffle ≈ the corpus's token count, same scale as
+    the inverted index), every step plain SQL — the DuckDB oracle
+    recomputes the full mask-and-reassemble chain and hash-matches the
+    rebuilt text byte-for-byte."""
+    from ..operators.dedup import remove_repeated_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return remove_repeated_spans(d, n=10)
+
+
+@query(
     "q_script_profile",
     """
     WITH s AS (

@@ -2016,3 +2016,42 @@ def test_ivfpq_contract_errors(spark, tmp_path):
     write_ivf_index(e, pq, n_cells=4, refine_iters=0, pq_m=8)
     with pytest.raises(ValueError, match="must be >= k"):
         query_ivf_index(spark, pq, q, k=10, pq_rerank=5)
+
+
+def test_remove_repeated_spans_license_block_and_self_repeat(spark):
+    """Span dedup: a shared license block vanishes from BOTH carriers
+    while their unique prose survives; a WITHIN-doc repeat is masked
+    too (both copies); short/unique/empty docs pass through whole."""
+    from feature_store_implementation_spark.operators.dedup import (
+        remove_repeated_spans,
+    )
+
+    lic = (
+        "this software is provided as is without warranty of any kind "
+        "either express or implied"
+    )
+    rep = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique intro one {lic} unique tail one"),
+            (2, f"different start here {lic} another ending"),
+            (3, f"{rep} middle words then again {rep}"),
+            (4, "totally original fourteen token content with no repeats anywhere in this document body"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in remove_repeated_spans(docs, n=8).collect()}
+    # license block (15 tokens) masked from both; unique edges survive
+    for d, edges in ((1, ("unique intro one", "unique tail one")),
+                     (2, ("different start here", "another ending"))):
+        assert lic not in r[d]["clean_text"]
+        for e in edges:
+            assert e in r[d]["clean_text"], (d, r[d]["clean_text"])
+        assert r[d]["n_removed"] == 15
+    # self-repeat: both 8-token copies masked, middle survives
+    assert rep not in r[3]["clean_text"]
+    assert "middle words then again" in r[3]["clean_text"]
+    assert r[3]["n_removed"] == 16
+    assert r[4]["n_removed"] == 0 and r[4]["n_tokens"] == 13
+    assert r[5]["clean_text"] == "" and r[5]["n_tokens"] == 0
