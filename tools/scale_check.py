@@ -203,6 +203,7 @@ def run_routes(spark, scaled_dir: str, mult: int, only: set | None = None) -> li
     from feature_store_implementation_spark.operators.dedup import (
         decontaminate,
         line_dedup,
+        remove_repeated_spans,
     )
     from feature_store_implementation_spark.operators.text import unigram_logprob
     from feature_store_implementation_spark.operators.similarity import semantic_dedup
@@ -267,6 +268,7 @@ def run_routes(spark, scaled_dir: str, mult: int, only: set | None = None) -> li
         ("line_dedup", line_dedup(d, "text", "doc_id")),
         ("unigram_logprob", unigram_logprob(d, "text", "doc_id")),
         ("hash_embed", hash_embed(d, "text", "doc_id")),
+        ("repeated_spans", remove_repeated_spans(d, "text", "doc_id", n=10)),
         (
             "quantile_digest",
             quantile_from_digest(
