@@ -144,6 +144,7 @@ EXTRAS = [
     "q_text_normalize",
     "q_script_profile",
     "q_repeated_spans",
+    "q_incremental_feature",
 ]
 
 

@@ -6283,6 +6283,63 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_incremental_feature",
+    f"""
+    WITH s AS (
+      SELECT CAST(l_suppkey AS VARCHAR) AS entity_id,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS sv,
+             MIN(l_extendedprice) AS min_v,
+             MAX(l_extendedprice) AS max_v
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT entity_id, cnt,
+           ROUND(CAST(sv AS DOUBLE) / CAST(cnt AS DOUBLE), 6) AS mean_v,
+           min_v, max_v
+    FROM s
+    """,
+)
+def q_incremental_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental feature materialization END-TO-END
+    (store/materialize.py): three 'daily' lineitem batches folded into a
+    real OfflineStore as mergeable partial-state rows (crash-atomic
+    segment appends; history never rescanned — the scale replacement for
+    the reference's full-recompute-per-request, compute.py:57-88), then
+    read back by merging each supplier's partials in exact DECIMAL. The
+    DuckDB oracle computes the same statistics in ONE pass over the full
+    table — hash equality proves merge(partial(A..C)) ≡ full recompute
+    through a store round-trip, JSON state envelope included (variance is
+    deliberately NOT in the oracle row: decimal-PRODUCT scale rules
+    differ between engines at the 15th significant digit; its exactness
+    is pinned Spark-vs-Spark in pytest instead). Compaction and time
+    travel of the same path are pinned in tests/test_feature_store.py."""
+    import shutil
+    import tempfile
+
+    from ..store.materialize import (
+        read_incremental_feature,
+        update_incremental_feature,
+    )
+    from ..store.offline import OfflineStore
+
+    li = load_table(spark, sf_dir, "lineitem")
+    root = tempfile.mkdtemp(prefix="q_inc_feat_")
+    try:
+        store = OfflineStore(spark, root)
+        for i in range(3):
+            update_incremental_feature(
+                store, 7, li.filter(F.col("l_orderkey") % 3 == i),
+                "l_suppkey", "l_extendedprice",
+            )
+        out = read_incremental_feature(store, 7).select(
+            "entity_id", "cnt", "mean_v", "min_v", "max_v"
+        )
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "q_repeated_spans",
     r"""
     WITH t AS (

@@ -917,3 +917,83 @@ def test_catalog_concurrent_instances_do_not_lose_updates(tmp_path):
     assert {v.version for v in Catalog(root).list_versions(f.id)} == {"v1", "v2"}
     with pytest.raises(ConflictError):
         b.create_version(f.id, "v1")  # committed by the other instance
+
+
+# ---------------------------------------------------------------------------
+# incremental feature materialization (store/materialize.py)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_feature_matches_full_recompute_and_compacts(spark, tmp_path):
+    """Three daily batches folded through the store equal the full
+    recompute bit-for-bit (decimal merge algebra); compaction collapses
+    to one state row per entity with identical reads; time travel
+    excludes batches committed after the pinned instant."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from feature_store_implementation_spark.store.materialize import (
+        compact_incremental_feature,
+        read_incremental_feature,
+        update_incremental_feature,
+    )
+    from feature_store_implementation_spark.store.offline import OfflineStore
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    store = OfflineStore(spark, str(tmp_path / "inc"))
+    for i in range(3):
+        update_incremental_feature(
+            store, 7, li.filter(F.col("l_orderkey") % 3 == i),
+            "l_suppkey", "l_extendedprice",
+        )
+    t_pin = time.time()
+    got = {r["entity_id"]: tuple(r)[1:] for r in read_incremental_feature(store, 7).collect()}
+    DEC = "decimal(28,8)"
+    exact = {
+        str(r["l_suppkey"]): (
+            r["cnt"], r["mean_v"], r["var_v"], r["mn"], r["mx"]
+        )
+        for r in li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).alias("s"),
+            F.sum(F.col("l_extendedprice").cast(DEC) * F.col("l_extendedprice").cast(DEC)).alias("s2"),
+            F.min("l_extendedprice").alias("mn"),
+            F.max("l_extendedprice").alias("mx"),
+        )
+        .select(
+            "l_suppkey", "cnt", "mn", "mx",
+            F.round(F.col("s").cast("double") / F.col("cnt").cast("double"), 6).alias("mean_v"),
+            F.round(
+                F.greatest(
+                    F.col("s2").cast("double") / F.col("cnt").cast("double")
+                    - (F.col("s").cast("double") / F.col("cnt").cast("double"))
+                    * (F.col("s").cast("double") / F.col("cnt").cast("double")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("var_v"),
+        )
+        .collect()
+    }
+    assert got == exact and len(got) > 0
+    n_rows_before = store.values_for_version(7).count()
+    assert n_rows_before == 3 * len(got)  # one partial per entity per batch
+    assert compact_incremental_feature(store, 7) == len(got)
+    got2 = {r["entity_id"]: tuple(r)[1:] for r in read_incremental_feature(store, 7).collect()}
+    assert got2 == got
+    # a 4th (replayed) batch double-counts by design (append-only); time
+    # travel to the pin reproduces the pre-append state exactly
+    update_incremental_feature(
+        store, 7, li.filter(F.col("l_orderkey") % 3 == 0),
+        "l_suppkey", "l_extendedprice",
+    )
+    got3 = {
+        r["entity_id"]: tuple(r)[1:]
+        for r in read_incremental_feature(store, 7, as_of=t_pin + 0.01).collect()
+    }
+    assert got3 == got
+    assert {
+        r["entity_id"]: r["cnt"] for r in read_incremental_feature(store, 7).collect()
+    } != {k: v[0] for k, v in got.items()}
