@@ -1631,7 +1631,10 @@ def remove_repeated_spans(
     (doc_id, clean_text, n_tokens, n_removed) — every input doc
     appears, clean_text '' when everything was repeated."""
     toks = tokens_col(F.col(text_col))
-    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).cache()
+    # scoped like every other cache in this module: the window evicts it
+    # after later routes run, so a long-lived pipeline session does not
+    # pin executor storage for the rest of its life
+    base = _cache_scoped(df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")))
     pos_tok = base.select(
         "doc_id", F.posexplode_outer("toks").alias("pos", "tok")
     )

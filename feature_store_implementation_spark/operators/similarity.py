@@ -535,6 +535,14 @@ def write_ivf_index(
     cells_dir = os.path.join(path, "cells")
     marker = os.path.join(path, "centroids.json")
     _prepare_index_dir(cells_dir, marker, overwrite)
+    # a rebuild retrains centroids (and codebooks), so every appended
+    # segment's stored cell ids / PQ codes are stale relative to the new
+    # sidecar — sweep them with the base, or query_ivf_index would union
+    # old vectors routed under the OLD centroids into the new index's
+    # probes (silently wrong results; schema mismatch if pq_m changed).
+    # Runs after _prepare_index_dir so the committed-index fail-fast
+    # fires first; also sweeps segments orphaned by a killed rebuild.
+    shutil.rmtree(os.path.join(path, "segments"), ignore_errors=True)
     C = _seed_centroids(corpus, id_col, vec_col, n_cells, refine_iters)
     Cn = _norm_rows(C)
     assigned = corpus.select(
@@ -594,6 +602,8 @@ def ivf_index_append(
     import shutil
     import uuid
 
+    from .dedup import _index_fsync
+
     with open(os.path.join(path, "centroids.json")) as f:
         meta = json.load(f)
     if not os.path.isdir(os.path.join(path, "cells")):
@@ -615,7 +625,17 @@ def ivf_index_append(
     staging = os.path.join(path, f".staging-{txn}")
     try:
         assigned.write.partitionBy("cell").parquet(staging)
+        # same durability discipline as _append_index_segment: fsync the
+        # staged files (recursively — the segment is partitioned into
+        # cell=N subdirs) and their directory entries BEFORE the commit
+        # rename, and the parent after, so a power loss can never surface
+        # a committed-but-torn segment
+        for droot, _dirs, files in os.walk(staging, topdown=False):
+            for fname in files:
+                _index_fsync(os.path.join(droot, fname))
+            _index_fsync(droot)
         os.rename(staging, seg)
+        _index_fsync(seg_root)
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise

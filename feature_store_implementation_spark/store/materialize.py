@@ -73,12 +73,7 @@ def update_incremental_feature(
     return store.write_values(int(version_id), rows)
 
 
-def _merged_state(store: OfflineStore, version_id: int, as_of=None) -> DataFrame:
-    vals = (
-        store.values_for_version_as_of(int(version_id), as_of)
-        if as_of is not None
-        else store.values_for_version(int(version_id))
-    )
+def _merge_partials(vals: DataFrame) -> DataFrame:
     s = vals.select(
         "entity_id", F.from_json("value", _STATE_SCHEMA).alias("st")
     )
@@ -89,6 +84,15 @@ def _merged_state(store: OfflineStore, version_id: int, as_of=None) -> DataFrame
         F.min(F.col("st.min_v")).alias("min_v"),
         F.max(F.col("st.max_v")).alias("max_v"),
     )
+
+
+def _merged_state(store: OfflineStore, version_id: int, as_of=None) -> DataFrame:
+    vals = (
+        store.values_for_version_as_of(int(version_id), as_of)
+        if as_of is not None
+        else store.values_for_version(int(version_id))
+    )
+    return _merge_partials(vals)
 
 
 def read_incremental_feature(
@@ -112,51 +116,83 @@ def read_incremental_feature(
     )
 
 
-def compact_incremental_feature(store: OfflineStore, version_id: int) -> int:
+def compact_incremental_feature(
+    store: OfflineStore, version_id: int, _after_snapshot=None
+) -> int:
     """Collapse accumulated partials to ONE state row per entity so reads
     stop paying the per-batch merge: the merged state is written to a
     fresh store at a temp path, then swapped in via the store's segment
     protocol — a new segment superseding every live segment, the same
     atomic cutover as file compaction (readers see the complete old
     partial set or the complete merged set, never a mix). Returns the
-    row count after compaction."""
+    row count after compaction. Concurrent compactions of the same
+    version are excluded by the store's O_EXCL ``.compact.lock`` (shared
+    with :func:`~.offline.compact_version_partition` — a state merge and
+    a file compaction racing each other would double-publish the same
+    snapshot just as badly as two of either). The snapshot is taken
+    FIRST and the merge reads exactly the snapshot's files, so an append
+    landing mid-compaction keeps its own live segment (never superseded,
+    merged on read) instead of being silently retired unmerged."""
     import os
     import shutil
     import uuid
 
     vid = int(version_id)
-    merged = _merged_state(store, vid).select(
-        "entity_id",
-        F.to_json(
-            F.struct(
-                F.col("cnt"),
-                F.col("sum_v").cast("string").alias("sum_v"),
-                F.col("sum_sq").cast("string").alias("sum_sq"),
-                F.col("min_v"),
-                F.col("max_v"),
-            )
-        ).alias("value"),
-    )
-    # stage the merged rows as data files via a throwaway store, then move
-    # them in and commit ONE segment superseding the current live set
-    snapshot = store._read_segments(vid)
-    tmp_root = os.path.join(store.root, f".compact-state-{uuid.uuid4().hex[:8]}")
-    tmp_store = OfflineStore(store.spark, tmp_root)
+    os.makedirs(store._segment_dir(vid), exist_ok=True)
+    lock = os.path.join(store._segment_dir(vid), ".compact.lock")
     try:
-        tmp_store.write_values(vid, merged)
-        part_rel = f"feature_version_id={vid}"
-        src_dir = os.path.join(tmp_store.path, part_rel)
-        dst_dir = os.path.join(store.path, part_rel)
-        os.makedirs(dst_dir, exist_ok=True)
-        txn = uuid.uuid4().hex[:12]
-        new_rel = []
-        for i, name in enumerate(sorted(os.listdir(src_dir))):
-            if not name.endswith(".parquet"):
-                continue
-            dst = f"{txn}-part-{i:05d}.parquet"
-            os.rename(os.path.join(src_dir, name), os.path.join(dst_dir, dst))
-            new_rel.append(f"{part_rel}/{dst}")
-        store._commit_segment(vid, new_rel, supersedes=list(snapshot), name=txn)
+        lock_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"another compaction is in flight for version {vid} (lock: {lock})"
+        )
+    try:
+        os.close(lock_fd)
+        # snapshot first; merge from exactly these files — values_for_version
+        # would re-resolve the manifest at action time and could fold in an
+        # append that the supersedes list below does not retire... or worse,
+        # retire one it never merged
+        snapshot = store._read_segments(vid)
+        if _after_snapshot is not None:  # test hook: interleave an append here
+            _after_snapshot()
+        snap_rel = sorted({f for s in snapshot.values() for f in s["files"]})
+        vals = store._read_files(snap_rel).filter(F.col("feature_version_id") == vid)
+        merged = _merge_partials(vals).select(
+            "entity_id",
+            F.to_json(
+                F.struct(
+                    F.col("cnt"),
+                    F.col("sum_v").cast("string").alias("sum_v"),
+                    F.col("sum_sq").cast("string").alias("sum_sq"),
+                    F.col("min_v"),
+                    F.col("max_v"),
+                )
+            ).alias("value"),
+        )
+        # stage the merged rows as data files via a throwaway store, then move
+        # them in and commit ONE segment superseding the snapshot
+        tmp_root = os.path.join(store.root, f".compact-state-{uuid.uuid4().hex[:8]}")
+        tmp_store = OfflineStore(store.spark, tmp_root)
+        try:
+            tmp_store.write_values(vid, merged)
+            part_rel = f"feature_version_id={vid}"
+            src_dir = os.path.join(tmp_store.path, part_rel)
+            dst_dir = os.path.join(store.path, part_rel)
+            os.makedirs(dst_dir, exist_ok=True)
+            txn = uuid.uuid4().hex[:12]
+            new_rel = []
+            for i, name in enumerate(sorted(os.listdir(src_dir))):
+                if not name.endswith(".parquet"):
+                    continue
+                dst = f"{txn}-part-{i:05d}.parquet"
+                os.rename(os.path.join(src_dir, name), os.path.join(dst_dir, dst))
+                new_rel.append(f"{part_rel}/{dst}")
+            store._commit_segment(vid, new_rel, supersedes=list(snapshot), name=txn)
+        finally:
+            shutil.rmtree(tmp_root, ignore_errors=True)
     finally:
-        shutil.rmtree(tmp_root, ignore_errors=True)
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
     return store.values_for_version(vid).count()

@@ -1706,6 +1706,57 @@ def test_ivf_index_append_full_probe_equals_brute_force(spark, tmp_path):
     assert got2 == want
 
 
+def test_ivf_index_overwrite_sweeps_appended_segments(spark, tmp_path):
+    """The documented retrain flow — append growth, then
+    ``write_ivf_index(..., overwrite=True)`` to retrain — must NOT leave
+    the old append segments behind: their stored cell ids were assigned
+    under the OLD centroids, so unioning them into the rebuilt index
+    would silently corrupt probe results (and mismatch schemas if pq_m
+    changed). After the overwrite, a full-probe query equals brute force
+    over exactly the rebuild corpus: no stale vector resurfaces, no row
+    is double-counted."""
+    import os
+
+    from feature_store_implementation_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_index_append,
+        query_ivf_index,
+        write_ivf_index,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base = df.filter(F.col("vec_id") % 3 == 1)
+    inc = df.filter(F.col("vec_id") % 3 == 2)
+    rebuild = df.filter(F.col("vec_id") % 3 != 0)  # base ∪ inc, re-trained
+    q = df.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf")
+    write_ivf_index(base, path, n_cells=4)
+    assert ivf_index_append(inc, path, txn="day1") == inc.count()
+    assert os.path.isdir(os.path.join(path, "segments", "seg-day1"))
+
+    # retrain over the full corpus — old segments must be swept, not
+    # unioned under the new centroids
+    write_ivf_index(rebuild, path, n_cells=6, refine_iters=2, overwrite=True)
+    assert not os.path.isdir(os.path.join(path, "segments"))
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in query_ivf_index(spark, path, q, k=10, n_probe=6).collect()
+    }
+    want = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(rebuild, q, k=10).collect()
+    }
+    assert got == want
+
+    # schema-change rebuild: overwriting a plain IVF index with an IVF-PQ
+    # layout must not union code-less stale segments into coded scans
+    write_ivf_index(rebuild, path, n_cells=4, overwrite=True, pq_m=8)
+    out = query_ivf_index(spark, path, q, k=5, n_probe=4, pq_rerank=30)
+    assert out.count() > 0
+
+
 def test_index_append_stays_exactly_once_across_compaction(spark, tmp_path):
     """The replay hole compaction could open: an epoch-keyed append whose
     segment was folded into a merged segment must STILL no-op on replay —

@@ -997,3 +997,91 @@ def test_incremental_feature_matches_full_recompute_and_compacts(spark, tmp_path
     assert {
         r["entity_id"]: r["cnt"] for r in read_incremental_feature(store, 7).collect()
     } != {k: v[0] for k, v in got.items()}
+
+
+def test_incremental_compaction_locked_and_append_safe(spark, tmp_path):
+    """The two races ADVICE r7 flagged in compact_incremental_feature:
+    (a) concurrent compactions of one version must be excluded by the
+    store's O_EXCL lock (two merged segments superseding the same
+    snapshot would double-count every partial on read), and (b) an
+    append landing between the snapshot and the commit must stay LIVE —
+    it was never merged, so retiring it would lose its rows. The merge
+    reads exactly the snapshot's files, the late append keeps its own
+    segment, and the post-compaction read equals the full recompute over
+    base ∪ late batch."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from feature_store_implementation_spark.store.materialize import (
+        compact_incremental_feature,
+        read_incremental_feature,
+        update_incremental_feature,
+    )
+    from feature_store_implementation_spark.store.offline import OfflineStore
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    store = OfflineStore(spark, str(tmp_path / "inc"))
+    for i in range(2):
+        update_incremental_feature(
+            store, 7, li.filter(F.col("l_orderkey") % 3 == i),
+            "l_suppkey", "l_extendedprice",
+        )
+
+    # (a) a held lock excludes a second compaction
+    lock = os.path.join(store._segment_dir(7), ".compact.lock")
+    os.makedirs(store._segment_dir(7), exist_ok=True)
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)
+    with pytest.raises(RuntimeError, match="another compaction"):
+        compact_incremental_feature(store, 7)
+    os.remove(lock)
+
+    # (b) an append that lands after the snapshot survives the cutover
+    late = li.filter(F.col("l_orderkey") % 3 == 2)
+    compact_incremental_feature(
+        store, 7,
+        _after_snapshot=lambda: update_incremental_feature(
+            store, 7, late, "l_suppkey", "l_extendedprice"
+        ),
+    )
+    got = {
+        r["entity_id"]: tuple(r)[1:]
+        for r in read_incremental_feature(store, 7).collect()
+    }
+    DEC = "decimal(28,8)"
+    exact = {
+        str(r["l_suppkey"]): tuple(r)[1:]
+        for r in li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).alias("s"),
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * F.col("l_extendedprice").cast(DEC)
+            ).alias("s2"),
+            F.min("l_extendedprice").alias("mn"),
+            F.max("l_extendedprice").alias("mx"),
+        )
+        .select(
+            "l_suppkey",
+            "cnt",
+            F.round(F.col("s").cast("double") / F.col("cnt").cast("double"), 6).alias("mean_v"),
+            F.round(
+                F.greatest(
+                    F.col("s2").cast("double") / F.col("cnt").cast("double")
+                    - (F.col("s").cast("double") / F.col("cnt").cast("double"))
+                    * (F.col("s").cast("double") / F.col("cnt").cast("double")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("var_v"),
+            "mn",
+            "mx",
+        )
+        .collect()
+    }
+    assert got == exact and len(got) > 0
+    # the lock is released after the run
+    assert not os.path.exists(lock)
