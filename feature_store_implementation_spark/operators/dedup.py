@@ -705,7 +705,14 @@ def simhash_signatures(
     if bits <= 0 or bits % 64:
         raise ValueError("bits must be a positive multiple of 64")
     n_words = bits // 64
-    toks = _spread_small_input(df).select(
+    # deliberately NOT _spread_small_input: unlike the shingle/k-minhash
+    # routes, this map stage is one cheap pipelined pass (tokenize +
+    # xxhash + conditional partial sums) whose cost the groupBy shuffle
+    # already parallelizes, so the up-front text repartition pays more
+    # than it buys — isolated r8 measurement: 64-bit sf0.1 1.87s without
+    # vs 2.11-2.39s with; identical at 128-bit and at a 10× corpus
+    # (SCALING.md "SimHash spread")
+    toks = df.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("tok")
     ).select(
         "doc_id",
