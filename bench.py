@@ -145,6 +145,7 @@ EXTRAS = [
     "q_script_profile",
     "q_repeated_spans",
     "q_incremental_feature",
+    "q_pretraining_corpus",
 ]
 
 

@@ -404,6 +404,64 @@ def index_vacuum(path: str, min_age_seconds: float = 24 * 3600) -> list[str]:
     return removed
 
 
+def maintain_index(
+    spark,
+    path: str,
+    compact_min_segments: int = 4,
+    vacuum_min_age_seconds: float = 24 * 3600,
+) -> dict:
+    """ONE operational entry point for every persisted index — MinHash /
+    SimHash signature indexes and the IVF/IVF-PQ vector index share the
+    same segment lifecycle (write → append → compact → vacuum) but grew
+    separate function families; a scheduler should not need to know
+    which is which. Detects the index kind from its layout
+    (``signatures/`` → signature index; ``centroids.json`` → IVF),
+    compacts when the live appended-segment count is at or above
+    ``compact_min_segments`` (the small-file hygiene threshold;
+    compaction itself is the kind's own verified protocol —
+    :func:`index_compact` / :func:`~.similarity.ivf_index_compact`),
+    and age-gated-vacuums crashed writers' staging dirs
+    (:func:`index_vacuum`). Returns a report dict:
+    ``{kind, segments_before, segments_after, compacted_rows,
+    vacuumed}``. Idempotent; run it from cron against every index path.
+    Same single-compactor-at-a-time discipline as the underlying
+    compactors."""
+    import glob
+    import os
+
+    if os.path.isdir(os.path.join(path, "signatures")):
+        kind, seg_root = "signature", os.path.join(path, "signatures")
+        compact = index_compact
+    elif os.path.exists(os.path.join(path, "centroids.json")):
+        from .similarity import ivf_index_compact
+
+        kind, seg_root = "ivf", os.path.join(path, "segments")
+        compact = ivf_index_compact
+    else:
+        raise FileNotFoundError(f"no persisted index recognized at {path}")
+
+    def live_segments() -> int:
+        dead = _superseded_names(seg_root) if os.path.isdir(seg_root) else set()
+        return sum(
+            1
+            for d in glob.glob(os.path.join(seg_root, "seg-*"))
+            if os.path.isdir(d) and os.path.basename(d) not in dead
+        )
+
+    before = live_segments()
+    compacted_rows = 0
+    if before >= int(compact_min_segments):
+        compacted_rows = compact(spark, path)
+    vacuumed = index_vacuum(path, vacuum_min_age_seconds)
+    return {
+        "kind": kind,
+        "segments_before": before,
+        "segments_after": live_segments(),
+        "compacted_rows": int(compacted_rows),
+        "vacuumed": vacuumed,
+    }
+
+
 def index_compact(spark, path: str) -> int:
     """Merge a persisted index's base files and appended segments into ONE
     segment — the small-file hygiene pass for streaming intake, where

@@ -619,9 +619,15 @@ def ivf_index_append(
     txn = uuid.uuid4().hex[:12] if txn is None else str(txn)
     seg_root = os.path.join(path, "segments")
     os.makedirs(seg_root, exist_ok=True)
+    from .dedup import _superseded_names, _sweep_superseded_segments
+
+    _sweep_superseded_segments(seg_root)  # finish any interrupted compaction
     seg = os.path.join(seg_root, f"seg-{txn}")
-    if os.path.isdir(seg):
-        return 0  # this token already committed (replayed trigger)
+    if os.path.isdir(seg) or f"seg-{txn}" in _superseded_names(seg_root):
+        # this token already committed — live, or folded into a merged
+        # segment whose supersedes record keeps it durable (exactly-once
+        # across compactions, same contract as _append_index_segment)
+        return 0
     staging = os.path.join(path, f".staging-{txn}")
     try:
         assigned.write.partitionBy("cell").parquet(staging)
@@ -640,6 +646,71 @@ def ivf_index_append(
         shutil.rmtree(staging, ignore_errors=True)
         raise
     return new_df.sparkSession.read.parquet(seg).count()
+
+
+def ivf_index_compact(spark, path: str) -> int:
+    """Merge a grown IVF index's appended segments into ONE segment — the
+    small-file hygiene pass for daily-increment ANN intake, mirroring the
+    signature indexes' :func:`~.dedup.index_compact` protocol exactly:
+    read every live segment, stage the merged cell-partitioned parquet
+    plus a ``_supersedes.json`` naming the exact segment dirs it
+    replaces (transitively carried forward, so an append txn stays
+    recorded across compactions — exactly-once for replayed streaming
+    triggers), fsync, ONE atomic rename to commit, then delete the
+    sources. The base ``cells/`` layout is untouched (its centroids
+    define every segment's routing, so base+merged stay directly
+    unionable); a crash between commit and deletion leaves a transient
+    double-count window that the next writer sweeps on sight, and
+    readers skip superseded names regardless. Run one compactor at a
+    time. Returns the merged row count, or 0 with ≤1 live segment."""
+    import glob as _glob
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from .dedup import _index_fsync, _superseded_names, _sweep_superseded_segments
+
+    seg_root = os.path.join(path, "segments")
+    if not os.path.isdir(os.path.join(path, "cells")):
+        raise FileNotFoundError(f"no committed IVF index at {path}")
+    if not os.path.isdir(seg_root):
+        return 0
+    _sweep_superseded_segments(seg_root)
+    segs = sorted(
+        os.path.basename(d)
+        for d in _glob.glob(os.path.join(seg_root, "seg-*"))
+        if os.path.isdir(d)
+    )
+    if len(segs) <= 1:
+        return 0
+    from functools import reduce
+
+    merged = reduce(
+        DataFrame.unionByName,
+        [spark.read.parquet(os.path.join(seg_root, s)) for s in segs],
+    )
+    txn = uuid.uuid4().hex[:12]
+    staging = os.path.join(path, f".staging-{txn}")
+    try:
+        merged.write.partitionBy("cell").parquet(staging)
+        record = sorted(set(segs) | _superseded_names(seg_root))
+        with open(os.path.join(staging, "_supersedes.json"), "w") as f:
+            json.dump({"supersedes": record}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        for droot, _dirs, files in os.walk(staging, topdown=False):
+            for fname in files:
+                _index_fsync(os.path.join(droot, fname))
+            _index_fsync(droot)
+        seg = os.path.join(seg_root, f"seg-{txn}")
+        os.rename(staging, seg)
+        _index_fsync(seg_root)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    _sweep_superseded_segments(seg_root)
+    return spark.read.parquet(seg).count()
 
 
 def query_ivf_index(
@@ -697,10 +768,16 @@ def query_ivf_index(
     import glob as _glob
     from functools import reduce
 
+    from .dedup import _superseded_names
+
+    seg_root = os.path.join(path, "segments")
+    # skip segments a committed compaction superseded (the compactor may
+    # have crashed before deleting them — readers must not double-count)
+    dead = _superseded_names(seg_root) if os.path.isdir(seg_root) else set()
     roots = [os.path.join(path, "cells")] + sorted(
         d
-        for d in _glob.glob(os.path.join(path, "segments", "seg-*"))
-        if os.path.isdir(d)
+        for d in _glob.glob(os.path.join(seg_root, "seg-*"))
+        if os.path.isdir(d) and os.path.basename(d) not in dead
     )
     # one scan per root, unioned: each root is its own partitioned layout
     # (base vs appended segments differ in depth, so a single multi-path

@@ -7427,3 +7427,47 @@ def q_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _drain_memory_sink(spark, name)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query("q_pretraining_corpus", None)
+def q_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END pretraining-data build as one artifact
+    (pipelines/pretraining.py build_pretraining_corpus): normalize →
+    quality/language gates → lexical (MinHash-LSH) + semantic
+    (hash-embed SemDeDup) dedup → benchmark decontamination →
+    temperature mixture over languages → leakage-safe train/valid/test
+    split → deterministic shuffle + shard export → sequence-packing
+    stats, committed with a per-stage survivor manifest. Returns the
+    manifest flattened to (stage, n_docs) rows — per-stage survivor
+    counts, per-split row counts, and the packed-chunk count — all
+    content-hash-deterministic, so the row set is stable across runs
+    and engines. Rows-only by design (the pipeline is a composition of
+    individually oracle-verified operators; byte-identical replay, the
+    straddle-freedom of the split, and pack-stat recounts are pinned in
+    tests/test_corpus_pipeline.py)."""
+    import shutil
+    import tempfile
+
+    from ..pipelines.pretraining import build_pretraining_corpus
+
+    d = load_table(spark, sf_dir, "documents")
+    eval_df = d.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="q_pretrain_")
+    try:
+        m = build_pretraining_corpus(
+            d,
+            tmp,
+            languages=("en", "fr", "de", "es", "zh"),
+            eval_df=eval_df,
+            mixture_alpha=0.5,
+            mixture_col="lang",
+            split_fractions={"train": 0.9, "valid": 0.05, "test": 0.05},
+            n_shards=4,
+            seed=42,
+        )
+        rows = [(s["stage"], s["n_docs"]) for s in m["stages"]]
+        rows += [(f"split:{k}", v["rows"]) for k, v in sorted(m["splits"].items())]
+        rows.append(("pack:chunks", m["pack"]["n_chunks"]))
+        return spark.createDataFrame(rows, "stage string, n_docs long")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

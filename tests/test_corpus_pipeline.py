@@ -183,3 +183,137 @@ def test_hash_semantic_stage_catches_word_order_shuffles(spark):
 
     with _pytest.raises(ValueError, match="hash"):
         curate_corpus(docs, embeddings="neural")
+
+
+# ---------------------------------------------------------------------------
+# the full pretraining build (pipelines/pretraining.py)
+# ---------------------------------------------------------------------------
+
+
+def _build(spark, tmp_path, name, seed=42, **kw):
+    from feature_store_implementation_spark.pipelines.pretraining import (
+        build_pretraining_corpus,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    defaults = dict(
+        languages=("en", "fr", "de", "es", "zh"),
+        eval_df=eval_df,
+        mixture_alpha=0.5,
+        mixture_col="lang",
+        split_fractions={"train": 0.9, "valid": 0.05, "test": 0.05},
+        n_shards=4,
+        seed=seed,
+    )
+    defaults.update(kw)
+    return build_pretraining_corpus(docs, str(tmp_path / name), **defaults)
+
+
+def test_pretraining_build_stages_manifest_and_artifact(spark, tmp_path):
+    """One end-to-end build: per-stage survivor counts are monotone
+    non-increasing, the manifest on disk equals the returned dict, the
+    split rows sum to the post-mixture corpus, every shard directory is
+    a pos-ordered run, and the pack stats match a direct recount."""
+    import json
+    import math
+    import os
+
+    m = _build(spark, tmp_path, "c1")
+    counts = [s["n_docs"] for s in m["stages"]]
+    names = [s["stage"] for s in m["stages"]]
+    assert names == [
+        "ingest", "normalize", "quality", "language", "lexical_dedup",
+        "semantic_dedup", "decontaminate", "mixture", "split",
+    ]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert counts[0] == 500 and counts[-1] > 0
+
+    root = str(tmp_path / "c1")
+    with open(os.path.join(root, "_corpus_manifest.json")) as f:
+        assert json.load(f) == m
+
+    assert sum(s["rows"] for s in m["splits"].values()) == counts[-1]
+    # every shard is one pos-ordered run, readable as the dataloader would
+    for name, s in m["splits"].items():
+        part = spark.read.parquet(os.path.join(root, f"split={name}"))
+        assert part.count() == s["rows"]
+        for shard, rec in s["shards"]["shards"].items():
+            rows = (
+                part.filter(F.col("shard") == int(shard))
+                .select("pos").orderBy("pos").collect()
+            )
+            assert [r["pos"] for r in rows] == list(range(1, rec["rows"] + 1))
+
+    # pack stats: recount tokens on the stored train split
+    train = spark.read.parquet(os.path.join(root, "split=train"))
+    n_tok = train.select(
+        F.sum(
+            F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        ).alias("t")
+    ).first()["t"]
+    assert m["pack"]["total_tokens"] == n_tok
+    assert m["pack"]["n_chunks"] == math.ceil(n_tok / m["pack"]["budget"])
+
+
+def test_pretraining_build_replay_is_byte_identical(spark, tmp_path):
+    """Same input + same seed → the SAME manifest, byte for byte (no
+    timestamps, engine-portable hashes everywhere): the published-corpus
+    reproducibility contract. A different seed keeps every survivor
+    count and split fingerprint (membership is content-hash, not
+    seed-driven) but re-permutes the shard layout."""
+    import json
+
+    m1 = _build(spark, tmp_path, "r1")
+    m2 = _build(spark, tmp_path, "r2")
+    assert json.dumps(m1, sort_keys=True) == json.dumps(m2, sort_keys=True)
+
+    m3 = _build(spark, tmp_path, "r3", seed=7)
+    assert m3["stages"] == m1["stages"]
+    assert {k: v["fingerprint"] for k, v in m3["splits"].items()} == {
+        k: v["fingerprint"] for k, v in m1["splits"].items()
+    }
+    assert any(
+        m3["splits"][k]["shards"]["shards"] != m1["splits"][k]["shards"]["shards"]
+        for k in m1["splits"]
+    )
+
+
+def test_pretraining_build_split_is_leakage_safe_and_decontaminated(spark, tmp_path):
+    """No near-dup pair at the SPLIT threshold straddles two splits
+    (recomputed post-hoc over the stored corpus), and no surviving
+    document shares an 8-gram with the eval benchmark set."""
+    import os
+
+    from feature_store_implementation_spark.operators.dedup import decontaminate
+
+    m = _build(spark, tmp_path, "c2")
+    root = str(tmp_path / "c2")
+    parts = []
+    for name in m["splits"]:
+        parts.append(
+            spark.read.parquet(os.path.join(root, f"split={name}"))
+            .select("doc_id", "text", F.lit(name).alias("split"))
+        )
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionByName(p)
+
+    pairs = minhash_near_dup_pairs(corpus, "text", "doc_id", threshold=0.5)
+    straddle = (
+        pairs.join(
+            corpus.select(F.col("doc_id").alias("doc_id_a"), F.col("split").alias("sa")),
+            "doc_id_a",
+        )
+        .join(
+            corpus.select(F.col("doc_id").alias("doc_id_b"), F.col("split").alias("sb")),
+            "doc_id_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert straddle == 0
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    assert decontaminate(corpus, eval_df, "text", "doc_id", n=8).count() == 0

@@ -2106,3 +2106,77 @@ def test_remove_repeated_spans_license_block_and_self_repeat(spark):
     assert r[3]["n_removed"] == 16
     assert r[4]["n_removed"] == 0 and r[4]["n_tokens"] == 13
     assert r[5]["clean_text"] == "" and r[5]["n_tokens"] == 0
+
+
+def test_maintain_index_unified_entry_point(spark, tmp_path):
+    """One scheduler call for both index families: maintain_index detects
+    the kind from the layout, compacts when live segments >= threshold
+    (delegating to the kind's verified compactor), vacuums stale staging
+    dirs, and is idempotent. After IVF compaction the probe result still
+    equals brute force at full probe, and a replayed append txn that was
+    folded into the merged segment stays a no-op (exactly-once across
+    compaction)."""
+    import os
+
+    import pytest
+
+    from feature_store_implementation_spark.operators.dedup import (
+        maintain_index,
+        minhash_index_append,
+        minhash_index_write,
+    )
+    from feature_store_implementation_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_index_append,
+        query_ivf_index,
+        write_ivf_index,
+    )
+
+    with pytest.raises(FileNotFoundError):
+        maintain_index(spark, str(tmp_path / "nothing"))
+
+    # -- signature index ---------------------------------------------------
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    mh = str(tmp_path / "mh")
+    minhash_index_write(d.filter(F.col("doc_id") % 4 == 0), mh)
+    for i in (1, 2):
+        minhash_index_append(d.filter(F.col("doc_id") % 4 == i), mh, txn=f"t{i}")
+    # below threshold: no compaction, still vacuums
+    rep = maintain_index(spark, mh, compact_min_segments=4)
+    assert rep["kind"] == "signature" and rep["compacted_rows"] == 0
+    assert rep["segments_before"] == rep["segments_after"] == 2
+    rep = maintain_index(spark, mh, compact_min_segments=2)
+    assert rep["compacted_rows"] > 0 and rep["segments_after"] == 1
+    # replayed txn folded by compaction stays exactly-once
+    assert minhash_index_append(d.filter(F.col("doc_id") % 4 == 1), mh, txn="t1") == 0
+
+    # -- IVF index ---------------------------------------------------------
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    ivf = str(tmp_path / "ivf")
+    write_ivf_index(e.filter(F.col("vec_id") % 4 == 0), ivf, n_cells=4)
+    for i in (1, 2, 3):
+        ivf_index_append(e.filter(F.col("vec_id") % 4 == i), ivf, txn=f"v{i}")
+    # age-gated vacuum target: a dead staging dir
+    os.makedirs(os.path.join(ivf, ".staging-dead"))
+    rep = maintain_index(spark, ivf, compact_min_segments=2, vacuum_min_age_seconds=0)
+    assert rep["kind"] == "ivf"
+    assert rep["segments_before"] == 3 and rep["segments_after"] == 1
+    assert rep["compacted_rows"] == e.filter(F.col("vec_id") % 4 != 0).count()
+    assert any(s.endswith(".staging-dead") for s in rep["vacuumed"])
+
+    q = e.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in query_ivf_index(spark, ivf, q, k=10, n_probe=4).collect()
+    }
+    want = {
+        (r["query_id"], r["vec_id"]) for r in brute_force_topk(e, q, k=10).collect()
+    }
+    assert got == want
+    # folded append txn replays as a no-op
+    assert ivf_index_append(e.filter(F.col("vec_id") % 4 == 2), ivf, txn="v2") == 0
+    # idempotent: nothing left to do
+    rep2 = maintain_index(spark, ivf, compact_min_segments=2, vacuum_min_age_seconds=0)
+    assert rep2["compacted_rows"] == 0 and rep2["segments_after"] == 1
