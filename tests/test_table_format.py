@@ -1,0 +1,110 @@
+"""The storage-seam conformance suite: every `TableFormat` backend must
+pass these five contracts (append-visible, concurrent-append,
+kill-during-write, as-of, compaction) IDENTICALLY. Today that is the
+manifest-segment backend; a future Delta backend (delta-spark is not
+installable in this sandbox — pip is DNS-blocked) plugs into
+`available_formats()` and runs this file unchanged. SCALING.md's
+"Storage" section points here as the executable form of its
+Delta-capability mapping."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_store_implementation_spark.store.table_format import available_formats
+
+FORMATS = ["manifest", "delta"]
+
+
+@pytest.fixture(params=FORMATS)
+def fmt(request, spark, tmp_path):
+    forms = available_formats(spark)
+    if request.param not in forms:
+        pytest.skip(f"{request.param} backend not available in this environment")
+    return forms[request.param](spark, str(tmp_path / f"tbl-{request.param}"))
+
+
+def _rows(spark, tag: str, n: int = 20):
+    return spark.range(n).select(
+        F.concat(F.lit("e"), F.col("id").cast("string")).alias("entity_id"),
+        F.concat(F.lit(tag), F.lit(":"), F.col("id").cast("string")).alias("value"),
+    )
+
+
+def _vals(df):
+    return sorted((r["entity_id"], r["value"]) for r in df.collect())
+
+
+def test_contract_append_visible(spark, fmt):
+    assert fmt.read(1).count() == 0
+    assert fmt.append(1, _rows(spark, "a")) == 20
+    assert _vals(fmt.read(1)) == _vals(_rows(spark, "a"))
+    # versions are isolated
+    fmt.append(2, _rows(spark, "other", 5))
+    assert fmt.read(1).count() == 20 and fmt.read(2).count() == 5
+
+
+def test_contract_concurrent_append_no_lost_update(spark, fmt):
+    fmt.append(1, _rows(spark, "base", 5))
+    # writer B commits fully INSIDE writer A's stage->commit window
+    fmt.append(
+        1,
+        _rows(spark, "A", 10),
+        before_commit=lambda: fmt.append(1, _rows(spark, "B", 10)),
+    )
+    got = _vals(fmt.read(1))
+    want = sorted(
+        _vals(_rows(spark, "base", 5)) + _vals(_rows(spark, "A", 10)) + _vals(_rows(spark, "B", 10))
+    )
+    assert got == want
+
+
+def test_contract_kill_during_write_invisible_and_retryable(spark, fmt):
+    fmt.append(1, _rows(spark, "keep", 5))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        fmt.append(1, _rows(spark, "dead", 10), crash_before_commit=True)
+    assert _vals(fmt.read(1)) == _vals(_rows(spark, "keep", 5))
+    # the retry commits cleanly alongside the invisible wreckage
+    fmt.append(1, _rows(spark, "retry", 10))
+    assert fmt.read(1).count() == 15
+
+
+def test_contract_as_of_snapshot_survives_appends_and_compaction(spark, fmt):
+    fmt.append(1, _rows(spark, "day0", 10))
+    time.sleep(0.05)
+    pin = time.time()
+    time.sleep(0.05)
+    fmt.append(1, _rows(spark, "day1", 10))
+    assert _vals(fmt.read_as_of(1, pin)) == _vals(_rows(spark, "day0", 10))
+    assert fmt.read(1).count() == 20
+    # a LATER compaction must not retire what the snapshot saw
+    fmt.compact(1)
+    assert _vals(fmt.read_as_of(1, pin)) == _vals(_rows(spark, "day0", 10))
+    assert fmt.read(1).count() == 20
+
+
+def test_contract_compaction_shrinks_files_keeps_rows_spares_late_appends(spark, fmt):
+    for i in range(6):
+        fmt.append(1, _rows(spark, f"b{i}", 10))
+    before = fmt.file_count(1)
+    rows_before = _vals(fmt.read(1))
+    # an append that lands mid-compaction keeps its own commit
+    n_files = fmt.compact(
+        1, before_commit=lambda: fmt.append(1, _rows(spark, "late", 10))
+    )
+    assert fmt.file_count(1) <= before  # late append's files count too
+    assert n_files < before
+    got = _vals(fmt.read(1))
+    assert got == sorted(rows_before + _vals(_rows(spark, "late", 10)))
+
+
+def test_contract_vacuum_collects_replaced_files_after_retention(spark, fmt):
+    for i in range(4):
+        fmt.append(1, _rows(spark, f"b{i}", 10))
+    fmt.compact(1)
+    rows = _vals(fmt.read(1))
+    assert fmt.vacuum(min_age_seconds=10 * 3600) == []  # retention shields them
+    removed = fmt.vacuum(min_age_seconds=0)
+    assert removed  # the compacted-away originals
+    assert _vals(fmt.read(1)) == rows  # live read untouched
