@@ -679,3 +679,68 @@ def test_sketch_profile_stream_accuracy_and_windows(spark, events_dir, tmp_path)
             assert g[name] == want, (w, name, g[name], want)
         assert abs(g["approx_users"] - len(users[w])) <= max(0.05 * len(users[w]), 2)
         assert g["p50"] <= g["p95"] <= g["p99"]
+
+
+def test_rate_source_tumbling_dedup_smoke(spark):
+    """The stateful operators are not file-trigger-shaped: the SAME
+    dedup_windowed_features pipeline (watermarked dropDuplicates → 
+    tumbling append-mode aggregation) runs unchanged on a continuous
+    `rate` source — the socket/Kafka-shaped source available without
+    Kafka — with event time synthesized from the rate counter so
+    watermarks advance fast. Every closed 1-minute window holds exactly
+    600 raw counter ticks = 300 deduplicated events (each event_id is
+    emitted exactly twice), so any emitted row with n_events != 300
+    would mean dedup state or window finalization broke off the
+    availableNow path."""
+    import time
+    import uuid
+
+    from feature_store_implementation_spark.streaming.features import (
+        dedup_windowed_features,
+    )
+
+    name = f"rate_smoke_{uuid.uuid4().hex[:8]}"
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1000)
+        .load()
+        .select(
+            (F.col("value") / 2).cast("long").alias("event_id"),  # every id twice
+            F.lit(1).cast("long").alias("user_id"),
+            # event time fast-forwarded off the counter: 10 ticks per
+            # event-second -> ~100 event-seconds per wall-second
+            F.to_timestamp(
+                F.lit("2026-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(secs=(F.col("value") / 10).cast("long"))
+            ).alias("ts"),
+            F.lit("rate").alias("event_type"),
+            F.lit(1.0).alias("value"),
+        )
+    )
+    out = dedup_windowed_features(src, width="1 minute", watermark="30 seconds")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql(f"select * from {name}").collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert len(rows) >= 2, "rate stream emitted no closed windows"
+    for r in rows:
+        assert r["n_events"] == 300 and r["sum_value"] == 300.0
+    # windows are distinct and aligned to the minute
+    starts = [r["window_start"] for r in rows]
+    assert len(set(starts)) == len(starts)
+    assert all(s.second == 0 for s in starts)
+    spark.catalog.dropTempView(name)
