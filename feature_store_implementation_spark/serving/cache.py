@@ -8,9 +8,10 @@ local by design; Spark is not involved in sub-millisecond point serving."""
 from __future__ import annotations
 
 import hashlib
+import threading
 import time
 from collections import OrderedDict
-from typing import Any
+from typing import Any, Callable
 
 
 class FeatureCache:
@@ -18,6 +19,7 @@ class FeatureCache:
         self.maxsize = maxsize
         self.ttl = ttl
         self._data: OrderedDict[str, tuple[float, Any]] = OrderedDict()
+        self._lock = threading.RLock()  # serving is multi-threaded (HTTP)
         self.hits = 0
         self.misses = 0
 
@@ -35,25 +37,72 @@ class FeatureCache:
         return hashlib.md5(raw.encode()).hexdigest()
 
     def get(self, key: str) -> Any | None:
-        item = self._data.get(key)
-        if item is None:
-            self.misses += 1
-            return None
-        expires, value = item
-        if expires < time.monotonic():
-            del self._data[key]
-            self.misses += 1
-            return None
-        self._data.move_to_end(key)
-        self.hits += 1
-        return value
+        with self._lock:
+            item = self._data.get(key)
+            if item is None:
+                self.misses += 1
+                return None
+            expires, value = item
+            if expires < time.monotonic():
+                del self._data[key]
+                self.misses += 1
+                return None
+            self._data.move_to_end(key)
+            self.hits += 1
+            return value
 
     def set(self, key: str, value: Any) -> None:
-        if key in self._data:
-            self._data.move_to_end(key)
-        self._data[key] = (time.monotonic() + self.ttl, value)
-        while len(self._data) > self.maxsize:
-            self._data.popitem(last=False)
+        with self._lock:
+            if key in self._data:
+                self._data.move_to_end(key)
+            self._data[key] = (time.monotonic() + self.ttl, value)
+            while len(self._data) > self.maxsize:
+                self._data.popitem(last=False)
 
     def clear(self) -> None:
-        self._data.clear()
+        with self._lock:
+            self._data.clear()
+
+
+class SingleFlight:
+    """Per-key request coalescing for cold cache keys — the stampede
+    guard the reference lacks (its TTLCache recomputes once PER
+    concurrent miss, cache.py:32-35): when N threads miss the same key
+    at once, ONE leader runs the compute and every follower blocks on
+    its result, so the Spark plan for a key runs exactly once no matter
+    the concurrency. Distinct keys never serialize against each other
+    (per-key slots under one registry lock held only for dict ops). A
+    leader's exception propagates to its followers too — same request,
+    same outcome — and the slot is cleared either way, so the next
+    request retries fresh."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._calls: dict[str, dict] = {}
+
+    def do(self, key: str, fn: Callable[[], Any]) -> tuple[Any, bool]:
+        """Returns (result, led) where ``led`` is True when THIS call ran
+        ``fn`` (false for coalesced followers)."""
+        with self._lock:
+            slot = self._calls.get(key)
+            if slot is None:
+                slot = {"done": threading.Event(), "result": None, "exc": None}
+                self._calls[key] = slot
+                lead = True
+            else:
+                lead = False
+        if lead:
+            try:
+                slot["result"] = fn()
+            except BaseException as e:
+                slot["exc"] = e
+                raise
+            finally:
+                with self._lock:
+                    self._calls.pop(key, None)
+                slot["done"].set()
+            return slot["result"], True
+        slot["done"].wait()
+        if slot["exc"] is not None:
+            raise slot["exc"]
+        return slot["result"], False

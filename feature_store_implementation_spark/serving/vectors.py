@@ -35,7 +35,7 @@ from ..registry.catalog import Catalog, VersionRow
 from ..registry.schema_validation import validate_raw_data_schema
 from ..store.codec import decode_value_py, encode_value_col
 from ..store.offline import OfflineStore
-from .cache import FeatureCache
+from .cache import FeatureCache, SingleFlight
 
 
 @dataclass
@@ -52,6 +52,7 @@ class FeatureStore:
         self.catalog = Catalog(f"{root}/catalog")
         self.store = OfflineStore(spark, root)
         self.cache = cache if cache is not None else FeatureCache(maxsize=1000, ttl=3600)
+        self._flight = SingleFlight()  # stampede guard for cold keys
 
     # -- compute path ------------------------------------------------------
 
@@ -154,8 +155,30 @@ class FeatureStore:
         version: str | None = None,
     ) -> FeatureVector:
         """POST /feature-vectors (main.py:249-336): cache probe → one plan →
-        pivot → cache fill."""
+        pivot → cache fill. Cold keys are SINGLE-FLIGHTED: N concurrent
+        requests for the same uncached key run the Spark plan once (the
+        leader) and coalesce the rest — the stampede behavior the
+        reference's per-miss recompute (cache.py:32-35) degrades under;
+        job-count contract pinned in tests/test_feature_store.py and
+        measured in SCALING.md's serving table."""
         key = FeatureCache.make_key(entity_id, feature_names, version)
+        cached = self.cache.get(key)
+        if cached is not None:
+            return cached
+        result, _led = self._flight.do(
+            key, lambda: self._serve_vector_uncached(key, entity_id, feature_names, version)
+        )
+        return result
+
+    def _serve_vector_uncached(
+        self,
+        key: str,
+        entity_id: str,
+        feature_names: list[str] | None,
+        version: str | None,
+    ) -> FeatureVector:
+        # re-probe under the flight: a follower that lost the race AFTER
+        # the leader filled the cache must not recompute
         cached = self.cache.get(key)
         if cached is not None:
             return cached

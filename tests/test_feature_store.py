@@ -1085,3 +1085,71 @@ def test_incremental_compaction_locked_and_append_safe(spark, tmp_path):
     assert got == exact and len(got) > 0
     # the lock is released after the run
     assert not os.path.exists(lock)
+
+
+def test_cold_key_stampede_single_flight(fs):
+    """The cache-stampede contract: N concurrent requests for the SAME
+    uncached key run the underlying Spark plan exactly ONCE (leader +
+    coalesced followers — the reference's TTLCache recomputes per miss,
+    cache.py:32-35); distinct cold keys do not serialize against each
+    other; and a leader's NotFoundError propagates to every coalesced
+    follower of the same request."""
+    import threading
+
+    from feature_store_implementation_spark.serving.vectors import NotFoundError
+
+    _, f = _setup_feature(fs)
+    fs.compute_version(f.id, "v1.0", DATA, entity_id_column="id")
+    fs.cache.clear()
+
+    computes = []
+    orig = fs._serve_vector_uncached
+
+    def counting(key, entity_id, feature_names, version):
+        computes.append(entity_id)
+        return orig(key, entity_id, feature_names, version)
+
+    fs._serve_vector_uncached = counting
+
+    results, errors = [], []
+
+    def hit(entity):
+        try:
+            results.append(fs.serve_vector(entity).features)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    # one cold key, 8 concurrent clients -> ONE compute
+    threads = [threading.Thread(target=hit, args=("u1",)) for _ in range(8)]
+    barrier_unused = [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert not errors
+    assert results == [{"total_spend": 15.0}] * 8
+    assert computes == ["u1"]
+
+    # distinct cold keys run their own computes (no global serialization):
+    # same entity, different feature_names -> different cache keys
+    computes.clear()
+
+    def hit_named(entity):
+        results.append(fs.serve_vector(entity, ["total_spend"]).features)
+
+    threads = [
+        threading.Thread(target=t_fn, args=("u2",))
+        for t_fn in (hit, hit, hit_named, hit_named)
+    ]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert not errors and computes == ["u2", "u2"]
+
+    # a miss (unknown entity) propagates to leader AND followers, and the
+    # flight slot clears so later requests retry fresh
+    computes.clear()
+    threads = [threading.Thread(target=hit, args=("nope",)) for _ in range(4)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert len(errors) == 4 and all(isinstance(e, NotFoundError) for e in errors)
+    assert computes == ["nope"]
+    with __import__("pytest").raises(NotFoundError):
+        fs.serve_vector("nope")
+    assert computes == ["nope", "nope"]  # retried, not stuck

@@ -79,6 +79,37 @@ def main() -> None:
             sc.setJobGroup(None, None)
         warm_jobs = len(after - before)
 
+        # stampede: 16 concurrent clients, ONE cold key — single-flight
+        # must run the plan once; p95 ≈ the one compute (+ coalescing)
+        import threading
+
+        fs.cache.clear()
+        stampede_entity = entities[0]
+        computes = []
+        orig = fs._serve_vector_uncached
+
+        def counting(key, entity_id, feature_names, version):
+            computes.append(entity_id)
+            return orig(key, entity_id, feature_names, version)
+
+        fs._serve_vector_uncached = counting
+        stampede: list[float] = []
+        lock = threading.Lock()
+
+        def client():
+            t0 = time.perf_counter()
+            fs.serve_vector(stampede_entity)
+            dt = (time.perf_counter() - t0) * 1000
+            with lock:
+                stampede.append(dt)
+
+        threads = [threading.Thread(target=client) for _ in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        fs._serve_vector_uncached = orig
+
         print(
             json.dumps(
                 {
@@ -90,6 +121,10 @@ def main() -> None:
                     "warm_p50_ms": round(pct(warm, 50), 3),
                     "warm_p95_ms": round(pct(warm, 95), 3),
                     "warm_spark_jobs": warm_jobs,
+                    "stampede_clients": 16,
+                    "stampede_computes": len(computes),
+                    "stampede_p50_ms": round(pct(stampede, 50), 1),
+                    "stampede_p95_ms": round(pct(stampede, 95), 1),
                 }
             )
         )
