@@ -7047,13 +7047,37 @@ def q_weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_random_projection", None)
+def _jl_oracle_sql(dim: int = 64, out_dim: int = 16, seed: int = 42) -> str:
+    """The JL oracle is fully SQL-expressible because the projection
+    matrix depends on (dim, out_dim, seed) alone — NOT on the data: the
+    identical seeded Gaussian R is rebuilt here driver-side and inlined
+    as repr-precision double literals (bit-exact parse round-trip), one
+    list_inner_product per output coordinate. Summation-order ulp drift
+    between numpy's matmul and DuckDB's sequential product is ~1e-15
+    relative — invisible at the 6-decimal rounding both sides share."""
+    import numpy as np
+
+    R = np.random.RandomState(seed).randn(dim, out_dim) / np.sqrt(out_dim)
+    parts = []
+    for p in range(out_dim):
+        coeffs = ", ".join(repr(float(c)) for c in R[:, p])
+        parts.append(
+            f"SELECT vec_id, CAST({p} AS BIGINT) AS pos, "
+            f"round(list_inner_product(embedding::DOUBLE[], [{coeffs}]), 6) AS value "
+            "FROM embeddings"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("q_random_projection", _jl_oracle_sql())
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss Gaussian random projection 64-d → 16-d
     (operators/similarity.py random_projection): deterministic matrix
-    from a fixed seed, one Arrow-batched matmul, map-only. Rows-only (a
-    seeded Gaussian matrix isn't SQL-expressible); numpy parity and the
-    JL pairwise-distance distortion ceiling are pinned in
+    from a fixed seed, one Arrow-batched matmul, map-only. ORACLE-
+    bearing since r8: the seeded matrix is data-independent, so the
+    oracle rebuilds the identical R driver-side and inlines it as
+    literal coefficients (see _jl_oracle_sql); numpy parity and the JL
+    pairwise-distance distortion ceiling remain pinned in
     tests/test_dedup_similarity.py. Output rounded for stable hashing."""
     from ..operators.similarity import random_projection
 
