@@ -91,16 +91,25 @@ def _ordered_names() -> list[str]:
     # queries() entries each round. To guarantee every query earns a driver
     # CORRECTNESS row across rounds — without hand-picking which subset gets
     # verified — emission order is purely mechanical: ascending by the round
-    # each query was last driver-checked (never-checked first), oracle-bearing
-    # before rows-only within a group (the oracle hash compare is the stronger
-    # signal), definition order as the final tie-break. As CORRECTNESS_r*.json
-    # files accumulate, the least-recently-verified queries automatically
-    # rotate to the front.
+    # each query was last driver-checked, oracle-bearing before rows-only
+    # within a group (the oracle hash compare is the stronger signal),
+    # definition order as the final tie-break. As CORRECTNESS_r*.json files
+    # accumulate, the least-recently-verified queries automatically rotate
+    # to the front.
+    #
+    # Never-checked queries slot in just BEFORE the freshest group
+    # (max_round - 0.5), not at the front: once every query has a row (true
+    # since round 7), a newly added query must not displace the staleness
+    # backlog from the fixed-width window — it queues behind every
+    # genuinely stale group and earns its first row when the backlog
+    # clears. Before any CORRECTNESS file exists (round 1) the key
+    # degenerates to a constant and definition order rules, as before.
     latest = _driver_checked_rounds()
+    new_key = max(latest.values(), default=0) - 0.5
     def_idx = {n: i for i, n in enumerate(SPECS)}
     return sorted(
         SPECS,
-        key=lambda n: (latest.get(n, 0), SPECS[n].oracle is None, def_idx[n]),
+        key=lambda n: (latest.get(n, new_key), SPECS[n].oracle is None, def_idx[n]),
     )
 
 

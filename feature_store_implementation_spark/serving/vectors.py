@@ -199,9 +199,12 @@ class FeatureStore:
         vids = [r["feature_version_id"] for r in resolved.select("feature_version_id").collect()]
         if not vids:
             raise NotFoundError(f"No feature values found for entity '{entity_id}'")
-        values = self.store.values_for_versions(vids).filter(
-            F.col("entity_id") == entity_id
-        )  # B2
+        # entity_ids prunes at the MANIFEST: files whose recorded entity
+        # range excludes this id are never opened (the row filter below
+        # still applies — pruning only shrinks the scan)
+        values = self.store.values_for_versions(
+            vids, entity_ids=[str(entity_id)]
+        ).filter(F.col("entity_id") == entity_id)  # B2
         rows = (
             values.join(F.broadcast(resolved), "feature_version_id")  # B1
             .select("feature_name", "value")

@@ -39,9 +39,13 @@ Spark-first design:
   retry). This is the multi-writer core of what Delta's transaction log
   provides; the transactional production drop-in remains ``format("delta")``
   here and in :func:`compact_version_partition`.
-* **Sorted within files by entity_id** (``sortWithinPartitions``) so
-  parquet min/max page stats make point lookups by entity skip pages — the
-  columnar analog of the reference's idx_entity_feature.
+* **Range-partitioned and sorted by entity_id at write**, with each
+  segment recording per-file entity [min,max] (``entity_ranges``): point
+  and IN-list reads skip whole FILES from the manifest alone (Delta/
+  Iceberg-style data skipping — no footer is even opened), and parquet
+  min/max page stats skip pages within the survivors — the columnar
+  analog of the reference's idx_entity_feature (models.py:78-80), held
+  through compaction by ``repartitionByRange``.
 
 Format migration: two older layouts remain readable. (1) the round-6
 single-file manifest ``_manifests/v{id}.json`` is treated as one pseudo-
@@ -190,17 +194,86 @@ class OfflineStore:
             if n.startswith("part-") and n.endswith(".parquet") and not _TXN_FILE_RE.match(n)
         ]
 
-    def _manifest_files(self, version_id: int) -> list[str]:
+    def _manifest_files(
+        self, version_id: int, entity_ids: list[str] | None = None
+    ) -> list[str]:
         """Relative paths of the COMMITTED files for one version: union of
         its live segments (empty if the version has never committed). On a
         store with no ``_manifests`` at all, plain-named files are the old
-        format's committed data (read-side migration fallback)."""
+        format's committed data (read-side migration fallback).
+
+        ``entity_ids`` enables MANIFEST-LEVEL file skipping: a file is
+        dropped when its segment's recorded ``entity_ranges`` prove no
+        requested entity can be in it. Files without a recorded range
+        (legacy segments, stat-less footers) are always kept, so pruning
+        never changes results — only how many files the scan opens."""
         segs = self._read_segments(version_id)
         if segs:
-            return sorted({f for s in segs.values() for f in s["files"]})
+            return self._prune_segment_files(segs, entity_ids)
         if not os.path.isdir(self._manifest_dir()):
             return sorted(self._legacy_plain_files(version_id))
         return []
+
+    @staticmethod
+    def _prune_segment_files(
+        segs: dict[str, dict], entity_ids: list[str] | None
+    ) -> list[str]:
+        if not entity_ids:
+            return sorted({f for s in segs.values() for f in s["files"]})
+        targets = [str(e).encode("utf-8", "surrogatepass") for e in entity_ids]
+        keep: set[str] = set()
+        for s in segs.values():
+            ranges = s.get("entity_ranges", {})
+            for f in s["files"]:
+                rng = ranges.get(f)
+                if rng is None or OfflineStore._range_covers(rng, targets):
+                    keep.add(f)
+        return sorted(keep)
+
+    def _entity_ranges(self, rel_files: list[str]) -> dict[str, list[str]]:
+        """Per-file [min, max] of ``entity_id``, read from the parquet
+        footers the writer just produced (driver-side; a production task
+        writer would surface the same stats from its write handles). This
+        is Delta/Iceberg-style FILE-level data skipping: appends sort
+        within partitions and compaction range-partitions by entity, so
+        per-file ranges are (near-)disjoint and a point lookup resolves to
+        ~one file per live segment instead of every file in the version.
+        Parquet may store truncated bounds (min rounded down, max rounded
+        up), so the recorded range is a superset of the file's true range —
+        pruning on it can only over-include, never lose a row. Files whose
+        footer lacks usable stats are simply omitted (readers treat them
+        as unprunable)."""
+        import pyarrow.parquet as pq
+
+        ranges: dict[str, list[str]] = {}
+        for rf in rel_files:
+            try:
+                md = pq.ParquetFile(os.path.join(self.path, rf)).metadata
+                col_idx = next(
+                    i
+                    for i in range(md.num_columns)
+                    if md.schema.column(i).name == "entity_id"
+                )
+                mins: list[str] = []
+                maxs: list[str] = []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(col_idx).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError("row group without min/max")
+                    mins.append(str(st.min))
+                    maxs.append(str(st.max))
+                if mins:
+                    ranges[rf] = [min(mins), max(maxs)]
+            except Exception:
+                continue  # stat-less file: always read, never wrong
+        return ranges
+
+    @staticmethod
+    def _range_covers(rng: list[str], targets: list[bytes]) -> bool:
+        # parquet orders string stats by unsigned bytes; compare the same way
+        mn = rng[0].encode("utf-8", "surrogatepass")
+        mx = rng[1].encode("utf-8", "surrogatepass")
+        return any(mn <= t <= mx for t in targets)
 
     def _commit_segment(
         self, version_id: int, files: list[str], supersedes: list[str] | None = None, name: str | None = None
@@ -208,13 +281,19 @@ class OfflineStore:
         """The commit point: tmp-write + fsync + atomic rename of a NEW
         segment file. Nothing is read-modified-written, so concurrent
         appends commute; a crash before the rename leaves every previously
-        committed segment (and file set) fully intact."""
+        committed segment (and file set) fully intact. The segment record
+        carries per-file entity_id min/max (``entity_ranges``) so reads
+        with an entity predicate can skip whole files without opening a
+        single footer — see :meth:`_entity_ranges`."""
         seg_dir = self._segment_dir(version_id)
         os.makedirs(seg_dir, exist_ok=True)
         import time
 
         seg_id = name or uuid.uuid4().hex[:12]
         doc: dict = {"files": sorted(files), "committed_at": time.time()}
+        ranges = self._entity_ranges(sorted(files))
+        if ranges:
+            doc["entity_ranges"] = ranges
         if supersedes:
             doc["supersedes"] = sorted(supersedes)
         final = os.path.join(seg_dir, f"{seg_id}.json")
@@ -298,15 +377,21 @@ class OfflineStore:
         rows are visible afterwards."""
         vid = int(version_id)
         self._migrate_legacy_store()
-        out = (
-            values.select(
-                F.col("entity_id").cast("string").alias("entity_id"),
-                F.col("value").cast("string").alias("value"),
-                F.current_timestamp().alias("computed_at"),
-            )
-            # one shuffle-free pass; sort within files for entity data-skipping
-            .sortWithinPartitions("entity_id")
+        out = values.select(
+            F.col("entity_id").cast("string").alias("entity_id"),
+            F.col("value").cast("string").alias("value"),
+            F.current_timestamp().alias("computed_at"),
         )
+        # Range-partition by entity (keeping the caller's parallelism, so a
+        # small append still writes one file) + sort within files: this
+        # append's files get DISJOINT entity ranges, which is what makes
+        # the manifest's entity_ranges skip whole files on point reads and
+        # parquet page stats skip pages within the survivor. One shuffle
+        # per append, repaid on every serve.
+        n_parts = max(1, out.rdd.getNumPartitions())
+        if n_parts > 1:
+            out = out.repartitionByRange(n_parts, "entity_id")
+        out = out.sortWithinPartitions("entity_id")
         txn = uuid.uuid4().hex[:12]
         staging = os.path.join(self.path, ".staging", txn)
         out.write.parquet(staging)
@@ -340,13 +425,18 @@ class OfflineStore:
         rel = [f for vid in self._committed_versions() for f in self._manifest_files(vid)]
         return self._read_files(rel)
 
-    def values_for_version(self, version_id: int) -> DataFrame:
+    def values_for_version(
+        self, version_id: int, entity_ids: list[str] | None = None
+    ) -> DataFrame:
         """One version's committed rows: the file list comes from that
         version's manifest segments alone — the read plans over exactly
         the files it needs (manifest-level pruning, same effect as
-        partition pruning with a pre-pruned listing)."""
+        partition pruning with a pre-pruned listing). ``entity_ids``
+        additionally skips files whose recorded entity range excludes
+        every requested id (callers still row-filter; this only shrinks
+        the scan)."""
         vid = int(version_id)
-        return self._read_files(self._manifest_files(vid)).filter(
+        return self._read_files(self._manifest_files(vid, entity_ids)).filter(
             F.col("feature_version_id") == vid
         )
 
@@ -416,7 +506,7 @@ class OfflineStore:
         )
 
     def values_for_versions(
-        self, version_ids: list[int], as_of=None
+        self, version_ids: list[int], as_of=None, entity_ids: list[str] | None = None
     ) -> DataFrame:
         """Several versions' committed rows in one read — the serving-path
         shape: the file list is the union of exactly the named versions'
@@ -425,25 +515,35 @@ class OfflineStore:
         before any Spark planning happens). ``as_of`` applies the
         time-travel snapshot per version (see
         :meth:`values_for_version_as_of`) — the reproducible
-        training-export read."""
+        training-export read. ``entity_ids`` applies manifest-level file
+        skipping on top (see :meth:`_manifest_files`) — the serving cold
+        path passes the single requested entity, so the scan opens ~one
+        file per live segment instead of every file of every resolved
+        version."""
         vids = sorted({int(v) for v in version_ids})
         if as_of is None:
-            rel = [f for vid in vids for f in self._manifest_files(vid)]
+            rel = [f for vid in vids for f in self._manifest_files(vid, entity_ids)]
         else:
             secs = self._as_of_seconds(as_of)
             rel = [
                 f
                 for vid in vids
-                for s in self._read_segments(vid, as_of=secs).values()
-                for f in s["files"]
+                for f in self._prune_segment_files(
+                    self._read_segments(vid, as_of=secs), entity_ids
+                )
             ]
-            rel = sorted(set(rel))
+        rel = sorted(set(rel))
         return self._read_files(rel).filter(F.col("feature_version_id").isin(vids))
 
     def point_lookup(self, version_id: int, entity_id: str) -> DataFrame:
-        """Single-entity point read: manifest pruning (version) + parquet
-        page skipping (entity sort order) — the serving hot path."""
-        return self.values_for_version(version_id).filter(F.col("entity_id") == entity_id)
+        """Single-entity point read, three pruning layers deep: manifest
+        pruning (version) → FILE skipping (segment entity_ranges — files
+        whose [min,max] excludes the entity are never opened) → parquet
+        page skipping within the survivors (entity sort order) — the
+        serving hot path."""
+        return self.values_for_version(
+            version_id, entity_ids=[str(entity_id)]
+        ).filter(F.col("entity_id") == entity_id)
 
     def drop_version_values(self, version_id: int) -> bool:
         """Remove one version's committed data (crash recovery of a writer
@@ -565,7 +665,11 @@ def compact_version_partition(
         df = (
             store._read_files(old_rel)
             .select(*[f.name for f in _FILE_SCHEMA.fields])
-            .repartition(n_files)
+            # RANGE partitioning (not hash): compacted files get disjoint
+            # entity ranges, so manifest entity_ranges skipping and parquet
+            # page stats keep working after compaction — a hash repartition
+            # would smear every entity range across every output file
+            .repartitionByRange(n_files, "entity_id")
             .sortWithinPartitions("entity_id")
         )
         txn = uuid.uuid4().hex[:12]

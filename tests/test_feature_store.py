@@ -1153,3 +1153,94 @@ def test_cold_key_stampede_single_flight(fs):
     with __import__("pytest").raises(NotFoundError):
         fs.serve_vector("nope")
     assert computes == ["nope", "nope"]  # retried, not stuck
+
+
+def test_manifest_entity_range_file_skipping(spark, tmp_path):
+    """Round-8 data skipping: segments record per-file entity [min,max],
+    and point/IN-list reads drop files whose range excludes every
+    requested id — without opening a single parquet footer. Appends are
+    range-disjoint (write-side repartitionByRange + sort), so a point
+    lookup on a version built from k appends opens ~one file, not all."""
+    from feature_store_implementation_spark.store.offline import OfflineStore
+
+    store = OfflineStore(spark, str(tmp_path / "values"))
+    # three appends over disjoint entity populations -> 3 files, 3 ranges
+    for lo in (0, 100, 200):
+        rows = [(f"{i:04d}", str(i)) for i in range(lo, lo + 100)]
+        df = spark.createDataFrame(rows, "entity_id string, value string").coalesce(1)
+        store.write_values(11, df)
+
+    all_files = store._manifest_files(11)
+    assert len(all_files) == 3
+    segs = store._read_segments(11)
+    assert all("entity_ranges" in s for s in segs.values())
+
+    pruned = store._manifest_files(11, entity_ids=["0150"])
+    assert len(pruned) == 1
+    # pruning never changes results, only the scan
+    got = store.point_lookup(11, "0150").collect()
+    assert len(got) == 1 and got[0]["value"] == "150"
+    full = store.values_for_version(11).filter("entity_id = '0150'").collect()
+    assert [r["value"] for r in got] == [r["value"] for r in full]
+    # an id outside every range reads zero files and zero rows
+    assert store._manifest_files(11, entity_ids=["9999"]) == []
+    assert store.point_lookup(11, "9999").count() == 0
+    # IN-list across two appends' ranges opens exactly those two files
+    assert len(store._manifest_files(11, entity_ids=["0001", "0250"])) == 2
+
+
+def test_entity_skipping_multi_partition_append_and_compaction(spark, tmp_path):
+    """One MULTI-partition append range-partitions before writing, so even
+    a single append's files are disjoint; compaction repartitionByRange
+    keeps ranges disjoint after the rewrite. Both proved by pruning to a
+    strict file subset while results stay identical."""
+    from feature_store_implementation_spark.store.offline import (
+        OfflineStore,
+        compact_version_partition,
+    )
+
+    store = OfflineStore(spark, str(tmp_path / "values"))
+    rows = [(f"{i:05d}", str(i)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "entity_id string, value string").repartition(4)
+    store.write_values(3, df)
+
+    n_all = len(store._manifest_files(3))
+    assert n_all == 4
+    assert len(store._manifest_files(3, entity_ids=["00042"])) == 1
+    assert store.point_lookup(3, "00042").collect()[0]["value"] == "42"
+
+    # force a multi-file compaction; ranges must survive the rewrite
+    compact_version_partition(spark, store.path, 3, target_file_bytes=8 * 1024)
+    n_after = len(store._manifest_files(3))
+    assert n_after > 1
+    pruned_after = store._manifest_files(3, entity_ids=["00042"])
+    assert len(pruned_after) == 1
+    assert store.point_lookup(3, "00042").collect()[0]["value"] == "42"
+    assert store.values_for_version(3).count() == 2000
+
+
+def test_entity_skipping_backcompat_statless_segments(spark, tmp_path):
+    """Segments WITHOUT recorded ranges (pre-round-8 stores) are never
+    pruned: correctness is unconditional, skipping is an upgrade."""
+    import json
+    import os
+
+    from feature_store_implementation_spark.store.offline import OfflineStore
+
+    store = OfflineStore(spark, str(tmp_path / "values"))
+    df = spark.createDataFrame(
+        [("e1", "1"), ("e2", "2")], "entity_id string, value string"
+    ).coalesce(1)
+    store.write_values(5, df)
+    # simulate an old segment: strip the recorded ranges on disk
+    seg_dir = store._segment_dir(5)
+    for name in os.listdir(seg_dir):
+        if name.endswith(".json"):
+            p = os.path.join(seg_dir, name)
+            with open(p) as f:
+                doc = json.load(f)
+            doc.pop("entity_ranges", None)
+            with open(p, "w") as f:
+                json.dump(doc, f)
+    assert len(store._manifest_files(5, entity_ids=["zzz-not-there"])) == 1
+    assert store.point_lookup(5, "e1").collect()[0]["value"] == "1"
