@@ -29,7 +29,12 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.dedup import decontaminate, line_dedup, minhash_near_dup_pairs
+from ..operators.dedup import (
+    _cache_scoped,
+    decontaminate,
+    line_dedup,
+    minhash_near_dup_pairs,
+)
 from ..operators.graph import connected_components
 from ..operators.sampling import deterministic_sample
 from ..operators.text import language_id, quality_score, unigram_logprob
@@ -64,7 +69,7 @@ def curate_corpus(
     embeddings: DataFrame | str | None = None,
     embedding_col: str = "embedding",
     embedding_id_col: str = "doc_id",
-    semantic_k: int = 16,
+    semantic_k: int | None = None,
     semantic_threshold: float = 0.95,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation pipeline; returns (curated_docs, report).
@@ -149,8 +154,17 @@ def curate_corpus(
         threshold=dedup_threshold,
     )
     comps = connected_components(pairs, src="doc_id_a", dst="doc_id_b")
-    losers = comps.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias("doc_id")
+    # The loser frames (ids only — O(dup_rate × corpus) rows, a sliver of
+    # the corpus BYTES) are scope-cached: every downstream action on the
+    # survivor frame — stage counts here, and in a composed build the
+    # mixture/split/shard/fingerprint/pack passes — re-executes the
+    # survivor lineage, and without these caches each re-execution would
+    # re-run the full LSH (and semantic/decontamination) plan instead of
+    # re-joining a materialized id list against the cached gated frame.
+    losers = _cache_scoped(
+        comps.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id")
+        )
     )
     # NO broadcast hint here: the loser set is O(dup_rate x corpus) — at
     # 100 TB with 30-50% duplicate rates that is billions of rows. Let AQE
@@ -161,6 +175,15 @@ def curate_corpus(
     n_after_semantic = None
     if embeddings is not None:
         from ..operators.similarity import semantic_dedup
+
+        if semantic_k is None:
+            # The published SemDeDup discipline: fix cluster POPULATION,
+            # not cluster count — the within-cell verify is quadratic in
+            # cell size, so k grows with the survivor count to hold ~128
+            # vectors per cell (inside the 125-625 range the recall curve
+            # in SCALING.md was measured over). Callers wanting the exact
+            # operator default pass semantic_k=16 explicitly.
+            semantic_k = max(2, -(-n_after_dedup // 128))
 
         if isinstance(embeddings, str):
             if embeddings != "hash":
@@ -183,7 +206,12 @@ def curate_corpus(
                 embedding_id_col,
                 "left_semi",
             )
-        sem_losers = (
+        # semantic_dedup consumes its input ~6 times (k-means seeding +
+        # Lloyd iterations + top-n assignment + the blocked pair join);
+        # left lazy, each pass would re-run hash_embed / the semi-join AND
+        # the whole survivor lineage behind it
+        alive = _cache_scoped(alive)
+        sem_losers = _cache_scoped(
             semantic_dedup(
                 alive,
                 vec_col=embedding_col,
@@ -198,15 +226,17 @@ def curate_corpus(
         n_after_semantic = deduped.count()
 
     if eval_df is not None:
-        contaminated = decontaminate(
-            deduped.withColumnRenamed("doc_id", id_col)
-            if id_col != "doc_id"
-            else deduped,
-            eval_df,
-            text_col,
-            id_col,
-            n=decontaminate_ngram,
-        ).select("doc_id")
+        contaminated = _cache_scoped(
+            decontaminate(
+                deduped.withColumnRenamed("doc_id", id_col)
+                if id_col != "doc_id"
+                else deduped,
+                eval_df,
+                text_col,
+                id_col,
+                n=decontaminate_ngram,
+            ).select("doc_id")
+        )
         deduped = deduped.join(contaminated, "doc_id", "left_anti")
     n_after_decontamination = deduped.count()
 
