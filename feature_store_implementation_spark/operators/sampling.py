@@ -315,13 +315,23 @@ def write_training_shards(
         .parquet(path)
     )
     spark = df.sparkSession
-    counts = {
-        int(r["shard"]): int(r["n"])
-        for r in spark.read.parquet(path)
-        .groupBy("shard")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
+    # an empty split (tiny corpus × small fraction) writes only _SUCCESS;
+    # commit an honest zero-row manifest instead of failing schema
+    # inference on a data-less directory
+    has_data = any(
+        name.startswith("shard=") for name in os.listdir(path)
+    )
+    counts = (
+        {
+            int(r["shard"]): int(r["n"])
+            for r in spark.read.parquet(path)
+            .groupBy("shard")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        if has_data
+        else {}
+    )
     shards = {}
     for s, n in sorted(counts.items()):
         d = os.path.join(path, f"shard={s}")

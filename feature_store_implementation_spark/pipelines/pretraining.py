@@ -49,10 +49,15 @@ import math
 import os
 import uuid
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import minhash_near_dup_pairs
+from ..operators.dedup import (
+    minhash_index_append,
+    minhash_index_query,
+    minhash_index_write,
+    minhash_near_dup_pairs,
+)
 from ..operators.sampling import (
     leakage_safe_split,
     mixture_temperature_weights,
@@ -103,6 +108,7 @@ def build_pretraining_corpus(
     n_shards: int = 8,
     seed: int | str = 0,
     pack_budget: int = 512,
+    dedup_index: bool = False,
 ) -> dict:
     """Run the whole pretraining-data build and commit the sharded corpus
     plus its manifest at ``path``. Returns the manifest dict.
@@ -133,6 +139,12 @@ def build_pretraining_corpus(
       ``path/split=<name>/`` with shard counts scaled to the split
       fraction (≥1), same ``seed`` (a new seed is a fresh epoch
       permutation).
+    * **dedup_index** — additionally persists the survivors' MinHash
+      index at ``path/_dedup_index`` and the (doc_id, cluster, split)
+      map at ``path/_doc_splits/r0000``, making the artifact
+      INCREMENTALLY updatable: :func:`update_pretraining_corpus` checks
+      a new batch against the index in O(increment) — corpus text is
+      never re-read — and commits it as a manifest revision.
     * **pack** — :func:`pack_sequences` stats over the TRAIN split at
       ``pack_budget`` tokens; the manifest records total tokens and
       chunk count so the trainer can size its epoch without a scan.
@@ -283,10 +295,342 @@ def build_pretraining_corpus(
         "splits": splits,
         "pack": pack_record,
     }
+    if dedup_index:
+        # the survivors' MinHash state (all splits — an increment must not
+        # twin an EVAL doc any more than a train doc) + the cluster/split
+        # map updates chain through; both land before the manifest commit
+        # so a crashed build leaves no committed-but-indexless artifact
+        all_splits = split_df.withColumnRenamed(id_col, "doc_id")
+        minhash_index_write(
+            all_splits, os.path.join(path, "_dedup_index"), text_col, "doc_id"
+        )
+        (
+            # STRING-typed map: update revisions must union with this file
+            # whatever the caller's id type, and cluster labels mix corpus
+            # ids with increment ids
+            all_splits.select(
+                F.col("doc_id").cast("string").alias("doc_id"),
+                F.col("cluster").cast("string").alias("cluster"),
+                "split",
+            ).write.parquet(os.path.join(path, "_doc_splits", "r0000"))
+        )
+        manifest["dedup_index"] = {"path": "_dedup_index"}
+        manifest["revisions"] = []
+    _commit_manifest(path, manifest)
+    return manifest
+
+
+def _commit_manifest(path: str, manifest: dict) -> None:
     tmp = os.path.join(path, f".manifest.tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(path, "_corpus_manifest.json"))
-    return manifest
+
+
+def update_pretraining_corpus(
+    new_docs: DataFrame,
+    path: str,
+    eval_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Fold a NEW batch of documents into an existing
+    :func:`build_pretraining_corpus` artifact (built with
+    ``dedup_index=True``) in **O(increment)** — the daily-increment flow:
+
+    1. normalize + quality/language gates + within-increment dedup +
+       decontamination, with the BUILD's recorded parameters
+       (:func:`~.corpus.curate_corpus`, same code path as the base);
+    2. cross-corpus dedup through the persisted MinHash index
+       (``minhash_index_query`` at the SPLIT threshold — one increment-
+       sized pass; corpus text is never re-read, re-shingled or
+       re-hashed): increment docs with a corpus twin at
+       ``>= dedup_threshold`` drop;
+    3. the recorded mixture rates apply to the survivors (same
+       downsampling a full rebuild would apply);
+    4. leakage-safe split, CONSISTENT with the base: cross pairs in
+       ``[split_threshold, dedup_threshold)`` are mapped to the corpus
+       twin's recorded CLUSTER id and clustered together with the
+       increment-internal soft pairs, so a component whose minimum is a
+       corpus cluster gets md5(cluster) — literally the base split's
+       rule, hence the same split. A component whose minimum is a NEW id
+       (only possible when increment ids sort below corpus ids) would
+       deviate, so those components are OVERRIDDEN to the anchor corpus
+       cluster's recorded split (near-twins never straddle; the count is
+       recorded as ``split_overrides``). Two corpus clusters from
+       different splits bridged by one new doc follow the minimum
+       anchor (``bridge`` conflicts, also counted — the same documents
+       a full rebuild would move across splits);
+    5. survivors land as new shards under
+       ``path/increments/r{NNNN}/split=<name>/``, the (doc_id, cluster,
+       split) map under ``path/_doc_splits/r{NNNN}``, and the manifest
+       gains a revision record — the atomic-rename manifest write IS the
+       commit point (a crash before it leaves the previous revision
+       fully intact; the new files are unreferenced orphans);
+    6. AFTER the commit the survivors are appended to the MinHash index
+       (crash-atomic segment append), so tomorrow's increment checks
+       against corpus + today. A crash between commit and append leaves
+       committed docs unindexed — the failure direction is REDUNDANCY
+       (a later twin may be re-admitted), never silent loss, which is
+       why the index append goes last.
+
+    Semantic (hash-embed) dedup applies WITHIN the increment when the
+    base build used it; increment-vs-corpus semantic dedup would need
+    the persisted IVF index and is not wired here (lexical cross-dedup
+    only — documented gap). Returns the revision record."""
+    spark = new_docs.sparkSession
+    with open(os.path.join(path, "_corpus_manifest.json")) as f:
+        manifest = json.load(f)
+    if "dedup_index" not in manifest:
+        raise ValueError(
+            f"corpus at {path} was built without dedup_index=True — "
+            "rebuild it incrementally updatable first"
+        )
+    p = manifest["params"]
+    revisions = manifest.get("revisions", [])
+    rev = f"r{len(revisions) + 1:04d}"
+    index_path = os.path.join(path, manifest["dedup_index"]["path"])
+
+    stages: list[dict] = []
+
+    def stage(name: str, n: int) -> None:
+        stages.append({"stage": name, "n_docs": int(n)})
+
+    n_input = new_docs.count()
+    stage("ingest", n_input)
+
+    # -- the increment runs the SAME gate/dedup path as the base build ------
+    meta_cols = [c for c in new_docs.columns if c not in (id_col, text_col)]
+    normed = normalize_text(
+        new_docs,
+        text_col,
+        id_col,
+        form=p["normalize_form"],
+        collapse_whitespace=p["collapse_whitespace"],
+    )
+    if meta_cols:
+        normed = normed.join(new_docs.select(id_col, *meta_cols), id_col)
+    stage("normalize", n_input)
+
+    curated, rep = curate_corpus(
+        normed,
+        text_col=text_col,
+        id_col=id_col,
+        min_quality=p["min_quality"],
+        languages=tuple(p["languages"]),
+        dedup_threshold=p["dedup_threshold"],
+        eval_df=eval_df,
+        decontaminate_ngram=p["decontaminate_ngram"],
+        embeddings="hash" if p["semantic"] else None,
+        semantic_threshold=p["semantic_threshold"],
+    )
+    if id_col != "doc_id":
+        curated = curated.withColumnRenamed("doc_id", id_col)
+    stage("quality", rep.n_after_quality)
+    stage("language", rep.n_after_language)
+    stage("lexical_dedup_within", rep.n_after_dedup)
+    if p["semantic"]:
+        stage("semantic_dedup_within", rep.n_after_semantic)
+    if eval_df is not None:
+        stage("decontaminate", rep.n_after_decontamination)
+
+    # -- cross-corpus dedup via the persisted index (O(increment)) ----------
+    cross = minhash_index_query(
+        spark,
+        curated.withColumnRenamed(id_col, "doc_id")
+        if id_col != "doc_id"
+        else curated,
+        index_path,
+        text_col=text_col,
+        id_col="doc_id",
+        threshold=p["split_threshold"],
+    ).localCheckpoint(eager=True)
+    corpus_dups = (
+        cross.filter(F.col("jaccard") >= p["dedup_threshold"])
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    curated = curated.join(corpus_dups, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+    stage("lexical_dedup_vs_corpus", curated.count())
+
+    # -- the recorded mixture rates apply to the increment too --------------
+    mix = manifest.get("mixture")
+    if mix is not None:
+        curated = weighted_mix(
+            curated, mix["rates"], group_col=mix["col"], key_cols=[id_col]
+        ).localCheckpoint(eager=True)
+        stage("mixture", curated.count())
+
+    # -- split, consistent with the base (see docstring step 4) -------------
+    # ids travel as STRINGS through the split machinery (cluster labels mix
+    # increment doc ids with corpus cluster ids across revisions); the
+    # original id type is restored before sharding/index-append so the
+    # increment's files union cleanly with the base's
+    orig_id_type = dict(curated.dtypes)[id_col]
+    doc_splits = spark.read.parquet(
+        os.path.join(path, "_doc_splits", "r0000"),
+        *[
+            os.path.join(path, "_doc_splits", r["revision"])
+            for r in revisions
+        ],
+    )
+    soft_within = minhash_near_dup_pairs(
+        curated, text_col=text_col, id_col=id_col, threshold=p["split_threshold"]
+    ).select(
+        F.col("doc_id_a").cast("string").alias(f"{id_col}_a"),
+        F.col("doc_id_b").cast("string").alias(f"{id_col}_b"),
+    )
+    soft_cross = (
+        cross.filter(F.col("jaccard") < p["dedup_threshold"])
+        .select(
+            "new_id", F.col("corpus_id").cast("string").alias("corpus_doc_id")
+        )
+        .join(
+            doc_splits.select(
+                F.col("doc_id").alias("corpus_doc_id"), "cluster"
+            ),
+            "corpus_doc_id",
+        )
+        .select(
+            F.col("new_id").cast("string").alias(f"{id_col}_a"),
+            F.col("cluster").alias(f"{id_col}_b"),
+        )
+    )
+    pairs = soft_within.unionByName(soft_cross)
+    fractions = {k: float(v) for k, v in p["split_fractions"].items()}
+    assigned = leakage_safe_split(
+        curated.withColumn(id_col, F.col(id_col).cast("string")),
+        fractions,
+        pairs=pairs,
+        id_col=id_col,
+    ).localCheckpoint(eager=True)
+
+    # override: components anchored to a corpus cluster follow its recorded
+    # split (md5 already agrees whenever the component min IS the corpus
+    # cluster — the common case; the override exists for new-id-below-
+    # corpus-id components and counts how often it fired)
+    anchors = (
+        soft_cross.groupBy(F.col(f"{id_col}_a").alias(id_col))
+        .agg(F.min(f"{id_col}_b").alias("anchor_cluster"))
+    )
+    comp_anchor = (
+        assigned.select(id_col, "cluster")
+        .join(anchors, id_col)
+        .groupBy("cluster")
+        .agg(F.min("anchor_cluster").alias("anchor_cluster"))
+    )
+    cluster_split = doc_splits.select(
+        F.col("cluster").alias("anchor_cluster"),
+        F.col("split").alias("anchor_split"),
+    ).dropDuplicates(["anchor_cluster"])
+    comp_anchor = comp_anchor.join(cluster_split, "anchor_cluster")
+    final = (
+        assigned.join(F.broadcast(comp_anchor), "cluster", "left")
+        .withColumn(
+            "__overridden",
+            F.col("anchor_split").isNotNull()
+            & (F.col("anchor_split") != F.col("split")),
+        )
+        .withColumn("split", F.coalesce("anchor_split", "split"))
+        .withColumn(
+            "cluster", F.coalesce("anchor_cluster", "cluster")
+        )
+        .drop("anchor_cluster", "anchor_split")
+        .localCheckpoint(eager=True)
+    )
+    n_overrides = final.filter("__overridden").count()
+    final = final.drop("__overridden")
+    stage("split", final.count())
+
+    # -- commit: shards + doc-splits land, then ONE manifest rename ---------
+    splits_rec: dict[str, dict] = {}
+    for name in fractions:
+        part = (
+            final.filter(F.col("split") == name)
+            .drop("split", "cluster")
+            .withColumn(id_col, F.col(id_col).cast(orig_id_type))
+        )
+        n_part = part.count()
+        if n_part == 0:
+            continue
+        # shards sized to the INCREMENT (one per ~250k survivors), not to
+        # the base's n_shards — a daily batch should not fan into 8 micro-
+        # shards; epoch-level re-sharding is compaction's job
+        k = max(1, math.ceil(n_part / 250_000))
+        shard_manifest = write_training_shards(
+            part,
+            os.path.join(path, "increments", rev, f"split={name}"),
+            n_shards=k,
+            seed=f"{p['seed']}/{rev}",
+            key_cols=[id_col],
+        )
+        splits_rec[name] = {
+            "rows": shard_manifest["total_rows"],
+            "fingerprint": _fingerprint(part, id_col, text_col),
+            "shards": shard_manifest,
+        }
+    final.select(
+        F.col(id_col).cast("string").alias("doc_id"), "cluster", "split"
+    ).write.parquet(os.path.join(path, "_doc_splits", rev))
+
+    record = {
+        "revision": rev,
+        "stages": stages,
+        "splits": splits_rec,
+        "split_overrides": int(n_overrides),
+    }
+    manifest.setdefault("revisions", []).append(record)
+    _commit_manifest(path, manifest)
+
+    # post-commit: tomorrow's increment checks against corpus + today
+    minhash_index_append(
+        final.select(
+            F.col(id_col).cast(orig_id_type).alias("doc_id"), text_col
+        ),
+        index_path,
+        text_col=text_col,
+        id_col="doc_id",
+        txn=rev,
+    )
+    return record
+
+
+def read_corpus(
+    spark: SparkSession, path: str, split: str | None = None
+) -> DataFrame:
+    """The committed corpus as one DataFrame: the base shards plus every
+    manifest-committed increment revision (files from uncommitted —
+    crashed — updates are never referenced, so never read). ``split``
+    narrows to one split; None reads all with a ``split`` column."""
+    with open(os.path.join(path, "_corpus_manifest.json")) as f:
+        manifest = json.load(f)
+    names = (
+        [split]
+        if split is not None
+        else sorted(manifest["params"]["split_fractions"])
+    )
+    parts = []
+    for name in names:
+        dirs = [os.path.join(path, f"split={name}")]
+        dirs += [
+            os.path.join(path, "increments", r["revision"], f"split={name}")
+            for r in manifest.get("revisions", [])
+            if name in r["splits"]
+        ]
+        for d in dirs:
+            if os.path.isdir(d) and any(
+                n.startswith("shard=") for n in os.listdir(d)
+            ):
+                parts.append(
+                    spark.read.parquet(d).withColumn("split", F.lit(name))
+                )
+    if not parts:
+        raise FileNotFoundError(f"no committed shards under {path}")
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q, allowMissingColumns=True)
+    return out if split is None else out.drop("split")

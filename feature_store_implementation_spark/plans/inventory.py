@@ -7504,3 +7504,60 @@ def q_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, "stage string, n_docs long")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query("q_corpus_update", None)
+def q_corpus_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL corpus loop (pipelines/pretraining.py
+    update_pretraining_corpus): a base corpus built with a persisted
+    MinHash dedup index absorbs a daily increment in O(increment) —
+    the increment is gated, deduped within itself, deduped AGAINST THE
+    CORPUS through the index (corpus text never re-read), split
+    consistently with the base (soft twins follow their corpus twin's
+    split), committed as a manifest revision, and appended to the index
+    so the NEXT increment checks against corpus + this one. The
+    increment here mixes exact corpus dups (every 7th base doc re-sent
+    under a new id — must drop) with fresh synthetic docs (must
+    commit); returns the revision's (stage, n_docs) rows plus per-split
+    committed counts. Rows-only by design: dedup-vs-rebuild equivalence,
+    split straddle-freedom across revisions, chained-revision dedup,
+    and determinism are pinned in tests/test_corpus_pipeline.py."""
+    import shutil
+    import tempfile
+
+    from ..pipelines.pretraining import (
+        build_pretraining_corpus,
+        update_pretraining_corpus,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 5 == 0)
+    tmp = tempfile.mkdtemp(prefix="q_corpus_upd_")
+    try:
+        build_pretraining_corpus(
+            base,
+            tmp,
+            languages=("en", "fr", "de", "es", "zh"),
+            semantic=False,
+            split_fractions={"train": 0.9, "valid": 0.05, "test": 0.05},
+            n_shards=2,
+            seed=42,
+            dedup_index=True,
+        )
+        dups = base.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text", "lang"
+        )
+        fresh = d.filter(F.col("doc_id") % 5 == 3).select(
+            (F.col("doc_id") + 20_000_000).alias("doc_id"), "text", "lang"
+        )
+        rec = update_pretraining_corpus(
+            dups.unionByName(fresh).select("doc_id", "text", "lang"), tmp
+        )
+        rows = [(s["stage"], s["n_docs"]) for s in rec["stages"]]
+        rows += [
+            (f"split:{k}", v["rows"]) for k, v in sorted(rec["splits"].items())
+        ]
+        rows.append(("split_overrides", rec["split_overrides"]))
+        return spark.createDataFrame(rows, "stage string, n_docs long")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -317,3 +317,198 @@ def test_pretraining_build_split_is_leakage_safe_and_decontaminated(spark, tmp_p
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     eval_df = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
     assert decontaminate(corpus, eval_df, "text", "doc_id", n=8).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# incremental corpus updates (round 8)
+# ---------------------------------------------------------------------------
+
+_WORDS = (
+    "river stone cloud meadow lantern harbor spruce gravel ember copper "
+    "willow summit frost canyon harvest timber orchard saddle anchor barley"
+).split()
+
+
+def _story(i: int) -> str:
+    import random
+
+    rng = random.Random(i)
+    body = " ".join(rng.choice(_WORDS) for _ in range(40))
+    return f"the story {i} begins with the following words {body} and then it ends"
+
+
+def _build_base(spark, path, n=200):
+    from feature_store_implementation_spark.pipelines.pretraining import (
+        build_pretraining_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, _story(i), "en") for i in range(n)],
+        "doc_id long, text string, lang string",
+    )
+    return build_pretraining_corpus(
+        docs,
+        path,
+        languages=("en",),
+        semantic=False,
+        split_fractions={"train": 0.8, "valid": 0.1, "test": 0.1},
+        n_shards=2,
+        seed=7,
+        dedup_index=True,
+    )
+
+
+def test_incremental_update_dedups_against_corpus_and_chains(spark, tmp_path):
+    """The daily-increment loop: update #1 drops increment docs that twin
+    the CORPUS (exact + near) through the persisted index, commits the
+    fresh ones as a manifest revision, and appends them to the index so
+    update #2 dedups against corpus + update #1 — with zero near-dup
+    pairs surviving in the committed whole at any point."""
+    import json
+    import os
+
+    from feature_store_implementation_spark.pipelines.pretraining import (
+        read_corpus,
+        update_pretraining_corpus,
+    )
+
+    path = str(tmp_path / "corpus")
+    m = _build_base(spark, path)
+    base_total = sum(v["rows"] for v in m["splits"].values())
+
+    inc = spark.createDataFrame(
+        [(1005, _story(5), "en"), (1010, _story(10) + " small tail", "en")]
+        + [(2000 + i, _story(10000 + i), "en") for i in range(30)],
+        "doc_id long, text string, lang string",
+    )
+    rec = update_pretraining_corpus(inc, path)
+    by_stage = {s["stage"]: s["n_docs"] for s in rec["stages"]}
+    assert by_stage["ingest"] == 32
+    assert by_stage["lexical_dedup_vs_corpus"] == 30  # both corpus twins drop
+    assert by_stage["split"] == 30
+    assert sum(v["rows"] for v in rec["splits"].values()) == 30
+
+    full = read_corpus(spark, path)
+    assert full.count() == base_total + 30
+    assert minhash_near_dup_pairs(
+        full.select("doc_id", "text"), threshold=0.7
+    ).count() == 0
+
+    # chaining: a dup OF REVISION 1 drops, a fresh doc commits
+    rec2 = update_pretraining_corpus(
+        spark.createDataFrame(
+            [(3001, _story(10005), "en"), (3002, _story(20000), "en")],
+            "doc_id long, text string, lang string",
+        ),
+        path,
+    )
+    by_stage2 = {s["stage"]: s["n_docs"] for s in rec2["stages"]}
+    assert by_stage2["lexical_dedup_vs_corpus"] == 1
+    assert read_corpus(spark, path).count() == base_total + 31
+
+    man = json.load(open(os.path.join(path, "_corpus_manifest.json")))
+    assert [r["revision"] for r in man["revisions"]] == ["r0001", "r0002"]
+    # base artifact untouched: original split dirs byte-compatible reads
+    assert read_corpus(spark, path, "train").count() >= m["splits"]["train"]["rows"]
+
+
+def test_incremental_update_soft_twins_follow_corpus_split(spark, tmp_path):
+    """A new doc in the SOFT band [split_threshold, dedup_threshold) —
+    similar enough to leak, not similar enough to drop — must land in the
+    SAME split as its corpus twin (near-twins never straddle train/eval
+    across revisions)."""
+    from feature_store_implementation_spark.pipelines.pretraining import (
+        read_corpus,
+        update_pretraining_corpus,
+    )
+
+    path = str(tmp_path / "corpus")
+    _build_base(spark, path)
+    base = read_corpus(spark, path)
+
+    # perturb ~1/3 of each twin's words: jaccard lands between 0.5 and 0.7
+    twins = []
+    for i in (3, 40, 77, 123, 160):
+        words = _story(i).split()
+        for j in range(0, len(words), 3):
+            words[j] = "changed%d" % j
+        twins.append((5000 + i, " ".join(words), "en"))
+    inc = spark.createDataFrame(twins, "doc_id long, text string, lang string")
+    rec = update_pretraining_corpus(inc, path)
+
+    full = read_corpus(spark, path)
+    pairs = minhash_near_dup_pairs(
+        full.select("doc_id", "text"), threshold=0.5
+    )
+    splits = full.select("doc_id", "split")
+    straddle = (
+        pairs.join(
+            splits.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed(
+                "split", "split_a"
+            ),
+            "doc_id_a",
+        )
+        .join(
+            splits.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed(
+                "split", "split_b"
+            ),
+            "doc_id_b",
+        )
+        .filter("split_a <> split_b")
+        .count()
+    )
+    assert straddle == 0
+    # the soft twins were committed (not dropped as dups)
+    assert sum(v["rows"] for v in rec["splits"].values()) >= 1
+
+
+def test_incremental_update_requires_indexed_build(spark, tmp_path):
+    import pytest
+
+    from feature_store_implementation_spark.pipelines.pretraining import (
+        build_pretraining_corpus,
+        update_pretraining_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, _story(i), "en") for i in range(40)],
+        "doc_id long, text string, lang string",
+    )
+    path = str(tmp_path / "plain")
+    build_pretraining_corpus(
+        docs, path, languages=("en",), semantic=False, n_shards=1, seed=1
+    )
+    with pytest.raises(ValueError, match="dedup_index"):
+        update_pretraining_corpus(docs, path)
+
+
+def test_incremental_update_is_deterministic(spark, tmp_path):
+    """Two identical corpora given the same increment commit identical
+    revision records (stage counts, per-split rows, fingerprints)."""
+    from feature_store_implementation_spark.pipelines.pretraining import (
+        update_pretraining_corpus,
+    )
+
+    inc = spark.createDataFrame(
+        [(9000 + i, _story(30000 + i), "en") for i in range(12)],
+        "doc_id long, text string, lang string",
+    )
+    recs = []
+    for tag in ("a", "b"):
+        path = str(tmp_path / f"corpus_{tag}")
+        _build_base(spark, path, n=80)
+        recs.append(update_pretraining_corpus(inc, path))
+    # shard byte sizes may differ across parquet writes; compare the
+    # content-bearing fields
+    def strip(rec):
+        return {
+            "revision": rec["revision"],
+            "stages": rec["stages"],
+            "split_overrides": rec["split_overrides"],
+            "splits": {
+                k: {"rows": v["rows"], "fingerprint": v["fingerprint"]}
+                for k, v in rec["splits"].items()
+            },
+        }
+
+    assert strip(recs[0]) == strip(recs[1])
