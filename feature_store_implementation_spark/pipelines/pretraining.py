@@ -276,6 +276,8 @@ def build_pretraining_corpus(
 
     manifest = {
         "params": {
+            "text_col": text_col,
+            "id_col": id_col,
             "normalize_form": normalize_form,
             "collapse_whitespace": bool(collapse_whitespace),
             "min_quality": float(min_quality),
@@ -316,6 +318,7 @@ def build_pretraining_corpus(
         )
         manifest["dedup_index"] = {"path": "_dedup_index"}
         manifest["revisions"] = []
+        manifest["next_revision"] = 1
     _commit_manifest(path, manifest)
     return manifest
 
@@ -390,7 +393,10 @@ def update_pretraining_corpus(
         )
     p = manifest["params"]
     revisions = manifest.get("revisions", [])
-    rev = f"r{len(revisions) + 1:04d}"
+    # monotonic counter, NOT len(revisions)+1: compaction collapses the
+    # revision list, and a reused name would collide with a superseded
+    # revision's on-disk dirs
+    rev = f"r{manifest.get('next_revision', len(revisions) + 1):04d}"
     index_path = os.path.join(path, manifest["dedup_index"]["path"])
 
     stages: list[dict] = []
@@ -584,6 +590,7 @@ def update_pretraining_corpus(
         "split_overrides": int(n_overrides),
     }
     manifest.setdefault("revisions", []).append(record)
+    manifest["next_revision"] = int(rev[1:]) + 1
     _commit_manifest(path, manifest)
 
     # post-commit: tomorrow's increment checks against corpus + today
@@ -634,3 +641,103 @@ def read_corpus(
     for q in parts[1:]:
         out = out.unionByName(q, allowMissingColumns=True)
     return out if split is None else out.drop("split")
+
+
+def compact_corpus_revisions(
+    spark: SparkSession, path: str, keep_old_files: bool = False
+) -> dict | None:
+    """Collapse the corpus's accumulated increment revisions into ONE
+    consolidated revision — the small-revision hygiene of the daily loop
+    (each update writes ≥1 file per non-empty split; a year of daily
+    batches is ~365 micro-revisions whose shard files a reader opens one
+    by one). Same cutover discipline as the offline store's segment
+    compaction: the merged shards and doc-split map land under the NEW
+    revision id first, then one atomic manifest rename both publishes it
+    and retires the old records (``compacted_from``); a crash before the
+    rename leaves every old revision fully live and the new files as
+    unreferenced orphans. Only after the commit are the superseded
+    revisions' directories removed (``keep_old_files=True`` defers that
+    to out-of-band cleanup — the long-running-reader window). The base
+    build and the dedup index are untouched: compaction moves no new
+    content, so index state is already exact. Returns the consolidated
+    revision record, or None when there are fewer than two revisions to
+    merge (nothing to do)."""
+    import shutil
+
+    with open(os.path.join(path, "_corpus_manifest.json")) as f:
+        manifest = json.load(f)
+    revisions = manifest.get("revisions", [])
+    if len(revisions) < 2:
+        return None
+    p = manifest["params"]
+    text_col = p.get("text_col", "text")
+    id_col = p.get("id_col", "doc_id")
+    rev = f"r{manifest.get('next_revision', len(revisions) + 1):04d}"
+
+    splits_rec: dict[str, dict] = {}
+    for name in sorted(p["split_fractions"]):
+        dirs = [
+            os.path.join(path, "increments", r["revision"], f"split={name}")
+            for r in revisions
+            if name in r.get("splits", {})
+        ]
+        dirs = [
+            d
+            for d in dirs
+            if os.path.isdir(d)
+            and any(n.startswith("shard=") for n in os.listdir(d))
+        ]
+        if not dirs:
+            continue
+        # one read per dir (multi-root partition discovery conflicts on the
+        # shared shard= layout), then union
+        merged = None
+        for d in dirs:
+            q = spark.read.parquet(d).drop("pos", "shard")
+            merged = q if merged is None else merged.unionByName(
+                q, allowMissingColumns=True
+            )
+        n_rows = merged.count()
+        shard_manifest = write_training_shards(
+            merged,
+            os.path.join(path, "increments", rev, f"split={name}"),
+            n_shards=max(1, math.ceil(n_rows / 250_000)),
+            seed=f"{p['seed']}/{rev}",
+            key_cols=[id_col],
+        )
+        splits_rec[name] = {
+            "rows": shard_manifest["total_rows"],
+            "fingerprint": _fingerprint(merged, id_col, text_col),
+            "shards": shard_manifest,
+        }
+    old_split_dirs = [
+        os.path.join(path, "_doc_splits", r["revision"]) for r in revisions
+    ]
+    old_split_dirs = [d for d in old_split_dirs if os.path.isdir(d)]
+    if old_split_dirs:
+        spark.read.parquet(*old_split_dirs).write.parquet(
+            os.path.join(path, "_doc_splits", rev)
+        )
+
+    record = {
+        "revision": rev,
+        "compacted_from": [r["revision"] for r in revisions],
+        "stages": [],
+        "splits": splits_rec,
+        "split_overrides": sum(
+            int(r.get("split_overrides", 0)) for r in revisions
+        ),
+    }
+    manifest["revisions"] = [record]
+    manifest["next_revision"] = int(rev[1:]) + 1
+    _commit_manifest(path, manifest)
+
+    if not keep_old_files:
+        for r in record["compacted_from"]:
+            shutil.rmtree(
+                os.path.join(path, "increments", r), ignore_errors=True
+            )
+            shutil.rmtree(
+                os.path.join(path, "_doc_splits", r), ignore_errors=True
+            )
+    return record

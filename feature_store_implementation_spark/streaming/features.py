@@ -535,3 +535,42 @@ def sketch_profile_stream(
         F.round(F.kll_sketch_get_quantile_double("_kll", F.lit(0.99)), 6).alias("p99"),
         F.hll_sketch_estimate("_hll").cast("long").alias("approx_users"),
     )
+
+
+def stream_corpus_revisions(
+    docs: DataFrame,
+    corpus_path: str,
+    checkpoint: str,
+    eval_df: DataFrame | None = None,
+    available_now: bool = True,
+):
+    """Stream documents INTO a pretraining-corpus artifact: every non-empty
+    micro-batch becomes one :func:`~..pipelines.pretraining
+    .update_pretraining_corpus` revision — gated, deduped within itself
+    and against the whole corpus-so-far through the persisted MinHash
+    index, split consistently with the base, committed atomically,
+    appended to the index.
+
+    Replay safety comes from CONTENT, not offsets: a micro-batch the
+    engine re-delivers after a crash re-runs the update, but its
+    documents are now exact duplicates of corpus rows (they were
+    committed and indexed the first time), so every one drops at the
+    index query and the replayed revision commits zero docs — the same
+    idempotency-by-dedup the reference's cache can't offer (pinned in
+    tests/test_corpus_pipeline.py::test_streaming_corpus_revisions_replay
+    _commits_nothing). The corpus must have been built with
+    ``dedup_index=True``."""
+    from ..pipelines.pretraining import update_pretraining_corpus
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint(eager=True)
+        if batch.isEmpty():
+            return
+        update_pretraining_corpus(batch, corpus_path, eval_df=eval_df)
+
+    writer = docs.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -512,3 +512,116 @@ def test_incremental_update_is_deterministic(spark, tmp_path):
         }
 
     assert strip(recs[0]) == strip(recs[1])
+
+
+def test_streaming_corpus_revisions_replay_commits_nothing(spark, tmp_path):
+    """Documents streamed into the corpus commit one revision per
+    micro-batch; a REPLAYED batch (fresh checkpoint, same files — the
+    crash-recovery delivery) re-runs the update but every doc drops as
+    an exact corpus dup, so the replay revision commits ZERO docs:
+    idempotency by content dedup, not by sink-side offset bookkeeping."""
+    import json
+    import os
+
+    from feature_store_implementation_spark.pipelines.pretraining import (
+        read_corpus,
+    )
+    from feature_store_implementation_spark.streaming.features import (
+        stream_corpus_revisions,
+    )
+
+    path = str(tmp_path / "corpus")
+    _build_base(spark, path, n=80)
+    base_total = read_corpus(spark, path).count()
+
+    src = str(tmp_path / "incoming")
+    spark.createDataFrame(
+        [(7000 + i, _story(40000 + i), "en") for i in range(10)],
+        "doc_id long, text string, lang string",
+    ).coalesce(1).write.parquet(src)
+    schema = "doc_id long, text string, lang string"
+
+    q = stream_corpus_revisions(
+        spark.readStream.schema(schema).parquet(src),
+        path,
+        str(tmp_path / "ckpt1"),
+    )
+    assert q.awaitTermination(120)
+    assert read_corpus(spark, path).count() == base_total + 10
+
+    # replay: new checkpoint, same source files
+    q2 = stream_corpus_revisions(
+        spark.readStream.schema(schema).parquet(src),
+        path,
+        str(tmp_path / "ckpt2"),
+    )
+    assert q2.awaitTermination(120)
+    assert read_corpus(spark, path).count() == base_total + 10  # unchanged
+
+    man = json.load(open(os.path.join(path, "_corpus_manifest.json")))
+    revs = man["revisions"]
+    assert len(revs) == 2
+    assert sum(v["rows"] for v in revs[0]["splits"].values()) == 10
+    assert sum(v["rows"] for v in revs[1]["splits"].values()) == 0
+    replay_stages = {s["stage"]: s["n_docs"] for s in revs[1]["stages"]}
+    assert replay_stages["lexical_dedup_vs_corpus"] == 0  # all dropped
+
+
+def test_compact_corpus_revisions_preserves_content_and_chains(spark, tmp_path):
+    """Compaction merges every increment revision into ONE consolidated
+    revision: identical row set before and after (ids + per-split
+    fingerprints), old revision dirs removed after the atomic cutover,
+    and the NEXT update still dedups against pre-compaction content and
+    gets a fresh (never-reused) revision id."""
+    import json
+    import os
+
+    from feature_store_implementation_spark.pipelines.pretraining import (
+        compact_corpus_revisions,
+        read_corpus,
+        update_pretraining_corpus,
+    )
+
+    path = str(tmp_path / "corpus")
+    _build_base(spark, path, n=80)
+    for lo in (50000, 60000):
+        update_pretraining_corpus(
+            spark.createDataFrame(
+                [(lo + i, _story(lo + i), "en") for i in range(8)],
+                "doc_id long, text string, lang string",
+            ),
+            path,
+        )
+    before = sorted(
+        r["doc_id"] for r in read_corpus(spark, path).select("doc_id").collect()
+    )
+    rec = compact_corpus_revisions(spark, path)
+    assert rec["compacted_from"] == ["r0001", "r0002"]
+    assert rec["revision"] == "r0003"
+    after = sorted(
+        r["doc_id"] for r in read_corpus(spark, path).select("doc_id").collect()
+    )
+    assert before == after
+    assert not os.path.isdir(os.path.join(path, "increments", "r0001"))
+    man = json.load(open(os.path.join(path, "_corpus_manifest.json")))
+    assert [r["revision"] for r in man["revisions"]] == ["r0003"]
+
+    # chaining: pre-compaction docs still dedup; fresh id never collides
+    rec2 = update_pretraining_corpus(
+        spark.createDataFrame(
+            [(70001, _story(50003), "en"), (70002, _story(70000), "en")],
+            "doc_id long, text string, lang string",
+        ),
+        path,
+    )
+    assert rec2["revision"] == "r0004"
+    by_stage = {s["stage"]: s["n_docs"] for s in rec2["stages"]}
+    assert by_stage["lexical_dedup_vs_corpus"] == 1  # 50003-twin dropped
+    assert read_corpus(spark, path).count() == len(after) + 1
+
+    # [r0003, r0004] merge into r0005; a single live revision is a no-op
+    rec3 = compact_corpus_revisions(spark, path)
+    assert rec3["revision"] == "r0005"
+    assert rec3["compacted_from"] == ["r0003", "r0004"]
+    assert compact_corpus_revisions(spark, path) is None
+    assert read_corpus(spark, path).count() == len(after) + 1
