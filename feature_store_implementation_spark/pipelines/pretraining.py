@@ -741,3 +741,44 @@ def compact_corpus_revisions(
                 os.path.join(path, "_doc_splits", r), ignore_errors=True
             )
     return record
+
+
+def maintain_corpus(
+    spark: SparkSession,
+    path: str,
+    compact_min_revisions: int = 4,
+    compact_min_segments: int = 4,
+    vacuum_min_age_seconds: float = 24 * 3600,
+) -> dict:
+    """ONE scheduled-maintenance entry point for an incrementally-updated
+    corpus, mirroring ``operators.dedup.maintain_index`` for the store's
+    indexes: compacts the manifest's increment revisions when at least
+    ``compact_min_revisions`` have accumulated
+    (:func:`compact_corpus_revisions`) and runs the index's own
+    maintenance (segment compaction + staging vacuum) on the persisted
+    dedup index. Idempotent; run it from cron against every corpus path.
+    Returns ``{revisions_before, revisions_after, compacted_revision,
+    index}``."""
+    from ..operators.dedup import maintain_index
+
+    with open(os.path.join(path, "_corpus_manifest.json")) as f:
+        manifest = json.load(f)
+    revisions = manifest.get("revisions", [])
+    n_before = len(revisions)
+    rec = None
+    if n_before >= compact_min_revisions:
+        rec = compact_corpus_revisions(spark, path)
+    index_report = None
+    if "dedup_index" in manifest:
+        index_report = maintain_index(
+            spark,
+            os.path.join(path, manifest["dedup_index"]["path"]),
+            compact_min_segments=compact_min_segments,
+            vacuum_min_age_seconds=vacuum_min_age_seconds,
+        )
+    return {
+        "revisions_before": n_before,
+        "revisions_after": 1 if rec is not None else n_before,
+        "compacted_revision": rec["revision"] if rec is not None else None,
+        "index": index_report,
+    }

@@ -625,3 +625,36 @@ def test_compact_corpus_revisions_preserves_content_and_chains(spark, tmp_path):
     assert rec3["compacted_from"] == ["r0003", "r0004"]
     assert compact_corpus_revisions(spark, path) is None
     assert read_corpus(spark, path).count() == len(after) + 1
+
+
+def test_maintain_corpus_compacts_when_due(spark, tmp_path):
+    """The one-call scheduled-maintenance surface: below the revision
+    threshold it's a no-op (index maintenance still reports), at the
+    threshold it compacts revisions — and the corpus reads identically
+    throughout."""
+    from feature_store_implementation_spark.pipelines.pretraining import (
+        maintain_corpus,
+        read_corpus,
+        update_pretraining_corpus,
+    )
+
+    path = str(tmp_path / "corpus")
+    _build_base(spark, path, n=60)
+    for lo in (80000, 90000):
+        update_pretraining_corpus(
+            spark.createDataFrame(
+                [(lo + i, _story(lo + i), "en") for i in range(5)],
+                "doc_id long, text string, lang string",
+            ),
+            path,
+        )
+    total = read_corpus(spark, path).count()
+
+    rep = maintain_corpus(spark, path, compact_min_revisions=3)
+    assert rep["compacted_revision"] is None and rep["revisions_after"] == 2
+    assert rep["index"] is not None and rep["index"]["kind"] == "signature"
+
+    rep2 = maintain_corpus(spark, path, compact_min_revisions=2)
+    assert rep2["compacted_revision"] == "r0003"
+    assert rep2["revisions_after"] == 1
+    assert read_corpus(spark, path).count() == total
