@@ -319,6 +319,28 @@ def build_pretraining_corpus(
         manifest["dedup_index"] = {"path": "_dedup_index"}
         manifest["revisions"] = []
         manifest["next_revision"] = 1
+        if semantic:
+            # the semantic counterpart: survivors' hash embeddings in a
+            # cell-partitioned IVF index, so increments can drop
+            # paraphrase-level twins OF THE CORPUS (word-order shuffles
+            # etc.) that lexical shingles structurally miss — cells sized
+            # by population (~256/cell), the same discipline as the
+            # within-build SemDeDup stage
+            from ..operators.similarity import write_ivf_index
+            from ..operators.text import hash_embed
+
+            n_alive = sum(v["rows"] for v in splits.values())
+            n_cells = max(4, -(-n_alive // 256))
+            write_ivf_index(
+                hash_embed(all_splits, text_col, "doc_id"),
+                os.path.join(path, "_semantic_index"),
+                n_cells=n_cells,
+                id_col="doc_id",
+            )
+            manifest["semantic_index"] = {
+                "path": "_semantic_index",
+                "n_cells": n_cells,
+            }
     _commit_manifest(path, manifest)
     return manifest
 
@@ -380,9 +402,16 @@ def update_pretraining_corpus(
        why the index append goes last.
 
     Semantic (hash-embed) dedup applies WITHIN the increment when the
-    base build used it; increment-vs-corpus semantic dedup would need
-    the persisted IVF index and is not wired here (lexical cross-dedup
-    only — documented gap). Returns the revision record."""
+    base build used it, and ALSO against the corpus when the base
+    persisted its ``_semantic_index`` (an IVF index of the survivors'
+    hash embeddings): each increment survivor's top-1 corpus neighbor is
+    probed (fixed stored centroids, so routing is bit-identical across
+    appends) and cosine ≥ ``semantic_threshold`` drops it — the
+    paraphrase/word-order twins lexical shingles structurally miss.
+    Approximate by design: probe recall follows the IVF operating curve
+    in SCALING.md (n_probe = min(8, n_cells)), the standard trade the
+    batch SemDeDup stage's cell blocking makes too. Returns the
+    revision record."""
     spark = new_docs.sparkSession
     with open(os.path.join(path, "_corpus_manifest.json")) as f:
         manifest = json.load(f)
@@ -463,6 +492,30 @@ def update_pretraining_corpus(
     )
     stage("lexical_dedup_vs_corpus", curated.count())
 
+    # -- semantic dedup vs corpus (paraphrase twins lexical shingles miss) --
+    sem_idx = manifest.get("semantic_index")
+    if sem_idx is not None:
+        from ..operators.similarity import query_ivf_index
+        from ..operators.text import hash_embed
+
+        emb_inc = hash_embed(curated, text_col, id_col)
+        hits = query_ivf_index(
+            spark,
+            os.path.join(path, sem_idx["path"]),
+            emb_inc.withColumnRenamed(id_col, "query_id"),
+            k=1,
+            n_probe=min(8, int(sem_idx["n_cells"])),
+        )
+        sem_dups = (
+            hits.filter(F.col("cosine") >= p["semantic_threshold"])
+            .select(F.col("query_id").alias(id_col))
+            .distinct()
+        )
+        curated = curated.join(sem_dups, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
+        stage("semantic_dedup_vs_corpus", curated.count())
+
     # -- the recorded mixture rates apply to the increment too --------------
     mix = manifest.get("mixture")
     if mix is not None:
@@ -482,6 +535,7 @@ def update_pretraining_corpus(
         *[
             os.path.join(path, "_doc_splits", r["revision"])
             for r in revisions
+            if r.get("splits")  # all-dropped revisions wrote no map
         ],
     )
     soft_within = minhash_near_dup_pairs(
@@ -579,9 +633,10 @@ def update_pretraining_corpus(
             "fingerprint": _fingerprint(part, id_col, text_col),
             "shards": shard_manifest,
         }
-    final.select(
-        F.col(id_col).cast("string").alias("doc_id"), "cluster", "split"
-    ).write.parquet(os.path.join(path, "_doc_splits", rev))
+    if splits_rec:  # an all-dropped revision has no rows to map
+        final.select(
+            F.col(id_col).cast("string").alias("doc_id"), "cluster", "split"
+        ).write.parquet(os.path.join(path, "_doc_splits", rev))
 
     record = {
         "revision": rev,
@@ -594,6 +649,10 @@ def update_pretraining_corpus(
     _commit_manifest(path, manifest)
 
     # post-commit: tomorrow's increment checks against corpus + today
+    # (a revision that committed nothing has nothing to index — and an
+    # empty append would stage a row-less parquet no reader can infer)
+    if not splits_rec:
+        return record
     minhash_index_append(
         final.select(
             F.col(id_col).cast(orig_id_type).alias("doc_id"), text_col
@@ -603,6 +662,22 @@ def update_pretraining_corpus(
         id_col="doc_id",
         txn=rev,
     )
+    if sem_idx is not None:
+        from ..operators.similarity import ivf_index_append
+        from ..operators.text import hash_embed
+
+        ivf_index_append(
+            hash_embed(
+                final.select(
+                    F.col(id_col).cast(orig_id_type).alias("doc_id"), text_col
+                ),
+                text_col,
+                "doc_id",
+            ),
+            os.path.join(path, sem_idx["path"]),
+            id_col="doc_id",
+            txn=rev,
+        )
     return record
 
 
@@ -711,7 +786,9 @@ def compact_corpus_revisions(
             "shards": shard_manifest,
         }
     old_split_dirs = [
-        os.path.join(path, "_doc_splits", r["revision"]) for r in revisions
+        os.path.join(path, "_doc_splits", r["revision"])
+        for r in revisions
+        if r.get("splits")  # all-dropped revisions wrote no map
     ]
     old_split_dirs = [d for d in old_split_dirs if os.path.isdir(d)]
     if old_split_dirs:
@@ -776,9 +853,18 @@ def maintain_corpus(
             compact_min_segments=compact_min_segments,
             vacuum_min_age_seconds=vacuum_min_age_seconds,
         )
+    sem_report = None
+    if "semantic_index" in manifest:
+        sem_report = maintain_index(
+            spark,
+            os.path.join(path, manifest["semantic_index"]["path"]),
+            compact_min_segments=compact_min_segments,
+            vacuum_min_age_seconds=vacuum_min_age_seconds,
+        )
     return {
         "revisions_before": n_before,
         "revisions_after": 1 if rec is not None else n_before,
         "compacted_revision": rec["revision"] if rec is not None else None,
         "index": index_report,
+        "semantic_index": sem_report,
     }

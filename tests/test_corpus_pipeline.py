@@ -658,3 +658,68 @@ def test_maintain_corpus_compacts_when_due(spark, tmp_path):
     assert rep2["compacted_revision"] == "r0003"
     assert rep2["revisions_after"] == 1
     assert read_corpus(spark, path).count() == total
+
+
+def test_incremental_semantic_dedup_vs_corpus(spark, tmp_path):
+    """A word-order SHUFFLE of a corpus doc shares almost no 3-gram
+    shingles (the lexical index misses it) but has the identical
+    bag-of-words hash embedding — with the base built semantic=True +
+    dedup_index=True, the increment drops it at the persisted
+    _semantic_index probe, and appends chain (a shuffle of an
+    increment-committed doc drops in the NEXT revision)."""
+    from feature_store_implementation_spark.pipelines.pretraining import (
+        build_pretraining_corpus,
+        update_pretraining_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, _story(i), "en") for i in range(80)],
+        "doc_id long, text string, lang string",
+    )
+    path = str(tmp_path / "corpus")
+    build_pretraining_corpus(
+        docs,
+        path,
+        languages=("en",),
+        semantic=True,
+        semantic_threshold=0.99,
+        split_fractions={"train": 0.8, "valid": 0.1, "test": 0.1},
+        n_shards=2,
+        seed=7,
+        dedup_index=True,
+    )
+    shuffled = " ".join(reversed(_story(12).split()))
+    fresh = _story(90001)
+    rec = update_pretraining_corpus(
+        spark.createDataFrame(
+            [(8001, shuffled, "en"), (8002, fresh, "en")],
+            "doc_id long, text string, lang string",
+        ),
+        path,
+    )
+    st = {s["stage"]: s["n_docs"] for s in rec["stages"]}
+    assert st["lexical_dedup_vs_corpus"] == 2  # shuffle survives shingles
+    assert st["semantic_dedup_vs_corpus"] == 1  # ...and drops at the probe
+    assert st["split"] == 1
+
+    # chaining: a shuffle of the JUST-committed fresh doc drops next time
+    rec2 = update_pretraining_corpus(
+        spark.createDataFrame(
+            [(8003, " ".join(reversed(fresh.split())), "en")],
+            "doc_id long, text string, lang string",
+        ),
+        path,
+    )
+    st2 = {s["stage"]: s["n_docs"] for s in rec2["stages"]}
+    assert st2["semantic_dedup_vs_corpus"] == 0
+
+    # the chain survives an all-dropped (row-less) revision: a later
+    # fresh-doc update still reads the split map and commits normally
+    rec3 = update_pretraining_corpus(
+        spark.createDataFrame(
+            [(8004, _story(90002), "en")],
+            "doc_id long, text string, lang string",
+        ),
+        path,
+    )
+    assert sum(v["rows"] for v in rec3["splits"].values()) == 1
