@@ -382,15 +382,18 @@ class OfflineStore:
             F.col("value").cast("string").alias("value"),
             F.current_timestamp().alias("computed_at"),
         )
-        # Range-partition by entity (keeping the caller's parallelism, so a
-        # small append still writes one file) + sort within files: this
-        # append's files get DISJOINT entity ranges, which is what makes
-        # the manifest's entity_ranges skip whole files on point reads and
-        # parquet page stats skip pages within the survivor. One shuffle
-        # per append, repaid on every serve.
-        n_parts = max(1, out.rdd.getNumPartitions())
-        if n_parts > 1:
-            out = out.repartitionByRange(n_parts, "entity_id")
+        # Range-partition by entity + sort within files: this append's
+        # files get DISJOINT entity ranges, which is what makes the
+        # manifest's entity_ranges skip whole files on point reads and
+        # parquet page stats skip pages within the survivor. No explicit
+        # partition count — AQE coalesces the range shuffle to the DATA
+        # size, so a small append (e.g. one batch of rollup partials
+        # arriving over 32 shuffle partitions) lands as one file instead
+        # of 32 micro-files, while a large append fans into many
+        # range-disjoint ones. Single-partition inputs skip the shuffle:
+        # one file covers the whole range either way.
+        if out.rdd.getNumPartitions() > 1:
+            out = out.repartitionByRange("entity_id")
         out = out.sortWithinPartitions("entity_id")
         txn = uuid.uuid4().hex[:12]
         staging = os.path.join(self.path, ".staging", txn)

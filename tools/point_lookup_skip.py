@@ -55,6 +55,16 @@ def main() -> None:
     vid = 1
     try:
         store = OfflineStore(spark, root)
+        # the write's range shuffle is AQE-coalesced to data size; pin the
+        # advisory small so each synthetic append keeps ~files_per files
+        # (at production append sizes this happens naturally)
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            str(max(1, (rows * 40) // files_per)),
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", "1kb"
+        )
         for day in range(n_appends):
             batch = spark.range(rows).selectExpr(
                 f"lpad(cast(id as string), 9, '0') as entity_id",
