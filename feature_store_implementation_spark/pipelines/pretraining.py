@@ -868,3 +868,50 @@ def maintain_corpus(
         "index": index_report,
         "semantic_index": sem_report,
     }
+
+
+def rebuild_corpus_indexes(spark: SparkSession, path: str) -> dict:
+    """Full retrain of the corpus's dedup indexes from its committed
+    content — the O(corpus) escape hatch the append path deliberately
+    avoids day-to-day: IVF centroids are FIXED across appends (that is
+    what keeps old and new vectors comparable in one probe), so after
+    heavy growth the cells drift from the data and probe recall decays;
+    the MinHash index never drifts (signatures are param-fixed) but a
+    rebuild collapses its accumulated segments. Run this on the cadence
+    retraining deserves (weekly/monthly), `maintain_corpus` every day.
+    Updates the manifest's recorded ``n_cells`` (population-scaled to
+    the corpus as it stands). Returns ``{docs, n_cells}``."""
+    with open(os.path.join(path, "_corpus_manifest.json")) as f:
+        manifest = json.load(f)
+    if "dedup_index" not in manifest:
+        raise ValueError(f"corpus at {path} has no dedup index to rebuild")
+    p = manifest["params"]
+    text_col = p.get("text_col", "text")
+    id_col = p.get("id_col", "doc_id")
+    docs = read_corpus(spark, path).select(
+        F.col(id_col).alias("doc_id"), text_col
+    ).localCheckpoint(eager=True)
+    n_docs = docs.count()
+    minhash_index_write(
+        docs,
+        os.path.join(path, manifest["dedup_index"]["path"]),
+        text_col,
+        "doc_id",
+        overwrite=True,
+    )
+    n_cells = None
+    if "semantic_index" in manifest:
+        from ..operators.similarity import write_ivf_index
+        from ..operators.text import hash_embed
+
+        n_cells = max(4, -(-n_docs // 256))
+        write_ivf_index(
+            hash_embed(docs, text_col, "doc_id"),
+            os.path.join(path, manifest["semantic_index"]["path"]),
+            n_cells=n_cells,
+            id_col="doc_id",
+            overwrite=True,
+        )
+        manifest["semantic_index"]["n_cells"] = n_cells
+        _commit_manifest(path, manifest)
+    return {"docs": int(n_docs), "n_cells": n_cells}

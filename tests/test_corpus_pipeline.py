@@ -723,3 +723,56 @@ def test_incremental_semantic_dedup_vs_corpus(spark, tmp_path):
         path,
     )
     assert sum(v["rows"] for v in rec3["splits"].values()) == 1
+
+
+def test_rebuild_corpus_indexes_retrains_and_keeps_dedup(spark, tmp_path):
+    """The O(corpus) retrain escape hatch: after growth, rebuild re-trains
+    the IVF centroids over EVERYTHING committed (population-scaled cells)
+    and collapses the MinHash segments — and the next update still drops
+    twins of both base and revision docs."""
+    from feature_store_implementation_spark.pipelines.pretraining import (
+        build_pretraining_corpus,
+        rebuild_corpus_indexes,
+        update_pretraining_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, _story(i), "en") for i in range(60)],
+        "doc_id long, text string, lang string",
+    )
+    path = str(tmp_path / "corpus")
+    build_pretraining_corpus(
+        docs,
+        path,
+        languages=("en",),
+        semantic=True,
+        semantic_threshold=0.99,
+        split_fractions={"train": 0.8, "valid": 0.1, "test": 0.1},
+        n_shards=2,
+        seed=7,
+        dedup_index=True,
+    )
+    update_pretraining_corpus(
+        spark.createDataFrame(
+            [(5000 + i, _story(50000 + i), "en") for i in range(6)],
+            "doc_id long, text string, lang string",
+        ),
+        path,
+    )
+    rep = rebuild_corpus_indexes(spark, path)
+    assert rep["docs"] > 0 and rep["n_cells"] >= 4
+
+    rec = update_pretraining_corpus(
+        spark.createDataFrame(
+            [
+                (9001, _story(10), "en"),          # base twin
+                (9002, _story(50002), "en"),       # revision twin
+                (9003, _story(77777), "en"),       # fresh
+            ],
+            "doc_id long, text string, lang string",
+        ),
+        path,
+    )
+    st = {s["stage"]: s["n_docs"] for s in rec["stages"]}
+    assert st["lexical_dedup_vs_corpus"] == 1
+    assert sum(v["rows"] for v in rec["splits"].values()) == 1
