@@ -47,7 +47,9 @@ from __future__ import annotations
 import json
 import math
 import os
+import shutil
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -354,12 +356,104 @@ def _commit_manifest(path: str, manifest: dict) -> None:
     os.replace(tmp, os.path.join(path, "_corpus_manifest.json"))
 
 
+@contextmanager
+def _corpus_mutation_lock(path: str):
+    """Serialize every manifest read-modify-write cycle on one corpus
+    artifact (update / compact / rebuild) behind an O_EXCL lock file —
+    the same exclusion discipline as the offline store's
+    ``.compact.lock``. Without it, two concurrent updates both read
+    ``next_revision = N``, write their shard files under the SAME
+    ``increments/rNNNN`` directory, and the last manifest rename hides
+    the other's revision record entirely (lost update + colliding
+    files); an update racing a compaction loses the same way. A second
+    mutator fails fast rather than queueing — corpus mutation is a
+    scheduled daily/cron flow, so overlap signals a scheduling bug, and
+    a crashed holder leaves the lock for the operator to clear (the pid
+    is recorded inside)."""
+    os.makedirs(path, exist_ok=True)
+    lock = os.path.join(path, ".corpus.lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"another corpus mutation is in flight for {path} (lock: "
+            f"{lock}); remove the file only if its owner is known dead"
+        )
+    try:
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        yield
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
+
+
+def _repair_revision_indexes(
+    spark: SparkSession,
+    path: str,
+    manifest: dict,
+    record: dict,
+    text_col: str,
+    id_col: str,
+) -> None:
+    """Re-run a committed revision's post-commit index appends. The
+    appends are idempotent (a segment whose ``txn`` is already live — or
+    already folded into a compacted segment's supersedes record — is a
+    no-op), so this heals the one crash window the commit protocol
+    leaves open: manifest renamed, index append(s) not yet landed. Safe
+    to call on every ``txn`` replay. A revision whose shard directories
+    were already collapsed by :func:`compact_corpus_revisions` has
+    nothing left to re-read; its append either happened long before the
+    compaction or the missed docs stay unindexed (failure direction:
+    redundancy — a later twin may be re-admitted — never loss)."""
+    if not record.get("splits"):
+        return
+    if record.get("compacted_from"):
+        # a compaction record's docs were appended under their ORIGINAL
+        # revision txns; re-appending them under the compacted revision's
+        # name would double-index every doc it collapsed
+        return
+    rev = record["revision"]
+    dirs = [
+        os.path.join(path, "increments", rev, f"split={name}")
+        for name in record["splits"]
+    ]
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    if not dirs:
+        return
+    merged = None
+    for d in dirs:
+        q = spark.read.parquet(d).select(F.col(id_col).alias("doc_id"), text_col)
+        merged = q if merged is None else merged.unionByName(q)
+    minhash_index_append(
+        merged,
+        os.path.join(path, manifest["dedup_index"]["path"]),
+        text_col=text_col,
+        id_col="doc_id",
+        txn=rev,
+    )
+    sem_idx = manifest.get("semantic_index")
+    if sem_idx is not None:
+        from ..operators.similarity import ivf_index_append
+        from ..operators.text import hash_embed
+
+        ivf_index_append(
+            hash_embed(merged, text_col, "doc_id"),
+            os.path.join(path, sem_idx["path"]),
+            id_col="doc_id",
+            txn=rev,
+        )
+
+
 def update_pretraining_corpus(
     new_docs: DataFrame,
     path: str,
     eval_df: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    txn: str | None = None,
 ) -> dict:
     """Fold a NEW batch of documents into an existing
     :func:`build_pretraining_corpus` artifact (built with
@@ -411,7 +505,36 @@ def update_pretraining_corpus(
     Approximate by design: probe recall follows the IVF operating curve
     in SCALING.md (n_probe = min(8, n_cells)), the standard trade the
     batch SemDeDup stage's cell blocking makes too. Returns the
-    revision record."""
+    revision record.
+
+    Mutations SERIALIZE: the whole cycle (manifest read → shard/map
+    writes → manifest rename → index appends) runs under the artifact's
+    ``.corpus.lock``; a concurrent update/compaction/rebuild fails fast
+    instead of silently losing a revision (see
+    :func:`_corpus_mutation_lock`).
+
+    ``txn`` makes the update EXACTLY-ONCE under replay (a retried daily
+    job, a re-delivered streaming micro-batch): a transaction already
+    recorded in the manifest does not re-run — it re-fires the
+    revision's idempotent index appends (healing the one crash window
+    between the manifest rename and the appends) and returns the
+    committed record; a transaction that never reached the manifest
+    rename re-runs from scratch against swept-clean orphan directories.
+    Without ``txn``, replay safety degrades gracefully to content dedup
+    (replayed docs drop as exact corpus duplicates — redundant work,
+    never duplicate rows, except in the pre-append crash window)."""
+    with _corpus_mutation_lock(path):
+        return _update_corpus_locked(new_docs, path, eval_df, text_col, id_col, txn)
+
+
+def _update_corpus_locked(
+    new_docs: DataFrame,
+    path: str,
+    eval_df: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    txn: str | None,
+) -> dict:
     spark = new_docs.sparkSession
     with open(os.path.join(path, "_corpus_manifest.json")) as f:
         manifest = json.load(f)
@@ -422,10 +545,21 @@ def update_pretraining_corpus(
         )
     p = manifest["params"]
     revisions = manifest.get("revisions", [])
+    if txn is not None:
+        for r in revisions:
+            if r.get("txn") == txn or txn in r.get("txns", ()):
+                _repair_revision_indexes(spark, path, manifest, r, text_col, id_col)
+                return r
     # monotonic counter, NOT len(revisions)+1: compaction collapses the
     # revision list, and a reused name would collide with a superseded
     # revision's on-disk dirs
     rev = f"r{manifest.get('next_revision', len(revisions) + 1):04d}"
+    # a previous attempt may have crashed between writing shard files and
+    # the manifest rename; we hold the lock and rev is uncommitted, so its
+    # directories are unreferenced orphans — sweep them, or the
+    # error-if-exists shard write would block the retry forever
+    shutil.rmtree(os.path.join(path, "increments", rev), ignore_errors=True)
+    shutil.rmtree(os.path.join(path, "_doc_splits", rev), ignore_errors=True)
     index_path = os.path.join(path, manifest["dedup_index"]["path"])
 
     stages: list[dict] = []
@@ -644,6 +778,8 @@ def update_pretraining_corpus(
         "splits": splits_rec,
         "split_overrides": int(n_overrides),
     }
+    if txn is not None:
+        record["txn"] = str(txn)
     manifest.setdefault("revisions", []).append(record)
     manifest["next_revision"] = int(rev[1:]) + 1
     _commit_manifest(path, manifest)
@@ -734,11 +870,18 @@ def compact_corpus_revisions(
     revisions' directories removed (``keep_old_files=True`` defers that
     to out-of-band cleanup — the long-running-reader window). The base
     build and the dedup index are untouched: compaction moves no new
-    content, so index state is already exact. Returns the consolidated
-    revision record, or None when there are fewer than two revisions to
-    merge (nothing to do)."""
-    import shutil
+    content, so index state is already exact. Runs under the artifact's
+    ``.corpus.lock`` — a compaction racing a daily update would hide the
+    update's revision record behind its own manifest rename. Returns the
+    consolidated revision record, or None when there are fewer than two
+    revisions to merge (nothing to do)."""
+    with _corpus_mutation_lock(path):
+        return _compact_revisions_locked(spark, path, keep_old_files)
 
+
+def _compact_revisions_locked(
+    spark: SparkSession, path: str, keep_old_files: bool
+) -> dict | None:
     with open(os.path.join(path, "_corpus_manifest.json")) as f:
         manifest = json.load(f)
     revisions = manifest.get("revisions", [])
@@ -803,6 +946,13 @@ def compact_corpus_revisions(
         "splits": splits_rec,
         "split_overrides": sum(
             int(r.get("split_overrides", 0)) for r in revisions
+        ),
+        # committed transaction ids carry forward so an exactly-once
+        # replay (update_pretraining_corpus txn=...) still recognizes a
+        # transaction whose revision this compaction collapsed
+        "txns": sorted(
+            {r["txn"] for r in revisions if r.get("txn")}
+            | {t for r in revisions for t in r.get("txns", ())}
         ),
     }
     manifest["revisions"] = [record]
@@ -880,7 +1030,14 @@ def rebuild_corpus_indexes(spark: SparkSession, path: str) -> dict:
     rebuild collapses its accumulated segments. Run this on the cadence
     retraining deserves (weekly/monthly), `maintain_corpus` every day.
     Updates the manifest's recorded ``n_cells`` (population-scaled to
-    the corpus as it stands). Returns ``{docs, n_cells}``."""
+    the corpus as it stands). Runs under the artifact's ``.corpus.lock``
+    — a rebuild racing an update would sweep the update's fresh index
+    segments mid-append. Returns ``{docs, n_cells}``."""
+    with _corpus_mutation_lock(path):
+        return _rebuild_indexes_locked(spark, path)
+
+
+def _rebuild_indexes_locked(spark: SparkSession, path: str) -> dict:
     with open(os.path.join(path, "_corpus_manifest.json")) as f:
         manifest = json.load(f)
     if "dedup_index" not in manifest:

@@ -543,6 +543,7 @@ def stream_corpus_revisions(
     checkpoint: str,
     eval_df: DataFrame | None = None,
     available_now: bool = True,
+    txn_prefix: str | None = None,
 ):
     """Stream documents INTO a pretraining-corpus artifact: every non-empty
     micro-batch becomes one :func:`~..pipelines.pretraining
@@ -559,14 +560,31 @@ def stream_corpus_revisions(
     idempotency-by-dedup the reference's cache can't offer (pinned in
     tests/test_corpus_pipeline.py::test_streaming_corpus_revisions_replay
     _commits_nothing). The corpus must have been built with
-    ``dedup_index=True``."""
+    ``dedup_index=True``.
+
+    ``txn_prefix`` upgrades replay safety to EXACTLY-ONCE by
+    transaction id: each micro-batch commits as
+    ``{txn_prefix}/b{batch_id}``, and because the engine reuses batch
+    ids when it re-delivers after a crash (same checkpoint), the
+    replayed batch short-circuits to the already-committed revision —
+    no re-curation, and the revision's index appends are re-fired
+    idempotently (healing the commit-vs-append crash window that
+    content dedup alone leaves as a redundancy-direction hole). Use a
+    prefix unique to this stream (its checkpoint name is a good
+    choice); starting over with a FRESH checkpoint needs a fresh prefix
+    too, since batch ids restart at 0."""
     from ..pipelines.pretraining import update_pretraining_corpus
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.localCheckpoint(eager=True)
         if batch.isEmpty():
             return
-        update_pretraining_corpus(batch, corpus_path, eval_df=eval_df)
+        update_pretraining_corpus(
+            batch,
+            corpus_path,
+            eval_df=eval_df,
+            txn=None if txn_prefix is None else f"{txn_prefix}/b{batch_id}",
+        )
 
     writer = docs.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint

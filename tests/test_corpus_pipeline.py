@@ -776,3 +776,169 @@ def test_rebuild_corpus_indexes_retrains_and_keeps_dedup(spark, tmp_path):
     st = {s["stage"]: s["n_docs"] for s in rec["stages"]}
     assert st["lexical_dedup_vs_corpus"] == 1
     assert sum(v["rows"] for v in rec["splits"].values()) == 1
+
+
+def test_corpus_mutation_lock_excludes_concurrent_mutators(spark, tmp_path):
+    """Every manifest read-modify-write cycle (update / compact / rebuild)
+    serializes behind the artifact's .corpus.lock: a second mutator fails
+    fast instead of hiding the first one's revision behind its own
+    manifest rename — and releasing the lock unblocks mutation."""
+    import os
+
+    import pytest
+
+    from feature_store_implementation_spark.pipelines.pretraining import (
+        compact_corpus_revisions,
+        rebuild_corpus_indexes,
+        update_pretraining_corpus,
+    )
+
+    path = str(tmp_path / "corpus")
+    _build_base(spark, path, n=60)
+    lock = os.path.join(path, ".corpus.lock")
+    open(lock, "w").close()  # a mutation is "in flight"
+
+    inc = spark.createDataFrame(
+        [(8000, _story(80000), "en")], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(RuntimeError, match="corpus mutation"):
+        update_pretraining_corpus(inc, path)
+    with pytest.raises(RuntimeError, match="corpus mutation"):
+        compact_corpus_revisions(spark, path)
+    with pytest.raises(RuntimeError, match="corpus mutation"):
+        rebuild_corpus_indexes(spark, path)
+
+    os.remove(lock)
+    rec = update_pretraining_corpus(inc, path)
+    assert sum(v["rows"] for v in rec["splits"].values()) == 1
+    assert not os.path.exists(lock)  # released after a successful run
+
+
+def test_update_txn_replay_is_exactly_once_and_heals_index_append(
+    spark, tmp_path, monkeypatch
+):
+    """A txn'd update that crashes BETWEEN the manifest rename and the
+    index append is healed by replaying the same txn: the committed
+    record comes back (no new revision, no re-curation), the missing
+    index append is re-fired idempotently, and subsequent increments
+    dedup against the once-unindexed docs."""
+    import json
+    import os
+
+    import pytest
+
+    from feature_store_implementation_spark.pipelines import pretraining as P
+
+    path = str(tmp_path / "corpus")
+    _build_base(spark, path, n=60)
+    base_total = P.read_corpus(spark, path).count()
+
+    inc = spark.createDataFrame(
+        [(5000 + i, _story(70000 + i), "en") for i in range(8)],
+        "doc_id long, text string, lang string",
+    )
+    real_append = P.minhash_index_append
+
+    def dying_append(*a, **k):
+        raise OSError("simulated crash before the index append")
+
+    monkeypatch.setattr(P, "minhash_index_append", dying_append)
+    with pytest.raises(OSError, match="simulated crash"):
+        P.update_pretraining_corpus(inc, path, txn="day-1")
+    monkeypatch.setattr(P, "minhash_index_append", real_append)
+
+    # the revision COMMITTED (manifest rename preceded the crash), and the
+    # failed run did not leak its lock
+    man = json.load(open(os.path.join(path, "_corpus_manifest.json")))
+    assert man["revisions"][-1]["txn"] == "day-1"
+    assert P.read_corpus(spark, path).count() == base_total + 8
+    assert not os.path.exists(os.path.join(path, ".corpus.lock"))
+
+    # replay: same record back, no new revision, corpus unchanged
+    rec = P.update_pretraining_corpus(inc, path, txn="day-1")
+    man2 = json.load(open(os.path.join(path, "_corpus_manifest.json")))
+    assert rec["revision"] == man["revisions"][-1]["revision"]
+    assert len(man2["revisions"]) == len(man["revisions"])
+    assert P.read_corpus(spark, path).count() == base_total + 8
+
+    # healed: a twin of a day-1 doc now drops at the cross-corpus gate
+    rec2 = P.update_pretraining_corpus(
+        spark.createDataFrame(
+            [(6001, _story(70003), "en")],
+            "doc_id long, text string, lang string",
+        ),
+        path,
+        txn="day-2",
+    )
+    st = {s["stage"]: s["n_docs"] for s in rec2["stages"]}
+    assert st["lexical_dedup_vs_corpus"] == 0
+
+
+def test_update_crash_before_commit_replays_clean(spark, tmp_path, monkeypatch):
+    """An update that dies BEFORE the manifest rename commits nothing —
+    its shard/map files are unreferenced orphans — and the retry (same
+    txn) sweeps them and runs fresh to a full commit."""
+    import pytest
+
+    from feature_store_implementation_spark.pipelines import pretraining as P
+
+    path = str(tmp_path / "corpus")
+    _build_base(spark, path, n=60)
+    base_total = P.read_corpus(spark, path).count()
+
+    inc = spark.createDataFrame(
+        [(5100 + i, _story(71000 + i), "en") for i in range(5)],
+        "doc_id long, text string, lang string",
+    )
+    real_commit = P._commit_manifest
+
+    def dying_commit(*a, **k):
+        raise OSError("simulated crash before the manifest rename")
+
+    monkeypatch.setattr(P, "_commit_manifest", dying_commit)
+    with pytest.raises(OSError, match="simulated crash"):
+        P.update_pretraining_corpus(inc, path, txn="day-1")
+    monkeypatch.setattr(P, "_commit_manifest", real_commit)
+
+    assert P.read_corpus(spark, path).count() == base_total  # nothing committed
+
+    rec = P.update_pretraining_corpus(inc, path, txn="day-1")
+    assert sum(v["rows"] for v in rec["splits"].values()) == 5
+    assert P.read_corpus(spark, path).count() == base_total + 5
+
+
+def test_compaction_carries_txns_for_replay(spark, tmp_path):
+    """Compacting revisions must not forget which transactions committed:
+    a replayed txn whose revision was collapsed short-circuits to the
+    compacted record instead of re-admitting its documents."""
+    import json
+    import os
+
+    from feature_store_implementation_spark.pipelines import pretraining as P
+
+    path = str(tmp_path / "corpus")
+    _build_base(spark, path, n=60)
+
+    day1 = spark.createDataFrame(
+        [(5200 + i, _story(72000 + i), "en") for i in range(4)],
+        "doc_id long, text string, lang string",
+    )
+    P.update_pretraining_corpus(day1, path, txn="day-1")
+    P.update_pretraining_corpus(
+        spark.createDataFrame(
+            [(5300 + i, _story(73000 + i), "en") for i in range(4)],
+            "doc_id long, text string, lang string",
+        ),
+        path,
+        txn="day-2",
+    )
+    total = P.read_corpus(spark, path).count()
+
+    assert P.compact_corpus_revisions(spark, path) is not None
+    man = json.load(open(os.path.join(path, "_corpus_manifest.json")))
+    assert len(man["revisions"]) == 1
+    assert man["revisions"][0]["txns"] == ["day-1", "day-2"]
+
+    rec = P.update_pretraining_corpus(day1, path, txn="day-1")  # replay
+    assert rec.get("compacted_from")  # the compacted record came back
+    assert P.read_corpus(spark, path).count() == total  # nothing re-admitted
