@@ -20,6 +20,8 @@ these are north-star extensions (BASELINE.json)."""
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -32,27 +34,69 @@ from ..functions.vector import cosine_col
 
 # The MinHash/SimHash signature frames and the n-gram shingle frame are
 # cache()d because each is referenced twice in its returned plan (candidate
-# generation + verify). A long-lived session running the full ~170-query
+# generation + verify). A long-lived session running the full ~200-query
 # inventory would otherwise accumulate one cached frame per dedup call for
-# the session lifetime. The registry below bounds that: caching a new frame
-# evicts the oldest beyond a small window. Eviction is always CORRECT —
-# an unpersisted frame silently recomputes — so the only cost of a too-small
-# window is duplicated shingle work inside one composed pipeline; the window
-# of 8 covers every in-repo composition (pipelines/corpus.py chains at most
-# three routes before materializing).
-_LIVE_CACHES: list[DataFrame] = []
-_LIVE_CACHE_WINDOW = 8
+# the session lifetime. Caching is SCOPED: a pipeline run (or a bench/test
+# harness) opens a `cache_scope()`, its frames evict oldest-first beyond a
+# small window, and the scope's exit unpersists everything it cached.
+# Scopes nest independently — a composed pipeline's inner scope can never
+# evict a frame its caller still references lazily (the silent-recompute
+# pathology the old session-global window allowed: eviction is always
+# CORRECT because an unpersisted frame recomputes, but a recompute of a
+# shingle frame is the exact cost the cache exists to avoid). Calls with
+# no active scope fall back to one bounded session-global default window
+# (the old behavior, so ad-hoc REPL use stays bounded).
+
+
+class _CacheScope:
+    __slots__ = ("frames", "window")
+
+    def __init__(self, window: int = 8):
+        self.frames: list[DataFrame] = []
+        self.window = window
+
+    def add(self, df: DataFrame) -> DataFrame:
+        while len(self.frames) >= self.window:
+            try:
+                self.frames.pop(0).unpersist()
+            except Exception:  # a stopped session invalidates old handles
+                pass
+        df = df.cache()
+        self.frames.append(df)
+        return df
+
+    def release(self) -> None:
+        while self.frames:
+            try:
+                self.frames.pop().unpersist()
+            except Exception:
+                pass
+
+
+_DEFAULT_SCOPE = _CacheScope(window=8)
+_SCOPE_STACK: list[_CacheScope] = []
+
+
+@contextmanager
+def cache_scope(window: int = 8):
+    """Bound the lifetime of every signature/shingle frame cached by dedup
+    routes invoked inside the block: evicted oldest-first past ``window``
+    while the block runs, ALL unpersisted at exit. Wrap each pipeline run
+    (pipelines/corpus.py, pipelines/pretraining.py do) and each bench/test
+    query so one run's cached storage never squats on executor memory —
+    or evicts another run's live frames — after it finishes."""
+    scope = _CacheScope(window=window)
+    _SCOPE_STACK.append(scope)
+    try:
+        yield scope
+    finally:
+        _SCOPE_STACK.remove(scope)
+        scope.release()
 
 
 def _cache_scoped(df: DataFrame) -> DataFrame:
-    while len(_LIVE_CACHES) >= _LIVE_CACHE_WINDOW:
-        try:
-            _LIVE_CACHES.pop(0).unpersist()
-        except Exception:  # a stopped session invalidates old handles — drop them
-            pass
-    df = df.cache()
-    _LIVE_CACHES.append(df)
-    return df
+    scope = _SCOPE_STACK[-1] if _SCOPE_STACK else _DEFAULT_SCOPE
+    return scope.add(df)
 
 
 def _spread_small_input(df: DataFrame) -> DataFrame:

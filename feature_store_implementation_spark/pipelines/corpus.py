@@ -144,7 +144,7 @@ def curate_corpus(
         after_l = after_l.join(lp, "doc_id").filter(
             F.col("avg_logprob") >= min_avg_logprob
         )
-    after_l = after_l.cache()
+    after_l = _cache_scoped(after_l)
     n_after_language = after_l.count()
 
     pairs = minhash_near_dup_pairs(

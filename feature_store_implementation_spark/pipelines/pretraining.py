@@ -44,6 +44,7 @@ per-split aggregates.
 
 from __future__ import annotations
 
+import functools
 import json
 import math
 import os
@@ -55,6 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    cache_scope,
     minhash_index_append,
     minhash_index_query,
     minhash_index_write,
@@ -88,6 +90,23 @@ def _fingerprint(df: DataFrame, id_col: str, text_col: str) -> str:
     return format(row["fp"] or 0, "015x")
 
 
+def _scoped(fn):
+    """Run a pipeline entry point under its own dedup ``cache_scope()``:
+    every signature/shingle frame the run caches is released when it
+    returns (all outputs are eagerly materialized before then — shards
+    written, manifests committed, checkpointed frames), so back-to-back
+    runs in one session never squat on executor storage memory or evict
+    another live pipeline's frames (r8 ADVICE task 8)."""
+
+    @functools.wraps(fn)
+    def wrapper(*a, **k):
+        with cache_scope():
+            return fn(*a, **k)
+
+    return wrapper
+
+
+@_scoped
 def build_pretraining_corpus(
     docs: DataFrame,
     path: str,
@@ -367,18 +386,50 @@ def _corpus_mutation_lock(path: str):
     the other's revision record entirely (lost update + colliding
     files); an update racing a compaction loses the same way. A second
     mutator fails fast rather than queueing — corpus mutation is a
-    scheduled daily/cron flow, so overlap signals a scheduling bug, and
-    a crashed holder leaves the lock for the operator to clear (the pid
-    is recorded inside)."""
-    os.makedirs(path, exist_ok=True)
-    lock = os.path.join(path, ".corpus.lock")
-    try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        raise RuntimeError(
-            f"another corpus mutation is in flight for {path} (lock: "
-            f"{lock}); remove the file only if its owner is known dead"
+    scheduled daily/cron flow, so overlap signals a scheduling bug. A
+    crashed holder's lock records its pid: if that pid is a LOCAL dead
+    process the lock auto-clears (one retry); otherwise — alive, or
+    possibly remote on a shared filesystem — it stays for the operator.
+
+    The artifact directory must already exist (``build_pretraining_
+    corpus`` creates it): mutating a mistyped path must fail on the
+    missing manifest, not mint an empty stray directory first."""
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"no corpus artifact at {path} — build_pretraining_corpus "
+            "creates it; update/compact/rebuild require an existing one"
         )
+    lock = os.path.join(path, ".corpus.lock")
+    fd = None
+    for attempt in (0, 1):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                with open(lock) as lf:
+                    pid = int(lf.read().strip() or "0")
+            except (OSError, ValueError):
+                pid = 0
+            alive = True
+            if pid > 0:
+                try:
+                    os.kill(pid, 0)
+                except ProcessLookupError:
+                    alive = False  # dead on THIS host — safe to clear
+                except PermissionError:
+                    alive = True
+            if attempt == 0 and pid > 0 and not alive:
+                try:
+                    os.remove(lock)
+                except FileNotFoundError:
+                    pass
+                continue
+            raise RuntimeError(
+                f"another corpus mutation is in flight for {path} (lock: "
+                f"{lock}, pid {pid or '?'}); remove the file only if its "
+                "owner is known dead"
+            )
     try:
         os.write(fd, str(os.getpid()).encode())
         os.close(fd)
@@ -416,6 +467,14 @@ def _repair_revision_indexes(
         # name would double-index every doc it collapsed
         return
     rev = record["revision"]
+    if int(rev[1:]) < int(manifest.get("index_rebuild_watermark", 0)):
+        # rebuild_corpus_indexes collapsed every pre-rebuild segment —
+        # including this revision's seg-<rev> whose presence is what
+        # makes the append a no-op on replay. The watermark (the
+        # manifest's next_revision at rebuild time) marks those docs as
+        # already folded into the rebuilt index; re-appending would
+        # double-index them (ADVICE r8)
+        return
     dirs = [
         os.path.join(path, "increments", rev, f"split={name}")
         for name in record["splits"]
@@ -527,6 +586,7 @@ def update_pretraining_corpus(
         return _update_corpus_locked(new_docs, path, eval_df, text_col, id_col, txn)
 
 
+@_scoped
 def _update_corpus_locked(
     new_docs: DataFrame,
     path: str,
@@ -879,6 +939,7 @@ def compact_corpus_revisions(
         return _compact_revisions_locked(spark, path, keep_old_files)
 
 
+@_scoped
 def _compact_revisions_locked(
     spark: SparkSession, path: str, keep_old_files: bool
 ) -> dict | None:
@@ -891,6 +952,15 @@ def _compact_revisions_locked(
     text_col = p.get("text_col", "text")
     id_col = p.get("id_col", "doc_id")
     rev = f"r{manifest.get('next_revision', len(revisions) + 1):04d}"
+    # a prior compaction that crashed after writing merged shards but
+    # before the manifest rename left increments/<rev> and
+    # _doc_splits/<rev> as unreferenced orphans under this SAME
+    # uncommitted name — sweep them so the retry's error-if-exists
+    # parquet writes start clean (mirrors _update_corpus_locked's
+    # sweep; safe under the lock since rev is uncommitted by
+    # construction: next_revision only advances at manifest commit)
+    shutil.rmtree(os.path.join(path, "increments", rev), ignore_errors=True)
+    shutil.rmtree(os.path.join(path, "_doc_splits", rev), ignore_errors=True)
 
     splits_rec: dict[str, dict] = {}
     for name in sorted(p["split_fractions"]):
@@ -1037,6 +1107,7 @@ def rebuild_corpus_indexes(spark: SparkSession, path: str) -> dict:
         return _rebuild_indexes_locked(spark, path)
 
 
+@_scoped
 def _rebuild_indexes_locked(spark: SparkSession, path: str) -> dict:
     with open(os.path.join(path, "_corpus_manifest.json")) as f:
         manifest = json.load(f)
@@ -1070,5 +1141,13 @@ def _rebuild_indexes_locked(spark: SparkSession, path: str) -> dict:
             overwrite=True,
         )
         manifest["semantic_index"]["n_cells"] = n_cells
-        _commit_manifest(path, manifest)
+    # overwrite=True destroyed every per-revision seg-<rev> segment and
+    # its supersedes records — the markers _repair_revision_indexes
+    # relies on for no-op replay. Record the rebuild watermark so a txn
+    # replayed after the rebuild skips re-appending docs the rebuild
+    # already folded in (ADVICE r8: double-index on post-rebuild replay)
+    manifest["index_rebuild_watermark"] = int(
+        manifest.get("next_revision", len(manifest.get("revisions", [])) + 1)
+    )
+    _commit_manifest(path, manifest)
     return {"docs": int(n_docs), "n_cells": n_cells}

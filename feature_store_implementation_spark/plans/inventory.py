@@ -97,15 +97,16 @@ def _ordered_names() -> list[str]:
     # accumulate, the least-recently-verified queries automatically rotate
     # to the front.
     #
-    # Never-checked queries slot in just BEFORE the freshest group
-    # (max_round - 0.5), not at the front: once every query has a row (true
-    # since round 7), a newly added query must not displace the staleness
-    # backlog from the fixed-width window — it queues behind every
-    # genuinely stale group and earns its first row when the backlog
-    # clears. Before any CORRECTNESS file exists (round 1) the key
-    # degenerates to a constant and definition order rules, as before.
+    # Never-checked queries sort FIRST (min_round - 0.5): a query with no
+    # driver CORRECTNESS row at all is the weakest link in the evidence
+    # chain, so it outranks even the stalest verified group (round-8
+    # verdict task 2 — the prior policy queued new queries behind the
+    # whole staleness backlog, which starved them exactly when the
+    # backlog width equalled the window width). Before any CORRECTNESS
+    # file exists (round 1) the key degenerates to a constant and
+    # definition order rules, as before.
     latest = _driver_checked_rounds()
-    new_key = max(latest.values(), default=0) - 0.5
+    new_key = min(latest.values(), default=0) - 0.5
     def_idx = {n: i for i, n in enumerate(SPECS)}
     return sorted(
         SPECS,
@@ -7098,15 +7099,77 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("pos").cast("long").alias("pos"), F.round("value", 6).alias("value"))
 
 
-@query("q_pca_project", None)
+def _pca_oracle_sql(out_dim: int = 8) -> str | None:
+    """The PCA oracle is data-DEPENDENT (unlike :func:`_jl_oracle_sql`'s
+    seeded matrix), so SQL alone cannot express it: this builds a fully
+    INDEPENDENT single-node PCA — DuckDB reads the same embeddings
+    parquet the driver's views point at, numpy computes mean/covariance/
+    eigh directly over the whole matrix (no shared code with the
+    distributed moment pass beyond the published algorithm) — and
+    inlines the resulting mean-centered projection as literal
+    coefficients, one list_inner_product per output coordinate. The two
+    sides share only the algorithm's MATHEMATICAL contract: covariance
+    with the n-1 denominator, components ordered by descending
+    eigenvalue, each component's largest-|entry| made positive (the
+    sign canonicalization both q_pca_project's pca_fit and any textbook
+    implementation must pin for the answer to be well-defined at all).
+    Eigenvector perturbation from summation-order ulp drift is
+    ~1e-11 — invisible at the 5-decimal rounding both sides share.
+
+    The driver's correctness gate runs at sf0.01
+    ($SPARK_GRAFT_ORACLE_SF_DIR overrides); if the parquet is absent
+    this returns None and the query stays rows-only."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    pq = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(pq):
+        return None
+    try:
+        import duckdb
+        import numpy as np
+
+        M = np.asarray(
+            duckdb.sql(
+                f"SELECT embedding::DOUBLE[] AS e FROM read_parquet('{pq}') "
+                "ORDER BY vec_id"
+            ).fetchall(),
+            dtype=np.float64,
+        )[:, 0, :]
+    except Exception:
+        return None
+    mean = M.mean(axis=0)
+    w, V = np.linalg.eigh(np.cov(M, rowvar=False))
+    order = np.argsort(w)[::-1][:out_dim]
+    comps = V[:, order]
+    flips = np.sign(comps[np.abs(comps).argmax(axis=0), np.arange(comps.shape[1])])
+    flips[flips == 0] = 1.0
+    comps = comps * flips
+    parts = []
+    for p in range(out_dim):
+        coeffs = ", ".join(repr(float(c)) for c in comps[:, p])
+        shift = repr(float(mean @ comps[:, p]))
+        parts.append(
+            f"SELECT vec_id, CAST({p} AS BIGINT) AS pos, "
+            f"round(list_inner_product(embedding::DOUBLE[], [{coeffs}]) "
+            f"- {shift}, 5) AS value FROM embeddings"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("q_pca_project", _pca_oracle_sql())
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA 64-d → 8-d (operators/similarity.py pca_project): ONE
     distributed moment pass (per-partition n/Σx/ΣxxT partials fused into
     an Arrow pass — the corpus never leaves executors as more than d²
     floats per partition), driver-side d×d eigh, then one map-only
-    projection pass. Rows-only (no SQL eigendecomposition); numpy parity,
-    determinism and explained-variance ordering pinned in
-    tests/test_dedup_similarity.py."""
+    projection pass. ORACLE-bearing since r9: the oracle is an
+    independent single-node numpy PCA over the same parquet with its
+    projection inlined as literals (see _pca_oracle_sql) — both sides
+    pin the same sign canonicalization (largest-|entry| positive), so
+    the hash compare is exact at the shared 5-decimal rounding. numpy
+    parity, determinism and explained-variance ordering additionally
+    pinned in tests/test_dedup_similarity.py."""
     from ..operators.similarity import pca_project
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -7114,7 +7177,7 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar-only output for the driver canon: one row per coordinate
     return out.select(
         "vec_id", F.posexplode("projected").alias("pos", "value")
-    ).select("vec_id", F.col("pos").cast("long").alias("pos"), F.round("value", 6).alias("value"))
+    ).select("vec_id", F.col("pos").cast("long").alias("pos"), F.round("value", 5).alias("value"))
 
 
 @query("q_dedup_index_grow", None)

@@ -276,7 +276,10 @@ class FeatureStore:
         one file per shard — the standard bulk-ingest layout (HBase bulk
         load / RocksDB SST ingest: each shard streams in key order into one
         run). ``as_of`` pins the export to a storage snapshot. Returns the
-        exported row count."""
+        exported row count. Read back with
+        :func:`~.online_snapshot.lookup_online_snapshot` — a no-Spark-job
+        shard-routed point read off the ``_snapshot_meta.json`` this
+        writes (router shard count + pinned version)."""
         m = self.serve_matrix(feature_names, version, as_of=as_of)
         out = m.withColumn(
             "shard", F.pmod(F.xxhash64("entity_id"), F.lit(int(n_shards)))
@@ -287,6 +290,11 @@ class FeatureStore:
             .write.partitionBy("shard")
             .parquet(path)
         )
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(path, "_snapshot_meta.json"), "w") as f:
+            _json.dump({"n_shards": int(n_shards), "version": version}, f)
         return self.spark.read.parquet(path).count()
 
     # -- registry passthrough (reference main.py:37-135, 233-244) ---------

@@ -569,11 +569,35 @@ def stream_corpus_revisions(
     replayed batch short-circuits to the already-committed revision —
     no re-curation, and the revision's index appends are re-fired
     idempotently (healing the commit-vs-append crash window that
-    content dedup alone leaves as a redundancy-direction hole). Use a
-    prefix unique to this stream (its checkpoint name is a good
-    choice); starting over with a FRESH checkpoint needs a fresh prefix
-    too, since batch ids restart at 0."""
+    content dedup alone leaves as a redundancy-direction hole). Batch
+    ids are only unique WITHIN one checkpoint lineage (a fresh
+    checkpoint restarts them at 0), so the committed txn is namespaced
+    by the checkpoint's engine-minted query id — read from
+    ``<checkpoint>/metadata``, stable across crash-restarts of the same
+    checkpoint, fresh for a fresh one. Reusing a ``txn_prefix`` with a
+    new checkpoint therefore can NOT silently short-circuit new batches
+    to old revisions (ADVICE r8); the prefix itself only keeps txns
+    readable and distinct across concurrent streams."""
+    import json as _json
+    import os as _os
+
     from ..pipelines.pretraining import update_pretraining_corpus
+
+    ckpt_id: list = []  # lazily read once the engine has written it
+
+    def _txn(batch_id: int) -> str | None:
+        if txn_prefix is None:
+            return None
+        if not ckpt_id:
+            qid = ""
+            try:
+                with open(_os.path.join(checkpoint, "metadata")) as f:
+                    qid = str(_json.load(f).get("id", ""))[:8]
+            except (OSError, ValueError):
+                pass  # no metadata (non-local checkpoint store) → bare prefix
+            ckpt_id.append(qid)
+        ns = ckpt_id[0]
+        return f"{txn_prefix}#{ns}/b{batch_id}" if ns else f"{txn_prefix}/b{batch_id}"
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.localCheckpoint(eager=True)
@@ -583,7 +607,7 @@ def stream_corpus_revisions(
             batch,
             corpus_path,
             eval_df=eval_df,
-            txn=None if txn_prefix is None else f"{txn_prefix}/b{batch_id}",
+            txn=_txn(batch_id),
         )
 
     writer = docs.writeStream.foreachBatch(fold).option(

@@ -942,3 +942,216 @@ def test_compaction_carries_txns_for_replay(spark, tmp_path):
     rec = P.update_pretraining_corpus(day1, path, txn="day-1")  # replay
     assert rec.get("compacted_from")  # the compacted record came back
     assert P.read_corpus(spark, path).count() == total  # nothing re-admitted
+
+
+def test_compaction_crash_retry_runs_clean(spark, tmp_path, monkeypatch):
+    """A compaction that crashes AFTER writing merged shards but BEFORE
+    the manifest rename left increments/<rev> and _doc_splits/<rev>
+    orphans under the same uncommitted name; the retry (next
+    maintain_corpus cron) must sweep them and complete — not fail on
+    the orphan dirs' error-if-exists parquet writes (ADVICE r8)."""
+    import json
+    import os
+
+    import pytest
+
+    from feature_store_implementation_spark.pipelines import pretraining as P
+
+    path = str(tmp_path / "corpus")
+    _build_base(spark, path, n=60)
+    P.update_pretraining_corpus(
+        spark.createDataFrame(
+            [(5400 + i, _story(74000 + i), "en") for i in range(4)],
+            "doc_id long, text string, lang string",
+        ),
+        path,
+        txn="day-1",
+    )
+    P.update_pretraining_corpus(
+        spark.createDataFrame(
+            [(5450 + i, _story(74500 + i), "en") for i in range(4)],
+            "doc_id long, text string, lang string",
+        ),
+        path,
+        txn="day-2",
+    )
+    total = P.read_corpus(spark, path).count()
+
+    real_commit = P._commit_manifest
+
+    def dying_commit(*a, **k):
+        raise OSError("simulated crash before the manifest rename")
+
+    monkeypatch.setattr(P, "_commit_manifest", dying_commit)
+    with pytest.raises(OSError, match="simulated crash"):
+        P.compact_corpus_revisions(spark, path)
+    monkeypatch.setattr(P, "_commit_manifest", real_commit)
+
+    # the orphan shard dirs exist under the uncommitted revision name
+    man = json.load(open(os.path.join(path, "_corpus_manifest.json")))
+    orphan = f"r{man['next_revision']:04d}"
+    assert os.path.isdir(os.path.join(path, "increments", orphan))
+    assert len(man["revisions"]) == 2  # nothing committed
+
+    rec = P.compact_corpus_revisions(spark, path)  # the retry
+    assert rec is not None and rec["revision"] == orphan
+    man2 = json.load(open(os.path.join(path, "_corpus_manifest.json")))
+    assert len(man2["revisions"]) == 1
+    assert P.read_corpus(spark, path).count() == total
+
+
+def test_rebuild_watermark_blocks_post_rebuild_replay_reindex(spark, tmp_path):
+    """rebuild_corpus_indexes collapses every per-revision seg-<rev>
+    segment; a txn replayed AFTER the rebuild must not re-append its
+    revision's docs (they are already in the rebuilt base) — the
+    recorded index_rebuild_watermark makes the repair a no-op
+    (ADVICE r8: double-index on post-rebuild replay)."""
+    import json
+    import os
+
+    from feature_store_implementation_spark.pipelines import pretraining as P
+
+    path = str(tmp_path / "corpus")
+    _build_base(spark, path, n=60)
+    inc = spark.createDataFrame(
+        [(5500 + i, _story(75000 + i), "en") for i in range(4)],
+        "doc_id long, text string, lang string",
+    )
+    P.update_pretraining_corpus(inc, path, txn="day-1")
+    total = P.read_corpus(spark, path).count()
+
+    P.rebuild_corpus_indexes(spark, path)
+    man = json.load(open(os.path.join(path, "_corpus_manifest.json")))
+    assert man["index_rebuild_watermark"] == man["next_revision"]
+    sig_dir = os.path.join(path, man["dedup_index"]["path"], "signatures")
+    segs_after_rebuild = sorted(
+        n for n in os.listdir(sig_dir) if n.startswith("seg-")
+    )
+    assert segs_after_rebuild == []  # overwrite collapsed all segments
+
+    rec = P.update_pretraining_corpus(inc, path, txn="day-1")  # replay
+    assert rec["txn"] == "day-1"  # short-circuited to the committed record
+    # the repair must NOT have re-appended the revision's segment
+    assert sorted(n for n in os.listdir(sig_dir) if n.startswith("seg-")) == []
+    assert P.read_corpus(spark, path).count() == total
+
+    # and POST-rebuild revisions still get (and keep) their segments
+    P.update_pretraining_corpus(
+        spark.createDataFrame(
+            [(5600, _story(76000), "en")],
+            "doc_id long, text string, lang string",
+        ),
+        path,
+        txn="day-2",
+    )
+    assert len([n for n in os.listdir(sig_dir) if n.startswith("seg-")]) == 1
+
+
+def test_stream_fresh_checkpoint_with_reused_prefix_still_ingests(
+    spark, tmp_path
+):
+    """Starting a stream OVER with a fresh checkpoint restarts batch ids
+    at 0; if the sink keyed txns on the bare prefix, the new stream's
+    first batches would short-circuit to the old stream's committed
+    revisions and silently drop their documents. The txn is namespaced
+    by the checkpoint's engine-minted query id, so a reused prefix with
+    a new checkpoint still ingests (ADVICE r8)."""
+    import json
+    import os
+
+    from feature_store_implementation_spark.pipelines.pretraining import (
+        read_corpus,
+    )
+    from feature_store_implementation_spark.streaming.features import (
+        stream_corpus_revisions,
+    )
+
+    path = str(tmp_path / "corpus")
+    _build_base(spark, path, n=60)
+    base_total = read_corpus(spark, path).count()
+    schema = "doc_id long, text string, lang string"
+
+    src1 = str(tmp_path / "in1")
+    spark.createDataFrame(
+        [(7100 + i, _story(41000 + i), "en") for i in range(5)], schema
+    ).coalesce(1).write.parquet(src1)
+    q1 = stream_corpus_revisions(
+        spark.readStream.schema(schema).parquet(src1),
+        path,
+        str(tmp_path / "ckptA"),
+        txn_prefix="daily",
+    )
+    assert q1.awaitTermination(120)
+    assert read_corpus(spark, path).count() == base_total + 5
+
+    # NEW checkpoint, SAME prefix, DIFFERENT docs — batch ids restart at 0
+    src2 = str(tmp_path / "in2")
+    spark.createDataFrame(
+        [(7200 + i, _story(42000 + i), "en") for i in range(5)], schema
+    ).coalesce(1).write.parquet(src2)
+    q2 = stream_corpus_revisions(
+        spark.readStream.schema(schema).parquet(src2),
+        path,
+        str(tmp_path / "ckptB"),
+        txn_prefix="daily",
+    )
+    assert q2.awaitTermination(120)
+    assert read_corpus(spark, path).count() == base_total + 10
+
+    man = json.load(open(os.path.join(path, "_corpus_manifest.json")))
+    txns = [r["txn"] for r in man["revisions"]]
+    assert len(txns) == len(set(txns)) == 2  # distinct namespaced txns
+    assert all(t.startswith("daily#") for t in txns)
+
+    # crash-recovery replay of the SAME checkpoint still short-circuits
+    q3 = stream_corpus_revisions(
+        spark.readStream.schema(schema).parquet(src2),
+        path,
+        str(tmp_path / "ckptB"),  # same checkpoint → same query id + batches
+        txn_prefix="daily",
+    )
+    assert q3.awaitTermination(120)
+    assert read_corpus(spark, path).count() == base_total + 10
+    man2 = json.load(open(os.path.join(path, "_corpus_manifest.json")))
+    assert len(man2["revisions"]) == 2  # nothing re-committed
+
+
+def test_mutation_lock_missing_artifact_and_dead_pid(spark, tmp_path):
+    """Mutating a mistyped path fails on the missing artifact WITHOUT
+    minting a stray empty directory; a lock left by a SIGKILL'd local
+    process (dead pid recorded inside) auto-clears instead of blocking
+    every cron mutation until manual cleanup (ADVICE r8)."""
+    import os
+    import subprocess
+
+    import pytest
+
+    from feature_store_implementation_spark.pipelines import pretraining as P
+
+    inc = spark.createDataFrame(
+        [(8100, _story(81000), "en")], "doc_id long, text string, lang string"
+    )
+    wrong = str(tmp_path / "no-such-corpus")
+    with pytest.raises(FileNotFoundError, match="no corpus artifact"):
+        P.update_pretraining_corpus(inc, wrong)
+    assert not os.path.exists(wrong)  # no stray dir minted
+
+    path = str(tmp_path / "corpus")
+    _build_base(spark, path, n=60)
+    lock = os.path.join(path, ".corpus.lock")
+
+    # a dead local holder: spawn-and-reap a process, record its pid
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    with open(lock, "w") as f:
+        f.write(str(proc.pid))
+    rec = P.update_pretraining_corpus(inc, path)  # auto-clears, proceeds
+    assert sum(v["rows"] for v in rec["splits"].values()) == 1
+    assert not os.path.exists(lock)
+
+    # a LIVE holder still excludes
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))
+    with pytest.raises(RuntimeError, match="corpus mutation"):
+        P.compact_corpus_revisions(spark, path)
+    os.remove(lock)

@@ -900,14 +900,52 @@ def test_scoped_cache_window_bounds_live_caches(spark):
     from feature_store_implementation_spark.operators import dedup as D
 
     df = _docs(spark)
-    before = len(D._LIVE_CACHES)
-    for _ in range(D._LIVE_CACHE_WINDOW + 3):
+    with D.cache_scope(window=4) as scope:
+        for _ in range(4 + 3):
+            minhash_near_dup_pairs(df, threshold=0.5).count()
+        assert len(scope.frames) <= 4
+        # evicted frames recompute correctly: the earliest result reproduces
+        pairs = minhash_near_dup_pairs(df, threshold=0.5).collect()
+        assert any((r["doc_id_a"], r["doc_id_b"]) == (0, 1) for r in pairs)
+        live = list(scope.frames)
+        assert all(f.storageLevel.useMemory for f in live)
+    # scope exit unpersists everything it cached
+    assert scope.frames == []
+    assert all(not f.storageLevel.useMemory for f in live)
+    # with no scope active, the bounded session-default window applies
+    minhash_near_dup_pairs(df, threshold=0.5).count()
+    assert 0 < len(D._DEFAULT_SCOPE.frames) <= D._DEFAULT_SCOPE.window
+
+
+def test_cache_scopes_nest_independently(spark):
+    """A composed pipeline's inner scope must not evict (or release)
+    frames its caller's scope still holds — the stale-read /
+    silent-recompute pathology of the old session-global window."""
+    from feature_store_implementation_spark.operators import dedup as D
+
+    df = _docs(spark)
+    with D.cache_scope(window=2) as outer:
         minhash_near_dup_pairs(df, threshold=0.5).count()
-    assert len(D._LIVE_CACHES) <= D._LIVE_CACHE_WINDOW
-    # evicted frames recompute correctly: the earliest result is reproducible
-    pairs = minhash_near_dup_pairs(df, threshold=0.5).collect()
-    assert any((r["doc_id_a"], r["doc_id_b"]) == (0, 1) for r in pairs)
-    assert before <= D._LIVE_CACHE_WINDOW
+        outer_frames = list(outer.frames)
+        assert outer_frames and all(
+            f.storageLevel.useMemory for f in outer_frames
+        )
+        with D.cache_scope(window=2) as inner:
+            # churn PAST the window inside the nested scope — over a
+            # DIFFERENT frame: Spark's CacheManager aliases logically
+            # identical plans, so unpersisting the same plan from the
+            # inner scope would (correctly, but irrelevantly here) drop
+            # the shared cache entry
+            sub = df.filter("doc_id < 4")
+            for _ in range(5):
+                minhash_near_dup_pairs(sub, threshold=0.5).count()
+            assert len(inner.frames) <= 2
+            # ...and the outer scope's frames are untouched: still cached
+            assert outer.frames == outer_frames
+            assert all(f.storageLevel.useMemory for f in outer_frames)
+        # inner exit released ITS frames only
+        assert all(f.storageLevel.useMemory for f in outer_frames)
+    assert all(not f.storageLevel.useMemory for f in outer_frames)
 
 
 def test_ivf_index_full_probe_equals_brute_force(spark, tmp_path):

@@ -1255,3 +1255,75 @@ def test_entity_skipping_backcompat_statless_segments(spark, tmp_path):
                 json.dump(doc, f)
     assert len(store._manifest_files(5, entity_ids=["zzz-not-there"])) == 1
     assert store.point_lookup(5, "e1").collect()[0]["value"] == "1"
+
+
+def test_python_xxhash64_matches_spark(spark):
+    """The snapshot router's driver-side XXH64 must be bit-identical to
+    Spark's xxhash64 expression (seed 42, UTF-8 bytes) — every length
+    class of the algorithm (empty, <4, <8, 8-31, >=32 bytes, unicode)."""
+    from pyspark.sql import functions as F
+
+    from feature_store_implementation_spark.serving.online_snapshot import (
+        snapshot_shard,
+        xxhash64,
+    )
+
+    keys = [
+        "",
+        "a",
+        "abc",
+        "abcdefg",
+        "entity-0042",
+        "x" * 31,
+        "y" * 32,
+        "z" * 100,
+        "naïve-ключ-键",
+        "e003",
+    ]
+    got = {
+        r["k"]: (r["h"], r["s"])
+        for r in spark.createDataFrame([(k,) for k in keys], "k string")
+        .select(
+            "k",
+            F.xxhash64("k").alias("h"),
+            F.pmod(F.xxhash64("k"), F.lit(7)).alias("s"),
+        )
+        .collect()
+    }
+    for k in keys:
+        assert xxhash64(k.encode("utf-8")) == got[k][0], k
+        assert snapshot_shard(k, 7) == got[k][1], k
+
+
+def test_lookup_online_snapshot_parity_with_serve_vector(fs, tmp_path):
+    """The exported snapshot SERVES: lookup_online_snapshot routes to one
+    shard file with no Spark job and returns the same features
+    serve_vector computes through the batch tier; unknown keys miss."""
+    import pytest
+
+    from feature_store_implementation_spark.serving.online_snapshot import (
+        lookup_online_snapshot,
+    )
+
+    t = fs.register_raw_table("t_srv", {"required_columns": ["id", "amount"]})
+    f = fs.create_feature("amt2", t.id, "SUM(amount)", "numeric")
+    fs.compute_version(
+        f.id, "v1.0", [{"id": f"e{i:03d}", "amount": float(i)} for i in range(50)]
+    )
+    out = str(tmp_path / "snap2")
+    fs.export_online_snapshot(out, n_shards=4)
+
+    sc = fs.spark.sparkContext
+    for eid in ("e000", "e007", "e031", "e049"):
+        expected = fs.serve_vector(eid).features  # batch tier (runs jobs)
+        jobs_before = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+        vec = lookup_online_snapshot(out, eid)
+        jobs_after = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+        assert vec.entity_id == eid
+        assert vec.features == expected
+        assert jobs_after == jobs_before  # the lookup ran NO Spark job
+    with pytest.raises(KeyError):
+        lookup_online_snapshot(out, "no-such-entity")
+    # feature_names projection
+    vec = lookup_online_snapshot(out, "e010", feature_names=["amt2"])
+    assert set(vec.features) == {"amt2"}
