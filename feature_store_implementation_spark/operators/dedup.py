@@ -807,13 +807,16 @@ def simhash_signatures(
     if bits <= 0 or bits % 64:
         raise ValueError("bits must be a positive multiple of 64")
     n_words = bits // 64
-    # deliberately NOT _spread_small_input: unlike the shingle/k-minhash
-    # routes, this map stage is one cheap pipelined pass (tokenize +
-    # xxhash + conditional partial sums) whose cost the groupBy shuffle
-    # already parallelizes, so the up-front text repartition pays more
-    # than it buys — isolated r8 measurement: 64-bit sf0.1 1.87s without
-    # vs 2.11-2.39s with; identical at 128-bit and at a 10× corpus
-    # (SCALING.md "SimHash spread")
+    # deliberately NOT _spread_small_input — decision re-made round 9 on
+    # INTERLEAVED in-harness A/B (spread toggled per-rep inside one
+    # session, so session drift cancels — SCALING.md "SimHash spread"):
+    # spread ON is a wash to slightly WORSE (64-bit medians ~3.3s on vs
+    # ~3.0s off at sf0.1; 128-bit within noise). Unlike the
+    # shingle/k-minhash routes, this map stage is one cheap pipelined
+    # codegen pass whose real work the groupBy(doc_id) shuffle already
+    # distributes, so the up-front text repartition only adds a shuffle.
+    # The r8 bench regression attributed to this removal was session
+    # cache-window state, not the spread (see SCALING.md).
     toks = df.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("tok")
     ).select(

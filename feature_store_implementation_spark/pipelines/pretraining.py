@@ -90,6 +90,11 @@ def _fingerprint(df: DataFrame, id_col: str, text_col: str) -> str:
     return format(row["fp"] or 0, "015x")
 
 
+#: per-stage wall seconds of the most recent build in this process —
+#: diagnostic only (see stage() hook inside build_pretraining_corpus)
+LAST_BUILD_STAGE_SECONDS: list = []
+
+
 def _scoped(fn):
     """Run a pipeline entry point under its own dedup ``cache_scope()``:
     every signature/shingle frame the run caches is released when it
@@ -176,9 +181,23 @@ def build_pretraining_corpus(
         raise ValueError("pass mixture_weights OR mixture_alpha, not both")
 
     stages: list[dict] = []
+    # wall-clock per stage, exposed ONLY through the module-level
+    # LAST_BUILD_STAGE_SECONDS diagnostic (never the manifest — the
+    # manifest is byte-identical across replays by contract); the hook
+    # exists so bench-variance investigations can see WHICH stage moved
+    # (tools/pretrain_scale.py, SCALING.md "pretraining build variance")
+    import time as _time
+
+    _timings: list[tuple[str, float]] = []
+    _t_last = [_time.monotonic()]
 
     def stage(name: str, n: int) -> None:
+        now = _time.monotonic()
+        _timings.append((name, round(now - _t_last[0], 3)))
+        _t_last[0] = now
         stages.append({"stage": name, "n_docs": int(n)})
+        global LAST_BUILD_STAGE_SECONDS
+        LAST_BUILD_STAGE_SECONDS = list(_timings)
 
     n_input = docs.count()
     stage("ingest", n_input)

@@ -1155,3 +1155,71 @@ def test_mutation_lock_missing_artifact_and_dead_pid(spark, tmp_path):
     with pytest.raises(RuntimeError, match="corpus mutation"):
         P.compact_corpus_revisions(spark, path)
     os.remove(lock)
+
+
+def test_update_chain_five_revisions_with_midchain_compaction(spark, tmp_path):
+    """The production cadence, chained: five daily updates with
+    maintain_corpus compacting mid-chain. Every later increment must
+    still dedup against EVERY earlier revision's docs (compaction
+    collapses revisions and index segments but loses no signatures),
+    content is preserved, and the manifest + index segment count stay
+    bounded instead of growing one entry per day."""
+    import json
+    import os
+
+    from feature_store_implementation_spark.pipelines import pretraining as P
+
+    path = str(tmp_path / "corpus")
+    _build_base(spark, path, n=60)
+    base_total = P.read_corpus(spark, path).count()
+    sig_dir = os.path.join(path, "_dedup_index", "signatures")
+
+    def segs() -> int:
+        return len([x for x in os.listdir(sig_dir) if x.startswith("seg-")])
+
+    fresh_committed = 0
+    for i in range(1, 6):
+        inc = spark.createDataFrame(
+            # 2 fresh docs + 1 exact twin of revision i-1's fresh doc
+            # (or of a base doc for i=1) — the twin must DROP
+            [
+                (90_000 + 10 * i, _story(90_000 + 10 * i), "en"),
+                (90_001 + 10 * i, _story(90_001 + 10 * i), "en"),
+                (
+                    95_000 + i,
+                    _story(90_000 + 10 * (i - 1)) if i > 1 else _story(0),
+                    "en",
+                ),
+            ],
+            "doc_id long, text string, lang string",
+        )
+        rec = P.update_pretraining_corpus(inc, path, txn=f"day-{i}")
+        committed = sum(v["rows"] for v in rec["splits"].values())
+        assert committed == 2, f"rev {i}: twin was not dropped"
+        fresh_committed += committed
+        if i == 3:  # mid-chain maintenance: compaction + index compaction
+            rep = P.maintain_corpus(
+                spark, path, compact_min_revisions=2, compact_min_segments=2
+            )
+            assert rep["compacted_revision"] is not None
+
+    assert P.read_corpus(spark, path).count() == base_total + fresh_committed
+    man = json.load(open(os.path.join(path, "_corpus_manifest.json")))
+    # 1 compacted record (days 1-3) + days 4, 5
+    assert len(man["revisions"]) == 3
+    assert man["revisions"][0]["compacted_from"]
+    assert set(man["revisions"][0]["txns"]) == {"day-1", "day-2", "day-3"}
+    # index segments bounded: the mid-chain compaction collapsed days 1-3
+    assert segs() <= 3
+
+    # a twin of a PRE-compaction revision's doc still drops via the
+    # compacted index (signatures survive the collapse)
+    rec = P.update_pretraining_corpus(
+        spark.createDataFrame(
+            [(99_999, _story(90_010), "en")],  # rev 1's first fresh doc
+            "doc_id long, text string, lang string",
+        ),
+        path,
+        txn="day-6",
+    )
+    assert sum(v["rows"] for v in rec["splits"].values()) == 0

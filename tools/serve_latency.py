@@ -110,6 +110,29 @@ def main() -> None:
             t.join()
         fs._serve_vector_uncached = orig
 
+        # snapshot tier: one bulk export, then shard-routed point reads
+        # with NO Spark job (serving/online_snapshot.py) — the latency
+        # floor of the layout a KV store would bulk-ingest
+        from feature_store_implementation_spark.serving.online_snapshot import (
+            lookup_online_snapshot,
+        )
+
+        snap_root = tempfile.mkdtemp(prefix="serve_snap_")
+        try:
+            import os
+
+            snap_dir = os.path.join(snap_root, "snapshot")  # write-once dir
+            fs.export_online_snapshot(snap_dir, n_shards=16)
+            snap: list[float] = []
+            for e in entities:
+                t0 = time.perf_counter()
+                v = lookup_online_snapshot(snap_dir, e)
+                snap.append((time.perf_counter() - t0) * 1000)
+                assert set(v.features) == {"acctbal_sum", "acct_count"}
+            snap_p50, snap_p95 = pct(snap, 50), pct(snap, 95)
+        finally:
+            shutil.rmtree(snap_root, ignore_errors=True)
+
         print(
             json.dumps(
                 {
@@ -125,6 +148,8 @@ def main() -> None:
                     "stampede_computes": len(computes),
                     "stampede_p50_ms": round(pct(stampede, 50), 1),
                     "stampede_p95_ms": round(pct(stampede, 95), 1),
+                    "snapshot_p50_ms": round(snap_p50, 3),
+                    "snapshot_p95_ms": round(snap_p95, 3),
                 }
             )
         )
