@@ -18,7 +18,15 @@ POST /api/v1/features/<id>/versions  201  main.py:140-230
 GET  /api/v1/features/<id>/versions  200  main.py:233-246
 POST /api/v1/feature-vectors      200     main.py:249-335
 GET  /api/v1/health               200     main.py:339-342
+POST /api/v1/online-snapshots     201     (extension — no reference route)
+POST /api/v1/online-feature-vectors  200  (extension — no reference route)
 ================================  ======  =================================
+
+The two ``online-*`` routes are the snapshot serving tier
+(serving/online_snapshot.py): export lays the serve matrix out as
+hash-sharded entity-sorted parquet (the KV bulk-ingest layout), lookup is
+a shard-routed local point read with NO Spark job — the millisecond path
+SCALING.md's serving-latency table prices, exposed over the same facade.
 
 Error mapping mirrors the reference's HTTPException codes: conflicts and
 schema failures → 400, missing rows / empty vectors → 404, computation
@@ -136,6 +144,39 @@ def create_app(store: FeatureStore, recover: bool = True):
         vec = store.serve_vector(
             b["entity_id"], b.get("feature_names"), b.get("version")
         )
+        return jsonify(asdict(vec))
+
+    # -- online snapshot tier (extension) -----------------------------------
+
+    @app.post("/api/v1/online-snapshots")
+    def export_online_snapshot():
+        b = _body()
+        rows = store.export_online_snapshot(
+            b["path"],
+            n_shards=int(b.get("n_shards", 16)),
+            feature_names=b.get("feature_names"),
+            version=b.get("version"),
+        )
+        return (
+            jsonify(
+                {"path": b["path"], "n_shards": int(b.get("n_shards", 16)), "rows": rows}
+            ),
+            201,
+        )
+
+    @app.post("/api/v1/online-feature-vectors")
+    def get_online_feature_vector():
+        from ..serving.online_snapshot import lookup_online_snapshot
+
+        b = _body()
+        path, entity_id = b["snapshot_path"], b["entity_id"]
+        try:
+            vec = lookup_online_snapshot(path, entity_id, b.get("feature_names"))
+        except (KeyError, FileNotFoundError) as exc:
+            # router miss or missing artifact — the snapshot is a frozen
+            # export, so an unknown key is 404 like an empty serve_vector
+            # (exc.args[0] — str(KeyError) quotes its message)
+            return jsonify({"detail": str(exc.args[0] if exc.args else exc)}), 404
         return jsonify(asdict(vec))
 
     @app.get("/api/v1/health")

@@ -132,3 +132,55 @@ def test_startup_recovery_runs(fs):
     assert fs.catalog.list_pending() == []
     with pytest.raises(Exception):
         fs.catalog.get_version(dead.id)
+
+
+def test_online_snapshot_routes(client, tmp_path):
+    """Extension routes: export the snapshot over HTTP, then point-read it
+    back — the returned vector must match the batch-tier serve_vector
+    (shared codec), an unknown entity is a 404 router miss, and the
+    lookup schedules ZERO Spark jobs (it never touches the JVM)."""
+    _, f = _setup(client)
+    v = client.post(
+        f"/api/v1/features/{f['id']}/versions",
+        json={
+            "version": "v1.0",
+            "data": [
+                {"id": "u1", "amount": 10.0},
+                {"id": "u1", "amount": 5.0},
+                {"id": "u2", "amount": 7.5},
+            ],
+        },
+    )
+    assert v.status_code == 201
+
+    snap = str(tmp_path / "snapshot")
+    exp = client.post(
+        "/api/v1/online-snapshots", json={"path": snap, "n_shards": 4}
+    )
+    assert exp.status_code == 201
+    assert exp.get_json() == {"path": snap, "n_shards": 4, "rows": 2}
+
+    batch = client.post("/api/v1/feature-vectors", json={"entity_id": "u1"})
+
+    from feature_store_implementation_spark.session import get_spark
+
+    sc = get_spark().sparkContext
+    sc.setJobGroup("snapshot-http", "must stay empty")
+    tracker = sc.statusTracker()
+    online = client.post(
+        "/api/v1/online-feature-vectors",
+        json={"snapshot_path": snap, "entity_id": "u1"},
+    )
+    assert tracker.getJobIdsForGroup("snapshot-http") == []
+    sc.setJobGroup(None, None)
+    assert online.status_code == 200
+    got, want = online.get_json(), batch.get_json()
+    assert got["entity_id"] == "u1"
+    assert got["features"] == want["features"] == {"total_amount": 15.0}
+
+    miss = client.post(
+        "/api/v1/online-feature-vectors",
+        json={"snapshot_path": snap, "entity_id": "nobody"},
+    )
+    assert miss.status_code == 404
+    assert "detail" in miss.get_json()
