@@ -20,6 +20,7 @@ these are north-star extensions (BASELINE.json)."""
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame
@@ -39,63 +40,102 @@ from ..functions.vector import cosine_col
 # the session lifetime. Caching is SCOPED: a pipeline run (or a bench/test
 # harness) opens a `cache_scope()`, its frames evict oldest-first beyond a
 # small window, and the scope's exit unpersists everything it cached.
-# Scopes nest independently — a composed pipeline's inner scope can never
-# evict a frame its caller still references lazily (the silent-recompute
-# pathology the old session-global window allowed: eviction is always
-# CORRECT because an unpersisted frame recomputes, but a recompute of a
-# shingle frame is the exact cost the cache exists to avoid). Calls with
-# no active scope fall back to one bounded session-global default window
-# (the old behavior, so ad-hoc REPL use stays bounded).
+# Two sharp edges are handled explicitly:
+#   * the scope stack is THREAD-LOCAL — a Structured Streaming
+#     foreachBatch thread's scoped pipeline cannot capture (and then
+#     release) frames a concurrently-running driver-thread scope cached;
+#   * Spark's CacheManager keys cached data by LOGICAL PLAN, not by
+#     DataFrame handle, so two scopes caching semantically identical
+#     frames share ONE cache entry — release/eviction therefore
+#     refcounts by `semanticHash()` across ALL live scopes (any thread)
+#     and only unpersists a plan no live scope still holds. Eviction
+#     stays CORRECT either way (an unpersisted frame recomputes), but a
+#     recompute of a shingle frame is the exact cost the cache exists
+#     to avoid.
+# Calls with no active scope fall back to one bounded session-global
+# default window (the old behavior, so ad-hoc REPL use stays bounded).
+
+_PLAN_REFS: dict[int, int] = {}  # semanticHash -> live-scope refcount
+_PLAN_LOCK = threading.Lock()
+
+
+def _sem_hash(df: DataFrame) -> int:
+    try:
+        return df.semanticHash()
+    except Exception:  # analysis failure — fall back to handle identity
+        return id(df)
 
 
 class _CacheScope:
     __slots__ = ("frames", "window")
 
     def __init__(self, window: int = 8):
-        self.frames: list[DataFrame] = []
+        self.frames: list[tuple[DataFrame, int]] = []
         self.window = window
 
     def add(self, df: DataFrame) -> DataFrame:
         while len(self.frames) >= self.window:
+            self._drop(self.frames.pop(0))
+        df = df.cache()
+        h = _sem_hash(df)
+        with _PLAN_LOCK:
+            _PLAN_REFS[h] = _PLAN_REFS.get(h, 0) + 1
+        self.frames.append((df, h))
+        return df
+
+    @staticmethod
+    def _drop(item: tuple[DataFrame, int]) -> None:
+        df, h = item
+        with _PLAN_LOCK:
+            left = _PLAN_REFS.get(h, 1) - 1
+            if left > 0:  # another live scope still holds this plan
+                _PLAN_REFS[h] = left
+                return
+            _PLAN_REFS.pop(h, None)
             try:
-                self.frames.pop(0).unpersist()
+                df.unpersist()
             except Exception:  # a stopped session invalidates old handles
                 pass
-        df = df.cache()
-        self.frames.append(df)
-        return df
 
     def release(self) -> None:
         while self.frames:
-            try:
-                self.frames.pop().unpersist()
-            except Exception:
-                pass
+            self._drop(self.frames.pop())
 
 
 _DEFAULT_SCOPE = _CacheScope(window=8)
-_SCOPE_STACK: list[_CacheScope] = []
+_TLS = threading.local()
+
+
+def _scope_stack() -> list:
+    stack = getattr(_TLS, "stack", None)
+    if stack is None:
+        stack = _TLS.stack = []
+    return stack
 
 
 @contextmanager
 def cache_scope(window: int = 8):
     """Bound the lifetime of every signature/shingle frame cached by dedup
     routes invoked inside the block: evicted oldest-first past ``window``
-    while the block runs, ALL unpersisted at exit. Wrap each pipeline run
+    while the block runs, ALL unpersisted at exit (except plans another
+    live scope — nested, or on another thread — still holds; those drop
+    when their last holder exits). Wrap each pipeline run
     (pipelines/corpus.py, pipelines/pretraining.py do) and each bench/test
     query so one run's cached storage never squats on executor memory —
     or evicts another run's live frames — after it finishes."""
     scope = _CacheScope(window=window)
-    _SCOPE_STACK.append(scope)
+    stack = _scope_stack()
+    stack.append(scope)
     try:
         yield scope
     finally:
-        _SCOPE_STACK.remove(scope)
+        stack.remove(scope)
         scope.release()
 
 
 def _cache_scoped(df: DataFrame) -> DataFrame:
-    scope = _SCOPE_STACK[-1] if _SCOPE_STACK else _DEFAULT_SCOPE
+    stack = _scope_stack()
+    scope = stack[-1] if stack else _DEFAULT_SCOPE
     return scope.add(df)
 
 

@@ -410,6 +410,18 @@ def _corpus_mutation_lock(path: str):
     process the lock auto-clears (one retry); otherwise — alive, or
     possibly remote on a shared filesystem — it stays for the operator.
 
+    The auto-clear itself is serialized behind a sidecar
+    ``.corpus.lock.takeover`` (O_EXCL, held for microseconds): without
+    it, two mutators that both observe the dead pid race
+    remove-then-recreate — the slower remove() deletes the faster
+    winner's FRESH lock and both enter the critical section. Under the
+    sidecar, exactly one clearer re-verifies the recorded pid is still
+    the dead one before removing, so a live winner's lock can never be
+    swept. A clearer crashing inside that microsecond window leaves the
+    sidecar behind, which disables auto-clear (never exclusion) until an
+    operator removes it — the failure mode degrades to r8 behavior, not
+    to corruption.
+
     The artifact directory must already exist (``build_pretraining_
     corpus`` creates it): mutating a mistyped path must fail on the
     missing manifest, not mint an empty stray directory first."""
@@ -439,10 +451,33 @@ def _corpus_mutation_lock(path: str):
                 except PermissionError:
                     alive = True
             if attempt == 0 and pid > 0 and not alive:
+                takeover = lock + ".takeover"
                 try:
-                    os.remove(lock)
-                except FileNotFoundError:
-                    pass
+                    tfd = os.open(takeover, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                except FileExistsError:
+                    raise RuntimeError(
+                        f"a stale-lock takeover for {path} is itself stuck "
+                        f"(sidecar: {takeover}) — a clearer died mid-sweep; "
+                        "remove the sidecar (and the lock, if its owner is "
+                        "known dead) to re-enable mutations"
+                    ) from None
+                try:
+                    # re-verify under the sidecar: only sweep the lock if
+                    # it still records the dead pid we observed (a live
+                    # winner may have already recreated it)
+                    try:
+                        with open(lock) as lf:
+                            still = int(lf.read().strip() or "0")
+                    except (OSError, ValueError):
+                        still = -1
+                    if still == pid:
+                        try:
+                            os.remove(lock)
+                        except FileNotFoundError:
+                            pass
+                finally:
+                    os.close(tfd)
+                    os.remove(takeover)
                 continue
             raise RuntimeError(
                 f"another corpus mutation is in flight for {path} (lock: "
@@ -1139,6 +1174,20 @@ def _rebuild_indexes_locked(spark: SparkSession, path: str) -> dict:
         F.col(id_col).alias("doc_id"), text_col
     ).localCheckpoint(eager=True)
     n_docs = docs.count()
+    # Commit the rebuild watermark BEFORE overwriting: overwrite=True
+    # destroys every per-revision seg-<rev> segment and its supersedes
+    # records — the markers _repair_revision_indexes relies on for no-op
+    # replay — so a crash between the overwrite and a watermark-last
+    # commit would leave txn replays re-appending (double-indexing)
+    # every pre-rebuild revision. Watermark-first is safe in BOTH crash
+    # directions: we hold the mutation lock (next_revision cannot move),
+    # and a crash after the watermark but before the overwrite leaves
+    # the old index fully intact — replays skip via the watermark, and
+    # their docs are already present via their original appends.
+    manifest["index_rebuild_watermark"] = int(
+        manifest.get("next_revision", len(manifest.get("revisions", [])) + 1)
+    )
+    _commit_manifest(path, manifest)
     minhash_index_write(
         docs,
         os.path.join(path, manifest["dedup_index"]["path"]),
@@ -1160,13 +1209,5 @@ def _rebuild_indexes_locked(spark: SparkSession, path: str) -> dict:
             overwrite=True,
         )
         manifest["semantic_index"]["n_cells"] = n_cells
-    # overwrite=True destroyed every per-revision seg-<rev> segment and
-    # its supersedes records — the markers _repair_revision_indexes
-    # relies on for no-op replay. Record the rebuild watermark so a txn
-    # replayed after the rebuild skips re-appending docs the rebuild
-    # already folded in (ADVICE r8: double-index on post-rebuild replay)
-    manifest["index_rebuild_watermark"] = int(
-        manifest.get("next_revision", len(manifest.get("revisions", [])) + 1)
-    )
-    _commit_manifest(path, manifest)
+        _commit_manifest(path, manifest)  # records the retrained n_cells
     return {"docs": int(n_docs), "n_cells": n_cells}

@@ -44,19 +44,35 @@ from ..sources.tables import load_table
 class QuerySpec:
     name: str
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    # ANSI SQL for DuckDB; None → rows-only check. A CALLABLE defers a
+    # data-dependent oracle (q_pca_project reads the oracle-SF parquet to
+    # inline its coefficients) to first ORACLE_SQL() use — import of this
+    # module must never do I/O or numerics, and the harness's
+    # $SPARK_GRAFT_ORACLE_SF_DIR must be honored as of RESOLUTION time,
+    # not import time.
+    oracle: "str | None | Callable[[], str | None]"
     doc: str = ""
 
 
 SPECS: "OrderedDict[str, QuerySpec]" = OrderedDict()
+_RESOLVED_ORACLES: dict[str, "str | None"] = {}
 
 
-def query(name: str, oracle: str | None):
+def query(name: str, oracle: "str | None | Callable[[], str | None]"):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         SPECS[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
         return fn
 
     return deco
+
+
+def _oracle_of(name: str) -> "str | None":
+    spec = SPECS[name]
+    if not callable(spec.oracle):
+        return spec.oracle
+    if name not in _RESOLVED_ORACLES:
+        _RESOLVED_ORACLES[name] = spec.oracle()
+    return _RESOLVED_ORACLES[name]
 
 
 def _driver_checked_rounds() -> dict[str, int]:
@@ -119,9 +135,8 @@ def QUERIES() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def ORACLE_SQL() -> dict[str, str]:
-    return {
-        name: SPECS[name].oracle for name in _ordered_names() if SPECS[name].oracle
-    }
+    resolved = {name: _oracle_of(name) for name in _ordered_names()}
+    return {name: sql for name, sql in resolved.items() if sql}
 
 
 # exact-arithmetic helpers -------------------------------------------------
@@ -7157,7 +7172,7 @@ def _pca_oracle_sql(out_dim: int = 8) -> str | None:
     return " UNION ALL ".join(parts)
 
 
-@query("q_pca_project", _pca_oracle_sql())
+@query("q_pca_project", _pca_oracle_sql)
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA 64-d → 8-d (operators/similarity.py pca_project): ONE
     distributed moment pass (per-partition n/Σx/ΣxxT partials fused into

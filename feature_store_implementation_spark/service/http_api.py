@@ -27,6 +27,11 @@ The two ``online-*`` routes are the snapshot serving tier
 hash-sharded entity-sorted parquet (the KV bulk-ingest layout), lookup is
 a shard-routed local point read with NO Spark job — the millisecond path
 SCALING.md's serving-latency table prices, exposed over the same facade.
+Clients name snapshots by a validated NAME, never a filesystem path —
+every snapshot lives under ``create_app``'s ``snapshot_root`` (default:
+``<store root>/online_snapshots``), so the facade exposes no
+write-anywhere/read-anywhere surface (every other route operates on
+store-internal ids only; these two must not be the exception).
 
 Error mapping mirrors the reference's HTTPException codes: conflicts and
 schema failures → 400, missing rows / empty vectors → 404, computation
@@ -52,12 +57,21 @@ from ..errors import (
 from ..serving.vectors import FeatureStore
 
 
-def create_app(store: FeatureStore, recover: bool = True):
+def create_app(
+    store: FeatureStore, recover: bool = True, snapshot_root: str | None = None
+):
     """Build the WSGI app over an existing FeatureStore.
 
     ``recover=True`` runs :meth:`FeatureStore.recover_stale_pending` once at
     construction — service startup is exactly the moment any surviving
-    'pending' version row is known to belong to a dead writer."""
+    'pending' version row is known to belong to a dead writer.
+
+    ``snapshot_root`` confines the ``online-*`` routes' artifacts; it
+    defaults to ``<store root>/online_snapshots``. Request bodies carry a
+    snapshot NAME resolved under it — never a raw path."""
+    import os
+    import re
+
     from flask import Flask, jsonify, request
 
     if recover:
@@ -148,18 +162,36 @@ def create_app(store: FeatureStore, recover: bool = True):
 
     # -- online snapshot tier (extension) -----------------------------------
 
+    snap_root = snapshot_root or os.path.join(store.root, "online_snapshots")
+    _SNAP_NAME = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,127}$")
+
+    def _snap_path(name: str) -> str:
+        # a validated NAME under snap_root — no separators, no leading
+        # dot, so a request body can never address the wider filesystem
+        if not isinstance(name, str) or not _SNAP_NAME.match(name):
+            raise SchemaValidationError(
+                f"invalid snapshot name {name!r}: use letters, digits, "
+                "'._-', not starting with '.'"
+            )
+        return os.path.join(snap_root, name)
+
     @app.post("/api/v1/online-snapshots")
     def export_online_snapshot():
         b = _body()
+        path = _snap_path(b["name"])
+        if os.path.exists(path):
+            # deterministic pre-check: the frozen-export contract makes a
+            # re-export under a live name a conflict, not an overwrite
+            raise ConflictError(f"online snapshot '{b['name']}' already exists")
         rows = store.export_online_snapshot(
-            b["path"],
+            path,
             n_shards=int(b.get("n_shards", 16)),
             feature_names=b.get("feature_names"),
             version=b.get("version"),
         )
         return (
             jsonify(
-                {"path": b["path"], "n_shards": int(b.get("n_shards", 16)), "rows": rows}
+                {"name": b["name"], "n_shards": int(b.get("n_shards", 16)), "rows": rows}
             ),
             201,
         )
@@ -169,7 +201,7 @@ def create_app(store: FeatureStore, recover: bool = True):
         from ..serving.online_snapshot import lookup_online_snapshot
 
         b = _body()
-        path, entity_id = b["snapshot_path"], b["entity_id"]
+        path, entity_id = _snap_path(b["snapshot"]), b["entity_id"]
         try:
             vec = lookup_online_snapshot(path, entity_id, b.get("feature_names"))
         except (KeyError, FileNotFoundError) as exc:

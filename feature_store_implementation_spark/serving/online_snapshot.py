@@ -112,11 +112,16 @@ def _snapshot_meta(path: str) -> dict:
     if os.path.exists(meta_file):
         with open(meta_file) as f:
             return json.load(f)
-    # meta-less back-compat: infer the shard count from the layout
-    shards = [d for d in os.listdir(path) if d.startswith("shard=")]
-    if not shards:
+    # Meta-less back-compat (a pre-r9 export): the shard MODULUS is not
+    # recoverable from the layout — partitionBy writes no directory for
+    # an empty shard, so counting shard= dirs (or taking max+1) computes
+    # a wrong modulus whenever any shard came out empty, and the router
+    # then opens the wrong file and 404s entities the snapshot HOLDS.
+    # n_shards=None tells the lookup to fall back to scanning every
+    # shard file — slower, but never wrong.
+    if not any(d.startswith("shard=") for d in os.listdir(path)):
         raise FileNotFoundError(f"no online snapshot at {path}")
-    return {"n_shards": len(shards), "version": None}
+    return {"n_shards": None, "version": None}
 
 
 def lookup_online_snapshot(
@@ -136,13 +141,28 @@ def lookup_online_snapshot(
     from ..store.codec import decode_value_py
 
     meta = _snapshot_meta(path)
-    shard = snapshot_shard(entity_id, meta["n_shards"])
-    shard_dir = os.path.join(path, f"shard={shard}")
-    if not os.path.isdir(shard_dir):
-        raise KeyError(f"entity '{entity_id}' not in snapshot (empty shard)")
-    dataset = ds.dataset(shard_dir, format="parquet")
-    table = dataset.to_table(filter=ds.field("entity_id") == entity_id)
-    if table.num_rows == 0:
+    # the exported entity_id column is string (the router hashes UTF-8
+    # bytes, matching Spark's xxhash64 over a string column) — coerce the
+    # probe the same way snapshot_shard does, so a numeric id from a JSON
+    # body probes instead of raising an Arrow type error
+    probe = str(entity_id)
+    if meta["n_shards"] is not None:
+        shard_dirs = [os.path.join(path, f"shard={snapshot_shard(entity_id, meta['n_shards'])}")]
+    else:  # meta-less export: modulus unknown — scan every shard
+        shard_dirs = sorted(
+            os.path.join(path, d)
+            for d in os.listdir(path)
+            if d.startswith("shard=")
+        )
+    table = None
+    for shard_dir in shard_dirs:
+        if not os.path.isdir(shard_dir):
+            continue
+        dataset = ds.dataset(shard_dir, format="parquet")
+        table = dataset.to_table(filter=ds.field("entity_id") == probe)
+        if table.num_rows:
+            break
+    if table is None or table.num_rows == 0:
         raise KeyError(f"entity '{entity_id}' not in snapshot")
     row = table.to_pylist()[0]
     row.pop("shard", None)

@@ -49,6 +49,7 @@ class FeatureVector:
 class FeatureStore:
     def __init__(self, spark: SparkSession, root: str, cache: FeatureCache | None = None):
         self.spark = spark
+        self.root = root
         self.catalog = Catalog(f"{root}/catalog")
         self.store = OfflineStore(spark, root)
         self.cache = cache if cache is not None else FeatureCache(maxsize=1000, ttl=3600)

@@ -585,19 +585,55 @@ def stream_corpus_revisions(
 
     ckpt_id: list = []  # lazily read once the engine has written it
 
-    def _txn(batch_id: int) -> str | None:
+    def _read_metadata(spark) -> str:
+        """The checkpoint's ``metadata`` JSON, for ANY checkpoint scheme
+        the engine itself can write: plain local paths and ``file:`` URIs
+        read directly; anything else (hdfs://, s3a://, ...) goes through
+        the same Hadoop FileSystem Spark wrote it with."""
+        import re as _re
+
+        loc = str(checkpoint)
+        if "://" not in loc and not loc.startswith("file:"):
+            with open(_os.path.join(loc, "metadata")) as f:
+                return f.read()
+        if loc.startswith("file:"):
+            local = _re.sub("^/+", "/", loc[len("file:"):])
+            with open(_os.path.join(local, "metadata")) as f:
+                return f.read()
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(loc.rstrip("/") + "/metadata")
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        stream = fs.open(hpath)
+        try:
+            return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+
+    def _txn(spark, batch_id: int) -> str | None:
         if txn_prefix is None:
             return None
         if not ckpt_id:
-            qid = ""
+            # the namespace is NOT optional: falling back to the bare
+            # prefix when the metadata can't be read would let a reused
+            # prefix + fresh checkpoint short-circuit new batches to old
+            # revisions and silently drop their documents (ADVICE r8) —
+            # fail the batch loudly instead
             try:
-                with open(_os.path.join(checkpoint, "metadata")) as f:
-                    qid = str(_json.load(f).get("id", ""))[:8]
-            except (OSError, ValueError):
-                pass  # no metadata (non-local checkpoint store) → bare prefix
+                qid = str(_json.loads(_read_metadata(spark)).get("id", ""))[:8]
+            except Exception as exc:
+                raise ValueError(
+                    f"txn_prefix={txn_prefix!r} needs the checkpoint's "
+                    f"query id, but {checkpoint}/metadata is unreadable: "
+                    f"{exc} — exactly-once txns cannot be namespaced, "
+                    "refusing to fall back to the bare prefix"
+                ) from exc
+            if not qid:
+                raise ValueError(
+                    f"checkpoint metadata at {checkpoint} carries no query "
+                    "id; cannot namespace exactly-once txns"
+                )
             ckpt_id.append(qid)
-        ns = ckpt_id[0]
-        return f"{txn_prefix}#{ns}/b{batch_id}" if ns else f"{txn_prefix}/b{batch_id}"
+        return f"{txn_prefix}#{ckpt_id[0]}/b{batch_id}"
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.localCheckpoint(eager=True)
@@ -607,7 +643,7 @@ def stream_corpus_revisions(
             batch,
             corpus_path,
             eval_df=eval_df,
-            txn=_txn(batch_id),
+            txn=_txn(batch_df.sparkSession, batch_id),
         )
 
     writer = docs.writeStream.foreachBatch(fold).option(

@@ -907,7 +907,7 @@ def test_scoped_cache_window_bounds_live_caches(spark):
         # evicted frames recompute correctly: the earliest result reproduces
         pairs = minhash_near_dup_pairs(df, threshold=0.5).collect()
         assert any((r["doc_id_a"], r["doc_id_b"]) == (0, 1) for r in pairs)
-        live = list(scope.frames)
+        live = [f for f, _ in scope.frames]
         assert all(f.storageLevel.useMemory for f in live)
     # scope exit unpersists everything it cached
     assert scope.frames == []
@@ -915,6 +915,39 @@ def test_scoped_cache_window_bounds_live_caches(spark):
     # with no scope active, the bounded session-default window applies
     minhash_near_dup_pairs(df, threshold=0.5).count()
     assert 0 < len(D._DEFAULT_SCOPE.frames) <= D._DEFAULT_SCOPE.window
+
+
+def test_cache_scope_stack_is_thread_local(spark):
+    """A scope opened on another thread (the streaming foreachBatch
+    shape) must not capture frames a concurrently-running driver-thread
+    caller caches — and its exit must not release them."""
+    import threading
+
+    from feature_store_implementation_spark.operators import dedup as D
+
+    df = _docs(spark)
+    entered, proceed = threading.Event(), threading.Event()
+    captured: list = []
+
+    def other_thread():
+        with D.cache_scope(window=2) as scope:
+            entered.set()
+            proceed.wait(30)
+            captured.append(list(scope.frames))
+
+    t = threading.Thread(target=other_thread)
+    t.start()
+    try:
+        assert entered.wait(30)
+        # main thread has NO scope of its own open: its frame must go to
+        # the default window, not the other thread's live scope
+        frame = D._cache_scoped(df.select("doc_id"))
+        assert frame.storageLevel.useMemory
+    finally:
+        proceed.set()
+        t.join(30)
+    assert captured == [[]]  # the other thread's scope stayed empty
+    assert frame.storageLevel.useMemory  # ...and its exit released nothing
 
 
 def test_cache_scopes_nest_independently(spark):
@@ -926,24 +959,29 @@ def test_cache_scopes_nest_independently(spark):
     df = _docs(spark)
     with D.cache_scope(window=2) as outer:
         minhash_near_dup_pairs(df, threshold=0.5).count()
-        outer_frames = list(outer.frames)
+        outer_frames = [f for f, _ in outer.frames]
         assert outer_frames and all(
             f.storageLevel.useMemory for f in outer_frames
         )
         with D.cache_scope(window=2) as inner:
-            # churn PAST the window inside the nested scope — over a
-            # DIFFERENT frame: Spark's CacheManager aliases logically
-            # identical plans, so unpersisting the same plan from the
-            # inner scope would (correctly, but irrelevantly here) drop
-            # the shared cache entry
+            # churn PAST the window inside the nested scope over a
+            # DIFFERENT frame...
             sub = df.filter("doc_id < 4")
             for _ in range(5):
                 minhash_near_dup_pairs(sub, threshold=0.5).count()
             assert len(inner.frames) <= 2
             # ...and the outer scope's frames are untouched: still cached
-            assert outer.frames == outer_frames
+            assert [f for f, _ in outer.frames] == outer_frames
             assert all(f.storageLevel.useMemory for f in outer_frames)
         # inner exit released ITS frames only
+        assert all(f.storageLevel.useMemory for f in outer_frames)
+
+        # the sharp edge: Spark's CacheManager keys cached data by
+        # LOGICAL PLAN, so an inner scope caching the IDENTICAL frame
+        # (same df, same params) shares the outer scope's cache entry —
+        # its exit must NOT drop it (plan-refcounted release)
+        with D.cache_scope(window=2):
+            minhash_near_dup_pairs(df, threshold=0.5).count()
         assert all(f.storageLevel.useMemory for f in outer_frames)
     assert all(not f.storageLevel.useMemory for f in outer_frames)
 

@@ -1327,3 +1327,35 @@ def test_lookup_online_snapshot_parity_with_serve_vector(fs, tmp_path):
     # feature_names projection
     vec = lookup_online_snapshot(out, "e010", feature_names=["amt2"])
     assert set(vec.features) == {"amt2"}
+
+
+def test_lookup_online_snapshot_metaless_export_with_empty_shards(fs, tmp_path):
+    """A pre-r9 export has no _snapshot_meta.json, and partitionBy writes
+    NO directory for empty shards — so the shard modulus is not
+    recoverable from the layout (counting dirs, or max+1, is wrong
+    whenever any shard came out empty). The lookup must fall back to
+    scanning every shard file: slower, never wrong."""
+    import glob
+    import os
+
+    import pytest
+
+    from feature_store_implementation_spark.serving.online_snapshot import (
+        lookup_online_snapshot,
+    )
+
+    t = fs.register_raw_table("t_ml", {"required_columns": ["id", "amount"]})
+    f = fs.create_feature("amt3", t.id, "SUM(amount)", "numeric")
+    fs.compute_version(
+        f.id, "v1.0", [{"id": f"m{i}", "amount": float(i)} for i in range(3)]
+    )
+    out = str(tmp_path / "snap_old")
+    fs.export_online_snapshot(out, n_shards=16)  # 3 entities → empty shards
+    assert len(glob.glob(os.path.join(out, "shard=*"))) < 16
+    os.remove(os.path.join(out, "_snapshot_meta.json"))  # pre-r9 artifact
+
+    for i in range(3):
+        vec = lookup_online_snapshot(out, f"m{i}")
+        assert vec.features == {"amt3": float(i)}
+    with pytest.raises(KeyError):
+        lookup_online_snapshot(out, "m99")

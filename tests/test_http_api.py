@@ -153,12 +153,23 @@ def test_online_snapshot_routes(client, tmp_path):
     )
     assert v.status_code == 201
 
-    snap = str(tmp_path / "snapshot")
     exp = client.post(
-        "/api/v1/online-snapshots", json={"path": snap, "n_shards": 4}
+        "/api/v1/online-snapshots", json={"name": "daily", "n_shards": 4}
     )
     assert exp.status_code == 201
-    assert exp.get_json() == {"path": snap, "n_shards": 4, "rows": 2}
+    assert exp.get_json() == {"name": "daily", "n_shards": 4, "rows": 2}
+
+    # frozen-export contract: re-export under a live name is a 400 conflict
+    dup = client.post(
+        "/api/v1/online-snapshots", json={"name": "daily", "n_shards": 4}
+    )
+    assert dup.status_code == 400
+    assert "already exists" in dup.get_json()["detail"]
+
+    # names are validated — a path can never escape snapshot_root
+    for bad in ("../escape", "/etc/x", "a/b", ".hidden"):
+        r = client.post("/api/v1/online-snapshots", json={"name": bad})
+        assert r.status_code == 400, bad
 
     batch = client.post("/api/v1/feature-vectors", json={"entity_id": "u1"})
 
@@ -169,7 +180,7 @@ def test_online_snapshot_routes(client, tmp_path):
     tracker = sc.statusTracker()
     online = client.post(
         "/api/v1/online-feature-vectors",
-        json={"snapshot_path": snap, "entity_id": "u1"},
+        json={"snapshot": "daily", "entity_id": "u1"},
     )
     assert tracker.getJobIdsForGroup("snapshot-http") == []
     sc.setJobGroup(None, None)
@@ -180,7 +191,7 @@ def test_online_snapshot_routes(client, tmp_path):
 
     miss = client.post(
         "/api/v1/online-feature-vectors",
-        json={"snapshot_path": snap, "entity_id": "nobody"},
+        json={"snapshot": "daily", "entity_id": "nobody"},
     )
     assert miss.status_code == 404
     assert "detail" in miss.get_json()
