@@ -370,6 +370,22 @@ def _read_index_signatures(spark, path: str) -> DataFrame:
     )
 
 
+def _content_sized(sigs: DataFrame, rows_per_file: int = 200_000) -> tuple:
+    """(sized_frame, row_count) for a signature-parquet write: one file
+    per ~``rows_per_file`` rows — parallel writes for genuinely large
+    segments, single-file for daily increments (no 32-tiny-file sprays
+    from the upstream shuffle's partition count). ``coalesce`` (never
+    ``repartition``) merges reduce-side partitions without another
+    shuffle, reading back the cache the count just materialized; the
+    returned count also makes the post-write footer re-read redundant."""
+    sigs = _cache_scoped(sigs)
+    n_rows = sigs.count()
+    n_files = max(1, -(-n_rows // rows_per_file))
+    if n_files < sigs.rdd.getNumPartitions():
+        return sigs.coalesce(n_files), n_rows
+    return sigs, n_rows
+
+
 def _append_index_segment(sigs: DataFrame, path: str, txn: str | None = None) -> int:
     """Commit one signature segment to a persisted index: write the
     segment parquet to ``path/.staging-<txn>``, fsync its files and
@@ -405,7 +421,14 @@ def _append_index_segment(sigs: DataFrame, path: str, txn: str | None = None) ->
         return 0
     staging = os.path.join(path, f".staging-{txn}")
     try:
-        sigs.write.parquet(staging)
+        # Size the segment to its CONTENT (_content_sized): an append is
+        # increment-sized by contract, and writing it with the upstream
+        # shuffle's partition count sprays a few-hundred-row increment
+        # over 32 tiny files — 32 fsyncs per commit (the r8 durability
+        # trade multiplied by a constant it never needed) plus a
+        # small-file tax on every later index read.
+        out, n_rows = _content_sized(sigs)
+        out.write.parquet(staging)
         for f in glob.glob(os.path.join(staging, "*")):
             _index_fsync(f)
         _index_fsync(staging)
@@ -414,7 +437,7 @@ def _append_index_segment(sigs: DataFrame, path: str, txn: str | None = None) ->
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    return sigs.sparkSession.read.parquet(seg).count()
+    return n_rows
 
 
 def _index_fsync(p: str) -> None:
@@ -658,7 +681,9 @@ def minhash_index_write(
     _prepare_index_dir(sig_dir, marker, overwrite)
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex[:12]}")
     try:
-        sigs = minhash_signatures(df, text_col, id_col, n_shingle, k)
+        sigs, n_rows = _content_sized(
+            minhash_signatures(df, text_col, id_col, n_shingle, k)
+        )
         sigs.write.parquet(staging)
         os.rename(staging, sig_dir)
     finally:
@@ -679,9 +704,7 @@ def minhash_index_write(
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, marker)
-    # count from the written files (parquet footer metadata), not a second
-    # signature computation over the corpus
-    return df.sparkSession.read.parquet(sig_dir).count()
+    return n_rows  # counted once off the cached frame the write read
 
 
 def minhash_index_query(
@@ -1094,7 +1117,8 @@ def simhash_index_write(
     _prepare_index_dir(sig_dir, marker, overwrite)
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex[:12]}")
     try:
-        simhash_signatures(df, text_col, id_col, bits).write.parquet(staging)
+        sigs, n_rows = _content_sized(simhash_signatures(df, text_col, id_col, bits))
+        sigs.write.parquet(staging)
         os.rename(staging, sig_dir)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
@@ -1104,7 +1128,7 @@ def simhash_index_write(
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, marker)
-    return df.sparkSession.read.parquet(sig_dir).count()
+    return n_rows  # counted once off the cached frame the write read
 
 
 def simhash_index_query(
