@@ -557,7 +557,14 @@ def write_ivf_index(
     # path, never a half-visible index
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex[:12]}")
     try:
-        assigned.write.partitionBy("cell").parquet(staging)
+        # repartition by cell before partitionBy: otherwise EVERY input
+        # partition writes its own file into every cell it holds (up to
+        # partitions x cells tiny files). One file per cell IS the IVF
+        # layout — the cell is the probe's read unit, so the pruned scan
+        # opens exactly one run per probed cell. Task count = n_cells,
+        # and cells are population-bounded (~256 vectors) by design, so
+        # the write stays parallel at any corpus size.
+        assigned.repartition("cell").write.partitionBy("cell").parquet(staging)
         os.rename(staging, cells_dir)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
@@ -630,7 +637,10 @@ def ivf_index_append(
         return 0
     staging = os.path.join(path, f".staging-{txn}")
     try:
-        assigned.write.partitionBy("cell").parquet(staging)
+        # repartition by cell first (see write_ivf_index): an increment
+        # arriving in 32 partitions would otherwise spray one tiny
+        # fsynced file per (partition x cell) pair into the segment
+        assigned.repartition("cell").write.partitionBy("cell").parquet(staging)
         # same durability discipline as _append_index_segment: fsync the
         # staged files (recursively — the segment is partitioned into
         # cell=N subdirs) and their directory entries BEFORE the commit
