@@ -565,7 +565,21 @@ def write_ivf_index(
         # and cells are population-bounded (~256 vectors) by design, so
         # the write stays parallel at any corpus size.
         assigned.repartition("cell").write.partitionBy("cell").parquet(staging)
+        # the centroid sidecar below is the COMMIT MARKER and is
+        # explicitly fsynced — the data it marks committed must be at
+        # least as durable, so fsync the staged cell files and dirs
+        # before the rename and the parent after (same recursive
+        # discipline as ivf_index_append; without it a power loss can
+        # surface a durable marker over torn/absent cell data, which
+        # _prepare_index_dir then refuses to rebuild without overwrite)
+        from .dedup import _index_fsync
+
+        for droot, _dirs, files in os.walk(staging, topdown=False):
+            for fname in files:
+                _index_fsync(os.path.join(droot, fname))
+            _index_fsync(droot)
         os.rename(staging, cells_dir)
+        _index_fsync(path)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     tmp = os.path.join(path, ".centroids.tmp")
@@ -636,6 +650,15 @@ def ivf_index_append(
         # across compactions, same contract as _append_index_segment)
         return 0
     staging = os.path.join(path, f".staging-{txn}")
+    # an EMPTY increment must not commit a segment: partitionBy of an
+    # empty frame writes no cell= dirs at all, and a committed dataless
+    # seg-<txn> would fail every later query/compact at
+    # spark.read.parquet(seg). Committing nothing preserves the
+    # exactly-once contract — a replay of this txn carries the same
+    # (empty) content and again commits nothing.
+    assigned = assigned.localCheckpoint(eager=True)
+    if assigned.isEmpty():
+        return 0
     try:
         # repartition by cell first (see write_ivf_index): an increment
         # arriving in 32 partitions would otherwise spray one tiny
@@ -655,7 +678,7 @@ def ivf_index_append(
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    return new_df.sparkSession.read.parquet(seg).count()
+    return assigned.count()  # off the checkpoint the write read
 
 
 def ivf_index_compact(spark, path: str) -> int:
@@ -703,7 +726,11 @@ def ivf_index_compact(spark, path: str) -> int:
     txn = uuid.uuid4().hex[:12]
     staging = os.path.join(path, f".staging-{txn}")
     try:
-        merged.write.partitionBy("cell").parquet(staging)
+        # repartition("cell") like the base write and the append: without
+        # it the union's one-partition-per-input-file layout sprays up to
+        # partitions x cells files and the hygiene pass INCREASES the
+        # file count it exists to shrink
+        merged.repartition("cell").write.partitionBy("cell").parquet(staging)
         record = sorted(set(segs) | _superseded_names(seg_root))
         with open(os.path.join(staging, "_supersedes.json"), "w") as f:
             json.dump({"supersedes": record}, f)
@@ -833,10 +860,16 @@ def query_ivf_index(
             .filter(F.col("r") <= int(pq_rerank))
             .select("query_id", "vec_id")
         )
+        # rerank against the CHECKPOINTED query vectors (probes), never the
+        # raw q frame: re-executing a nondeterministic queries frame here
+        # would rerank survivors against different vectors than the ones
+        # that routed the probes and scored ADC — the exact hazard the
+        # probes checkpoint above exists to prevent
+        qvecs = probes.select("query_id", "qv").dropDuplicates(["query_id"])
         cands = (
             corpus.select("vec_id", "embedding")
             .join(F.broadcast(survivors), "vec_id")
-            .join(F.broadcast(q), "query_id")
+            .join(F.broadcast(qvecs), "query_id")
             .withColumn(
                 "cosine", F.round(cosine_col(F.col("embedding"), F.col("qv")), 6)
             )
@@ -1091,7 +1124,12 @@ def hard_negatives(
     )
     scored = (
         c.join(F.broadcast(q))
-        .filter(F.col("label") != F.col("anchor_label"))
+        # null-safe: plain != is NULL (dropped) when either label is NULL,
+        # which would silently give unlabeled anchors zero negatives and
+        # exclude unlabeled corpus rows from everything; IS DISTINCT FROM
+        # semantics treat NULL as different from every label (and equal
+        # only to NULL) — the oracle uses the same operator
+        .filter(~F.col("label").eqNullSafe(F.col("anchor_label")))
         .withColumn("cosine", F.round(cosine_col(F.col("cv"), F.col("qv")), 6))
     )
     w = W.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -1352,14 +1390,22 @@ def pq_topk(
             s = np.zeros((len(Q), len(C)))
             for j in range(m):
                 s += LUT[:, j, C[:, j]]
+            # the partition cut must rank in the SAME domain as the final
+            # global window (round(score, 6) desc, vec_id asc): cutting on
+            # raw scores lets which vector survives a rounded tie depend
+            # on partition layout — same data, different top-k
+            s = np.round(s, 6)
             vid = np.broadcast_to(pdf["vec_id"].to_numpy(), (len(Q), len(C)))
             if run_s is not None:
                 s = np.concatenate([run_s, s], axis=1)
                 vid = np.concatenate([run_v, vid], axis=1)
             top = min(kk, s.shape[1])
-            cand = np.argpartition(-s, top - 1, axis=1)[:, :top]
-            rows = np.arange(len(Q))[:, None]
-            run_s, run_v = s[rows, cand], vid[rows, cand]
+            keep_s = np.empty((len(Q), top))
+            keep_v = np.empty((len(Q), top), dtype=vid.dtype)
+            for q in range(len(Q)):
+                order = np.lexsort((vid[q], -s[q]))[:top]
+                keep_s[q], keep_v[q] = s[q, order], vid[q, order]
+            run_s, run_v = keep_s, keep_v
         if run_s is None:
             return
         nq, top = run_s.shape

@@ -7295,7 +7295,7 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY ROUND({_cos('b.embedding', 'q.embedding')}, 6) DESC,
                                          b.vec_id) AS rank
       FROM embeddings b, (SELECT * FROM embeddings WHERE vec_id < 5) q
-      WHERE b.label <> q.label
+      WHERE b.label IS DISTINCT FROM q.label
     ) WHERE rank <= 5
     """,
 )

@@ -42,8 +42,13 @@ def encode_value_col(col: Column, dtype: T.DataType) -> Column:
     if isinstance(dtype, (T.ArrayType, T.MapType, T.StructType)):
         return F.to_json(col)
     if isinstance(dtype, T.BooleanType):
-        # Python str(True) → "True" (compute.py:79)
-        return F.when(col, F.lit("True")).otherwise(F.lit("False"))
+        # Python str(True) → "True" (compute.py:79). NULL must stay NULL:
+        # when().otherwise() would route a NULL boolean through the
+        # otherwise branch and mint a concrete "False" for an entity that
+        # was never computed — every other dtype preserves NULL via cast
+        return F.when(col.isNull(), F.lit(None).cast("string")).when(
+            col, F.lit("True")
+        ).otherwise(F.lit("False"))
     return col.cast("string")
 
 

@@ -29,7 +29,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.incremental import rollup_partial
-from .offline import OfflineStore
+from contextlib import ExitStack
+
+from .offline import OfflineStore, _fsync_path, _pid_lock
 
 # the JSON envelope for one partial state; decimals travel as STRINGS so
 # the exact-arithmetic discipline survives the text round-trip
@@ -138,16 +140,18 @@ def compact_incremental_feature(
     import uuid
 
     vid = int(version_id)
+    # pre-manifest stores must be migrated BEFORE the snapshot (same as
+    # compact_version_partition): otherwise _read_segments returns {},
+    # the merged segment is built from nothing, and committing it makes
+    # every legacy plain-named data file permanently invisible — the
+    # exact "upgrading silently drops data" failure the segment
+    # protocol's legacy fallback exists to prevent
+    store._migrate_legacy_store()
     os.makedirs(store._segment_dir(vid), exist_ok=True)
     lock = os.path.join(store._segment_dir(vid), ".compact.lock")
+    _lock = ExitStack()
+    _lock.enter_context(_pid_lock(lock, f"compaction for version {vid}"))
     try:
-        lock_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        raise RuntimeError(
-            f"another compaction is in flight for version {vid} (lock: {lock})"
-        )
-    try:
-        os.close(lock_fd)
         # snapshot first; merge from exactly these files — values_for_version
         # would re-resolve the manifest at action time and could fold in an
         # append that the supersedes list below does not retire... or worse,
@@ -185,14 +189,19 @@ def compact_incremental_feature(
                 if not name.endswith(".parquet"):
                     continue
                 dst = f"{txn}-part-{i:05d}.parquet"
+                _fsync_path(os.path.join(src_dir, name))
                 os.rename(os.path.join(src_dir, name), os.path.join(dst_dir, dst))
                 new_rel.append(f"{part_rel}/{dst}")
+            # the destination dir entries must be durable BEFORE the
+            # superseding segment commits (write_values discipline,
+            # offline.py:407-411): this segment retires the whole prior
+            # snapshot, so a power loss that keeps the fsynced segment
+            # JSON but loses the renames would leave the version
+            # unreadable, not merely stale
+            _fsync_path(dst_dir)
             store._commit_segment(vid, new_rel, supersedes=list(snapshot), name=txn)
         finally:
             shutil.rmtree(tmp_root, ignore_errors=True)
     finally:
-        try:
-            os.remove(lock)
-        except FileNotFoundError:
-            pass
+        _lock.close()
     return store.values_for_version(vid).count()

@@ -66,6 +66,7 @@ import os
 import re
 import shutil
 import uuid
+from contextlib import ExitStack, contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -107,6 +108,80 @@ def _fsync_path(path: str) -> None:
         os.fsync(fd)
     finally:
         os.close(fd)
+
+
+@contextmanager
+def _pid_lock(lock: str, what: str):
+    """O_EXCL pid-recording lock with DEAD-HOLDER recovery — the corpus
+    mutation lock's discipline applied to the compaction locks: a
+    compactor killed mid-run (SIGKILL/OOM/power loss) must not block
+    every later compaction forever. The lock records the holder's pid;
+    an acquirer finding the lock held by a LOCAL dead process clears it
+    and retries ONCE. The clear itself is serialized behind an O_EXCL
+    ``<lock>.takeover`` sidecar with a re-verify of the recorded pid, so
+    two acquirers observing the same dead holder cannot race
+    remove-then-recreate and both enter (the slower remove would delete
+    the faster winner's fresh lock). A live pid — or one on another host
+    of a shared filesystem, which kill(0) cannot probe — always stays
+    for the operator."""
+    fd = None
+    for attempt in (0, 1):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                with open(lock) as lf:
+                    pid = int(lf.read().strip() or "0")
+            except (OSError, ValueError):
+                pid = 0
+            alive = True
+            if pid > 0:
+                try:
+                    os.kill(pid, 0)
+                except ProcessLookupError:
+                    alive = False
+                except PermissionError:
+                    alive = True
+            if attempt == 0 and pid > 0 and not alive:
+                takeover = lock + ".takeover"
+                try:
+                    tfd = os.open(takeover, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                except FileExistsError:
+                    raise RuntimeError(
+                        f"a stale-lock takeover for {what} is itself stuck "
+                        f"(sidecar: {takeover}); remove it (and the lock, "
+                        "if its owner is known dead) to re-enable"
+                    ) from None
+                try:
+                    try:
+                        with open(lock) as lf:
+                            still = int(lf.read().strip() or "0")
+                    except (OSError, ValueError):
+                        still = -1
+                    if still == pid:
+                        try:
+                            os.remove(lock)
+                        except FileNotFoundError:
+                            pass
+                finally:
+                    os.close(tfd)
+                    os.remove(takeover)
+                continue
+            raise RuntimeError(
+                f"another {what} is in flight (lock: {lock}, pid "
+                f"{pid or '?'}); remove the file only if its owner is "
+                "known dead"
+            )
+    try:
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        yield
+    finally:
+        try:
+            os.remove(lock)
+        except FileNotFoundError:
+            pass
 
 
 class OfflineStore:
@@ -651,14 +726,9 @@ def compact_version_partition(
     store._migrate_legacy_store()
     os.makedirs(store._segment_dir(vid), exist_ok=True)
     lock = os.path.join(store._segment_dir(vid), ".compact.lock")
+    _lock = ExitStack()
+    _lock.enter_context(_pid_lock(lock, f"compaction for version {vid}"))
     try:
-        lock_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        raise RuntimeError(
-            f"another compaction is in flight for version {vid} (lock: {lock})"
-        )
-    try:
-        os.close(lock_fd)
         snapshot = store._read_segments(vid)  # the segment set we replace
         old_rel = sorted({f for s in snapshot.values() for f in s["files"]})
         if not old_rel:
@@ -711,8 +781,5 @@ def compact_version_partition(
         finally:
             shutil.rmtree(os.path.join(root, ".staging", txn), ignore_errors=True)
     finally:
-        try:
-            os.remove(lock)
-        except FileNotFoundError:
-            pass
+        _lock.close()
     return len(new_rel)

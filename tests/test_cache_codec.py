@@ -79,3 +79,30 @@ def test_encode_col_roundtrip(spark):
     assert out["b"] == "True" and decode_value_py(out["b"]) == "True"  # parity
     assert decode_value_py(out["arr"]) == [1, 2]
     assert decode_value_py(out["m"]) == {"a": 1}
+
+
+def test_encode_null_boolean_stays_null(spark):
+    """A NULL boolean must encode to NULL, not \"False\": when().otherwise()
+    routes NULL through the otherwise branch, which would mint a concrete
+    false for an entity that was never computed — every other dtype
+    preserves NULL via cast."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from feature_store_implementation_spark.store.codec import (
+        decode_value_py,
+        encode_value_col,
+    )
+
+    df = spark.createDataFrame(
+        [(True,), (False,), (None,)],
+        T.StructType([T.StructField("b", T.BooleanType())]),
+    )
+    out = [
+        r["e"]
+        for r in df.select(
+            encode_value_col(F.col("b"), T.BooleanType()).alias("e")
+        ).collect()
+    ]
+    assert out == ["True", "False", None]
+    assert decode_value_py(out[2]) is None

@@ -2256,3 +2256,34 @@ def test_maintain_index_unified_entry_point(spark, tmp_path):
     # idempotent: nothing left to do
     rep2 = maintain_index(spark, ivf, compact_min_segments=2, vacuum_min_age_seconds=0)
     assert rep2["compacted_rows"] == 0 and rep2["segments_after"] == 1
+
+
+def test_ivf_index_append_empty_increment_commits_nothing(spark, tmp_path):
+    """An EMPTY increment (routine under the idempotent-txn foreachBatch
+    hook) must not commit a segment: partitionBy of an empty frame writes
+    no cell= dirs, and a committed dataless seg-<txn> would poison every
+    later query/compact at spark.read.parquet(seg)."""
+    import glob
+    import os
+
+    from feature_store_implementation_spark.operators.similarity import (
+        ivf_index_append,
+        query_ivf_index,
+        write_ivf_index,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, (v / np.linalg.norm(v)).tolist()) for i, v in enumerate(rng.randn(60, 8))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(df, path, n_cells=4)
+
+    empty = df.filter("vec_id < 0")
+    assert ivf_index_append(empty, path, txn="empty-batch") == 0
+    assert glob.glob(os.path.join(path, "segments", "seg-*")) == []
+
+    # the index still serves
+    q = df.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    assert query_ivf_index(spark, path, q, k=3, n_probe=4).count() == 6

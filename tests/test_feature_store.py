@@ -1359,3 +1359,82 @@ def test_lookup_online_snapshot_metaless_export_with_empty_shards(fs, tmp_path):
         assert vec.features == {"amt3": float(i)}
     with pytest.raises(KeyError):
         lookup_online_snapshot(out, "m99")
+
+
+def test_compact_incremental_feature_migrates_premanifest_store(spark, tmp_path):
+    """compact_incremental_feature on a PRE-MANIFEST store must migrate the
+    legacy plain-named files into segments BEFORE snapshotting (like
+    compact_version_partition does): without the migrate the snapshot is
+    empty, the merged segment is built from nothing, and committing it
+    hides every legacy file — upgrading would silently drop all data."""
+    import json
+    import os
+    import shutil
+
+    from feature_store_implementation_spark.store.materialize import (
+        compact_incremental_feature,
+        read_incremental_feature,
+    )
+    from feature_store_implementation_spark.store.offline import OfflineStore
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "values")
+    legacy_part = os.path.join(root, "feature_values", "feature_version_id=9")
+    partial = json.dumps(
+        {"cnt": 2, "sum_v": "3.0", "sum_sq": "5.0", "min_v": 1.0, "max_v": 2.0}
+    )
+    df = spark.createDataFrame(
+        [("a", partial), ("b", partial)], "entity_id string, value string"
+    ).select("entity_id", "value", F.current_timestamp().alias("computed_at"))
+    df.coalesce(1).write.parquet(legacy_part + ".tmp")
+    os.makedirs(legacy_part)
+    for f in os.listdir(legacy_part + ".tmp"):
+        if f.startswith("part-") and f.endswith(".parquet"):
+            os.rename(
+                os.path.join(legacy_part + ".tmp", f), os.path.join(legacy_part, f)
+            )
+    shutil.rmtree(legacy_part + ".tmp")
+
+    store = OfflineStore(spark, root)
+    assert compact_incremental_feature(store, 9) == 2
+    got = {r["entity_id"]: r["cnt"] for r in read_incremental_feature(store, 9).collect()}
+    assert got == {"a": 2, "b": 2}
+
+
+def test_compact_lock_dead_holder_autoclears_live_holder_excludes(fs, spark, tmp_path):
+    """A compactor killed mid-run leaves .compact.lock behind; the next
+    compaction must auto-clear it when its recorded pid is a LOCAL dead
+    process (and still fail fast on a live holder) — otherwise the
+    version's small-file debt grows unbounded until manual cleanup."""
+    import os
+    import subprocess
+
+    import pytest
+
+    from feature_store_implementation_spark.store.materialize import (
+        compact_incremental_feature,
+        update_incremental_feature,
+    )
+
+    t = fs.register_raw_table("t_lk", {"required_columns": ["id", "v"]})
+    f = fs.create_feature("lkf", t.id, "SUM(v)", "numeric")
+    ver = fs.catalog.create_version(f.id, "v1", status="active")
+    for batch in ([{"id": "x", "v": 1.0}], [{"id": "x", "v": 2.0}]):
+        update_incremental_feature(
+            fs.store, ver.id, spark.createDataFrame(batch), "id", "v"
+        )
+    lock = os.path.join(fs.store._segment_dir(ver.id), ".compact.lock")
+
+    proc = subprocess.Popen(["true"])  # a dead local pid
+    proc.wait()
+    os.makedirs(os.path.dirname(lock), exist_ok=True)
+    with open(lock, "w") as lf:
+        lf.write(str(proc.pid))
+    assert compact_incremental_feature(fs.store, ver.id) == 1  # auto-cleared
+    assert not os.path.exists(lock)
+
+    with open(lock, "w") as lf:  # a LIVE holder still excludes
+        lf.write(str(os.getpid()))
+    with pytest.raises(RuntimeError, match="in flight"):
+        compact_incremental_feature(fs.store, ver.id)
+    os.remove(lock)
