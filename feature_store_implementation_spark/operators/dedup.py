@@ -67,20 +67,31 @@ def _sem_hash(df: DataFrame) -> int:
 
 
 class _CacheScope:
-    __slots__ = ("frames", "window")
+    __slots__ = ("frames", "window", "_mu")
 
     def __init__(self, window: int = 8):
         self.frames: list[tuple[DataFrame, int]] = []
         self.window = window
+        # frames-list mutations are locked: scope objects are normally
+        # single-thread (the stack is thread-local), but _DEFAULT_SCOPE is
+        # the SHARED fallback for scope-less callers — two streaming
+        # foreachBatch threads hitting it concurrently would interleave
+        # the check-then-pop eviction (unpersisting each other's
+        # just-cached frames, or racing pop(0) into IndexError)
+        self._mu = threading.Lock()
 
     def add(self, df: DataFrame) -> DataFrame:
-        while len(self.frames) >= self.window:
-            self._drop(self.frames.pop(0))
         df = df.cache()
         h = _sem_hash(df)
         with _PLAN_LOCK:
             _PLAN_REFS[h] = _PLAN_REFS.get(h, 0) + 1
-        self.frames.append((df, h))
+        with self._mu:
+            evict = []
+            while len(self.frames) >= self.window:
+                evict.append(self.frames.pop(0))
+            self.frames.append((df, h))
+        for item in evict:
+            self._drop(item)
         return df
 
     @staticmethod
@@ -98,8 +109,10 @@ class _CacheScope:
                 pass
 
     def release(self) -> None:
-        while self.frames:
-            self._drop(self.frames.pop())
+        with self._mu:
+            drop, self.frames = self.frames, []
+        while drop:
+            self._drop(drop.pop())
 
 
 _DEFAULT_SCOPE = _CacheScope(window=8)
@@ -238,6 +251,16 @@ def _minhash_bands(sigs: DataFrame, k: int, bands: int) -> DataFrame:
     row-groups of k/bands values, each group hashed to one bucket id —
     the LSH banding shared by the batch pair route and the persisted
     index's query path (identical hashing, so candidates agree)."""
+    if not 1 <= bands <= k or k % bands:
+        # bands > k degenerates silently: r = k//bands = 0 hashes ZERO
+        # signature values per band, every doc lands in one bucket, and
+        # the max_bucket cap then discards the whole corpus — "no
+        # duplicates found" with no error. Non-divisible k just silently
+        # ignores the k % bands trailing values. Both are config bugs
+        # the index would otherwise persist in params.json for life.
+        raise ValueError(
+            f"bands={bands} must divide k={k} (1 <= bands <= k)"
+        )
     r = k // bands
     return sigs.select(
         "doc_id",
@@ -450,6 +473,21 @@ def _index_fsync(p: str) -> None:
         os.close(fd)
 
 
+def index_txn_committed(path: str, txn: str) -> bool:
+    """Whether an append transaction already committed to the persisted
+    index at ``path`` — its segment dir is live, or a compaction folded
+    it into a merged segment (whose supersedes record keeps the txn
+    durable). The pre-flight check that lets a replayed streaming
+    trigger skip recomputing its whole batch (streaming_dedup_ingest)
+    instead of merely no-opping the final append."""
+    import os
+
+    sig_dir = os.path.join(path, "signatures")
+    if os.path.isdir(os.path.join(sig_dir, f"seg-{txn}")):
+        return True
+    return f"seg-{txn}" in _superseded_names(sig_dir)
+
+
 def _superseded_names(sig_dir: str) -> set[str]:
     """Union of every live segment's ``_supersedes.json`` — the permanent
     record of which sources (and, transitively, which append txns) have
@@ -617,7 +655,17 @@ def index_compact(spark, path: str) -> int:
             if n.endswith(".parquet")
         )
     n_files = max(1, -(-total_bytes // (128 * 1024 * 1024)))
-    merged = _read_index_signatures(spark, path).coalesce(n_files)
+    # merge EXACTLY the sources the supersedes record below names — never
+    # a fresh whole-dir listing: a segment appended between the two
+    # listings would be folded into the merged rows but left out of the
+    # record, so the sweep would keep it live and its rows would exist
+    # twice in the index forever (duplicate candidate pairs on every
+    # later query, fixable only by a rebuild)
+    merged = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(*[os.path.join(sig_dir, n) for n in flat + segs])
+        .coalesce(n_files)
+    )
     txn = uuid.uuid4().hex[:12]
     staging = os.path.join(path, f".staging-{txn}")
     merged.write.parquet(staging)
@@ -676,6 +724,13 @@ def minhash_index_write(
     import shutil
     import uuid
 
+    import glob
+
+    if not 1 <= bands <= k or k % bands:
+        # validate BEFORE persisting: params.json records bands for the
+        # index's whole lifetime, and a degenerate value would fail (or
+        # silently empty) every future query instead of this one write
+        raise ValueError(f"bands={bands} must divide k={k} (1 <= bands <= k)")
     sig_dir = os.path.join(path, "signatures")
     marker = os.path.join(path, "params.json")
     _prepare_index_dir(sig_dir, marker, overwrite)
@@ -685,7 +740,15 @@ def minhash_index_write(
             minhash_signatures(df, text_col, id_col, n_shingle, k)
         )
         sigs.write.parquet(staging)
+        # the params.json marker below is explicitly fsynced — the data it
+        # marks committed must be at least as durable (same discipline as
+        # _append_index_segment): fsync the staged files and dir before
+        # the rename, and the parent after
+        for f in glob.glob(os.path.join(staging, "*")):
+            _index_fsync(f)
+        _index_fsync(staging)
         os.rename(staging, sig_dir)
+        _index_fsync(path)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     tmp = os.path.join(path, ".params.tmp")
@@ -1119,7 +1182,14 @@ def simhash_index_write(
     try:
         sigs, n_rows = _content_sized(simhash_signatures(df, text_col, id_col, bits))
         sigs.write.parquet(staging)
+        # fsync before the fsynced marker commits (see minhash_index_write)
+        import glob as _glob
+
+        for f in _glob.glob(os.path.join(staging, "*")):
+            _index_fsync(f)
+        _index_fsync(staging)
         os.rename(staging, sig_dir)
+        _index_fsync(path)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     tmp = os.path.join(path, ".params.tmp")

@@ -658,6 +658,28 @@ def _update_corpus_locked(
             "rebuild it incrementally updatable first"
         )
     p = manifest["params"]
+    # fail fast on column-identity drift: committing an increment under a
+    # different id/text column than the base would union NULL-id rows
+    # into read_corpus (allowMissingColumns) and index increment docs
+    # under NULL ids on the next rebuild — silent corpus corruption
+    for arg, key in ((text_col, "text_col"), (id_col, "id_col")):
+        want = p.get(key, arg)
+        if arg != want:
+            raise ValueError(
+                f"{key}={arg!r} does not match the corpus's recorded "
+                f"{key}={want!r} (manifest params) — increments must use "
+                "the base build's column names"
+            )
+    if p.get("decontaminate") and eval_df is None:
+        # the base build gated on benchmark decontamination; an update
+        # silently skipping it would commit contaminated documents into
+        # the train split with no stage entry and no manifest record —
+        # and every later increment and rebuild keeps them
+        raise ValueError(
+            f"the corpus at {path} was built WITH benchmark "
+            "decontamination (manifest params.decontaminate=true); pass "
+            "the same eval_df to every update, or rebuild without it"
+        )
     revisions = manifest.get("revisions", [])
     if txn is not None:
         for r in revisions:
@@ -766,9 +788,25 @@ def _update_corpus_locked(
 
     # -- the recorded mixture rates apply to the increment too --------------
     mix = manifest.get("mixture")
+    mixture_new_groups: list[str] = []
     if mix is not None:
+        rates = dict(mix["rates"])
+        # a group the base build never saw has no recorded rate, and
+        # weighted_mix DROPS unmatched groups (its threshold falls through
+        # to ''): a daily increment introducing a new source/language
+        # would silently vanish in full. Keep unseen groups whole (rate
+        # 1.0) and record them in the revision — the operator signal to
+        # re-run the build (or set an explicit rate) when the mixture's
+        # group universe has actually changed.
+        mixture_new_groups = sorted(
+            str(r[0])
+            for r in curated.select(mix["col"]).distinct().collect()
+            if r[0] is not None and str(r[0]) not in rates
+        )
+        for g in mixture_new_groups:
+            rates[g] = 1.0
         curated = weighted_mix(
-            curated, mix["rates"], group_col=mix["col"], key_cols=[id_col]
+            curated, rates, group_col=mix["col"], key_cols=[id_col]
         ).localCheckpoint(eager=True)
         stage("mixture", curated.count())
 
@@ -794,6 +832,16 @@ def _update_corpus_locked(
     )
     soft_cross = (
         cross.filter(F.col("jaccard") < p["dedup_threshold"])
+        # only SURVIVING increment docs may bridge: `cross` was computed
+        # before the semantic/mixture drops, and a dropped doc's edges
+        # would still connect its corpus clusters in the split clustering
+        # — fusing components (and anchor splits) a full rebuild, where
+        # the doc is equally absent, would keep separate
+        .join(
+            curated.select(F.col(id_col).alias("new_id")).distinct(),
+            "new_id",
+            "left_semi",
+        )
         .select(
             "new_id", F.col("corpus_id").cast("string").alias("corpus_doc_id")
         )
@@ -892,6 +940,8 @@ def _update_corpus_locked(
         "splits": splits_rec,
         "split_overrides": int(n_overrides),
     }
+    if mixture_new_groups:
+        record["mixture_new_groups"] = mixture_new_groups
     if txn is not None:
         record["txn"] = str(txn)
     manifest.setdefault("revisions", []).append(record)

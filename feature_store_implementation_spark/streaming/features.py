@@ -22,6 +22,55 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+
+def _checkpoint_query_id(spark: SparkSession, checkpoint: str) -> str:
+    """The checkpoint's engine-minted query id (first 8 hex chars) —
+    stable across crash-restarts of the same checkpoint, fresh for a
+    fresh one: the namespace that makes batch-id-keyed effects (txns,
+    output partitions) safe against checkpoint replacement, where batch
+    ids restart at 0. Reads ``<checkpoint>/metadata`` for ANY scheme the
+    engine itself can write: plain local paths and ``file:`` URIs
+    directly, anything else (hdfs://, s3a://, ...) through the same
+    Hadoop FileSystem Spark wrote it with. Raises instead of falling
+    back — an un-namespaced effect silently collides with a prior
+    stream's batches."""
+    import json
+    import os
+    import re
+
+    def read_metadata() -> str:
+        loc = str(checkpoint)
+        if "://" not in loc and not loc.startswith("file:"):
+            with open(os.path.join(loc, "metadata")) as f:
+                return f.read()
+        if loc.startswith("file:"):
+            local = re.sub("^/+", "/", loc[len("file:"):])
+            with open(os.path.join(local, "metadata")) as f:
+                return f.read()
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(loc.rstrip("/") + "/metadata")
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        stream = fs.open(hpath)
+        try:
+            return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+
+    try:
+        qid = str(json.loads(read_metadata()).get("id", ""))[:8]
+    except Exception as exc:
+        raise ValueError(
+            f"cannot read the query id from {checkpoint}/metadata: {exc} — "
+            "batch-id-keyed effects cannot be namespaced safely, refusing "
+            "to fall back to bare batch ids"
+        ) from exc
+    if not qid:
+        raise ValueError(
+            f"checkpoint metadata at {checkpoint} carries no query id; "
+            "cannot namespace batch-id-keyed effects"
+        )
+    return qid
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -351,21 +400,39 @@ def streaming_dedup_ingest(
     """Continuous corpus ingestion behind a GROWING near-dup gate: each
     micro-batch is (1) deduped in-batch, (2) checked against the persisted
     MinHash index (operators/dedup.py minhash_index_query — the corpus is
-    never re-shingled), (3) survivors land in ``out_path`` under an
-    ``ingest_batch=<epoch>`` partition, and (4) the SAME survivors are
-    folded into the index as an atomically-renamed segment named by the
-    epoch id — so the next trigger's duplicates of this batch are caught.
+    never re-shingled), (3) survivors land in ``out_path`` under a
+    ``stream=<query id>/ingest_batch=<epoch>`` partition, and (4) the
+    SAME survivors are folded into the index as an atomically-renamed
+    segment named by the query id + epoch id — so the next trigger's
+    duplicates of this batch are caught.
     This is the streaming face of the write→query→append loop
     (q_dedup_index_grow), the shape a 100 TB training-corpus intake runs
     daily.
 
     Exactly-once under trigger replay, by construction, in both effects:
 
-    * the survivor write overwrites its own ``ingest_batch=<epoch>``
-      partition (deterministic content → idempotent overwrite);
-    * the index append is keyed on the epoch id
-      (``_append_index_segment`` txn) — a replayed trigger finds its
-      segment already committed and no-ops.
+    * a replayed trigger whose txn (query id + epoch id) already
+      committed SHORT-CIRCUITS before recomputing anything — the index
+      append is the last effect, so a committed segment implies the
+      survivor partition landed too;
+    * a replay of a partially-landed trigger (crash before the append)
+      recomputes against an index that does not yet contain the batch,
+      reproduces the identical survivor set, and idempotently overwrites
+      its own ``stream=<query id>/ingest_batch=<epoch>`` partition.
+
+    A corpus-id match is therefore always a GENUINE re-send of an
+    already-ingested document (the short-circuit guarantees the index
+    never holds the live batch when queried), and the gate drops it.
+
+    Both effects are namespaced by the CHECKPOINT'S query id
+    (:func:`_checkpoint_query_id`) because epoch ids restart at 0 for a
+    fresh checkpoint: without the namespace, restarting ingestion with a
+    new checkpoint against the same ``out_path``/``index_path`` would
+    overwrite the prior stream's ``ingest_batch=0`` survivors (data
+    loss) and short-circuit its index appends to the prior stream's
+    committed segments (future duplicates admitted) — the same
+    fresh-checkpoint hazard ``stream_corpus_revisions`` namespaces its
+    txns against.
 
     A replayed batch re-queries an index that already CONTAINS its own
     survivors; self-matches are excluded on ``new_id == corpus_id``, and
@@ -383,12 +450,25 @@ def streaming_dedup_ingest(
     import os
 
     from ..operators.dedup import (
+        index_txn_committed,
         minhash_index_append,
         minhash_index_query,
         minhash_near_dup_pairs,
     )
 
+    qid: list = []  # lazily read once the engine has written the metadata
+
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if not qid:
+            qid.append(_checkpoint_query_id(batch_df.sparkSession, checkpoint))
+        txn = f"{qid[0]}-b{int(batch_id):012d}"
+        if index_txn_committed(index_path, txn):
+            # a replayed trigger whose effects fully landed (the append is
+            # the LAST effect, so its segment implies the survivor
+            # partition too): skip the whole recompute — and never
+            # re-query an index that already contains this batch's own
+            # survivors, which would misread them as corpus duplicates
+            return
         batch = batch_df.select(F.col(id_col), F.col(text_col)).localCheckpoint(
             eager=True
         )
@@ -398,11 +478,14 @@ def streaming_dedup_ingest(
             batch, text_col, id_col, threshold=threshold
         ).select(F.col("doc_id_b").alias(id_col)).distinct()
         fresh = batch.join(in_batch, id_col, "left_anti")
+        # no self-row exclusion: the committed-txn short-circuit above
+        # guarantees the index never contains THIS batch when queried, so
+        # any id-match against the corpus is a genuine re-send of an
+        # already-ingested document — dropping it is the gate working
         vs_corpus = (
             minhash_index_query(
                 batch.sparkSession, fresh, index_path, text_col, id_col, threshold
             )
-            .filter(F.col("new_id") != F.col("corpus_id"))  # replayed self-rows
             .select(F.col("new_id").alias(id_col))
             .distinct()
         )
@@ -410,9 +493,9 @@ def streaming_dedup_ingest(
             eager=True
         )
         survivors.write.mode("overwrite").parquet(
-            os.path.join(out_path, f"ingest_batch={int(batch_id)}")
+            os.path.join(out_path, f"stream={qid[0]}", f"ingest_batch={int(batch_id)}")
         )
-        minhash_index_append(survivors, index_path, text_col, id_col, txn=f"b{int(batch_id):012d}")
+        minhash_index_append(survivors, index_path, text_col, id_col, txn=txn)
 
     writer = docs.writeStream.foreachBatch(ingest).option(
         "checkpointLocation", checkpoint
@@ -578,61 +661,15 @@ def stream_corpus_revisions(
     new checkpoint therefore can NOT silently short-circuit new batches
     to old revisions (ADVICE r8); the prefix itself only keeps txns
     readable and distinct across concurrent streams."""
-    import json as _json
-    import os as _os
-
     from ..pipelines.pretraining import update_pretraining_corpus
 
     ckpt_id: list = []  # lazily read once the engine has written it
-
-    def _read_metadata(spark) -> str:
-        """The checkpoint's ``metadata`` JSON, for ANY checkpoint scheme
-        the engine itself can write: plain local paths and ``file:`` URIs
-        read directly; anything else (hdfs://, s3a://, ...) goes through
-        the same Hadoop FileSystem Spark wrote it with."""
-        import re as _re
-
-        loc = str(checkpoint)
-        if "://" not in loc and not loc.startswith("file:"):
-            with open(_os.path.join(loc, "metadata")) as f:
-                return f.read()
-        if loc.startswith("file:"):
-            local = _re.sub("^/+", "/", loc[len("file:"):])
-            with open(_os.path.join(local, "metadata")) as f:
-                return f.read()
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(loc.rstrip("/") + "/metadata")
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        stream = fs.open(hpath)
-        try:
-            return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-        finally:
-            stream.close()
 
     def _txn(spark, batch_id: int) -> str | None:
         if txn_prefix is None:
             return None
         if not ckpt_id:
-            # the namespace is NOT optional: falling back to the bare
-            # prefix when the metadata can't be read would let a reused
-            # prefix + fresh checkpoint short-circuit new batches to old
-            # revisions and silently drop their documents (ADVICE r8) —
-            # fail the batch loudly instead
-            try:
-                qid = str(_json.loads(_read_metadata(spark)).get("id", ""))[:8]
-            except Exception as exc:
-                raise ValueError(
-                    f"txn_prefix={txn_prefix!r} needs the checkpoint's "
-                    f"query id, but {checkpoint}/metadata is unreadable: "
-                    f"{exc} — exactly-once txns cannot be namespaced, "
-                    "refusing to fall back to the bare prefix"
-                ) from exc
-            if not qid:
-                raise ValueError(
-                    f"checkpoint metadata at {checkpoint} carries no query "
-                    "id; cannot namespace exactly-once txns"
-                )
-            ckpt_id.append(qid)
+            ckpt_id.append(_checkpoint_query_id(spark, checkpoint))
         return f"{txn_prefix}#{ckpt_id[0]}/b{batch_id}"
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:

@@ -2287,3 +2287,24 @@ def test_ivf_index_append_empty_increment_commits_nothing(spark, tmp_path):
     # the index still serves
     q = df.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
     assert query_ivf_index(spark, path, q, k=3, n_probe=4).count() == 6
+
+
+def test_minhash_bands_validation(spark):
+    """bands must divide k: bands > k degenerates to r=0 (every doc in one
+    bucket per band — the cap then discards the whole corpus as 'no
+    duplicates'), and non-divisible k silently ignores trailing signature
+    values. Both must fail fast, and index writes must refuse to persist
+    a degenerate value for the index's lifetime."""
+    import pytest
+
+    from feature_store_implementation_spark.operators.dedup import (
+        minhash_index_write,
+        minhash_near_dup_pairs,
+    )
+
+    df = _docs(spark)
+    for bad in (64, 0, 7):  # > k, zero, non-divisor of k=32
+        with pytest.raises(ValueError, match="must divide"):
+            minhash_near_dup_pairs(df, k=32, bands=bad).collect()
+        with pytest.raises(ValueError, match="must divide"):
+            minhash_index_write(df, "/tmp/never-written", bands=bad)

@@ -744,3 +744,58 @@ def test_rate_source_tumbling_dedup_smoke(spark):
     assert len(set(starts)) == len(starts)
     assert all(s.second == 0 for s in starts)
     spark.catalog.dropTempView(name)
+
+
+def test_streaming_dedup_ingest_fresh_checkpoint_new_data_no_loss(spark, tmp_path):
+    """Restarting ingestion with a NEW checkpoint (old one lost) against
+    the same out_path/index_path must not lose data: epoch ids restart at
+    0, so without the query-id namespace the new stream's batch 0 would
+    overwrite the old stream's batch-0 survivors AND its index append
+    would short-circuit on the old segment, admitting all its future
+    duplicates."""
+    import glob
+    import os
+    import random
+
+    from feature_store_implementation_spark.operators.dedup import (
+        _read_index_signatures,
+        minhash_index_query,
+        minhash_index_write,
+    )
+    from feature_store_implementation_spark.streaming.features import (
+        streaming_dedup_ingest,
+    )
+
+    rng = random.Random(11)
+    words = [f"w{j}" for j in range(4000)]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    first = mk([(i, " ".join(rng.sample(words, 60))) for i in range(8)])
+    second = mk([(100 + i, " ".join(rng.sample(words, 60))) for i in range(8)])
+
+    index = str(tmp_path / "index")
+    minhash_index_write(mk([]).limit(0), index)  # empty base
+    out = str(tmp_path / "out")
+
+    def run(batch, ckpt):
+        src = str(tmp_path / f"src_{ckpt}")
+        os.makedirs(src)
+        stage = str(tmp_path / f"stage_{ckpt}")
+        batch.coalesce(1).write.parquet(stage)
+        shutil.move(glob.glob(f"{stage}/part-*.parquet")[0], f"{src}/c.parquet")
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        q = streaming_dedup_ingest(stream, index, out, str(tmp_path / ckpt))
+        assert q.awaitTermination(300)
+
+    run(first, "ckpt_a")
+    run(second, "ckpt_b")  # fresh checkpoint, SAME out/index, NEW docs
+
+    got = {r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert got == {r["doc_id"] for r in first.union(second).collect()}
+    assert _read_index_signatures(spark, index).count() == 16
+    # the second stream's docs are really IN the gate: their twins drop
+    twins = second.select((F.col("doc_id") + 9000).alias("doc_id"), "text")
+    hits = minhash_index_query(spark, twins, index, "text", "doc_id")
+    assert hits.select("new_id").distinct().count() == 8
