@@ -211,7 +211,13 @@ def compute_feature(
             )
         if logic.startswith("row:"):
             expr = logic[len("row:") :].strip()
-            return df.select(entity.alias("entity_id"), F.expr(expr).alias("value"))
+            out = df.select(entity.alias("entity_id"), F.expr(expr).alias("value"))
+            # force analysis eagerly like the aggregate branch below: a
+            # typo'd column would otherwise surface as a raw
+            # AnalysisException at the caller's first schema touch,
+            # outside this function's ComputationError contract
+            out.schema
+            return out
         # default: aggregate expression per entity; if the string isn't SQL
         # but looks like a reference pandas program (assigns `result`) AND
         # the migration fallback is enabled, fall back to the reference

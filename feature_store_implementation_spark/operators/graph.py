@@ -189,7 +189,21 @@ def connected_components(
         )
         labels = stepped.select("node", F.col("new_component").alias("component"))
         if stepped.filter("shrunk").limit(1).count() == 0:
+            converged = True
             break
+    else:
+        converged = False
+    if not converged:
+        # labels were still shrinking when the budget ran out: returning
+        # them silently would hand a long near-dup chain's far ends
+        # DIFFERENT component ids, and leakage_safe_split would place
+        # near-duplicates of one chain in both train and test — the exact
+        # leak its docstring promises cannot happen
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} (a component's diameter exceeds it — min-label "
+            "propagation moves one hop per iteration); raise max_iter"
+        )
     return labels.localCheckpoint(eager=True)
 
 

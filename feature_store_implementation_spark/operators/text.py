@@ -96,6 +96,11 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     pred = F.lit(None).cast("string")
     for lg in reversed(langs):  # earlier lang wins ties → apply in reverse
         pred = F.when(F.col(f"score_{lg}") == best, F.lit(lg)).otherwise(pred)
+    # zero marker hits = NO evidence: an all-zero tie would otherwise
+    # resolve to the alphabetically-first code, confidently routing every
+    # out-of-marker-set language (ja, ru, ar, ...) to 'de' — NULL says
+    # "unknown", which is what a router must see
+    pred = F.when(best == 0, F.lit(None).cast("string")).otherwise(pred)
     return scored.select(
         "doc_id",
         pred.alias("predicted_lang"),
@@ -153,15 +158,19 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 
 def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Detect-and-redact PII (emails, IPv4s, NNN-NNN-NNNN phones): per-doc
-    match counts on the ORIGINAL text plus a ``clean_text`` with every match
-    replaced by a typed token. Pure regexp expressions — the whole pass
-    stays inside whole-stage codegen, no UDF, no shuffle; at 100 TB this is
-    a map-only stage that composes with any downstream filter."""
+    match counts plus a ``clean_text`` with every match replaced by a typed
+    token. Each pattern is counted on the text AFTER the earlier patterns
+    redacted — the same progressive view the replacement chain sees — so
+    the counts always reconcile with the tokens in ``clean_text`` (an IP
+    embedded in an email's domain is one <EMAIL>, not also an <IP>). Pure
+    regexp expressions — the whole pass stays inside whole-stage codegen,
+    no UDF, no shuffle; at 100 TB this is a map-only stage that composes
+    with any downstream filter."""
     text = F.col(text_col)
     cols: list[Column] = [F.col(id_col).alias("doc_id")]
     clean = text
     for name, pat, token in PII_PATTERNS:
-        cols.append(F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        cols.append(F.regexp_count(clean, F.lit(pat)).cast("long").alias(f"n_{name}"))
         clean = F.regexp_replace(clean, pat, token)
     return df.select(*cols, clean.alias("clean_text"))
 
@@ -429,7 +438,9 @@ def bm25_rank(
         F.size(tokens_col(F.col(text_col))).alias("dl"),
     )
     avgdl_row = dl.agg(F.round(F.avg("dl"), 6).alias("avgdl")).first()
-    avgdl = float(avgdl_row["avgdl"])
+    # empty (or all-NULL-text) corpus: avg is NULL — return the empty
+    # result frame like the other operators instead of float(None)
+    avgdl = float(avgdl_row["avgdl"]) if avgdl_row["avgdl"] is not None else 1.0
     idf = F.round(
         F.log(
             F.lit(1.0)
@@ -664,10 +675,14 @@ def hash_embed(
     reproduces the vectors bit-for-bit; the DuckDB oracle does).
     Documents with no tokens produce no row (no direction to point).
     Returns (id_col, embedding array<double>, unit-norm)."""
+    # the SHARED tokenizer (functions/textfns.tokens_col) — identical
+    # semantics to split+filter, and single-sourced so these embeddings
+    # can never silently diverge from the token statistics and dedup
+    # shingles computed over the same corpus
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    )
     h = F.md5(F.col("tok"))
     bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % dim
     sign = F.when(

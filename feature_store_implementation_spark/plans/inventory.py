@@ -2153,9 +2153,12 @@ def _install_text_oracles() -> None:
         for lg in langs
     )
     best = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
-    case = "CASE " + " ".join(
-        f"WHEN score_{lg} = {best} THEN '{lg}'" for lg in langs
-    ) + " END"
+    # zero-evidence docs predict NULL, matching operators/text.py
+    case = (
+        f"CASE WHEN {best} = 0 THEN NULL "
+        + " ".join(f"WHEN score_{lg} = {best} THEN '{lg}'" for lg in langs)
+        + " END"
+    )
     lang_sql = f"""
     WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
     s AS (SELECT doc_id,
@@ -6130,17 +6133,25 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
              || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END
              || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.42.7 host' ELSE '' END AS text
       FROM documents
+    ),
+    -- each count runs on the PROGRESSIVELY-redacted text, matching the
+    -- operator: counts always reconcile with the tokens in clean_text
+    step1 AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS text
+      FROM seeded
+    ),
+    step2 AS (
+      SELECT doc_id, n_email,
+             CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+             regexp_replace(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text
+      FROM step1
     )
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-           CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+    SELECT doc_id, n_email, n_ip,
            CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-             '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean_text
-    FROM seeded
+           regexp_replace(text, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean_text
+    FROM step2
     """,
 )
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:

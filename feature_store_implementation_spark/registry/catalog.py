@@ -93,6 +93,7 @@ class Catalog:
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._rows: dict[str, list] = {t: self._load(t) for t in _TABLES}
+        self._df_mtimes: dict[str, int] = {}  # df()'s cross-process reload gate
 
     # -- persistence -------------------------------------------------------
 
@@ -115,8 +116,32 @@ class Catalog:
         os.replace(tmp, self._path(table))
 
     def _next_id(self, table: str) -> int:
+        """Monotonic id allocation, durable across deletions: a bare
+        max+1 REUSES the id of a deleted max row (e.g. a pending version
+        swept by crash recovery), and a reused version id would union the
+        old incarnation's committed store segment into the new version's
+        reads. A high-water-mark sidecar (written atomically under the
+        same _write_txn flock every caller already holds) makes every id
+        allocate-once for the catalog's lifetime; catalogs predating the
+        sidecar seed it from max+1."""
         rows = self._rows[table]
-        return (max(r.id for r in rows) + 1) if rows else 1
+        derived = (max(r.id for r in rows) + 1) if rows else 1
+        meta_path = os.path.join(self.root, ".next_ids.json")
+        hwm: dict = {}
+        try:
+            with open(meta_path) as f:
+                hwm = json.load(f)
+        except (OSError, ValueError):
+            hwm = {}
+        nid = max(derived, int(hwm.get(table, 1)))
+        hwm[table] = nid + 1
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(hwm, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, meta_path)
+        return nid
 
     @contextmanager
     def _write_txn(self):
@@ -286,8 +311,24 @@ class Catalog:
         """Registry table as a (tiny, broadcastable) Spark DataFrame with an
         explicit schema: ids are long, timestamps stay strings (they are
         catalog metadata, compared lexically — ISO format sorts correctly),
-        nested JSON is kept as a JSON string column."""
+        nested JSON is kept as a JSON string column.
+
+        Reloads the table from disk first when its jsonl file changed
+        since this instance last read it: a read-only SERVING process
+        shares the catalog root with a compute process, and building the
+        frame from init-time ``self._rows`` would serve versions activated
+        after startup never (stale under the request cache, so no TTL
+        would ever heal it). Writers stay consistent regardless — every
+        mutation reloads under the flock."""
         from pyspark.sql import types as T
+
+        try:
+            mtime = os.stat(self._path(table)).st_mtime_ns
+        except OSError:
+            mtime = None
+        if mtime is not None and mtime != self._df_mtimes.get(table):
+            self._rows[table] = self._load(table)
+            self._df_mtimes[table] = mtime
 
         cls = _TABLES[table]
         cols = list(cls.__dataclass_fields__)

@@ -104,7 +104,7 @@ class FeatureStore:
         self.cache.clear()
         return activated
 
-    def recover_stale_pending(self) -> list[int]:
+    def recover_stale_pending(self, min_age_seconds: float = 0.0) -> list[int]:
         """Crash recovery: a writer that died between reserving a version id
         ('pending') and flipping it to 'active' leaves behind a pending row
         and possibly partial value files. Both are invisible to serving (the
@@ -114,10 +114,30 @@ class FeatureStore:
         (live writers hold pending only inside compute_version). Drops the
         partial partition directory and the row; returns recovered ids.
 
+        In a MULTI-INSTANCE deployment one instance's startup can observe
+        another LIVE writer's pending row; set ``min_age_seconds`` above
+        the longest expected compute_version wall time so recovery only
+        sweeps rows old enough to be provably dead. (Version ids are
+        allocate-once — catalog._next_id's high-water mark — so even a
+        mistimed sweep strands the victim's committed files as vacuumable
+        orphans rather than bleeding them into a reused id.)
+
         The reference has no recovery story: its orphan version rows are
         permanent (main.py:216 commits the row before values can fail)."""
+        from datetime import datetime, timezone
+
+        now = datetime.now(timezone.utc)
         recovered = []
         for v in self.catalog.list_pending():
+            if min_age_seconds > 0:
+                try:
+                    born = datetime.fromisoformat(v.computed_at)
+                    if born.tzinfo is None:
+                        born = born.replace(tzinfo=timezone.utc)
+                    if (now - born).total_seconds() < min_age_seconds:
+                        continue  # young enough to be a live writer's
+                except ValueError:
+                    pass  # unparsable timestamp — treat as stale
             self.store.drop_version_values(v.id)
             self.catalog.delete_version(v.id)
             recovered.append(v.id)
@@ -133,7 +153,14 @@ class FeatureStore:
             F.col("id").alias("feature_id_"), F.col("name").alias("feature_name")
         )
         if version is not None:
-            v = versions.filter(F.col("version") == version)
+            # an explicit pin may read deprecated/archived versions (a
+            # historical read) but NEVER 'pending': a pending row is an
+            # in-flight write (two-phase commit, catalog.py) — serving it
+            # would return, and cache for the TTL, data for a version
+            # that recovery may delete moments later
+            v = versions.filter(
+                (F.col("version") == version) & (F.col("status") != "pending")
+            )
         else:
             w = W.partitionBy("feature_id").orderBy(
                 F.desc("computed_at"), F.desc("id")  # deterministic tie-break
@@ -294,8 +321,16 @@ class FeatureStore:
         import json as _json
         import os as _os
 
-        with open(_os.path.join(path, "_snapshot_meta.json"), "w") as f:
+        # tmp + fsync + atomic rename: a crash mid-write must not leave a
+        # truncated meta file — lookup_online_snapshot's meta-less scan
+        # fallback only triggers when the file is ABSENT, so a torn one
+        # would brick every point read with a JSONDecodeError
+        tmp = _os.path.join(path, ".snapshot_meta.tmp")
+        with open(tmp, "w") as f:
             _json.dump({"n_shards": int(n_shards), "version": version}, f)
+            f.flush()
+            _os.fsync(f.fileno())
+        _os.replace(tmp, _os.path.join(path, "_snapshot_meta.json"))
         return self.spark.read.parquet(path).count()
 
     # -- registry passthrough (reference main.py:37-135, 233-244) ---------
