@@ -1,7 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line {"metric": ..., "value": total_sec, "unit": "sec", "queries":
-{name: sec}, "sf": ...}.
+final JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {headline name: sec}, "extras_total": sec, "sf": ...} — kept
+under the driver's 2000-char stdout capture window (BENCH_r08/r09 were
+unparseable because the old single fat line, with ~110 extras inline,
+started before the window). Full per-query detail (headline spreads +
+every extra timing) is written to BENCH_DETAIL.json beside this script.
 
 Each query is executed once after a shared warm-up action (JVM + parquet
 footer caches), timed end-to-end including the collect of results to the
@@ -225,6 +229,31 @@ def main() -> None:
             extra_timings[name] = min(t, run(name))
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # The per-query detail (headline spreads + every extra) is too large
+    # for the driver's stdout capture, which keeps only the LAST 2000
+    # characters and json-parses the final line — BENCH_r08/r09 recorded
+    # "parsed": null because the single fat JSON line started before the
+    # capture window. So: full detail goes to BENCH_DETAIL.json next to
+    # this script (committed per round → extras history lives in git),
+    # and the final stdout line is a COMPACT summary guaranteed to fit
+    # the capture window (headline medians only, ~800 chars).
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "reps": reps,
+        "spread": spread,
+        "extras": extra_timings,
+        "extras_total": round(sum(extra_timings.values()), 3),
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(f"per-query detail ({len(extra_timings)} extras) -> {detail_path}")
     print(
         json.dumps(
             {
@@ -233,9 +262,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "reps": reps,
-                "spread": spread,
-                "extras": extra_timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "extras_total": detail["extras_total"],
+                "n_extras": len(extra_timings),
+                "detail": "BENCH_DETAIL.json",
+                "sf": sf_val,
             }
         )
     )

@@ -55,7 +55,7 @@ from ..functions.vector import cosine_col
 # Calls with no active scope fall back to one bounded session-global
 # default window (the old behavior, so ad-hoc REPL use stays bounded).
 
-_PLAN_REFS: dict[int, int] = {}  # semanticHash -> live-scope refcount
+_PLAN_REFS: dict[tuple, int] = {}  # (app id, semanticHash) -> live refcount
 _PLAN_LOCK = threading.Lock()
 
 
@@ -66,11 +66,28 @@ def _sem_hash(df: DataFrame) -> int:
         return id(df)
 
 
+def _plan_key(df: DataFrame) -> tuple:
+    """Refcount key: (application id, semanticHash). The session identity
+    matters (ADVICE r9): semanticHash is PLAN-based and deterministic, so
+    after a session restart a new scope caching the same plan would alias
+    the refcount a dead session's never-released _DEFAULT_SCOPE entry
+    still holds — its release would decrement to 1 instead of 0 and the
+    live frame would squat on executor storage for the new session's
+    lifetime. Keyed per-application, a dead session's stale entries can
+    never shadow a live session's count (they only waste a few dict
+    tuples until process exit)."""
+    try:
+        sid = df.sparkSession.sparkContext.applicationId
+    except Exception:  # stopped/stopping session — identity unavailable
+        sid = "?"
+    return (sid, _sem_hash(df))
+
+
 class _CacheScope:
     __slots__ = ("frames", "window", "_mu")
 
     def __init__(self, window: int = 8):
-        self.frames: list[tuple[DataFrame, int]] = []
+        self.frames: list[tuple[DataFrame, tuple]] = []
         self.window = window
         # frames-list mutations are locked: scope objects are normally
         # single-thread (the stack is thread-local), but _DEFAULT_SCOPE is
@@ -82,7 +99,7 @@ class _CacheScope:
 
     def add(self, df: DataFrame) -> DataFrame:
         df = df.cache()
-        h = _sem_hash(df)
+        h = _plan_key(df)
         with _PLAN_LOCK:
             _PLAN_REFS[h] = _PLAN_REFS.get(h, 0) + 1
         with self._mu:
@@ -95,7 +112,7 @@ class _CacheScope:
         return df
 
     @staticmethod
-    def _drop(item: tuple[DataFrame, int]) -> None:
+    def _drop(item: tuple[DataFrame, tuple]) -> None:
         df, h = item
         with _PLAN_LOCK:
             left = _PLAN_REFS.get(h, 1) - 1

@@ -69,6 +69,7 @@ from ..operators.sampling import (
     write_training_shards,
 )
 from ..operators.text import normalize_text, pack_sequences
+from ..store.offline import _pid_lock
 from .corpus import curate_corpus
 
 
@@ -405,22 +406,15 @@ def _corpus_mutation_lock(path: str):
     the other's revision record entirely (lost update + colliding
     files); an update racing a compaction loses the same way. A second
     mutator fails fast rather than queueing — corpus mutation is a
-    scheduled daily/cron flow, so overlap signals a scheduling bug. A
-    crashed holder's lock records its pid: if that pid is a LOCAL dead
-    process the lock auto-clears (one retry); otherwise — alive, or
-    possibly remote on a shared filesystem — it stays for the operator.
+    scheduled daily/cron flow, so overlap signals a scheduling bug.
 
-    The auto-clear itself is serialized behind a sidecar
-    ``.corpus.lock.takeover`` (O_EXCL, held for microseconds): without
-    it, two mutators that both observe the dead pid race
-    remove-then-recreate — the slower remove() deletes the faster
-    winner's FRESH lock and both enter the critical section. Under the
-    sidecar, exactly one clearer re-verifies the recorded pid is still
-    the dead one before removing, so a live winner's lock can never be
-    swept. A clearer crashing inside that microsecond window leaves the
-    sidecar behind, which disables auto-clear (never exclusion) until an
-    operator removes it — the failure mode degrades to r8 behavior, not
-    to corruption.
+    Dead-holder recovery, takeover-sidecar serialization, and the
+    hostname discipline (a lock records pid AND hostname; auto-clear
+    fires only for a dead process ON THIS HOST, so a live remote
+    holder on a shared filesystem — whose pid ``kill(0)`` cannot probe
+    — always stays for the operator) are shared with the offline
+    store's compaction locks via :func:`~feature_store_implementation_
+    spark.store.offline._pid_lock`.
 
     The artifact directory must already exist (``build_pretraining_
     corpus`` creates it): mutating a mistyped path must fail on the
@@ -431,68 +425,8 @@ def _corpus_mutation_lock(path: str):
             "creates it; update/compact/rebuild require an existing one"
         )
     lock = os.path.join(path, ".corpus.lock")
-    fd = None
-    for attempt in (0, 1):
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
-        except FileExistsError:
-            try:
-                with open(lock) as lf:
-                    pid = int(lf.read().strip() or "0")
-            except (OSError, ValueError):
-                pid = 0
-            alive = True
-            if pid > 0:
-                try:
-                    os.kill(pid, 0)
-                except ProcessLookupError:
-                    alive = False  # dead on THIS host — safe to clear
-                except PermissionError:
-                    alive = True
-            if attempt == 0 and pid > 0 and not alive:
-                takeover = lock + ".takeover"
-                try:
-                    tfd = os.open(takeover, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                except FileExistsError:
-                    raise RuntimeError(
-                        f"a stale-lock takeover for {path} is itself stuck "
-                        f"(sidecar: {takeover}) — a clearer died mid-sweep; "
-                        "remove the sidecar (and the lock, if its owner is "
-                        "known dead) to re-enable mutations"
-                    ) from None
-                try:
-                    # re-verify under the sidecar: only sweep the lock if
-                    # it still records the dead pid we observed (a live
-                    # winner may have already recreated it)
-                    try:
-                        with open(lock) as lf:
-                            still = int(lf.read().strip() or "0")
-                    except (OSError, ValueError):
-                        still = -1
-                    if still == pid:
-                        try:
-                            os.remove(lock)
-                        except FileNotFoundError:
-                            pass
-                finally:
-                    os.close(tfd)
-                    os.remove(takeover)
-                continue
-            raise RuntimeError(
-                f"another corpus mutation is in flight for {path} (lock: "
-                f"{lock}, pid {pid or '?'}); remove the file only if its "
-                "owner is known dead"
-            )
-    try:
-        os.write(fd, str(os.getpid()).encode())
-        os.close(fd)
+    with _pid_lock(lock, f"corpus mutation for {path}"):
         yield
-    finally:
-        try:
-            os.remove(lock)
-        except FileNotFoundError:
-            pass
 
 
 def _repair_revision_indexes(

@@ -181,14 +181,20 @@ def create_app(
         path = _snap_path(b["name"])
         if os.path.exists(path):
             # deterministic pre-check: the frozen-export contract makes a
-            # re-export under a live name a conflict, not an overwrite
+            # re-export under a live name a conflict, not an overwrite.
+            # Honest by construction — the exporter stages and atomically
+            # renames, so an existing path is always a COMMITTED snapshot,
+            # never a crashed export's debris.
             raise ConflictError(f"online snapshot '{b['name']}' already exists")
-        rows = store.export_online_snapshot(
-            path,
-            n_shards=int(b.get("n_shards", 16)),
-            feature_names=b.get("feature_names"),
-            version=b.get("version"),
-        )
+        try:
+            rows = store.export_online_snapshot(
+                path,
+                n_shards=int(b.get("n_shards", 16)),
+                feature_names=b.get("feature_names"),
+                version=b.get("version"),
+            )
+        except FileExistsError as exc:  # lost a race to a concurrent export
+            raise ConflictError(str(exc)) from None
         return (
             jsonify(
                 {"name": b["name"], "n_shards": int(b.get("n_shards", 16)), "rows": rows}

@@ -136,8 +136,13 @@ class FeatureStore:
                         born = born.replace(tzinfo=timezone.utc)
                     if (now - born).total_seconds() < min_age_seconds:
                         continue  # young enough to be a live writer's
-                except ValueError:
-                    pass  # unparsable timestamp — treat as stale
+                except (ValueError, TypeError):
+                    # unparsable (garbage string) or absent (NULL
+                    # computed_at in a legacy/hand-edited catalog row —
+                    # fromisoformat(None) is TypeError) — treat as stale:
+                    # aborting here would kill create_app startup on one
+                    # bad row
+                    pass
             self.store.drop_version_values(v.id)
             self.catalog.delete_version(v.id)
             recovered.append(v.id)
@@ -307,31 +312,68 @@ class FeatureStore:
         exported row count. Read back with
         :func:`~.online_snapshot.lookup_online_snapshot` — a no-Spark-job
         shard-routed point read off the ``_snapshot_meta.json`` this
-        writes (router shard count + pinned version)."""
+        writes (router shard count + pinned version).
+
+        Commit protocol (staging + atomic directory rename — the same
+        discipline as every other writer in the repo): shards and meta
+        are written into a sibling ``.staging-<name>-<nonce>`` dir and
+        ``os.rename``d into place only after the meta lands, so ``path``
+        either holds a COMPLETE snapshot or nothing. Without it, a crash
+        mid-export leaves a partial dir that the frozen-export existence
+        pre-check then rejects forever, with no committed-vs-leftover
+        distinction for the operator (ADVICE r9). A leftover same-name
+        staging dir from a crashed exporter is swept on sight at the next
+        export (concurrent same-name exports are a conflict by contract —
+        the racer loses at the rename). Raises ``FileExistsError`` if the
+        destination is already committed."""
+        import glob as _glob
+        import json as _json
+        import os as _os
+        import shutil as _shutil
+        import uuid as _uuid
+
+        final = path.rstrip("/")
+        if _os.path.exists(final):
+            raise FileExistsError(f"online snapshot already exists at {final}")
+        parent = _os.path.dirname(_os.path.abspath(final))
+        base = _os.path.basename(final)
+        _os.makedirs(parent, exist_ok=True)
+        for stale in _glob.glob(_os.path.join(parent, f".staging-{base}-*")):
+            _shutil.rmtree(stale, ignore_errors=True)  # crashed exporter's debris
+        staging = _os.path.join(parent, f".staging-{base}-{_uuid.uuid4().hex[:8]}")
+
         m = self.serve_matrix(feature_names, version, as_of=as_of)
         out = m.withColumn(
             "shard", F.pmod(F.xxhash64("entity_id"), F.lit(int(n_shards)))
         )
-        (
-            out.repartition(int(n_shards), "shard")
-            .sortWithinPartitions("shard", "entity_id")
-            .write.partitionBy("shard")
-            .parquet(path)
-        )
-        import json as _json
-        import os as _os
-
-        # tmp + fsync + atomic rename: a crash mid-write must not leave a
-        # truncated meta file — lookup_online_snapshot's meta-less scan
-        # fallback only triggers when the file is ABSENT, so a torn one
-        # would brick every point read with a JSONDecodeError
-        tmp = _os.path.join(path, ".snapshot_meta.tmp")
-        with open(tmp, "w") as f:
-            _json.dump({"n_shards": int(n_shards), "version": version}, f)
-            f.flush()
-            _os.fsync(f.fileno())
-        _os.replace(tmp, _os.path.join(path, "_snapshot_meta.json"))
-        return self.spark.read.parquet(path).count()
+        try:
+            (
+                out.repartition(int(n_shards), "shard")
+                .sortWithinPartitions("shard", "entity_id")
+                .write.partitionBy("shard")
+                .parquet(staging)
+            )
+            # meta is the LAST artifact before commit: fsynced so the
+            # renamed-in dir can never hold a torn file —
+            # lookup_online_snapshot's meta-less scan fallback only
+            # triggers when the file is ABSENT, so a torn one would brick
+            # every point read with a JSONDecodeError
+            tmp = _os.path.join(staging, ".snapshot_meta.tmp")
+            with open(tmp, "w") as f:
+                _json.dump({"n_shards": int(n_shards), "version": version}, f)
+                f.flush()
+                _os.fsync(f.fileno())
+            _os.replace(tmp, _os.path.join(staging, "_snapshot_meta.json"))
+            rows = self.spark.read.parquet(staging).count()
+            _os.rename(staging, final)  # atomic commit
+        except OSError:
+            _shutil.rmtree(staging, ignore_errors=True)
+            if _os.path.exists(final):  # a concurrent exporter won the rename
+                raise FileExistsError(
+                    f"online snapshot already exists at {final}"
+                ) from None
+            raise
+        return rows
 
     # -- registry passthrough (reference main.py:37-135, 233-244) ---------
 

@@ -110,40 +110,63 @@ def _fsync_path(path: str) -> None:
         os.close(fd)
 
 
+def _lock_holder(lock: str) -> tuple[int, str]:
+    """Parse a lock file's recorded holder: line 1 is the pid, line 2 the
+    hostname. Legacy pid-only files (written before hostnames were
+    recorded) parse as (pid, "") — an UNKNOWN host, which auto-clear
+    must treat as possibly-remote. Unreadable/garbage files parse as
+    (0, "")."""
+    try:
+        with open(lock) as lf:
+            lines = lf.read().splitlines()
+    except OSError:
+        return 0, ""
+    try:
+        pid = int((lines[0] if lines else "").strip() or "0")
+    except ValueError:
+        pid = 0
+    host = lines[1].strip() if len(lines) > 1 else ""
+    return pid, host
+
+
 @contextmanager
 def _pid_lock(lock: str, what: str):
-    """O_EXCL pid-recording lock with DEAD-HOLDER recovery — the corpus
-    mutation lock's discipline applied to the compaction locks: a
+    """O_EXCL pid+hostname-recording lock with DEAD-HOLDER recovery — the
+    corpus mutation lock's discipline applied to the compaction locks: a
     compactor killed mid-run (SIGKILL/OOM/power loss) must not block
-    every later compaction forever. The lock records the holder's pid;
-    an acquirer finding the lock held by a LOCAL dead process clears it
-    and retries ONCE. The clear itself is serialized behind an O_EXCL
-    ``<lock>.takeover`` sidecar with a re-verify of the recorded pid, so
-    two acquirers observing the same dead holder cannot race
-    remove-then-recreate and both enter (the slower remove would delete
-    the faster winner's fresh lock). A live pid — or one on another host
-    of a shared filesystem, which kill(0) cannot probe — always stays
-    for the operator."""
+    every later compaction forever. The lock records the holder's pid
+    AND hostname; an acquirer finding the lock held by a dead process
+    ON ITS OWN HOST clears it and retries ONCE. The hostname check is
+    what makes this safe on a shared filesystem (NFS): a live holder on
+    another host almost always has a pid that happens not to exist
+    locally — ``kill(pid, 0)`` can only probe local processes — so a
+    pid-only protocol would sweep a live remote holder's lock and admit
+    two concurrent mutators. A recorded hostname that is not this host
+    (or a legacy pid-only lock with no hostname) therefore always stays
+    for the operator, exactly as the docstring contract promises.
+
+    The clear itself is serialized behind an O_EXCL ``<lock>.takeover``
+    sidecar with a re-verify of the recorded holder, so two acquirers
+    observing the same dead holder cannot race remove-then-recreate and
+    both enter (the slower remove would delete the faster winner's
+    fresh lock)."""
+    local_host = os.uname().nodename
     fd = None
     for attempt in (0, 1):
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             break
         except FileExistsError:
-            try:
-                with open(lock) as lf:
-                    pid = int(lf.read().strip() or "0")
-            except (OSError, ValueError):
-                pid = 0
-            alive = True
-            if pid > 0:
+            pid, host = _lock_holder(lock)
+            dead_local = False
+            if pid > 0 and host == local_host:
                 try:
                     os.kill(pid, 0)
                 except ProcessLookupError:
-                    alive = False
+                    dead_local = True
                 except PermissionError:
-                    alive = True
-            if attempt == 0 and pid > 0 and not alive:
+                    pass
+            if attempt == 0 and dead_local:
                 takeover = lock + ".takeover"
                 try:
                     tfd = os.open(takeover, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -154,12 +177,10 @@ def _pid_lock(lock: str, what: str):
                         "if its owner is known dead) to re-enable"
                     ) from None
                 try:
-                    try:
-                        with open(lock) as lf:
-                            still = int(lf.read().strip() or "0")
-                    except (OSError, ValueError):
-                        still = -1
-                    if still == pid:
+                    # re-verify under the sidecar: only sweep the lock if
+                    # it still records the dead local holder we observed
+                    # (a live winner may have already recreated it)
+                    if _lock_holder(lock) == (pid, host):
                         try:
                             os.remove(lock)
                         except FileNotFoundError:
@@ -170,11 +191,11 @@ def _pid_lock(lock: str, what: str):
                 continue
             raise RuntimeError(
                 f"another {what} is in flight (lock: {lock}, pid "
-                f"{pid or '?'}); remove the file only if its owner is "
-                "known dead"
+                f"{pid or '?'} on host {host or '?'}); remove the file "
+                "only if its owner is known dead"
             )
     try:
-        os.write(fd, str(os.getpid()).encode())
+        os.write(fd, f"{os.getpid()}\n{local_host}".encode())
         os.close(fd)
         yield
     finally:

@@ -446,8 +446,40 @@ def streaming_dedup_ingest(
     rule (pipelines/corpus.py), the standard streaming trade of per-batch
     state for a slightly stricter gate. The index must exist before the
     stream starts (write the base corpus, or an empty frame, with
-    minhash_index_write)."""
+    minhash_index_write).
+
+    Layout note: survivors landed at ``out_path/ingest_batch=N`` (flat,
+    un-namespaced) before the query-id namespace was added. An
+    ``out_path`` holding that legacy layout is REFUSED at stream start:
+    mixing flat and nested partition dirs makes
+    ``spark.read.parquet(out_path)`` fail with "conflicting directory
+    structures", rendering previously-ingested data unreadable. Migrate
+    by moving the legacy ``ingest_batch=*`` dirs under a synthetic
+    ``stream=legacy/`` dir (one ``mv``), which restores a uniform
+    two-level layout readable alongside new streams."""
     import os
+
+    legacy = (
+        sorted(
+            d
+            for d in os.listdir(out_path)
+            if d.startswith("ingest_batch=")
+            and os.path.isdir(os.path.join(out_path, d))
+        )
+        if os.path.isdir(out_path)
+        else []
+    )
+    if legacy:
+        raise RuntimeError(
+            f"out_path {out_path} holds pre-namespace flat survivor "
+            f"partitions ({legacy[0]}{' …' if len(legacy) > 1 else ''}); "
+            "writing the new stream=<query id>/ingest_batch=<epoch> layout "
+            "next to them would make spark.read.parquet(out_path) fail "
+            "with conflicting directory structures. Migrate first: "
+            f"mkdir {os.path.join(out_path, 'stream=legacy')} && "
+            f"mv {os.path.join(out_path, 'ingest_batch=*')} "
+            f"{os.path.join(out_path, 'stream=legacy')}/"
+        )
 
     from ..operators.dedup import (
         index_txn_committed,

@@ -1119,8 +1119,12 @@ def test_stream_fresh_checkpoint_with_reused_prefix_still_ingests(
 def test_mutation_lock_missing_artifact_and_dead_pid(spark, tmp_path):
     """Mutating a mistyped path fails on the missing artifact WITHOUT
     minting a stray empty directory; a lock left by a SIGKILL'd local
-    process (dead pid recorded inside) auto-clears instead of blocking
-    every cron mutation until manual cleanup (ADVICE r8)."""
+    process (dead pid + THIS host recorded inside) auto-clears instead
+    of blocking every cron mutation until manual cleanup (ADVICE r8) —
+    but a dead-LOOKING pid recorded by ANOTHER host (shared-filesystem
+    deployment: kill(0) cannot probe remote processes, so a live remote
+    holder usually has a locally-nonexistent pid) and a legacy pid-only
+    lock with no hostname both stay for the operator (ADVICE r9)."""
     import os
     import subprocess
 
@@ -1140,18 +1144,32 @@ def test_mutation_lock_missing_artifact_and_dead_pid(spark, tmp_path):
     _build_base(spark, path, n=60)
     lock = os.path.join(path, ".corpus.lock")
 
-    # a dead local holder: spawn-and-reap a process, record its pid
+    # a dead local holder: spawn-and-reap a process, record pid + host
     proc = subprocess.Popen(["true"])
     proc.wait()
     with open(lock, "w") as f:
-        f.write(str(proc.pid))
+        f.write(f"{proc.pid}\n{os.uname().nodename}")
     rec = P.update_pretraining_corpus(inc, path)  # auto-clears, proceeds
     assert sum(v["rows"] for v in rec["splits"].values()) == 1
     assert not os.path.exists(lock)
 
     # a LIVE holder still excludes
     with open(lock, "w") as f:
-        f.write(str(os.getpid()))
+        f.write(f"{os.getpid()}\n{os.uname().nodename}")
+    with pytest.raises(RuntimeError, match="corpus mutation"):
+        P.compact_corpus_revisions(spark, path)
+
+    # the same locally-dead pid recorded by a DIFFERENT host stays: it
+    # may be a live holder on another machine of a shared filesystem
+    with open(lock, "w") as f:
+        f.write(f"{proc.pid}\nsome-other-host")
+    with pytest.raises(RuntimeError, match="some-other-host"):
+        P.compact_corpus_revisions(spark, path)
+
+    # a legacy pid-only lock (no hostname line) also stays: the writer's
+    # host is unknown, so auto-clear may not assume it is local
+    with open(lock, "w") as f:
+        f.write(str(proc.pid))
     with pytest.raises(RuntimeError, match="corpus mutation"):
         P.compact_corpus_revisions(spark, path)
     os.remove(lock)

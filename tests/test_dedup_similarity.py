@@ -986,6 +986,39 @@ def test_cache_scopes_nest_independently(spark):
     assert all(not f.storageLevel.useMemory for f in outer_frames)
 
 
+def test_plan_refcounts_keyed_per_session(spark):
+    """semanticHash is plan-based and survives a session restart, so a
+    dead session's never-released _DEFAULT_SCOPE refcount for the SAME
+    plan must not alias a live scope's count — otherwise the live exit
+    decrements to 1 instead of 0 and the frame squats on executor
+    storage for the new session's lifetime (ADVICE r9). Refs are keyed
+    (application id, semanticHash): a stale foreign-app entry is
+    invisible to the live release."""
+    from feature_store_implementation_spark.operators import dedup as D
+
+    df = _docs(spark)
+    fake = "app-from-a-dead-session"
+    try:
+        with D.cache_scope(window=2) as scope:
+            minhash_near_dup_pairs(df, threshold=0.5).count()
+            frames = [f for f, _ in scope.frames]
+            assert frames and all(f.storageLevel.useMemory for f in frames)
+            with D._PLAN_LOCK:
+                for _sid, h in [k for _, k in scope.frames]:
+                    D._PLAN_REFS[(fake, h)] = 1  # the dead session's residue
+        # live exit really unpersisted, despite the same-plan stale entry
+        assert all(not f.storageLevel.useMemory for f in frames)
+        with D._PLAN_LOCK:  # ...and never touched the foreign-app counts
+            assert all(
+                D._PLAN_REFS.get((fake, h)) == 1
+                for _, h in [k for k in D._PLAN_REFS if k[0] == fake]
+            )
+    finally:
+        with D._PLAN_LOCK:
+            for k in [k for k in D._PLAN_REFS if k[0] == fake]:
+                D._PLAN_REFS.pop(k, None)
+
+
 def test_ivf_index_full_probe_equals_brute_force(spark, tmp_path):
     from feature_store_implementation_spark.operators.similarity import (
         brute_force_topk,

@@ -252,6 +252,26 @@ def test_crash_mid_value_write_recovers_clean(fs, spark):
     assert vals == {("a", "7.0")}
 
 
+def test_recover_stale_pending_null_computed_at_treated_stale(fs, spark):
+    """A pending row whose computed_at is NULL (legacy/hand-edited catalog
+    jsonl) must not abort min_age recovery with a TypeError — recovery
+    runs at create_app startup, so one bad row would brick the service.
+    A null timestamp cannot prove the writer is young, so the row sweeps
+    as stale (ADVICE r9)."""
+    rt = fs.register_raw_table("t_nullts", {"required_columns": ["id", "v"]})
+    feat = fs.create_feature("f_nullts", rt.id, "SUM(v)", "numeric")
+    dead = fs.catalog.create_version(feat.id, "v1", status="pending")
+    for v in fs.catalog._rows["feature_versions"]:
+        if v.id == dead.id:
+            v.computed_at = None  # what a hand-edited/legacy row looks like
+    fs.catalog._flush("feature_versions")
+
+    # a young LIVE writer's row survives; the null-timestamp row sweeps
+    live = fs.catalog.create_version(feat.id, "v2", status="pending")
+    assert fs.recover_stale_pending(min_age_seconds=3600) == [dead.id]
+    assert [p.id for p in fs.catalog.list_pending()] == [live.id]
+
+
 def test_ewm_features_match_pandas(spark):
     import pandas as pd
 
@@ -848,6 +868,40 @@ def test_serve_matrix_as_of_reproduces_past_export(fs, spark):
     assert past == {"e1"}
 
 
+def test_export_online_snapshot_staged_commit_and_debris_sweep(fs, spark, tmp_path):
+    """The export commits via staging + atomic rename (ADVICE r9): the
+    destination either holds a COMPLETE snapshot (meta included) or does
+    not exist, so the HTTP route's exists→409 pre-check is always honest.
+    A crashed exporter's leftover .staging dir is swept by the next
+    export of the same name instead of blocking it forever; a committed
+    destination refuses re-export."""
+    import glob
+    import os
+
+    t = fs.register_raw_table("t_stg", {"required_columns": ["id", "amount"]})
+    f = fs.create_feature("stg_amt", t.id, "SUM(amount)", "numeric")
+    fs.compute_version(
+        f.id, "v1.0", [{"id": f"e{i}", "amount": float(i)} for i in range(6)]
+    )
+
+    root = tmp_path / "snaps"
+    out = str(root / "snap")
+    # what a crash mid-export leaves behind: staging debris, NO committed dir
+    debris = str(root / ".staging-snap-deadbeef")
+    os.makedirs(debris)
+    open(os.path.join(debris, "partial.parquet"), "w").close()
+    assert not os.path.exists(out)  # the pre-check would NOT 409 — honest
+
+    assert fs.export_online_snapshot(out, n_shards=2) == 6
+    assert not os.path.exists(debris)  # swept on sight
+    assert not glob.glob(str(root / ".staging-*"))  # own staging renamed away
+    assert os.path.exists(os.path.join(out, "_snapshot_meta.json"))
+
+    # a COMMITTED destination refuses re-export (frozen-export contract)
+    with pytest.raises(FileExistsError, match="already exists"):
+        fs.export_online_snapshot(out, n_shards=2)
+
+
 def test_export_online_snapshot_sharded_sorted(fs, spark, tmp_path):
     """The online bulk-load export: one entity-sorted file per hash shard,
     content identical to serve_matrix, shard routing = pmod(xxhash64)."""
@@ -1429,12 +1483,19 @@ def test_compact_lock_dead_holder_autoclears_live_holder_excludes(fs, spark, tmp
     proc.wait()
     os.makedirs(os.path.dirname(lock), exist_ok=True)
     with open(lock, "w") as lf:
-        lf.write(str(proc.pid))
+        lf.write(f"{proc.pid}\n{os.uname().nodename}")
     assert compact_incremental_feature(fs.store, ver.id) == 1  # auto-cleared
     assert not os.path.exists(lock)
 
     with open(lock, "w") as lf:  # a LIVE holder still excludes
-        lf.write(str(os.getpid()))
+        lf.write(f"{os.getpid()}\n{os.uname().nodename}")
     with pytest.raises(RuntimeError, match="in flight"):
+        compact_incremental_feature(fs.store, ver.id)
+
+    # a dead-locally pid recorded by ANOTHER host stays (shared-filesystem
+    # deployment: it may be a live remote holder kill(0) cannot probe)
+    with open(lock, "w") as lf:
+        lf.write(f"{proc.pid}\nsome-other-host")
+    with pytest.raises(RuntimeError, match="some-other-host"):
         compact_incremental_feature(fs.store, ver.id)
     os.remove(lock)

@@ -799,3 +799,48 @@ def test_streaming_dedup_ingest_fresh_checkpoint_new_data_no_loss(spark, tmp_pat
     twins = second.select((F.col("doc_id") + 9000).alias("doc_id"), "text")
     hits = minhash_index_query(spark, twins, index, "text", "doc_id")
     assert hits.select("new_id").distinct().count() == 8
+
+
+def test_streaming_dedup_ingest_refuses_legacy_flat_out_path(spark, tmp_path):
+    """An out_path holding the pre-namespace FLAT layout
+    (out_path/ingest_batch=N, no stream=<qid> level) is refused at
+    stream start with migration instructions: writing the nested layout
+    next to it would make spark.read.parquet(out_path) fail with
+    'conflicting directory structures', silently bricking reads of
+    previously-ingested data (ADVICE r9). A uniform nested out_path —
+    including one produced by the documented stream=legacy migration —
+    starts normally."""
+    import os
+
+    import pytest
+
+    from feature_store_implementation_spark.operators.dedup import (
+        minhash_index_write,
+    )
+    from feature_store_implementation_spark.streaming.features import (
+        streaming_dedup_ingest,
+    )
+
+    index = str(tmp_path / "index")
+    minhash_index_write(
+        spark.createDataFrame([], "doc_id long, text string"), index
+    )
+    out = str(tmp_path / "out")
+    legacy_part = os.path.join(out, "ingest_batch=0")
+    os.makedirs(legacy_part)
+    spark.createDataFrame([(1, "a b c")], "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(legacy_part)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    with pytest.raises(RuntimeError, match="conflicting directory structures"):
+        streaming_dedup_ingest(stream, index, out, str(tmp_path / "ckpt"))
+
+    # the documented migration restores a startable layout
+    os.makedirs(os.path.join(out, "stream=legacy"))
+    os.rename(legacy_part, os.path.join(out, "stream=legacy", "ingest_batch=0"))
+    q = streaming_dedup_ingest(stream, index, out, str(tmp_path / "ckpt"))
+    assert q.awaitTermination(300)
+    assert spark.read.parquet(out).count() == 1  # legacy rows still readable
