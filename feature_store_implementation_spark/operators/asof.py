@@ -64,28 +64,29 @@ def asof_join(
         value_cols = [c for c in right.columns if c not in {on, *by_cols}]
 
     carried = [f"{c}{suffix}" for c in value_cols]
+    # The ENTIRE matched right row travels as ONE struct ("_pay"): carrying
+    # each payload column independently with last(ignorenulls=True) is
+    # wrong twice over — a matching right row's LEGITIMATE NULL payload
+    # would be replaced by a stale value from an older right row (the
+    # ignorenulls needed to skip left-row filler NULLs also skips real
+    # ones), and different value columns could come from DIFFERENT right
+    # rows. The struct is non-null for every right row even when all its
+    # fields are null, so ignorenulls skips exactly the left-row fillers.
+    # _rts rides inside the struct: the matched timestamp and the matched
+    # payload are one consistent row by construction.
     # side marker: right=0 sorts before left=1 at equal ts → inclusive match
-    lhs = left.withColumn("_side", F.lit(1)).withColumn("_rts", F.lit(None).cast("timestamp"))
-    for c, cc in zip(value_cols, carried):
-        lhs = lhs.withColumn(cc, F.lit(None).cast(right.schema[c].dataType))
+    lhs = left.withColumn("_side", F.lit(1))
     rhs = right.select(
         *by_cols,
         F.col(on).alias(on),
         F.lit(0).alias("_side"),
-        F.col(on).cast("timestamp").alias("_rts"),
-        *[F.col(c).alias(cc) for c, cc in zip(value_cols, carried)],
+        F.struct(
+            F.col(on).cast("timestamp").alias("_rts"),
+            *[F.col(c).alias(cc) for c, cc in zip(value_cols, carried)],
+        ).alias("_pay"),
     )
-    # align schemas for unionByName
-    lhs_cols = set(lhs.columns)
-    rhs = rhs.select(
-        *[
-            F.lit(None).cast(lhs.schema[c].dataType).alias(c) if c not in rhs.columns else F.col(c)
-            for c in lhs.columns
-        ]
-    )
-    _ = lhs_cols
-
-    unioned = lhs.unionByName(rhs)
+    # left rows get NULL _pay, right rows NULL left-only columns
+    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
 
     def window(reverse: bool):
         order = F.col(on).desc() if reverse else F.col(on).asc()
@@ -96,52 +97,52 @@ def asof_join(
         )
 
     lts = F.col(on).cast("timestamp")
+
+    def project(pay, in_tol):
+        return [
+            F.when(in_tol, pay.getField(cc)).alias(cc) for cc in carried
+        ]
+
     if direction in ("backward", "forward"):
         w = window(reverse=direction == "forward")
         out = unioned.select(
             *left.columns,
             "_side",
-            *[F.last(cc, ignorenulls=True).over(w).alias(cc) for cc in carried],
-            F.last("_rts", ignorenulls=True).over(w).alias("_matched_ts"),
+            F.last("_pay", ignorenulls=True).over(w).alias("_pay"),
         ).filter(F.col("_side") == 1)
+        pay = F.col("_pay")
+        matched_ts = pay.getField("_rts")
         if tolerance is not None:
             tol = F.expr(f"INTERVAL {tolerance}")
             in_tol = (
-                F.col("_matched_ts") >= lts - tol
+                matched_ts >= lts - tol
                 if direction == "backward"
-                else F.col("_matched_ts") <= lts + tol
+                else matched_ts <= lts + tol
             )
-            return out.select(
-                *left.columns,
-                *[F.when(in_tol, F.col(cc)).alias(cc) for cc in carried],
-            )
-        return out.select(*left.columns, *carried)
+        else:
+            in_tol = matched_ts.isNotNull()
+        return out.select(*left.columns, *project(pay, in_tol))
 
-    # nearest: both directions over one partitioning, choose per row
+    # nearest: both directions over one partitioning, choose per row.
+    # Distances compare in MICROseconds — cast('long') truncates to whole
+    # seconds and picks the farther side on sub-second data.
     wb, wf = window(False), window(True)
     both = unioned.select(
         *left.columns,
         "_side",
-        *[F.last(cc, ignorenulls=True).over(wb).alias(f"{cc}__b") for cc in carried],
-        F.last("_rts", ignorenulls=True).over(wb).alias("_mts_b"),
-        *[F.last(cc, ignorenulls=True).over(wf).alias(f"{cc}__f") for cc in carried],
-        F.last("_rts", ignorenulls=True).over(wf).alias("_mts_f"),
+        F.last("_pay", ignorenulls=True).over(wb).alias("_pb"),
+        F.last("_pay", ignorenulls=True).over(wf).alias("_pf"),
     ).filter(F.col("_side") == 1)
-    d_b = lts.cast("long") - F.col("_mts_b").cast("long")
-    d_f = F.col("_mts_f").cast("long") - lts.cast("long")
-    use_b = F.col("_mts_f").isNull() | (F.col("_mts_b").isNotNull() & (d_b <= d_f))
-    picked_ts = F.when(use_b, F.col("_mts_b")).otherwise(F.col("_mts_f"))
+    mts_b = F.col("_pb").getField("_rts")
+    mts_f = F.col("_pf").getField("_rts")
+    d_b = F.unix_micros(lts) - F.unix_micros(mts_b)
+    d_f = F.unix_micros(mts_f) - F.unix_micros(lts)
+    use_b = mts_f.isNull() | (mts_b.isNotNull() & (d_b <= d_f))
+    picked = F.when(use_b, F.col("_pb")).otherwise(F.col("_pf"))
+    picked_ts = picked.getField("_rts")
     if tolerance is not None:
         tol = F.expr(f"INTERVAL {tolerance}")
         in_tol = (picked_ts >= lts - tol) & (picked_ts <= lts + tol)
     else:
-        in_tol = F.lit(True)
-    return both.select(
-        *left.columns,
-        *[
-            F.when(
-                in_tol, F.when(use_b, F.col(f"{cc}__b")).otherwise(F.col(f"{cc}__f"))
-            ).alias(cc)
-            for cc in carried
-        ],
-    )
+        in_tol = picked_ts.isNotNull()
+    return both.select(*left.columns, *project(picked, in_tol))

@@ -84,10 +84,11 @@ def _plan_key(df: DataFrame) -> tuple:
 
 
 class _CacheScope:
-    __slots__ = ("frames", "window", "_mu")
+    __slots__ = ("frames", "window", "_mu", "bcasts")
 
     def __init__(self, window: int = 8):
         self.frames: list[tuple[DataFrame, tuple]] = []
+        self.bcasts: list = []  # sc.broadcast handles, released with the scope
         self.window = window
         # frames-list mutations are locked: scope objects are normally
         # single-thread (the stack is thread-local), but _DEFAULT_SCOPE is
@@ -125,11 +126,38 @@ class _CacheScope:
             except Exception:  # a stopped session invalidates old handles
                 pass
 
+    def add_broadcast(self, bc):
+        """Scope a ``sc.broadcast`` handle like the cached frames: evicted
+        oldest-first past the window while the scope runs, all unpersisted
+        at release. Broadcast variables otherwise have NO release path —
+        each _einsum_verify call pins up to ~100 MB of normalized matrix
+        on the driver and every executor for the session's lifetime.
+        unpersist (never destroy) keeps late consumers correct: Spark
+        re-ships the driver-held value if an evicted broadcast is used
+        again — the recompute trade the frame cache already makes."""
+        with self._mu:
+            evict = []
+            while len(self.bcasts) >= self.window:
+                evict.append(self.bcasts.pop(0))
+            self.bcasts.append(bc)
+        for old_bc in evict:
+            try:
+                old_bc.unpersist(blocking=False)
+            except Exception:  # stopped session — nothing to release
+                pass
+        return bc
+
     def release(self) -> None:
         with self._mu:
             drop, self.frames = self.frames, []
+            drop_bc, self.bcasts = self.bcasts, []
         while drop:
             self._drop(drop.pop())
+        for bc in drop_bc:
+            try:
+                bc.unpersist(blocking=False)
+            except Exception:
+                pass
 
 
 _DEFAULT_SCOPE = _CacheScope(window=8)
@@ -167,6 +195,12 @@ def _cache_scoped(df: DataFrame) -> DataFrame:
     stack = _scope_stack()
     scope = stack[-1] if stack else _DEFAULT_SCOPE
     return scope.add(df)
+
+
+def _broadcast_scoped(bc):
+    stack = _scope_stack()
+    scope = stack[-1] if stack else _DEFAULT_SCOPE
+    return scope.add_broadcast(bc)
 
 
 def _spread_small_input(df: DataFrame) -> DataFrame:
@@ -459,7 +493,14 @@ def _append_index_segment(sigs: DataFrame, path: str, txn: str | None = None) ->
         # record keeps the txn durable for the index's lifetime, so a
         # trigger replayed AFTER compaction still no-ops: exactly-once)
         return 0
-    staging = os.path.join(path, f".staging-{txn}")
+    # staging is uniquified PER PROCESS: two concurrent appenders replaying
+    # the same txn (zombie driver + failover driver, same epoch) must not
+    # share a staging dir — the loser's cleanup would rmtree the winner's
+    # in-flight write and BOTH commits would fail in exactly the replay
+    # scenario the idempotent txn exists for. The loser now commits second
+    # and no-ops at the rename; orphaned staging from a crash is age-gated
+    # vacuumed (vacuum_index_staging).
+    staging = os.path.join(path, f".staging-{txn}-{uuid.uuid4().hex[:8]}")
     try:
         # Size the segment to its CONTENT (_content_sized): an append is
         # increment-sized by contract, and writing it with the upstream
@@ -472,7 +513,13 @@ def _append_index_segment(sigs: DataFrame, path: str, txn: str | None = None) ->
         for f in glob.glob(os.path.join(staging, "*")):
             _index_fsync(f)
         _index_fsync(staging)
-        os.rename(staging, seg)
+        try:
+            os.rename(staging, seg)
+        except OSError:
+            if os.path.isdir(seg):  # a concurrent replayer of this txn won
+                shutil.rmtree(staging, ignore_errors=True)
+                return 0
+            raise
         _index_fsync(sig_dir)
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
@@ -960,10 +1007,19 @@ def simhash_signatures(
     # distributes, so the up-front text repartition only adds a shuffle.
     # The r8 bench regression attributed to this removal was session
     # cache-window state, not the spread (see SCALING.md).
+    # explode_OUTER: a zero-token (empty/NULL text) document must still get
+    # a signature row — plain explode silently dropped it, so an index
+    # write returned fewer rows than the corpus, _auto_simhash_bits sized
+    # from a count the index didn't hold, and the simhash and minhash
+    # indexes disagreed on which documents exist. Empty docs sum to 0 on
+    # every bit → signature 0 (identical to each other, like the minhash
+    # route's empty-equals-empty verdict).
     toks = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens_col(F.col(text_col))).alias("tok")
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(tokens_col(F.col(text_col))).alias("tok"),
     ).select(
         "doc_id",
+        F.col("tok").isNull().alias("notok"),
         *[
             (F.xxhash64("tok") if w == 0 else F.xxhash64(F.lit(w), "tok")).alias(f"h{w}")
             for w in range(n_words)
@@ -972,7 +1028,9 @@ def simhash_signatures(
     bit_sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(f"h{w}", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(F.col("notok"), 0)
+                .when(F.shiftright(f"h{w}", b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
             ).alias(f"s{w}_{b}")
             for w in range(n_words)
             for b in range(64)
@@ -1511,8 +1569,8 @@ def _einsum_verify(
         vp = v2.toPandas()
         mat = _norm(np.vstack(vp["v"].to_numpy()).astype(np.float64))
         index = dict(zip(vp["vid"], range(len(vp))))
-        b_mat = v2.sparkSession.sparkContext.broadcast(mat)
-        b_idx = v2.sparkSession.sparkContext.broadcast(index)
+        b_mat = _broadcast_scoped(v2.sparkSession.sparkContext.broadcast(mat))
+        b_idx = _broadcast_scoped(v2.sparkSession.sparkContext.broadcast(index))
 
         def verify_bcast(batches):
             mat_, idx_ = b_mat.value, b_idx.value
@@ -1892,8 +1950,11 @@ def remove_repeated_spans(
     lowercase whitespace tokens shared with every other text operator,
     so the whole chain is oracle-expressible. Returns
     (doc_id, clean_text, n_tokens, n_removed) — every input doc
-    appears, clean_text '' when everything was repeated."""
-    toks = tokens_col(F.col(text_col))
+    appears, clean_text '' when everything was repeated. NULL text
+    coalesces to an empty token array (like line_dedup) so the output
+    counts are honest zeros, not ANSI-NULLs that silently corrupt a
+    downstream sum(n_tokens)."""
+    toks = F.coalesce(tokens_col(F.col(text_col)), F.array().cast("array<string>"))
     # scoped like every other cache in this module: the window evicts it
     # after later routes run, so a long-lived pipeline session does not
     # pin executor storage for the rest of its life

@@ -90,6 +90,12 @@ def check_expectations(
         )
         frames.append(orphans)
 
+    if not frames:
+        # an empty (e.g. dynamically-built) expectation list is a valid
+        # "nothing to check" — an empty typed report, not an IndexError
+        return df.sparkSession.createDataFrame(
+            [], "check string, violations long, passed boolean"
+        )
     out = frames[0]
     for f_ in frames[1:]:
         out = out.unionByName(f_)

@@ -649,7 +649,9 @@ def ivf_index_append(
         # segment whose supersedes record keeps it durable (exactly-once
         # across compactions, same contract as _append_index_segment)
         return 0
-    staging = os.path.join(path, f".staging-{txn}")
+    # per-process staging nonce — same rationale as _append_index_segment:
+    # two concurrent replayers of one txn must not share a staging dir
+    staging = os.path.join(path, f".staging-{txn}-{uuid.uuid4().hex[:8]}")
     # an EMPTY increment must not commit a segment: partitionBy of an
     # empty frame writes no cell= dirs at all, and a committed dataless
     # seg-<txn> would fail every later query/compact at
@@ -673,7 +675,13 @@ def ivf_index_append(
             for fname in files:
                 _index_fsync(os.path.join(droot, fname))
             _index_fsync(droot)
-        os.rename(staging, seg)
+        try:
+            os.rename(staging, seg)
+        except OSError:
+            if os.path.isdir(seg):  # a concurrent replayer of this txn won
+                shutil.rmtree(staging, ignore_errors=True)
+                return 0
+            raise
         _index_fsync(seg_root)
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
@@ -1070,9 +1078,12 @@ def pca_project(
     mean, comps, var = pca_fit(df, out_dim, vec_col)
     if whiten:
         comps = comps / np.sqrt(np.maximum(var, 1e-300))
+    from .dedup import _broadcast_scoped
+
     spark = df.sparkSession
-    b_mean = spark.sparkContext.broadcast(mean)
-    b_comps = spark.sparkContext.broadcast(comps)
+    # scope-released like every other broadcast (see dedup._CacheScope)
+    b_mean = _broadcast_scoped(spark.sparkContext.broadcast(mean))
+    b_comps = _broadcast_scoped(spark.sparkContext.broadcast(comps))
 
     v = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     out_schema = T.StructType(

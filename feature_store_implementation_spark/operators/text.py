@@ -389,11 +389,15 @@ def inverted_index(
         .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
     )
     kept = pairs.join(F.broadcast(dfreq.select("term")), "term", "left_semi")
+    # postings sort by the id column's NATIVE type (numeric ids numerically,
+    # string ids lexically) — a cast('long') here would crash under ANSI
+    # mode for any non-numeric document id (uuid/slug), which nothing in
+    # the signature forbids
     return kept.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df"),
         F.array_join(
             F.transform(
-                F.sort_array(F.collect_list(F.col("doc_id").cast("long"))),
+                F.sort_array(F.collect_list(F.col("doc_id"))),
                 lambda x: x.cast("string"),
             ),
             ",",
@@ -494,7 +498,11 @@ def chunk_tokens(
     0-based in document order."""
     if window <= 0 or stride <= 0:
         raise ValueError("window and stride must be positive")
-    toks = tokens_col(F.col(text_col))
+    # NULL text behaves as empty: un-coalesced, size(NULL) is NULL under
+    # ANSI and least()/greatest() SKIP nulls, so a NULL-text doc would
+    # claim n_tokens = window (a full window of nonexistent tokens) with
+    # chunk_text NULL — corrupting downstream token-budget accounting
+    toks = F.coalesce(tokens_col(F.col(text_col)), F.array().cast("array<string>"))
     n = F.greatest(F.size(toks), F.lit(1))  # empty doc → one empty chunk
     starts = F.sequence(
         F.lit(0), ((n - 1) / F.lit(stride)).cast("int") * F.lit(stride), F.lit(stride)
@@ -602,9 +610,13 @@ def bpe_encode(
 
     from pyspark.sql import types as T
 
+    from .dedup import _broadcast_scoped
+
     rank = {tuple(m): i for i, m in enumerate(merges)}
     spark = df.sparkSession
-    b_rank = spark.sparkContext.broadcast(rank)
+    # scope-released like every other broadcast (see dedup._CacheScope):
+    # without it each call pins the merge table on driver+executors forever
+    b_rank = _broadcast_scoped(spark.sparkContext.broadcast(rank))
 
     v = df.select(F.col(id_col).alias("__id"), tokens_col(F.col(text_col)).alias("__toks"))
     out_schema = T.StructType(

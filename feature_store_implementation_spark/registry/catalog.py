@@ -81,6 +81,12 @@ class VersionRow:
     status: str = "active"
     computed_at: str = field(default_factory=_now)
     version_metadata: dict[str, Any] | None = None
+    # When the version became SERVABLE (status flipped to active) — distinct
+    # from computed_at, which is stamped at (possibly 'pending') creation.
+    # as-of resolution needs this: a version in-flight at an export instant
+    # (created before, activated after) must not resolve under replay.
+    # None on catalogs predating the field; readers coalesce to computed_at.
+    activated_at: str | None = None
 
 
 _TABLES = {"raw_tables": RawTableRow, "features": FeatureRow, "feature_versions": VersionRow}
@@ -93,7 +99,14 @@ class Catalog:
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._rows: dict[str, list] = {t: self._load(t) for t in _TABLES}
-        self._df_mtimes: dict[str, int] = {}  # df()'s cross-process reload gate
+        # cross-process reload gate for ALL read paths: (st_mtime_ns, st_ino)
+        # per table. The inode matters: _flush mkstemp+replaces, so two
+        # back-to-back writes can land within one coarse-clock mtime granule
+        # (~ms kernel timestamp resolution) — mtime alone would let a reader
+        # that statted between them cache the second write's mtime and serve
+        # the FIRST write's rows forever; the fresh inode per flush breaks
+        # the tie for free.
+        self._read_stamps: dict[str, tuple[int, int]] = {}
 
     # -- persistence -------------------------------------------------------
 
@@ -114,6 +127,7 @@ class Catalog:
             for row in self._rows[table]:
                 f.write(json.dumps(asdict(row)) + "\n")
         os.replace(tmp, self._path(table))
+        self._stamp_mtime(table)
 
     def _next_id(self, table: str) -> int:
         """Monotonic id allocation, durable across deletions: a bare
@@ -170,6 +184,33 @@ class Catalog:
         """Re-read all tables from disk — picks up rows committed by other
         catalog instances since this one loaded."""
         self._rows = {t: self._load(t) for t in _TABLES}
+        for t in _TABLES:
+            self._stamp_mtime(t)
+
+    def _stamp_mtime(self, table: str) -> None:
+        try:
+            st = os.stat(self._path(table))
+            self._read_stamps[table] = (st.st_mtime_ns, st.st_ino)
+        except OSError:
+            self._read_stamps.pop(table, None)
+
+    def _refresh(self, table: str) -> None:
+        """mtime-gated cross-process READ freshness — the gate r9 gave
+        :meth:`df` (Spark serve joins), extended to the dataclass-row
+        read paths: a read-only SERVING process shares the catalog root
+        with a compute process, and serving init-time ``self._rows``
+        would 404 / omit metadata the other process committed after this
+        instance started (GET /features/{id}, list routes, the
+        compute-route FK pre-check). One os.stat per read; reload only
+        when the jsonl actually changed."""
+        try:
+            st = os.stat(self._path(table))
+        except OSError:
+            return
+        stamp = (st.st_mtime_ns, st.st_ino)
+        if stamp != self._read_stamps.get(table):
+            self._rows[table] = self._load(table)
+            self._read_stamps[table] = stamp
 
     # -- raw tables (reference main.py:37-82) ------------------------------
 
@@ -192,9 +233,11 @@ class Catalog:
             return row
 
     def list_raw_tables(self, skip: int = 0, limit: int = 100) -> list[RawTableRow]:
+        self._refresh("raw_tables")
         return sorted(self._rows["raw_tables"], key=lambda r: r.id)[skip : skip + limit]
 
     def get_raw_table(self, table_id: int) -> RawTableRow:
+        self._refresh("raw_tables")
         for r in self._rows["raw_tables"]:
             if r.id == table_id:
                 return r
@@ -224,15 +267,18 @@ class Catalog:
             return row
 
     def list_features(self, skip: int = 0, limit: int = 100) -> list[FeatureRow]:
+        self._refresh("features")
         return sorted(self._rows["features"], key=lambda r: r.id)[skip : skip + limit]
 
     def get_feature(self, feature_id: int) -> FeatureRow:
+        self._refresh("features")
         for r in self._rows["features"]:
             if r.id == feature_id:
                 return r
         raise NotFoundError(f"Feature {feature_id} not found")
 
     def get_feature_by_name(self, name: str) -> FeatureRow:
+        self._refresh("features")
         for r in self._rows["features"]:
             if r.name == name:
                 return r
@@ -266,6 +312,8 @@ class Catalog:
                 status=status,
                 version_metadata=metadata,
             )
+            if status == "active":  # born servable — activation is creation
+                row.activated_at = row.computed_at
             self._rows["feature_versions"].append(row)
             self._flush("feature_versions")
             return row
@@ -278,6 +326,8 @@ class Catalog:
             for v in self._rows["feature_versions"]:
                 if v.id == version_id:
                     v.status = status
+                    if status == "active" and v.activated_at is None:
+                        v.activated_at = _now()
                     self._flush("feature_versions")
                     return v
             raise NotFoundError(f"Feature version {version_id} not found")
@@ -285,12 +335,15 @@ class Catalog:
     def list_pending(self) -> list[VersionRow]:
         """All 'pending' versions — crash-recovery input (a pending row
         outside a live compute_version call means its writer died)."""
+        self._refresh("feature_versions")
         return [v for v in self._rows["feature_versions"] if v.status == "pending"]
 
     def list_versions(self, feature_id: int) -> list[VersionRow]:
+        self._refresh("feature_versions")
         return [v for v in self._rows["feature_versions"] if v.feature_id == feature_id]
 
     def get_version(self, version_id: int) -> VersionRow:
+        self._refresh("feature_versions")
         for v in self._rows["feature_versions"]:
             if v.id == version_id:
                 return v
@@ -322,13 +375,7 @@ class Catalog:
         mutation reloads under the flock."""
         from pyspark.sql import types as T
 
-        try:
-            mtime = os.stat(self._path(table)).st_mtime_ns
-        except OSError:
-            mtime = None
-        if mtime is not None and mtime != self._df_mtimes.get(table):
-            self._rows[table] = self._load(table)
-            self._df_mtimes[table] = mtime
+        self._refresh(table)
 
         cls = _TABLES[table]
         cols = list(cls.__dataclass_fields__)

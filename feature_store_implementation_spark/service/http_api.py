@@ -58,13 +58,24 @@ from ..serving.vectors import FeatureStore
 
 
 def create_app(
-    store: FeatureStore, recover: bool = True, snapshot_root: str | None = None
+    store: FeatureStore,
+    recover: bool = True,
+    snapshot_root: str | None = None,
+    recover_min_age_seconds: float = 0.0,
 ):
     """Build the WSGI app over an existing FeatureStore.
 
     ``recover=True`` runs :meth:`FeatureStore.recover_stale_pending` once at
     construction — service startup is exactly the moment any surviving
     'pending' version row is known to belong to a dead writer.
+
+    ``recover_min_age_seconds`` passes through to the recovery sweep. In a
+    MULTI-INSTANCE deployment it must be set above the longest expected
+    compute_version wall time: a second instance starting mid-write would
+    otherwise sweep the first instance's LIVE pending row (its compute
+    then 404s at activation and its committed segments become orphans) —
+    the hazard recover_stale_pending's own docstring warns about, which a
+    single-instance default of 0 cannot trip.
 
     ``snapshot_root`` confines the ``online-*`` routes' artifacts; it
     defaults to ``<store root>/online_snapshots``. Request bodies carry a
@@ -75,7 +86,7 @@ def create_app(
     from flask import Flask, jsonify, request
 
     if recover:
-        store.recover_stale_pending()
+        store.recover_stale_pending(min_age_seconds=recover_min_age_seconds)
 
     app = Flask("feature_store_implementation_spark")
 

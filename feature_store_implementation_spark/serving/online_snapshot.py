@@ -169,6 +169,18 @@ def lookup_online_snapshot(
     eid = row.pop("entity_id")
     if feature_names is not None:
         row = {k: v for k, v in row.items() if k in set(feature_names)}
+    # B8 parity with serve_vector: a feature the entity LACKS (NULL pivot
+    # cell in the export) is omitted, not returned as None, and a request
+    # that matches nothing the entity holds is a miss (404 at the route)
+    # — a client switching tiers sees one shape. A feature whose stored
+    # VALUE is null is distinct: the export preserves it as the codec
+    # string "null" (serve_matrix preserve_stored_nulls), which decodes
+    # to None below and stays in the vector, exactly like serve_vector.
+    # (Snapshots exported before the preservation flag conflate the two;
+    # their stored nulls read as missing.)
+    row = {k: v for k, v in row.items() if v is not None}
+    if not row:
+        raise KeyError(f"entity '{entity_id}' holds no features for this request")
     # the snapshot holds the store's string-encoded values; decode with
     # the same codec serve_vector applies (B6 parity)
     row = {k: decode_value_py(v) for k, v in row.items()}

@@ -47,6 +47,12 @@ class FeatureVector:
 
 
 class FeatureStore:
+    # staging dirs older than this are presumed crashed and swept by the
+    # next same-name export; younger ones may be a LIVE concurrent export
+    # (see export_online_snapshot). Sized generously above any plausible
+    # export wall time — debris costs only disk until then.
+    STAGING_SWEEP_AGE_S = 24 * 3600
+
     def __init__(self, spark: SparkSession, root: str, cache: FeatureCache | None = None):
         self.spark = spark
         self.root = root
@@ -150,10 +156,36 @@ class FeatureStore:
 
     # -- serve path --------------------------------------------------------
 
-    def _resolved_versions(self, version: str | None) -> DataFrame:
+    def _resolved_versions(self, version: str | None, as_of=None) -> DataFrame:
         """(feature_id, feature_name, feature_version_id) for the requested
-        pin, or latest-active per feature via ONE window plan (B4)."""
+        pin, or latest-active per feature via ONE window plan (B4).
+
+        ``as_of`` pins the RESOLUTION, not just the values read: versions
+        not yet SERVABLE at the instant (activated_at > as_of — activation
+        time, not creation time, so a version in-flight during the export,
+        created-pending before but activated after, is excluded too) are
+        invisible, so a later-activated v2 cannot hijack latest-per-feature
+        and turn a reproduced export's column all-NULL (its value segments
+        would be filtered by the storage snapshot anyway). Rows predating
+        the activated_at field coalesce to computed_at; rows with NEITHER
+        timestamp stay visible — the segment layer's policy for missing
+        committed_at (always-visible beats silently dropping a feature
+        from a replayed export). Deprecation after the instant is not
+        reconstructed — status transitions other than activation are not
+        timestamped in the catalog."""
         versions = self.catalog.df(self.spark, "feature_versions")
+        if as_of is not None:
+            from datetime import datetime, timezone
+
+            boundary = datetime.fromtimestamp(
+                self.store._as_of_seconds(as_of), timezone.utc
+            ).strftime("%Y-%m-%d %H:%M:%S.%f")
+            # timestamps are catalog._now()'s fixed-width UTC format —
+            # lexical comparison is chronological within the format
+            servable_at = F.coalesce(F.col("activated_at"), F.col("computed_at"))
+            versions = versions.filter(
+                servable_at.isNull() | (servable_at <= boundary)
+            )
         features = self.catalog.df(self.spark, "features").select(
             F.col("id").alias("feature_id_"), F.col("name").alias("feature_name")
         )
@@ -194,6 +226,12 @@ class FeatureStore:
         reference's per-miss recompute (cache.py:32-35) degrades under;
         job-count contract pinned in tests/test_feature_store.py and
         measured in SCALING.md's serving table."""
+        # normalize ONCE at entry: the store is string-keyed, and a numeric
+        # id from a JSON body would otherwise numerically coerce the row
+        # filter (entity "007" matches 7) while manifest pruning compares
+        # str(7)'s bytes — wrong AND pruning-dependent results. Also keys
+        # the request cache consistently ("7" and 7 are one entry).
+        entity_id = str(entity_id)
         key = FeatureCache.make_key(entity_id, feature_names, version)
         cached = self.cache.get(key)
         if cached is not None:
@@ -262,6 +300,7 @@ class FeatureStore:
         feature_names: list[str] | None = None,
         version: str | None = None,
         as_of=None,
+        preserve_stored_nulls: bool = False,
     ) -> DataFrame:
         """Batch serving: the full entity × feature matrix as ONE pivoted
         DataFrame (the training-set export path — what the reference would
@@ -270,10 +309,18 @@ class FeatureStore:
         that instant produced, reproducible later no matter how the
         versions grew — the experiment-config primitive
         (store.values_for_versions as-of resolution; valid until vacuum
-        collects compacted-away files)."""
+        collects compacted-away files).
+
+        ``preserve_stored_nulls`` re-encodes a STORED NULL value as the
+        codec string ``"null"`` (which ``decode_value_py`` round-trips to
+        None) before the pivot, so a consumer can tell 'entity lacks this
+        feature' (NULL cell) from 'feature value is legitimately null'
+        (``"null"`` cell) — the pivot otherwise conflates the two. The
+        online-snapshot export sets it so the lookup tier keeps B8 shape
+        parity with serve_vector for null-valued features."""
         if not self.store.exists():
             raise NotFoundError("No feature values have been written yet")
-        resolved = self._resolved_versions(version)
+        resolved = self._resolved_versions(version, as_of=as_of)
         if feature_names:
             resolved = resolved.filter(F.col("feature_name").isin(feature_names))
         # one driver-side metadata collect resolves names AND version ids, so
@@ -284,9 +331,13 @@ class FeatureStore:
         vids = sorted({r["feature_version_id"] for r in meta})
         if not vids:
             raise NotFoundError("No feature values have been written yet")
+        values = self.store.values_for_versions(vids, as_of=as_of)
+        if preserve_stored_nulls:
+            values = values.withColumn(
+                "value", F.coalesce(F.col("value"), F.lit("null"))
+            )
         return (
-            self.store.values_for_versions(vids, as_of=as_of)
-            .join(F.broadcast(resolved), "feature_version_id")
+            values.join(F.broadcast(resolved), "feature_version_id")
             .groupBy("entity_id")
             .pivot("feature_name", names)  # explicit values → no extra pass
             .agg(F.first("value"))
@@ -322,14 +373,19 @@ class FeatureStore:
         mid-export leaves a partial dir that the frozen-export existence
         pre-check then rejects forever, with no committed-vs-leftover
         distinction for the operator (ADVICE r9). A leftover same-name
-        staging dir from a crashed exporter is swept on sight at the next
-        export (concurrent same-name exports are a conflict by contract —
-        the racer loses at the rename). Raises ``FileExistsError`` if the
+        staging dir from a crashed exporter is swept AGE-GATED at the
+        next export — never on sight, because a young same-name staging
+        dir may be a LIVE concurrent exporter (a client retry racing the
+        original), and rmtree'ing it mid-write would fail its Spark job
+        or, in the worst interleaving (between its count and its rename),
+        let it commit a partially-deleted snapshot. The racer instead
+        loses cleanly at the rename. Raises ``FileExistsError`` if the
         destination is already committed."""
         import glob as _glob
         import json as _json
         import os as _os
         import shutil as _shutil
+        import time as _time
         import uuid as _uuid
 
         final = path.rstrip("/")
@@ -339,10 +395,17 @@ class FeatureStore:
         base = _os.path.basename(final)
         _os.makedirs(parent, exist_ok=True)
         for stale in _glob.glob(_os.path.join(parent, f".staging-{base}-*")):
-            _shutil.rmtree(stale, ignore_errors=True)  # crashed exporter's debris
+            try:
+                age = _time.time() - _os.stat(stale).st_mtime
+            except OSError:
+                continue  # already gone — the owner cleaned up
+            if age > self.STAGING_SWEEP_AGE_S:
+                _shutil.rmtree(stale, ignore_errors=True)
         staging = _os.path.join(parent, f".staging-{base}-{_uuid.uuid4().hex[:8]}")
 
-        m = self.serve_matrix(feature_names, version, as_of=as_of)
+        m = self.serve_matrix(
+            feature_names, version, as_of=as_of, preserve_stored_nulls=True
+        )
         out = m.withColumn(
             "shard", F.pmod(F.xxhash64("entity_id"), F.lit(int(n_shards)))
         )
@@ -366,9 +429,13 @@ class FeatureStore:
             _os.replace(tmp, _os.path.join(staging, "_snapshot_meta.json"))
             rows = self.spark.read.parquet(staging).count()
             _os.rename(staging, final)  # atomic commit
-        except OSError:
+        except BaseException as exc:
+            # clean our OWN staging on ANY failure — Spark-side errors
+            # surface as Py4J/AnalysisException, not OSError, and would
+            # otherwise strand parquet debris until the age-gated sweep
             _shutil.rmtree(staging, ignore_errors=True)
-            if _os.path.exists(final):  # a concurrent exporter won the rename
+            if isinstance(exc, OSError) and _os.path.exists(final):
+                # a concurrent exporter won the rename
                 raise FileExistsError(
                     f"online snapshot already exists at {final}"
                 ) from None

@@ -216,8 +216,19 @@ class OfflineStore:
         bare path check: a crashed first write leaves staging/orphan files
         under the path with nothing committed, and callers branching on
         ``exists()`` (serving's empty-store fast path, the streaming
-        upsert sink) must treat that exactly like an empty store."""
-        return bool(self._committed_versions())
+        upsert sink) must treat that exactly like an empty store.
+
+        Short-circuits on the FIRST version with committed files: this
+        runs on every UNCACHED serve, and the full `_committed_versions`
+        walk parses every segment JSON of every version — O(store
+        metadata) driver I/O per cold request on a store with thousands
+        of versions."""
+        ids = self._manifest_version_ids()
+        if ids is None:  # pre-manifest store
+            return any(
+                self._legacy_plain_files(v) for v in _partition_version_ids(self.path)
+            )
+        return any(self._manifest_files(vid) for vid in ids)
 
     # -- manifest-segment protocol ------------------------------------------
 
@@ -402,24 +413,38 @@ class OfflineStore:
         _fsync_path(seg_dir)
         return seg_id
 
-    def _committed_versions(self) -> list[int]:
+    def _manifest_version_ids(self) -> set[int] | None:
+        """Version ids present in the manifest directory layout (root
+        ``v{id}.json`` files and ``v{id}/`` segment dirs holding at least
+        one segment JSON), deduplicated — whether each actually has
+        committed FILES still needs `_manifest_files`. Returns None when
+        no ``_manifests`` dir exists (pre-manifest store; callers use the
+        legacy plain-file fallback). The single parser of this layout —
+        `exists()` and `_committed_versions` both resolve through it."""
         md = self._manifest_dir()
         vids: set[int] = set()
         try:
             names = os.listdir(md)
         except FileNotFoundError:
-            # pre-manifest store: every version with plain-named files
-            for vid in _partition_version_ids(self.path):
-                if self._legacy_plain_files(vid):
-                    vids.add(vid)
-            return sorted(vids)
+            return None
         for n in names:
             if n.startswith("v") and n.endswith(".json"):
                 vids.add(int(n[1:-5]))
             elif n.startswith("v") and os.path.isdir(os.path.join(md, n)):
                 if any(s.endswith(".json") for s in os.listdir(os.path.join(md, n))):
                     vids.add(int(n[1:]))
-        return sorted(v for v in vids if self._manifest_files(v))
+        return vids
+
+    def _committed_versions(self) -> list[int]:
+        ids = self._manifest_version_ids()
+        if ids is None:
+            # pre-manifest store: every version with plain-named files
+            return sorted(
+                vid
+                for vid in _partition_version_ids(self.path)
+                if self._legacy_plain_files(vid)
+            )
+        return sorted(v for v in ids if self._manifest_files(v))
 
     def _migrate_legacy_store(self) -> None:
         """One-time upgrade of a pre-manifest store: synthesize a
@@ -533,8 +558,11 @@ class OfflineStore:
         partition pruning with a pre-pruned listing). ``entity_ids``
         additionally skips files whose recorded entity range excludes
         every requested id (callers still row-filter; this only shrinks
-        the scan)."""
+        the scan). Entity ids are str-coerced at the store boundary (see
+        :meth:`values_for_versions`)."""
         vid = int(version_id)
+        if entity_ids is not None:
+            entity_ids = [str(e) for e in entity_ids]
         return self._read_files(self._manifest_files(vid, entity_ids)).filter(
             F.col("feature_version_id") == vid
         )
@@ -618,8 +646,16 @@ class OfflineStore:
         skipping on top (see :meth:`_manifest_files`) — the serving cold
         path passes the single requested entity, so the scan opens ~one
         file per live segment instead of every file of every resolved
-        version."""
+        version.
+
+        Entity ids are coerced to ``str`` HERE, at the store boundary:
+        the store is string-keyed, and a caller's numeric id would prune
+        by str(7)'s byte range while any downstream equality against the
+        raw int numerically coerces the column ('007' == 7) — wrong and
+        pruning-dependent."""
         vids = sorted({int(v) for v in version_ids})
+        if entity_ids is not None:
+            entity_ids = [str(e) for e in entity_ids]
         if as_of is None:
             rel = [f for vid in vids for f in self._manifest_files(vid, entity_ids)]
         else:
@@ -639,10 +675,14 @@ class OfflineStore:
         pruning (version) → FILE skipping (segment entity_ranges — files
         whose [min,max] excludes the entity are never opened) → parquet
         page skipping within the survivors (entity sort order) — the
-        serving hot path."""
-        return self.values_for_version(
-            version_id, entity_ids=[str(entity_id)]
-        ).filter(F.col("entity_id") == entity_id)
+        serving hot path. The id is normalized to str for BOTH layers —
+        a raw numeric id would prune by the string's bytes but row-filter
+        with numeric coercion ('007' == 7), returning pruning-dependent
+        results."""
+        probe = str(entity_id)
+        return self.values_for_version(version_id, entity_ids=[probe]).filter(
+            F.col("entity_id") == probe
+        )
 
     def drop_version_values(self, version_id: int) -> bool:
         """Remove one version's committed data (crash recovery of a writer

@@ -299,21 +299,29 @@ def stream_upsert_to_offline_store(
     key_col: str = "entity_id",
     available_now: bool = True,
 ):
-    """Stream → offline store with per-batch idempotent upsert via
+    """Stream → offline store with per-batch INSERT-ONCE semantics via
     ``foreachBatch``: each micro-batch is deduped on the entity key and
     anti-joined against the keys already stored for this version, so trigger
     replays after a crash cannot double-write an entity (plain appends
-    can't promise that on a non-ACID store; Delta MERGE is the production
-    drop-in, this is the parquet-honest equivalent). ``features`` must have
-    columns (entity_id, value)."""
+    can't promise that on a non-ACID store). ``features`` must have columns
+    (``key_col``, value); ``key_col`` is renamed to entity_id for storage.
+
+    Insert-once means the FIRST stored value per entity wins — a later
+    batch's row for an already-stored key is dropped, not applied. That is
+    the right sink for append-only keyed emissions (one final row per
+    entity). It is NOT a running-update sink: piping an update-mode
+    aggregation (e.g. ``running_user_state``) through it freezes each
+    entity at its earliest partial value. For latest-wins accumulation use
+    ``store.materialize.update_incremental_feature`` per batch (its merge
+    keeps one current row per entity), or Delta MERGE in production."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        fresh = batch_df.dropDuplicates([key_col])
+        fresh = batch_df.dropDuplicates([key_col]).withColumnRenamed(
+            key_col, "entity_id"
+        )
         if store.exists():
-            existing = store.values_for_version(version_id).select(
-                F.col("entity_id").alias(key_col)
-            )
-            fresh = fresh.join(existing, key_col, "left_anti")
+            existing = store.values_for_version(version_id).select("entity_id")
+            fresh = fresh.join(existing, "entity_id", "left_anti")
         if not fresh.isEmpty():
             store.write_values(version_id, fresh)
 
@@ -501,8 +509,17 @@ def streaming_dedup_ingest(
             # re-query an index that already contains this batch's own
             # survivors, which would misread them as corpus duplicates
             return
-        batch = batch_df.select(F.col(id_col), F.col(text_col)).localCheckpoint(
-            eager=True
+        # collapse SAME-ID re-sends within the micro-batch first (an
+        # at-least-once source can redeliver a doc twice inside one
+        # trigger): the near-dup gate below only forms a<b id pairs, so
+        # two rows with the SAME id would both survive it and both land
+        # in the corpus and the index. min(text) keeps the collapse
+        # deterministic under trigger replay.
+        batch = (
+            batch_df.select(F.col(id_col), F.col(text_col))
+            .groupBy(id_col)
+            .agg(F.min(text_col).alias(text_col))
+            .localCheckpoint(eager=True)
         )
         if batch.isEmpty():
             return

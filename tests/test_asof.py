@@ -202,3 +202,62 @@ def test_asof_rejects_bad_direction(spark, frames):
             by="key",
             direction="sideways",
         )
+
+
+def test_asof_matched_rows_null_payload_not_replaced_by_stale(spark):
+    """A matching right row whose payload is LEGITIMATELY NULL must win —
+    per-column last(ignorenulls) used to skip it and resurrect an older
+    row's value, and with tolerance set could emit a value from OUTSIDE
+    the tolerance window under an in-window match's timestamp (review
+    r10). pd.merge_asof parity: the matched ROW travels whole."""
+    import pandas as pd
+
+    from feature_store_implementation_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 10:00:03")], "k string, ts string"
+    ).selectExpr("k", "cast(ts as timestamp) ts")
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 10:00:01", 5.0), ("k", "2024-01-01 10:00:02", None)],
+        "k string, ts string, v double",
+    ).selectExpr("k", "cast(ts as timestamp) ts", "v")
+
+    got = asof_join(left, right, "ts", "k").collect()
+    want = pd.merge_asof(
+        left.toPandas().sort_values("ts"),
+        right.toPandas().sort_values("ts"),
+        on="ts",
+        by="k",
+    )
+    assert got[0]["v_right"] is None and pd.isna(want["v"].iloc[0])
+
+    # in-tolerance NULL-valued match: the out-of-tolerance older value
+    # must not leak through the gate
+    tol = asof_join(left, right, "ts", "k", tolerance="1 seconds").collect()
+    assert tol[0]["v_right"] is None
+
+    # multiple value columns come from ONE right row, never mixed
+    right2 = spark.createDataFrame(
+        [("k", "2024-01-01 10:00:01", 5.0, "a"),
+         ("k", "2024-01-01 10:00:02", None, "b")],
+        "k string, ts string, v double, tag string",
+    ).selectExpr("k", "cast(ts as timestamp) ts", "v", "tag")
+    row = asof_join(left, right2, "ts", "k").collect()[0]
+    assert row["v_right"] is None and row["tag_right"] == "b"
+
+
+def test_asof_nearest_subsecond_distances(spark):
+    """direction='nearest' compares distances in microseconds: whole-second
+    truncation used to tie 0.5s-vs-0.1s and pick the farther side on
+    millisecond-grained data (review r10)."""
+    from feature_store_implementation_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 10:00:00.5")], "k string, ts string"
+    ).selectExpr("k", "cast(ts as timestamp) ts")
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 10:00:00.0", "B"), ("k", "2024-01-01 10:00:00.6", "F")],
+        "k string, ts string, v string",
+    ).selectExpr("k", "cast(ts as timestamp) ts", "v")
+    got = asof_join(left, right, "ts", "k", direction="nearest").collect()
+    assert got[0]["v_right"] == "F"  # 0.1s beats 0.5s

@@ -2341,3 +2341,44 @@ def test_minhash_bands_validation(spark):
             minhash_near_dup_pairs(df, k=32, bands=bad).collect()
         with pytest.raises(ValueError, match="must divide"):
             minhash_index_write(df, "/tmp/never-written", bands=bad)
+
+
+def test_index_append_same_txn_concurrent_replayers_one_wins(spark, tmp_path, monkeypatch):
+    """Streaming failover can run TWO appenders for one epoch (zombie
+    driver + new driver). Staging dirs are per-process nonces, so the
+    loser cannot rmtree the winner's in-flight write; at the commit
+    rename the loser observes the winner's segment and no-ops (return 0)
+    — exactly-once holds and no staging debris is left (review r10)."""
+    import os as _os
+
+    from feature_store_implementation_spark.operators import dedup as D
+
+    path = str(tmp_path / "idx")
+    D.minhash_index_write(
+        spark.createDataFrame([(1, "a b c d e f g h")], "doc_id long, text string"),
+        path,
+    )
+    winner = spark.createDataFrame([(3, "k l m n o p q r")], "doc_id long, text string")
+    loser = spark.createDataFrame([(3, "k l m n o p q r")], "doc_id long, text string")
+
+    real_rename = _os.rename
+    fired = {}
+
+    def racing_rename(src, dst):
+        if dst.endswith("seg-epoch7") and not fired:
+            fired["x"] = True
+            # the OTHER replayer of the same epoch commits first
+            assert D.minhash_index_append(winner, path, txn="epoch7") > 0
+        return real_rename(src, dst)
+
+    monkeypatch.setattr("os.rename", racing_rename)
+    assert D.minhash_index_append(loser, path, txn="epoch7") == 0  # lost, no-op
+    monkeypatch.setattr("os.rename", real_rename)
+
+    import glob
+
+    assert not glob.glob(str(tmp_path / "idx" / ".staging-*"))  # both cleaned
+    sigs = D._read_index_signatures(spark, path)
+    assert sigs.select("doc_id").distinct().count() == 2  # base + ONE epoch-7
+    # a replay of the committed txn still no-ops
+    assert D.minhash_index_append(winner, path, txn="epoch7") == 0

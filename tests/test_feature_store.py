@@ -886,15 +886,25 @@ def test_export_online_snapshot_staged_commit_and_debris_sweep(fs, spark, tmp_pa
 
     root = tmp_path / "snaps"
     out = str(root / "snap")
-    # what a crash mid-export leaves behind: staging debris, NO committed dir
-    debris = str(root / ".staging-snap-deadbeef")
-    os.makedirs(debris)
-    open(os.path.join(debris, "partial.parquet"), "w").close()
+    # what a crash mid-export leaves behind: staging debris, NO committed
+    # dir. One OLD (crashed yesterday — sweepable) and one FRESH (could be
+    # a LIVE concurrent exporter — must survive the sweep).
+    import time
+
+    debris_old = str(root / ".staging-snap-deadbeef")
+    debris_live = str(root / ".staging-snap-cafe0001")
+    for d in (debris_old, debris_live):
+        os.makedirs(d)
+        open(os.path.join(d, "partial.parquet"), "w").close()
+    old = time.time() - fs.STAGING_SWEEP_AGE_S - 60
+    os.utime(debris_old, (old, old))
     assert not os.path.exists(out)  # the pre-check would NOT 409 — honest
 
     assert fs.export_online_snapshot(out, n_shards=2) == 6
-    assert not os.path.exists(debris)  # swept on sight
-    assert not glob.glob(str(root / ".staging-*"))  # own staging renamed away
+    assert not os.path.exists(debris_old)  # aged debris swept
+    assert os.path.exists(debris_live)  # a possibly-live exporter survives
+    # own staging renamed away — only the fresh decoy remains
+    assert glob.glob(str(root / ".staging-*")) == [debris_live]
     assert os.path.exists(os.path.join(out, "_snapshot_meta.json"))
 
     # a COMMITTED destination refuses re-export (frozen-export contract)
@@ -1499,3 +1509,155 @@ def test_compact_lock_dead_holder_autoclears_live_holder_excludes(fs, spark, tmp
     with pytest.raises(RuntimeError, match="some-other-host"):
         compact_incremental_feature(fs.store, ver.id)
     os.remove(lock)
+
+
+def test_serve_matrix_as_of_pins_version_resolution(fs, spark):
+    """as_of must pin which versions RESOLVE, not just which value files
+    are visible: after a NEWER version activates, the latest-active
+    window would otherwise pick it, and the as_of storage snapshot would
+    then filter out all its (later-committed) segments — reproducing the
+    export as an all-NULL column instead of the old version's values."""
+    import time
+
+    t = fs.register_raw_table("t_asofres", {"required_columns": ["id", "amount"]})
+    f = fs.create_feature("amt_res", t.id, "SUM(amount)", "numeric")
+    fs.compute_version(f.id, "v1.0", [{"id": "e1", "amount": 2.0}])
+    before = sorted(map(tuple, fs.serve_matrix().collect()))
+    t_snap = time.time()
+    time.sleep(0.05)
+    fs.compute_version(f.id, "v2.0", [{"id": "e1", "amount": 99.0}])
+
+    now = {(r["entity_id"], r["amt_res"]) for r in fs.serve_matrix().collect()}
+    assert now == {("e1", "99.0")}  # latest-active really is v2 now
+    past = sorted(map(tuple, fs.serve_matrix(as_of=t_snap).collect()))
+    assert past == before  # byte-identical to the matrix exported at t_snap
+
+
+def test_serve_vector_numeric_entity_id_is_string_keyed(fs):
+    """The store is string-keyed; a numeric id from a JSON body must probe
+    as its string form. Unnormalized, F.col('entity_id') == 7 numerically
+    coerces the column — stored entity '007' also matches 7 — while
+    manifest pruning compares str(7)'s bytes: wrong AND pruning-dependent
+    results."""
+    t = fs.register_raw_table("t_numid", {"required_columns": ["id", "amount"]})
+    f = fs.create_feature("amt_num", t.id, "SUM(amount)", "numeric")
+    fs.compute_version(
+        f.id,
+        "v1.0",
+        [{"id": "7", "amount": 1.0}, {"id": "007", "amount": 2.0}],
+    )
+    assert fs.serve_vector("7").features == {"amt_num": 1.0}
+    assert fs.serve_vector("007").features == {"amt_num": 2.0}
+    assert fs.serve_vector(7).features == {"amt_num": 1.0}  # not 007's
+
+
+def test_catalog_row_reads_refresh_cross_process(fs):
+    """A read-only catalog instance (second service process) must see
+    metadata another instance committed after it started: r9 gave df()
+    the mtime reload gate; the dataclass-row read paths (get_feature,
+    list_*, get_version — the GET routes and the compute-route FK
+    pre-check) need the same gate or they 404 forever (review r10)."""
+    from feature_store_implementation_spark.registry.catalog import Catalog
+
+    reader = Catalog(fs.catalog.root)  # started BEFORE the writes below
+    assert reader.list_features() == []
+
+    t = fs.register_raw_table("t_xproc", {"required_columns": ["id", "v"]})
+    f = fs.create_feature("f_xproc", t.id, "SUM(v)", "numeric")
+    v = fs.catalog.create_version(f.id, "v1")
+
+    assert reader.get_raw_table(t.id).name == "t_xproc"
+    assert reader.get_feature(f.id).name == "f_xproc"
+    assert reader.get_feature_by_name("f_xproc").id == f.id
+    assert [r.id for r in reader.list_features()] == [f.id]
+    assert reader.get_version(v.id).version == "v1"
+    assert [x.id for x in reader.list_versions(f.id)] == [v.id]
+
+
+def test_serve_matrix_as_of_excludes_inflight_pending_version(fs, spark):
+    """computed_at is stamped at PENDING creation — a version in-flight at
+    the export instant (created before, activated after) must NOT resolve
+    under replay, or its later-committed segments are all filtered by the
+    storage snapshot and the feature's column comes back NULL (review
+    r10). Resolution pins on activated_at."""
+    import time
+
+    t = fs.register_raw_table("t_inflight", {"required_columns": ["id", "amount"]})
+    f = fs.create_feature("amt_if", t.id, "SUM(amount)", "numeric")
+    fs.compute_version(f.id, "v1.0", [{"id": "e1", "amount": 2.0}])
+    before = sorted(map(tuple, fs.serve_matrix().collect()))
+
+    # v2 is ALREADY PENDING when the export instant passes...
+    row = fs.catalog.create_version(f.id, "v2.0", status="pending")
+    t_snap = time.time()
+    time.sleep(0.05)
+    # ...then its values land and it activates, strictly after t_snap
+    vals = spark.createDataFrame([("e1", "99.0")], "entity_id string, value string")
+    fs.store.write_values(row.id, vals)
+    fs.catalog.set_version_status(row.id, "active")
+
+    assert {r["amt_if"] for r in fs.serve_matrix().collect()} == {"99.0"}
+    past = sorted(map(tuple, fs.serve_matrix(as_of=t_snap).collect()))
+    assert past == before  # v1's values, not an all-NULL v2 column
+
+
+def test_catalog_refresh_survives_same_mtime_rewrite(fs):
+    """The reload gate must not trust mtime alone: two back-to-back
+    flushes can land within one coarse-clock granule, and a reader that
+    statted between them would cache the stamp and serve the first
+    write's rows forever. _flush replaces the file (fresh inode), so the
+    (mtime, inode) stamp reloads even when mtime ties (review r10)."""
+    import os
+
+    from feature_store_implementation_spark.registry.catalog import Catalog
+
+    reader = Catalog(fs.catalog.root)
+    t = fs.register_raw_table("t_granule", {"required_columns": ["id"]})
+    a = fs.create_feature("f_gran_a", t.id, "SUM(id)", "numeric")
+    assert reader.get_feature(a.id).name == "f_gran_a"  # reader stamps here
+    st_a = os.stat(reader._path("features"))
+
+    b = fs.create_feature("f_gran_b", t.id, "SUM(id)", "numeric")
+    # simulate the coarse-clock tie: second flush, same mtime as the first
+    os.utime(fs.catalog._path("features"), ns=(st_a.st_atime_ns, st_a.st_mtime_ns))
+    assert reader.get_feature(b.id).name == "f_gran_b"  # inode breaks the tie
+
+
+def test_point_lookup_numeric_id_string_keyed_at_store_boundary(fs, spark):
+    """Entity-id normalization lives in the STORE, not just serve_vector:
+    point_lookup(vid, 7) must match entity '7' exactly, never '007' via
+    numeric coercion of the string column (review r10)."""
+    t = fs.register_raw_table("t_ptnum", {"required_columns": ["id", "amount"]})
+    f = fs.create_feature("amt_pt", t.id, "SUM(amount)", "numeric")
+    v = fs.compute_version(
+        f.id, "v1.0", [{"id": "7", "amount": 1.0}, {"id": "007", "amount": 2.0}]
+    )
+    got = fs.store.point_lookup(v.id, 7).select("entity_id", "value").collect()
+    assert [(r["entity_id"], r["value"]) for r in got] == [("7", "1.0")]
+
+
+def test_snapshot_preserves_stored_null_values(fs, spark, tmp_path):
+    """A STORED null value is data ('NULL must stay NULL', codec): the
+    export encodes it as the codec string 'null' so the lookup tier
+    returns {'f': None} with 200 — exactly serve_vector's shape — instead
+    of conflating it with 'entity lacks the feature' and 404ing (review
+    r10)."""
+    from feature_store_implementation_spark.serving.online_snapshot import (
+        lookup_online_snapshot,
+    )
+
+    t = fs.register_raw_table("t_nullval", {"required_columns": ["id", "amount"]})
+    f = fs.create_feature("amt_nv", t.id, "SUM(amount)", "numeric")
+    v = fs.compute_version(f.id, "v1.0", [{"id": "e1", "amount": 3.0}])
+    # e2's value is a LEGITIMATE stored NULL (e.g. a null computation result)
+    fs.store.write_values(
+        v.id,
+        spark.createDataFrame([("e2", None)], "entity_id string, value string"),
+    )
+    assert fs.serve_vector("e2").features == {"amt_nv": None}
+
+    out = str(tmp_path / "snap_null")
+    fs.export_online_snapshot(out, n_shards=2)
+    vec = lookup_online_snapshot(out, "e2")
+    assert vec.features == {"amt_nv": None}  # present, null — not a 404
+    assert lookup_online_snapshot(out, "e1").features == {"amt_nv": 3.0}

@@ -195,3 +195,59 @@ def test_online_snapshot_routes(client, tmp_path):
     )
     assert miss.status_code == 404
     assert "detail" in miss.get_json()
+
+
+def test_startup_recovery_min_age_knob_spares_live_writer(fs):
+    """Multi-instance deployments must be able to start a second service
+    without sweeping a LIVE writer's pending version (review r10):
+    create_app passes recover_min_age_seconds through to the sweep, so a
+    young pending row survives startup while an old/unattributable one
+    still sweeps."""
+    rt = fs.register_raw_table("t_knob", {"required_columns": ["id", "v"]})
+    feat = fs.create_feature("f_knob", rt.id, "SUM(v)", "numeric")
+    live = fs.catalog.create_version(feat.id, "v_live", status="pending")
+    create_app(fs, recover_min_age_seconds=3600)
+    assert [p.id for p in fs.catalog.list_pending()] == [live.id]
+    create_app(fs)  # default 0: startup of the ONLY instance sweeps it
+    assert fs.catalog.list_pending() == []
+
+
+def test_online_snapshot_lookup_parity_missing_feature_shapes(client, tmp_path):
+    """Tier parity (B8): a feature an entity LACKS is omitted from the
+    snapshot vector (not returned as null), and a feature_names filter
+    matching nothing the entity holds is a 404 miss — the same shapes
+    serve_vector produces (review r10)."""
+    rt, f1 = _setup(client)
+    f2 = client.post(
+        "/api/v1/features",
+        json={
+            "name": "other_amt",
+            "raw_table_id": rt["id"],
+            "computation_logic": "SUM(amount)",
+            "feature_type": "numeric",
+        },
+    ).get_json()
+    # e1 holds BOTH features; e2 holds only total_amount
+    client.post(
+        f"/api/v1/features/{f1['id']}/versions",
+        json={"version": "v1", "data": [{"id": "e1", "amount": 1.0},
+                                        {"id": "e2", "amount": 2.0}]},
+    )
+    client.post(
+        f"/api/v1/features/{f2['id']}/versions",
+        json={"version": "v1", "data": [{"id": "e1", "amount": 5.0}]},
+    )
+    assert client.post(
+        "/api/v1/online-snapshots", json={"name": "par", "n_shards": 2}
+    ).status_code == 201
+
+    def online(body):
+        return client.post("/api/v1/online-feature-vectors", json=body)
+
+    r = online({"snapshot": "par", "entity_id": "e2"})
+    assert r.status_code == 200
+    assert r.get_json()["features"] == {"total_amount": 2.0}  # no null cell
+
+    r = online({"snapshot": "par", "entity_id": "e2",
+                "feature_names": ["other_amt"]})
+    assert r.status_code == 404  # nothing held → miss, like serve_vector

@@ -844,3 +844,91 @@ def test_streaming_dedup_ingest_refuses_legacy_flat_out_path(spark, tmp_path):
     q = streaming_dedup_ingest(stream, index, out, str(tmp_path / "ckpt"))
     assert q.awaitTermination(300)
     assert spark.read.parquet(out).count() == 1  # legacy rows still readable
+
+
+def test_stream_upsert_custom_key_col_and_insert_once(spark, events_dir, tmp_path):
+    """key_col != 'entity_id' must work end-to-end (the frame's key column
+    is renamed for storage — previously write_values threw on the missing
+    entity_id column), and the documented INSERT-ONCE semantics hold: a
+    second batch's row for an already-stored key is dropped, the first
+    stored value wins."""
+    from feature_store_implementation_spark.store.offline import OfflineStore
+    from feature_store_implementation_spark.streaming.features import (
+        stream_upsert_to_offline_store,
+    )
+
+    store = OfflineStore(spark, str(tmp_path / "store"))
+
+    def run(src_rows, src_name, ck):
+        import glob
+        import os
+        import shutil
+
+        src = str(tmp_path / src_name)
+        os.makedirs(src)
+        stage = str(tmp_path / f"{src_name}_stage")
+        spark.createDataFrame(
+            src_rows, "user_id string, value string"
+        ).coalesce(1).write.parquet(stage)
+        shutil.move(glob.glob(f"{stage}/part-*.parquet")[0], f"{src}/d.parquet")
+        stream = spark.readStream.schema("user_id string, value string").parquet(src)
+        q = stream_upsert_to_offline_store(
+            stream, store, 5, str(tmp_path / ck), key_col="user_id"
+        )
+        assert q.awaitTermination(120)
+
+    run([("u1", "10.0"), ("u2", "20.0")], "srcA", "ckA")
+    run([("u1", "99.0"), ("u3", "30.0")], "srcB", "ckB")  # u1 already stored
+
+    got = {
+        (r["entity_id"], r["value"])
+        for r in store.values_for_version(5).collect()
+    }
+    assert got == {("u1", "10.0"), ("u2", "20.0"), ("u3", "30.0")}
+
+
+def test_streaming_dedup_ingest_collapses_same_id_within_batch(spark, tmp_path):
+    """An at-least-once source can redeliver a doc twice INSIDE one
+    micro-batch: same-id rows never form an a<b near-dup pair, so without
+    an explicit collapse both copies land in the corpus and the index
+    (review r10). Survivors must hold each id once."""
+    import glob
+    import os
+    import shutil
+
+    from feature_store_implementation_spark.operators.dedup import (
+        _read_index_signatures,
+        minhash_index_write,
+    )
+    from feature_store_implementation_spark.streaming.features import (
+        streaming_dedup_ingest,
+    )
+
+    import random
+
+    rng = random.Random(5)
+    words = [f"w{j}" for j in range(3000)]
+    texts = {i: " ".join(rng.sample(words, 60)) for i in range(4)}
+    rows = [(i, texts[i]) for i in range(4)]
+    rows += [(2, texts[2]), (3, texts[3])]  # exact same-id re-sends, one batch
+
+    index = str(tmp_path / "index")
+    minhash_index_write(
+        spark.createDataFrame([], "doc_id long, text string"), index
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    stage = str(tmp_path / "stage")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(stage)
+    shutil.move(glob.glob(f"{stage}/part-*.parquet")[0], f"{src}/b.parquet")
+    out = str(tmp_path / "out")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = streaming_dedup_ingest(stream, index, out, str(tmp_path / "ckpt"))
+    assert q.awaitTermination(300)
+
+    survivors = spark.read.parquet(out)
+    assert survivors.count() == 4  # each id exactly once
+    assert survivors.select("doc_id").distinct().count() == 4
+    # the index holds one signature set per doc, not per delivery
+    sigs = _read_index_signatures(spark, index)
+    assert sigs.select("doc_id").distinct().count() == 4
