@@ -203,6 +203,33 @@ def _broadcast_scoped(bc):
     return scope.add_broadcast(bc)
 
 
+def _bucket_pairs(buckets: DataFrame, a: str, b: str, distinct: bool = True) -> DataFrame:
+    """Expand each bucket's SORTED ``ids`` array into its a<b id pairs —
+    the shared candidate-generation tail of every banded/blocked dedup
+    route (MinHash, SimHash, n-gram postings, embedding LSH). For each
+    position i, pair ids[i] with every LATER id via slice(i+2, len-i-1):
+    ordered, no self-pairs, no duplicates within one bucket. The
+    greatest(...,0) guard keeps the slice length non-negative for the
+    final element. ``distinct=False`` preserves cross-bucket multiplicity
+    — the n-gram route's pair count IS the intersection size."""
+    out = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
+                        ),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias(a), F.col("p.b").alias(b))
+    return out.distinct() if distinct else out
+
+
 def _spread_small_input(df: DataFrame) -> DataFrame:
     """CPU-heavy per-row stages (shingling, token hashing, fingerprint
     sums) inherit the SCAN's partitioning — and a corpus arriving as a
@@ -369,25 +396,7 @@ def minhash_near_dup_pairs(
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    pairs = (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda x, i: F.transform(
-                            F.slice(
-                                F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
-                            ),
-                            lambda y: F.struct(x.alias("a"), y.alias("b")),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b"))
-        .distinct()
-    )
+    pairs = _bucket_pairs(buckets, "doc_id_a", "doc_id_b")
     if stage == "candidates":
         return pairs
 
@@ -1177,25 +1186,7 @@ def simhash_near_dup_pairs(
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    cands = (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda x, i: F.transform(
-                            F.slice(
-                                F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
-                            ),
-                            lambda y: F.struct(x.alias("a"), y.alias("b")),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b"))
-        .distinct()
-    )
+    cands = _bucket_pairs(buckets, "doc_id_a", "doc_id_b")
     if stage == "candidates":
         return cands
 
@@ -1411,26 +1402,8 @@ def ngram_jaccard_pairs(
                 F.sort_array(F.collect_set("doc_id")).alias("ids")
             )
             kept = grouped.filter((F.size("ids") >= 2) & (F.size("ids") <= max_posting))
-            occurrences = (
-                kept.select(
-                    F.explode(
-                        F.flatten(
-                            F.transform(
-                                F.col("ids"),
-                                lambda x, i: F.transform(
-                                    F.slice(
-                                        F.col("ids"),
-                                        i + 2,
-                                        F.greatest(F.size("ids") - i - 1, F.lit(0)),
-                                    ),
-                                    lambda y: F.struct(x.alias("a"), y.alias("b")),
-                                ),
-                            )
-                        )
-                    ).alias("p")
-                )
-                .select(F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b"))
-            )
+            # multiplicity preserved: pair count across postings = |A ∩ B|
+            occurrences = _bucket_pairs(kept, "doc_id_a", "doc_id_b", distinct=False)
             capped_sh = grouped.filter(F.size("ids") > max_posting).select(
                 "block", "shingle"
             )
@@ -1758,27 +1731,7 @@ def embedding_near_dup_pairs(
             .agg(F.sort_array(F.collect_set("vid")).alias("ids"))
             .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
         )
-        pairs = (
-            buckets.select(
-                F.explode(
-                    F.flatten(
-                        F.transform(
-                            F.col("ids"),
-                            lambda x, i: F.transform(
-                                F.slice(
-                                    F.col("ids"),
-                                    i + 2,
-                                    F.greatest(F.size("ids") - i - 1, F.lit(0)),
-                                ),
-                                lambda y: F.struct(x.alias("a"), y.alias("b")),
-                            ),
-                        )
-                    )
-                ).alias("p")
-            )
-            .select(F.col("p.a").alias("vid_a"), F.col("p.b").alias("vid_b"))
-            .distinct()
-        )
+        pairs = _bucket_pairs(buckets, "vid_a", "vid_b")
         if stage == "candidates":
             return pairs.select(
                 F.col("vid_a").alias("vec_id_a"), F.col("vid_b").alias("vec_id_b")

@@ -2382,3 +2382,86 @@ def test_index_append_same_txn_concurrent_replayers_one_wins(spark, tmp_path, mo
     assert sigs.select("doc_id").distinct().count() == 2  # base + ONE epoch-7
     # a replay of the committed txn still no-ops
     assert D.minhash_index_append(winner, path, txn="epoch7") == 0
+
+
+def test_null_and_empty_text_honest_across_text_operators(spark):
+    """ANSI-mode NULL propagation must not corrupt counts (review r10):
+    chunk_tokens used to claim a full window of nonexistent tokens for a
+    NULL-text doc (least/greatest SKIP nulls), remove_repeated_spans
+    emitted NULL counts, simhash_signatures dropped zero-token docs
+    entirely (index row count < corpus), and inverted_index crashed on
+    string doc ids under ANSI cast."""
+    from feature_store_implementation_spark.operators.dedup import (
+        remove_repeated_spans,
+        simhash_signatures,
+    )
+    from feature_store_implementation_spark.operators.text import (
+        chunk_tokens,
+        inverted_index,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "")], "doc_id long, text string"
+    )
+
+    chunks = {r["doc_id"]: r for r in chunk_tokens(df, window=4).collect()}
+    assert chunks[2]["n_tokens"] == 0 and chunks[2]["chunk_text"] == ""
+    assert chunks[3]["n_tokens"] == 0
+    assert chunks[1]["n_tokens"] == 3
+
+    spans = {r["doc_id"]: r for r in remove_repeated_spans(df).collect()}
+    assert (spans[2]["n_tokens"], spans[2]["n_removed"]) == (0, 0)
+
+    sigs = simhash_signatures(df, "text", "doc_id").collect()
+    assert len(sigs) == 3  # zero-token docs keep a signature row
+    by_id = {r["doc_id"]: r["simhash"] for r in sigs}
+    assert by_id[2] == by_id[3] == 0  # empty == empty, distinct from real
+
+    inv = inverted_index(
+        spark.createDataFrame(
+            [("doc-b", "hello world"), ("doc-a", "hello there")],
+            "doc_id string, text string",
+        ),
+        min_df=2,
+    ).collect()
+    assert [(r["term"], r["postings"]) for r in inv] == [("hello", "doc-a,doc-b")]
+
+
+def test_check_expectations_empty_list_returns_empty_report(spark):
+    from feature_store_implementation_spark.operators.quality import (
+        check_expectations,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id long, t string")
+    out = check_expectations(df, [])
+    assert out.columns == ["check", "violations", "passed"]
+    assert out.count() == 0
+
+
+def test_broadcasts_release_with_cache_scope(spark):
+    """_einsum_verify's broadcast matrix/index release at scope exit
+    instead of pinning executor+driver memory for the session lifetime
+    (review r10). unpersist (not destroy) keeps late consumers correct."""
+    import numpy as np
+
+    from feature_store_implementation_spark.operators import dedup as D
+    from feature_store_implementation_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(20, 8)
+    rows = [(i, (v / np.linalg.norm(v)).tolist()) for i, v in enumerate(base)]
+    rows += [(100 + i, rows[i][1]) for i in range(5)]  # exact twins
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    with D.cache_scope(window=4) as scope:
+        got = embedding_near_dup_pairs(df, threshold=0.95).count()
+        assert got >= 5
+        bcs = list(scope.bcasts)
+        assert bcs  # the broadcast route registered its handles
+    # scope exit released them: the broadcast blocks are gone from the
+    # block manager (value stays driver-side; re-use would re-broadcast)
+    for bc in bcs:
+        # unpersisted broadcasts can still be re-read driver-side
+        assert bc.value is not None
