@@ -177,7 +177,7 @@ def compute_feature(
             program = logic[len("pandas_by_entity:") :]
             ent_name = entity_id_column
 
-            def per_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            def per_group(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
                 series = _exec_pandas_program(pdf, program, allow_scalar=True)
                 if len(series) != 1:
                     raise ComputationError(
@@ -199,15 +199,27 @@ def compute_feature(
                         f"non-numeric {type(raw).__name__} ({raw!r}); use "
                         "the 'pandas:' form for non-numeric results"
                     ) from e
+                # key off applyInPandas's GROUPING KEY (the string-casted
+                # entity expression), not the raw entity column in pdf:
+                # the raw value may be array-typed (a scalar-NULL probe
+                # would crash on it) or a float whose NaN is a DISTINCT
+                # group from NULL under cast('string') — the key tuple
+                # carries exactly what the aggregate form emits, so the
+                # two forms agree on every input
+                ekey = key[0]
                 return pd.DataFrame(
                     {
-                        "entity_id": [str(pdf[ent_name].iloc[0])],
+                        # NULL entity stays NULL — str(None) would mint a
+                        # phantom entity keyed 'None' that the aggregate
+                        # and row forms know nothing about
+                        "entity_id": [None if ekey is None else str(ekey)],
                         "value": [val],
                     }
                 )
 
             return df.groupBy(entity.alias("_e")).applyInPandas(
-                lambda pdf: per_group(pdf), "entity_id string, value double"
+                lambda key, pdf: per_group(key, pdf),
+                "entity_id string, value double",
             )
         if logic.startswith("row:"):
             expr = logic[len("row:") :].strip()
@@ -298,3 +310,41 @@ def ewm_features(
         .groupBy(key_col)
         .applyInPandas(smooth, schema=out_schema)
     )
+
+
+def rewrap_executor_computation_error(exc: Exception) -> Exception:
+    """Recover the ComputationError contract for EXECUTOR-raised failures:
+    ``pandas_by_entity`` programs run per group inside applyInPandas, so
+    their errors surface at ACTION time as a pyspark PythonException —
+    after compute_feature has returned, past its try/except, and invisible
+    to the HTTP layer's ComputationError → 500 mapping (every other form
+    wraps failures eagerly inside compute_feature; a distributed form
+    cannot). Callers that trigger the action (FeatureStore.compute_version)
+    pass the caught exception through here: a PythonException — the
+    Python-worker failure type, i.e. the USER PROGRAM failed, matching
+    compute_feature's catch-all for the driver-side forms — is re-raised
+    under the contract type carrying the original ComputationError message
+    when the traceback names one, else its last traceback line (the
+    KeyError/TypeError the program actually hit). Non-worker failures
+    (JVM/infra errors) return unchanged: mislabeling a disk failure as a
+    computation error would hide an operational problem behind a 500
+    detail string."""
+    import re
+
+    try:
+        from pyspark.errors.exceptions.captured import PythonException
+    except ImportError:  # pragma: no cover — pyspark always provides it
+        PythonException = ()  # type: ignore[assignment]
+
+    text = str(exc)
+    m = re.search(r"ComputationError: ([^\n]+)", text)
+    if m:
+        return ComputationError(m.group(1).strip())
+    if isinstance(exc, PythonException):
+        lines = [ln.strip() for ln in text.splitlines() if ln.strip()]
+        tail = next(
+            (ln for ln in reversed(lines) if re.match(r"\w+(Error|Exception):", ln)),
+            lines[-1] if lines else text,
+        )
+        return ComputationError(f"Computation failed: {tail}")
+    return exc

@@ -55,3 +55,20 @@ def n_rows():
 
         _CACHE["n_rows"] = _n_rows
     return _CACHE["n_rows"]
+
+
+def lossy_utf8_decode():
+    """SCALAR: binary → string with errors='replace'. Spark 4's JVM
+    ``decode()`` RAISES MALFORMED_CHARACTER_CODING on any non-UTF-8 byte;
+    web-scrape payloads (WARC responses) need one replacement character
+    per bad byte, not a dead job (sources/files.py warc_text_documents)."""
+    if "lossy_utf8_decode" not in _CACHE:
+
+        @pandas_udf("string")
+        def _lossy_utf8(payload: pd.Series) -> pd.Series:
+            return payload.map(
+                lambda b: None if b is None else bytes(b).decode("utf-8", "replace")
+            )
+
+        _CACHE["lossy_utf8_decode"] = _lossy_utf8
+    return _CACHE["lossy_utf8_decode"]

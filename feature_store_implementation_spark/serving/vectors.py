@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..compute.engine import compute_feature
+from ..compute.engine import compute_feature, rewrap_executor_computation_error
 from ..errors import ComputationError, NotFoundError
 from ..registry.catalog import Catalog, VersionRow
 from ..registry.schema_validation import validate_raw_data_schema
@@ -98,8 +98,14 @@ class FeatureStore:
             n = self.store.write_values(row.id, encoded)
             if n == 0:
                 raise ComputationError("computation produced no values")
-        except Exception:
+        except Exception as exc:
             self.catalog.delete_version(row.id)
+            # pandas_by_entity programs fail on EXECUTORS at this action —
+            # recover the ComputationError → HTTP 500 contract from the
+            # PythonException traceback (engine.py rewrap helper)
+            wrapped = rewrap_executor_computation_error(exc)
+            if wrapped is not exc:
+                raise wrapped from exc
             raise
         activated = self.catalog.set_version_status(row.id, "active")
         # Deliberate divergence from the reference: it never invalidates the

@@ -11,6 +11,7 @@ that callers override per deployment.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -39,6 +40,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # pre-set deterministically (sources.tables.load_table needs it for
+        # the events table's TIMESTAMP(NANOS) column): without it here, the
+        # session's treatment of nanos parquet depended on whether events
+        # had been loaded first — order-dependent and thread-racy
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
@@ -46,7 +52,17 @@ def get_spark(
     )
     if master is not None:
         builder = builder.master(master)
-    elif "SPARK_MASTER" not in os.environ:
+    elif "SPARK_MASTER" in os.environ:
+        # Spark never reads this env var itself. A master-URL-shaped value
+        # is passed through (the plain-python `SPARK_MASTER=spark://...`
+        # deployment — presence-only checking used to leave the builder
+        # masterless and getOrCreate failing); any other value acts as the
+        # historical sentinel "don't force local[N]", leaving the builder
+        # masterless so spark-submit's --master applies.
+        m = os.environ["SPARK_MASTER"]
+        if re.match(r"^(local(\[.*\])?$|spark://|yarn|k8s://|mesos://)", m):
+            builder = builder.master(m)
+    else:
         builder = builder.master(f"local[{cpus}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

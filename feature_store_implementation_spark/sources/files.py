@@ -190,22 +190,32 @@ def warc_text_documents(records: DataFrame) -> DataFrame:
     """WARC records → the ``documents`` shape: keep ``conversion`` (WET
     extracted-text) and ``response`` records, strip the HTTP header block
     from responses (payload after the first CRLF CRLF), decode utf-8
-    lossily, emit (doc_id = record id, url, text). Map-only."""
+    LOSSILY, emit (doc_id = record id, url, text). Map-only.
+
+    The decode is an Arrow-batched pandas UDF with errors='replace':
+    Spark 4's JVM ``decode()`` RAISES MALFORMED_CHARACTER_CODING on any
+    non-UTF-8 byte, and real Common Crawl response payloads routinely
+    carry latin-1/binary bytes — one malformed record must cost one
+    replacement character, not the corpus-ingest job. Python-side decode
+    is the honest cost here: the records already crossed a Python parser
+    (warc_records' mapInPandas), and the decode happens exactly once per
+    record (the old plan re-decoded the payload three times)."""
     from pyspark.sql import functions as F
 
-    txt = F.decode(F.col("payload"), "UTF-8")
-    sep = F.concat(F.lit("\r"), F.lit("\n"), F.lit("\r"), F.lit("\n"))
+    from ..functions.pandas_udfs import lossy_utf8_decode
+
+    kept = records.filter(
+        F.col("warc_type").isin("conversion", "response")
+    ).withColumn("_txt", lossy_utf8_decode()(F.col("payload")))
+    pos = F.instr(F.col("_txt"), "\r\n\r\n")
     body = F.when(
-        (F.col("warc_type") == "response") & (F.instr(txt, sep) > 0),
-        F.expr("substring(decode(payload, 'UTF-8'), instr(decode(payload, 'UTF-8'), '\r\n\r\n') + 4)"),
-    ).otherwise(txt)
-    return (
-        records.filter(F.col("warc_type").isin("conversion", "response"))
-        .select(
-            F.col("record_id").alias("doc_id"),
-            F.col("target_uri").alias("url"),
-            body.alias("text"),
-        )
+        (F.col("warc_type") == "response") & (pos > 0),
+        F.col("_txt").substr(pos + 4, F.length("_txt")),
+    ).otherwise(F.col("_txt"))
+    return kept.select(
+        F.col("record_id").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        body.alias("text"),
     )
 
 
@@ -249,11 +259,29 @@ def jsonl_quarantine_source(
         all_null = all_null & F.col("j").getField(c).isNull()
     # bad = unparseable (null struct), type-violating (corrupt col set by
     # PERMISSIVE from_json), or valid JSON of a completely wrong shape;
-    # a MISSING field alone is nullable-column semantics, not quarantine
+    # a MISSING field alone is nullable-column semantics, not quarantine.
+    # "Wrong shape" needs the raw line, not just the parsed nulls: a
+    # legitimately all-null row ({"a": null} against a 1-field schema)
+    # parses identically to {"x": 1} — so an all-null parse is quarantined
+    # only when the line's TOP-LEVEL KEYS include no declared field (the
+    # row carries zero declared content; a present-but-null field is a
+    # nullable row, exactly the semantics the comment above promises).
+    # Keys come from a second from_json as map<string,string> — a raw
+    # substring match would be fooled by nested keys, field names
+    # appearing as string VALUES, and \uXXXX-escaped key spellings.
+    top_keys = F.map_keys(
+        F.coalesce(
+            F.from_json("value", "map<string,string>"),
+            F.from_json(F.lit("{}"), "map<string,string>"),
+        )
+    )
+    mentions_declared = F.arrays_overlap(
+        top_keys, F.array(*[F.lit(c) for c in declared])
+    )
     bad = (
         F.col("j").isNull()
         | F.col("j").getField(corrupt).isNotNull()
-        | all_null
+        | (all_null & ~mentions_declared)
     )
     good = parsed.filter(~bad).select(*[F.col("j").getField(c).alias(c) for c in declared])
     quarantine = parsed.filter(bad).select(

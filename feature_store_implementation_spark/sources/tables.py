@@ -47,12 +47,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
+        # session-global by necessity (nanosAsLong is an SQLConf with no
+        # per-read option, and restoring it after the lazy read would race
+        # the scan planning and any concurrent thread's events read). The
+        # same conf is pre-set deterministically in session.get_spark so
+        # behavior never depends on whether events was loaded first; the
+        # documented cost is that OTHER nanos-timestamp parquet reads in
+        # the session also surface as raw long columns instead of failing.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         ts_field = df.schema["ts"].dataType.typeName()
         if ts_field in ("long", "bigint"):
-            # integer div — double division loses precision above 2^53 ns
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # integer floor-div: `ts div 1000` truncates toward zero, which
+            # shifts PRE-EPOCH (negative) nanos one microsecond late;
+            # double division would lose precision above 2^53 ns instead
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.expr(
+                        "CASE WHEN ts >= 0 THEN ts div 1000 "
+                        "ELSE -((-ts + 999) div 1000) END"
+                    )
+                ),
+            )
         return df
     return spark.read.parquet(path)
 

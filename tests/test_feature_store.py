@@ -1661,3 +1661,40 @@ def test_snapshot_preserves_stored_null_values(fs, spark, tmp_path):
     vec = lookup_online_snapshot(out, "e2")
     assert vec.features == {"amt_nv": None}  # present, null — not a 404
     assert lookup_online_snapshot(out, "e1").features == {"amt_nv": 3.0}
+
+
+def test_pandas_by_entity_null_entity_and_error_contract(fs, spark):
+    """Two review-r10 engine fixes: (1) a NULL entity key stays NULL in the
+    pandas_by_entity form instead of becoming the phantom string 'None'
+    (the aggregate form emits NULL for the same data — the two forms must
+    agree); (2) a ComputationError raised INSIDE the per-group program
+    (on executors, surfacing as PythonException at action time) is
+    re-wrapped to the contract type by compute_version, so the HTTP layer's
+    ComputationError → 500 mapping still fires."""
+    from feature_store_implementation_spark.compute.engine import compute_feature
+    from feature_store_implementation_spark.errors import ComputationError
+
+    df = spark.createDataFrame(
+        [(None, 1.0), ("a", 2.0), ("a", 3.0)], "id string, amount double"
+    )
+    by_ent = {
+        r["entity_id"]: r["value"]
+        for r in compute_feature(
+            df, "pandas_by_entity:result = df['amount'].sum()", "id"
+        ).collect()
+    }
+    agg = {
+        r["entity_id"]: float(r["value"])
+        for r in compute_feature(df, "SUM(amount)", "id").collect()
+    }
+    assert set(by_ent) == set(agg) == {None, "a"}  # no phantom 'None' key
+    assert by_ent[None] == agg[None] == 1.0
+    assert by_ent["a"] == agg["a"] == 5.0
+
+    rt = fs.register_raw_table("t_pberr", {"required_columns": ["id", "amount"]})
+    bad = fs.create_feature(
+        "f_pberr", rt.id, "pandas_by_entity:result = pd.Series(['abc'])", "numeric"
+    )
+    with pytest.raises(ComputationError, match="non-numeric"):
+        fs.compute_version(bad.id, "v1", [{"id": "a", "amount": 1.0}])
+    assert fs.catalog.list_pending() == []  # compensating delete still ran

@@ -236,3 +236,44 @@ def test_jsonl_quarantine_salvages_and_preserves_raw(spark, tmp_path):
         ]
     )
     assert all(r["path"].endswith("a.jsonl") for r in quar.collect())
+
+
+def test_warc_documents_lossy_decode_non_utf8(spark, tmp_path):
+    """A non-UTF-8 byte in a response payload must cost one replacement
+    character, not the job: Spark 4's JVM decode() raises
+    MALFORMED_CHARACTER_CODING, so the documents view decodes Python-side
+    with errors='replace' (review r10). Common Crawl payloads routinely
+    carry latin-1/binary bytes."""
+    from feature_store_implementation_spark.sources.files import (
+        warc_source,
+        warc_text_documents,
+    )
+
+    http_body = b"HTTP/1.1 200 OK\r\n\r\ncaf\xe9 latin-1"  # 0xe9 not UTF-8
+    warc = _warc_record(
+        "response", "9", "http://c/", http_body,
+        "application/http; msgtype=response",
+    )
+    (tmp_path / "c.warc").write_bytes(warc)
+    docs = warc_text_documents(warc_source(spark, str(tmp_path) + "/*")).collect()
+    assert docs[0]["text"] == "caf� latin-1"  # replaced, job survived
+
+
+def test_jsonl_quarantine_keeps_legit_all_null_rows(spark, tmp_path):
+    """A valid line whose declared fields are PRESENT but null is a
+    nullable row, not quarantine — the all-null heuristic alone misrouted
+    {"a": null} against a 1-field schema (review r10). A line mentioning
+    NO declared field still quarantines as wrong-shape."""
+    from pyspark.sql import types as T
+
+    from feature_store_implementation_spark.sources.files import (
+        jsonl_quarantine_source,
+    )
+
+    lines = ['{"a": null}', '{"a": 1}', '{"x": 1}', "{}"]
+    (tmp_path / "n.jsonl").write_text("\n".join(lines))
+    schema = T.StructType([T.StructField("a", T.LongType())])
+    good, quar = jsonl_quarantine_source(spark, str(tmp_path), schema)
+    assert sorted(r["a"] for r in good.collect() if r["a"] is not None) == [1]
+    assert good.count() == 2  # {"a": null} is a nullable ROW
+    assert sorted(r["raw"] for r in quar.collect()) == sorted(["{}", '{"x": 1}'])
