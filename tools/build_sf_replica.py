@@ -49,6 +49,15 @@ def build(base_dir: str, out_dir: str, mult: int) -> None:
         print(f"{t}: dim copied")
     for t, keys in KEY_COLS.items():
         df = pd.read_parquet(os.path.join(base_dir, f"{t}.parquet"))
+        # hoisted: the base matrix is loop-invariant, and rebuilding it from
+        # the pandas object column per replica was the dominant cost of the
+        # embeddings branch at high --mult (scale_check.build_scaled hoists
+        # the identical vstack)
+        mat = (
+            np.vstack(df["embedding"].to_numpy()).astype(np.float32)
+            if t == "embeddings"
+            else None
+        )
         copies = []
         for k in range(mult):
             c = df.copy()
@@ -61,7 +70,6 @@ def build(base_dir: str, out_dir: str, mult: int) -> None:
                 )
                 c["n_chars"] = c["text"].str.len()
             if k > 0 and t == "embeddings":
-                mat = np.vstack(df["embedding"].to_numpy()).astype(np.float32)
                 rng = np.random.default_rng(1000 + k)
                 perm = rng.permutation(mat.shape[1])
                 signs = rng.choice(np.array([-1.0, 1.0], dtype=np.float32), mat.shape[1])

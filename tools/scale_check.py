@@ -115,7 +115,12 @@ def build_scaled_graph(out_dir: str, mult: int) -> None:
 
 
 def timed_count(df) -> tuple[int, float]:
+    """Accepts a DataFrame or a zero-arg thunk; a thunk's plan
+    CONSTRUCTION (including any eager driver-side work an operator does)
+    is billed inside the route's seconds."""
     t0 = time.monotonic()
+    if callable(df):
+        df = df()
     n = df.count()
     return n, time.monotonic() - t0
 
@@ -262,16 +267,20 @@ def run_routes(spark, scaled_dir: str, mult: int, only: set | None = None) -> li
     )
     from feature_store_implementation_spark.operators.text import hash_embed
 
-    for name, frame in (
-        ("similarity_lsh_topk", lsh_topk(e, q, k=10)),
-        ("decontaminate", decontaminate(tr, ev, "text", "doc_id", n=4)),
-        ("line_dedup", line_dedup(d, "text", "doc_id")),
-        ("unigram_logprob", unigram_logprob(d, "text", "doc_id")),
-        ("hash_embed", hash_embed(d, "text", "doc_id")),
-        ("repeated_spans", remove_repeated_spans(d, "text", "doc_id", n=10)),
+    # thunks, not frames: plan construction runs ONLY for selected routes
+    # (--routes minhash used to still build every other route's plan), and
+    # any eager driver-side work an operator gains lands inside the route's
+    # reported seconds instead of silently outside timed_count
+    for name, mk_frame in (
+        ("similarity_lsh_topk", lambda: lsh_topk(e, q, k=10)),
+        ("decontaminate", lambda: decontaminate(tr, ev, "text", "doc_id", n=4)),
+        ("line_dedup", lambda: line_dedup(d, "text", "doc_id")),
+        ("unigram_logprob", lambda: unigram_logprob(d, "text", "doc_id")),
+        ("hash_embed", lambda: hash_embed(d, "text", "doc_id")),
+        ("repeated_spans", lambda: remove_repeated_spans(d, "text", "doc_id", n=10)),
         (
             "quantile_digest",
-            quantile_from_digest(
+            lambda: quantile_from_digest(
                 merge_quantile_digests(
                     ["lang"], quantile_digest_partial(d, ["lang"], "n_chars")
                 ),
@@ -282,7 +291,7 @@ def run_routes(spark, scaled_dir: str, mult: int, only: set | None = None) -> li
     ):
         if only and name not in only:
             continue
-        n, secs = timed_count(frame)
+        n, secs = timed_count(mk_frame)
         rows.append(
             {
                 "route": name,
