@@ -531,3 +531,97 @@ def test_shuffle_shards_pointwise_portable(spark, ids, n_shards, seed):
         for p, (h, i) in enumerate(sorted(lst), 1):
             want[i] = (s, p)
     assert got == want
+
+
+# -- asof_join vs pd.merge_asof (all three directions, with/without
+#    tolerance, NULL payloads included) --------------------------------------
+
+_asof_ts = st.integers(0, 50)  # seconds; collisions deliberately likely
+_asof_left = st.lists(
+    st.tuples(st.sampled_from(["k1", "k2"]), _asof_ts),
+    min_size=1,
+    max_size=12,
+)
+_asof_right = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2"]),
+        _asof_ts,
+        st.one_of(st.none(), st.integers(-5, 5)),
+    ),
+    min_size=1,  # empty-right needs dtype coaxing in pandas; the NO-MATCH
+    max_size=12,  # case is still exercised whenever a key has no right rows
+    # merge_asof demands a UNIQUE (by, on) right side for a well-defined
+    # answer; duplicate right timestamps are tie-ambiguous in BOTH engines
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=_asof_left,
+    right=_asof_right,
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    tol=st.one_of(st.none(), st.integers(1, 10)),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction, tol):
+    """asof_join == pd.merge_asof on random keyed event streams, for every
+    direction and tolerance, INCLUDING right rows whose payload is
+    legitimately NULL — the r10 review found per-column carry resurrecting
+    stale values over a matched row's NULL (and whole-second truncation
+    breaking 'nearest'); the struct-carry rewrite must hold pointwise."""
+    import numpy as np
+
+    from feature_store_implementation_spark.operators.asof import asof_join
+
+    base = pd.Timestamp("2024-01-01")
+    lpdf = pd.DataFrame(
+        {
+            "k": [k for k, _ in left],
+            "ts": [base + pd.Timedelta(seconds=t) for _, t in left],
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "k": [k for k, _, _ in right],
+            "ts": [base + pd.Timedelta(seconds=t) for _, t, _ in right],
+            "v": [float(v) if v is not None else np.nan for _, _, v in right],
+        }
+    )
+    want = pd.merge_asof(
+        lpdf.sort_values("ts", kind="stable"),
+        rpdf.sort_values("ts", kind="stable"),
+        on="ts",
+        by="k",
+        direction=direction,
+        tolerance=pd.Timedelta(seconds=tol) if tol is not None else None,
+    )
+    want_set = sorted(
+        (r.k, r.ts.isoformat(), None if pd.isna(r.v) else r.v)
+        for r in want.itertuples()
+    )
+
+    ldf = spark.createDataFrame(lpdf)
+    rdf = spark.createDataFrame(
+        [
+            (k, t.to_pydatetime(), v)
+            for (k, t, v) in zip(rpdf["k"], rpdf["ts"], rpdf["v"])
+        ],
+        "k string, ts timestamp, v double",
+    ).selectExpr("k", "ts", "CASE WHEN isnan(v) THEN NULL ELSE v END AS v")
+    got = asof_join(
+        ldf,
+        rdf,
+        on="ts",
+        by="k",
+        value_cols=["v"],
+        direction=direction,
+        tolerance=f"{tol} seconds" if tol is not None else None,
+    ).collect()
+    got_set = sorted(
+        (r["k"], r["ts"].isoformat(), r["v_right"]) for r in got
+    )
+    assert got_set == want_set
