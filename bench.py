@@ -148,6 +148,7 @@ EXTRAS = [
     "q_text_normalize",
     "q_script_profile",
     "q_repeated_spans",
+    "q_source_caps",
     "q_asof_nearest",
     "q_asof_tolerance",
     "q_incremental_feature",

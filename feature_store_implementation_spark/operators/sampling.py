@@ -354,3 +354,41 @@ def write_training_shards(
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(path, "_manifest.json"))
     return manifest
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    k: int = 100,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group HARD CAP — the C4/RefinedWeb "at most K documents per
+    domain" curation rule, distinct from :func:`weighted_mix`'s
+    proportional rates: a cap bounds every group's absolute contribution
+    regardless of its share, which is what kills template farms and SEO
+    mills that would survive any fixed keep-rate.
+
+    Selection within a group is DETERMINISTIC and content/ID-stable
+    (rank by md5 of the id columns, the same engine-portable rule as
+    portable_sample — not by arrival order, which reshuffles whenever
+    the corpus repartitions): the same corpus always keeps the same K
+    docs per group, and a grown corpus keeps a superset-stable ranking.
+
+    One window over the group key — a single hash-partition shuffle on
+    ``group_col``; skewed mega-groups are exactly the rows the cap
+    discards, and AQE skew-split handles the sort. Returns the capped
+    frame with the original columns."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    id_cols = id_cols or ["doc_id"]
+    rank_key = F.md5(
+        F.concat_ws("|", *[F.col(c).cast("string") for c in id_cols])
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        rank_key, *[F.col(c) for c in id_cols]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -3801,6 +3801,34 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_source_caps",
+    """
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= 15
+    """,
+)
+def q_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source HARD CAP (operators/sampling.py cap_per_group): at most
+    K documents per source, the C4/RefinedWeb max-per-domain rule that
+    bounds every group's absolute contribution regardless of share —
+    the anti-template-farm gate proportional rates can't provide.
+    Selection is md5(doc_id)-ranked, so BOTH engines keep the identical
+    K docs per source: one window, one shuffle on the group key."""
+    from ..operators.sampling import cap_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    return cap_per_group(d, group_col="source", k=15).select("doc_id", "source")
+
+
+@query(
     "q_fold_assign",
     """
     SELECT doc_id,

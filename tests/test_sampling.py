@@ -348,3 +348,34 @@ def test_shuffle_shards_validates_n(spark):
     d = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError, match="n_shards"):
         shuffle_shards(d, 0)
+
+
+def test_cap_per_group_binding_and_repartition_stable(spark):
+    """The per-source hard cap keeps exactly K per group, selection is
+    md5(id)-ranked — identical regardless of how the input is
+    partitioned (arrival order is NOT the rule: it reshuffles whenever
+    the corpus repartitions) — and groups under the cap pass through
+    whole."""
+    from feature_store_implementation_spark.operators.sampling import (
+        cap_per_group,
+    )
+
+    rows = [(i, f"s{i % 3}") for i in range(30)] + [(100, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    kept = cap_per_group(df, group_col="source", k=4)
+    counts = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"s0": 4, "s1": 4, "s2": 4, "tiny": 1}
+
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in cap_per_group(df.repartition(13), group_col="source", k=4).collect()
+    )
+    assert a == b  # partitioning-independent selection
+
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        cap_per_group(df, k=0)
