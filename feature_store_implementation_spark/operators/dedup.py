@@ -1805,6 +1805,116 @@ def decontaminate(
     )
 
 
+def bloom_bitset(
+    values: DataFrame,
+    col: str,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 3,
+) -> list[int]:
+    """Build a Bloom-filter bitset over a (small) distinct value set, packed
+    as ``num_bits / 64`` signed longs — the compact membership summary a
+    prefilter can carry into every corpus partition as a plain literal.
+
+    Construction is one Spark aggregation: each value explodes to its
+    ``num_hashes`` bit positions (``xxhash64(value, i) mod num_bits`` — the
+    salt literal varies the hash per probe), positions group by 64-bit word,
+    and ``bit_or`` folds each word's set bits. The collect is bounded by
+    ``num_bits/64`` rows (2,048 longs = 16 KB at the default), NEVER by the
+    value count — safe for any eval-set size.
+
+    No false negatives by construction; the false-positive rate for ``n``
+    inserted values is ``(1 - e^(-k*n/m))^k`` (~0.0001 at the defaults with
+    n=10k). Callers that need exactness confirm survivors with an exact
+    join — see :func:`decontaminate_bloom`.
+    """
+    if num_bits % 64:
+        raise ValueError(f"bloom_bitset: num_bits must be a multiple of 64, got {num_bits}")
+    probes = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(num_bits))
+            for i in range(num_hashes)
+        ]
+    )
+    words = (
+        values.select(F.explode(probes).alias("p"))
+        .groupBy(F.shiftright(F.col("p"), 6).alias("w"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))"
+            ).alias("bits")
+        )
+        .collect()
+    )
+    bitset = [0] * (num_bits // 64)
+    for r in words:
+        bitset[r["w"]] = r["bits"]
+    return bitset
+
+
+def bloom_contains(col: str, bitset_col: str, num_bits: int, num_hashes: int) -> F.Column:
+    """All-probes-set membership test against a packed bitset column —
+    pure JVM expressions (xxhash64 / shift / mask inside whole-stage
+    codegen), no Python in the row path. ``>>`` is arithmetic shift, which
+    is safe here: the trailing ``& 1`` masks away sign-extension bits."""
+    tests = []
+    for i in range(num_hashes):
+        p = f"pmod(xxhash64({col}, {i}), {num_bits})"
+        tests.append(
+            f"((element_at({bitset_col}, CAST({p} DIV 64 AS INT) + 1)"
+            f" >> CAST({p} % 64 AS INT)) & 1) = 1"
+        )
+    return F.expr(" AND ".join(tests))
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """:func:`decontaminate` with a Bloom prefilter on the corpus side —
+    IDENTICAL results (the Bloom filter has no false negatives, and its
+    false positives are removed by the exact confirm join), different
+    constant factor at scale.
+
+    Why a second decontamination shape exists: plain ``decontaminate``
+    probes every corpus shingle against a broadcast hash relation of the
+    full eval shingle SET — fine when benchmarks are KBs, but a large
+    held-out suite (every eval benchmark + all validation splits,
+    ~10⁷-10⁸ shingles) makes that broadcast relation gigabytes per
+    executor. Here each corpus partition instead tests shingles against a
+    16 KB-by-default bitset literal (runtime-filter style, the same trick
+    Spark's own InjectRuntimeFilter plays with bloom_filter_agg on shuffle
+    joins, which SQL doesn't expose for composed plans like this); only
+    the surviving ~FPR fraction plus true overlaps reaches the exact
+    broadcast semi-join. The corpus-side plan stays map-only until the
+    final per-doc count — same single shuffle as ``decontaminate``.
+    """
+    def shingles(d: DataFrame) -> DataFrame:
+        toks = tokens_col(F.col(text_col))
+        return d.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_ngrams_col(toks, n)).alias("shingle"),
+        )
+
+    ev = shingles(eval_df).select("shingle").distinct()
+    bitset = bloom_bitset(ev, "shingle", num_bits=num_bits, num_hashes=num_hashes)
+    cand = (
+        shingles(_spread_small_input(train))
+        .withColumn("__bf", F.lit(bitset))
+        .filter(bloom_contains("shingle", "__bf", num_bits, num_hashes))
+        .drop("__bf")
+    )
+    return (
+        cand.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
 def line_dedup(
     df: DataFrame,
     text_col: str = "text",

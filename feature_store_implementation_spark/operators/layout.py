@@ -61,20 +61,14 @@ def zvalue(ranks: list[Column], bits: int) -> Column:
     return out
 
 
-def zorder_write(
-    df: DataFrame,
-    path: str,
-    cols: list[str],
-    bits: int = 12,
-    num_files: int | None = None,
-    mode: str = "overwrite",
-) -> None:
-    """Write ``df`` as parquet clustered on the z-curve of ``cols``.
+def zorder_keyed(df: DataFrame, cols: list[str], bits: int = 12) -> DataFrame:
+    """``df`` plus a ``__z`` Morton-key column over ``cols``.
 
     Column ranges come from one cheap min/max aggregate (broadcast back —
-    O(1) rows); rows are then range-partitioned and sorted by the Morton
-    key so each output file covers a compact hyper-rectangle. ``num_files``
-    controls output fan-out (defaults to the current parallelism)."""
+    O(1) rows); each column is fixed-point-ranked against its range and the
+    ranks' bits interleave into the key. The whole computation is JVM
+    expressions — usable standalone (e.g. as a clustering/bucketing key for
+    a downstream range partitioner) or via :func:`zorder_write`."""
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
@@ -86,9 +80,26 @@ def zorder_write(
         )
         for c in cols
     ]
-    keyed = with_bounds.withColumn("__z", zvalue(ranks, bits)).drop(
+    return with_bounds.withColumn("__z", zvalue(ranks, bits)).drop(
         *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols]
     )
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 12,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet clustered on the z-curve of ``cols``.
+
+    Rows are range-partitioned and sorted by the Morton key
+    (:func:`zorder_keyed`) so each output file covers a compact
+    hyper-rectangle. ``num_files`` controls output fan-out (defaults to
+    the current parallelism)."""
+    keyed = zorder_keyed(df, cols, bits)
     parts = num_files or df.sparkSession.sparkContext.defaultParallelism
     (
         keyed.repartitionByRange(parts, "__z")

@@ -78,6 +78,54 @@ def portable_sample(
     return df.filter(F.substring(F.md5(key), 1, prefix_len) < F.lit(hex_threshold))
 
 
+def quota_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    fraction: float,
+    key_cols: list[str],
+    min_per_stratum: int = 1,
+) -> DataFrame:
+    """Exact per-stratum quota sampling: within every stratum keep the
+    ``max(min_per_stratum, ceil(fraction * |stratum|))`` rows that rank
+    lowest by ``md5(key)`` — the held-out-eval-set maker (one slice per
+    language/source, every stratum represented, quota exact by
+    construction rather than in expectation).
+
+    Three properties Bernoulli ``sampleBy`` can't give at once:
+
+    * **Exact quotas.** A 0.2 sample of a 10-row stratum is exactly 2 rows,
+      never 0 or 5 — small strata (rare languages) are guaranteed
+      representation via ``min_per_stratum``.
+    * **Engine-portable.** The md5 rank (same rule as
+      :func:`portable_sample`) reproduces bit-for-bit in DuckDB/Trino/
+      Postgres, so the published split can be recomputed anywhere.
+    * **Superset-stable ranking.** A row's rank only improves relative to
+      rows that LEAVE; appending new rows can displace only the
+      quota-boundary rows, never reshuffle the selection wholesale (the
+      same md5-rank stability argument as ``cap_per_group``).
+
+    Plan shape at 100 TB: ONE shuffle on the strata key; the quota is a
+    window ``count(*)`` over the same partition, so no second pass and no
+    driver-side group census. Skewed strata (one language = 90% of the
+    corpus) stay a single partition here — for those, pre-aggregate the
+    stratum sizes and fall back to :func:`weighted_mix` rates, which is
+    map-only; this operator's niche is exact small-stratum guarantees.
+    """
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    w = Window.partitionBy(*strata_cols)
+    rank_w = w.orderBy(F.md5(key), *[F.col(c) for c in key_cols])
+    quota = F.greatest(
+        F.lit(int(min_per_stratum)).cast("long"),
+        F.ceil(F.lit(float(fraction)) * F.count(F.lit(1)).over(w)).cast("long"),
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(rank_w).cast("long"))
+        .withColumn("__quota", quota)
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__quota")
+    )
+
+
 def weighted_mix(
     df: DataFrame,
     weights: dict[str, float],

@@ -7765,3 +7765,208 @@ def q_corpus_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, "stage string, n_docs long")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_stratified_quota",
+    """
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    WHERE rn <= GREATEST(CAST(1 AS BIGINT), CAST(CEIL(0.2 * n) AS BIGINT))
+    """,
+)
+def q_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-stratum quota sample (operators/sampling.py quota_sample):
+    within each language keep the ceil(0.2 * |stratum|) docs ranking lowest
+    by md5(doc_id) — the held-out-eval-set maker. Unlike Bernoulli sampleBy
+    (q_deterministic_sample's regime), quotas are exact and every stratum
+    is guaranteed min_per_stratum rows; the md5 rank makes the selection
+    engine-portable and superset-stable. ONE shuffle on the stratum key;
+    the quota is a window count over the same partition (no second pass,
+    no driver census)."""
+    from ..operators.sampling import quota_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return quota_sample(
+        d, strata_cols=["lang"], fraction=0.2, key_cols=["doc_id"]
+    ).select("doc_id", "lang", "source")
+
+
+@query(
+    "q_cdc_merge",
+    """
+    WITH latest AS (
+      SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    ),
+    ch AS (
+      SELECT o_custkey AS c_custkey,
+             concat('cdc-', CAST(o_orderkey AS VARCHAR)) AS c_name,
+             o_totalprice AS c_acctbal,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM latest
+      UNION ALL
+      SELECT o_custkey + 1000000,
+             concat('ins-', CAST(o_orderkey AS VARCHAR)),
+             o_totalprice, 'I'
+      FROM latest WHERE o_orderkey % 17 = 0
+    )
+    SELECT b.c_custkey, b.c_name, b.c_acctbal
+    FROM customer b
+    WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.c_custkey = b.c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal FROM ch WHERE op <> 'D'
+    """,
+)
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC MERGE (operators/incremental.py merge_changes — the
+    Delta MERGE INTO / Hudi upsert result table, engine-independent):
+    a changelog collapsed last-write-wins (latest order per customer,
+    q_scd2_compact's pattern) applies to the customer snapshot as
+    updates, deletes (every 13th), and brand-new-key inserts (every
+    17th, key-shifted). Post-image = untouched base rows (anti join —
+    AQE broadcasts the changeset when small) + non-delete new images
+    (map-only union); ONE base shuffle at most, vs. the full-outer-join
+    merge shape that always shuffles both sides."""
+    from ..operators.incremental import merge_changes
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderkey").desc())
+    latest = (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    upd = latest.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.concat(F.lit("cdc-"), F.col("o_orderkey").cast("string")).alias("c_name"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    ins = latest.filter(F.col("o_orderkey") % 17 == 0).select(
+        (F.col("o_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("ins-"), F.col("o_orderkey").cast("string")).alias("c_name"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.lit("I").alias("op"),
+    )
+    return merge_changes(c, upd.unionByName(ins), keys=["c_custkey"])
+
+
+def _zorder_oracle() -> str:
+    bits = 8
+    grid = 1 << bits
+
+    def rank(x: str, lo: str, hi: str) -> str:
+        frac = (
+            f"(CASE WHEN {hi} = {lo} THEN 0.0 "
+            f"ELSE (CAST({x} AS DOUBLE) - {lo}) / ({hi} - {lo}) END)"
+        )
+        return (
+            f"LEAST(CAST({grid - 1} AS BIGINT), "
+            f"CAST(FLOOR({frac} * {grid}.0) AS BIGINT))"
+        )
+
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((r1 >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((r2 >> {b}) & 1) << {2 * b + 1})")
+    z = " | ".join(terms)
+    return f"""
+    WITH b AS (
+      SELECT CAST(MIN(o_custkey) AS DOUBLE) AS lo1,
+             CAST(MAX(o_custkey) AS DOUBLE) AS hi1,
+             CAST(MIN(o_totalprice) AS DOUBLE) AS lo2,
+             CAST(MAX(o_totalprice) AS DOUBLE) AS hi2
+      FROM orders
+    ),
+    r AS (
+      SELECT o_orderkey,
+             {rank('o_custkey', 'lo1', 'hi1')} AS r1,
+             {rank('o_totalprice', 'lo2', 'hi2')} AS r2
+      FROM orders, b
+    )
+    SELECT o_orderkey, CAST({z} AS BIGINT) AS z FROM r
+    """
+
+
+@query("q_zorder_key", _zorder_oracle)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key (operators/layout.py zorder_keyed —
+    the expression core of zorder_write, Delta/Iceberg OPTIMIZE ZORDER BY's
+    layout trick): each column fixed-point-ranks against its min/max range
+    (one O(1)-row aggregate, broadcast back) and the ranks' bits interleave
+    into one 64-bit key, all shift/or expressions inside whole-stage
+    codegen. The oracle replays rank + interleave bit-for-bit in DuckDB —
+    both engines do identical IEEE-754 normalization, so the hash check
+    covers the full key computation, not just its shape. The key is what
+    repartitionByRange sorts on so every parquet file covers a compact
+    hyper-rectangle (file-level min/max pruning on ALL participating
+    columns; measured in SCALING.md, asserted in tests/test_layout.py)."""
+    from ..operators.layout import zorder_keyed
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return zorder_keyed(o, ["o_custkey", "o_totalprice"], bits=8).select(
+        "o_orderkey", F.col("__z").alias("z")
+    )
+
+
+@query(
+    "q_bloom_decontaminate",
+    r"""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(w) >= 3
+               THEN list_distinct(list_transform(range(1, len(w) - 1),
+                                  i -> array_to_string(list_slice(w, i, i + 2), ' ')))
+               ELSE [COALESCE(array_to_string(w, ' '), '')] END) AS shingle
+      FROM words
+    ),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+    SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM tr JOIN ev USING (shingle)
+    GROUP BY tr.doc_id
+    """,
+)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (operators/dedup.py
+    decontaminate_bloom): IDENTICAL results to the exact pass — the oracle
+    is literally q_decontaminate's SQL at n=3 — because Bloom filters have
+    no false negatives and an exact confirm join removes the false
+    positives. What changes is the 100 TB constant: each corpus partition
+    tests shingles against a 16 KB bitset literal (built by ONE bounded
+    aggregation over eval shingles) instead of probing a broadcast hash
+    relation of the full eval shingle set, so a 10⁸-shingle eval suite
+    costs executors kilobytes, not gigabytes — the runtime-bloom-filter
+    trick Spark's InjectRuntimeFilter plays on shuffle joins, applied to a
+    composed corpus pipeline where SQL can't inject it."""
+    from ..operators.dedup import decontaminate_bloom
+
+    d = load_table(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    tr = d.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate_bloom(tr, ev, "text", "doc_id", n=3)

@@ -2466,3 +2466,61 @@ def test_broadcasts_release_with_cache_scope(spark):
     for bc in bcs:
         # unpersisted broadcasts can still be re-read driver-side
         assert bc.value is not None
+
+
+def test_bloom_decontaminate_equals_exact_decontaminate(spark):
+    from feature_store_implementation_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+    from feature_store_implementation_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    ev = d.filter(F.col("doc_id") % 53 == 0)
+    tr = d.filter(F.col("doc_id") % 53 != 0)
+    exact = {
+        (r["doc_id"], r["n_shared"])
+        for r in decontaminate(tr, ev, "text", "doc_id", n=3).collect()
+    }
+    bloom = {
+        (r["doc_id"], r["n_shared"])
+        for r in decontaminate_bloom(tr, ev, "text", "doc_id", n=3).collect()
+    }
+    assert bloom == exact and exact  # identical, and non-trivially non-empty
+
+
+def test_bloom_bitset_no_false_negatives_and_bounded_size(spark):
+    from feature_store_implementation_spark.operators.dedup import (
+        bloom_bitset,
+        bloom_contains,
+    )
+
+    vals = spark.range(0, 5000).select(
+        F.concat(F.lit("v-"), F.col("id").cast("string")).alias("s")
+    )
+    num_bits, k = 1 << 14, 3
+    bits = bloom_bitset(vals, "s", num_bits=num_bits, num_hashes=k)
+    assert len(bits) == num_bits // 64  # collect bounded by bitset words,
+    # never by the value count
+    probe = spark.range(0, 10000).select(
+        F.concat(F.lit("v-"), F.col("id").cast("string")).alias("s")
+    )
+    hits = (
+        probe.withColumn("__bf", F.lit(bits))
+        .filter(bloom_contains("s", "__bf", num_bits, k))
+        .count()
+    )
+    # every inserted value must hit (no false negatives); the 5k
+    # non-inserted probes may add a small false-positive tail, bounded
+    # loosely here (theoretical FPR ~ (1-e^(-k n/m))^k ~ 0.17 at this
+    # deliberately tight m/n; the default 2^17 bits is ~1e-4)
+    assert 5000 <= hits < 5000 + 1800
+
+
+def test_bloom_bitset_rejects_unaligned_num_bits(spark):
+    import pytest
+
+    from feature_store_implementation_spark.operators.dedup import bloom_bitset
+
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_bitset(spark.range(1).selectExpr("'x' AS s"), "s", num_bits=100)

@@ -379,3 +379,39 @@ def test_cap_per_group_binding_and_repartition_stable(spark):
 
     with pytest.raises(ValueError, match="positive"):
         cap_per_group(df, k=0)
+
+
+def test_quota_sample_exact_quotas_and_min_stratum(spark):
+    import math
+
+    from feature_store_implementation_spark.operators.sampling import quota_sample
+
+    d = load_table(spark, SF, "documents")
+    # add a tiny synthetic stratum (2 rows) to exercise min_per_stratum
+    tiny = d.limit(2).withColumn("lang", F.lit("xx"))
+    full = d.unionByName(tiny)
+    out = quota_sample(full, ["lang"], 0.2, ["doc_id"], min_per_stratum=1)
+    got = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    base = {r["lang"]: r["count"] for r in full.groupBy("lang").count().collect()}
+    assert got == {g: max(1, math.ceil(0.2 * n)) for g, n in base.items()}
+    assert got["xx"] == 1  # 0.2 * 2 -> ceil = 1, small stratum represented
+
+
+def test_quota_sample_partitioning_independent_and_rank_stable(spark):
+    from feature_store_implementation_spark.operators.sampling import quota_sample
+
+    d = load_table(spark, SF, "documents")
+    a = {r["doc_id"] for r in quota_sample(d, ["lang"], 0.3, ["doc_id"]).collect()}
+    b = {
+        r["doc_id"]
+        for r in quota_sample(d.repartition(17), ["lang"], 0.3, ["doc_id"]).collect()
+    }
+    assert a == b
+    # superset stability: dropping non-selected rows never changes the
+    # selection (md5 rank is content-determined, quota shrinks with |stratum|
+    # only at the boundary)
+    kept = quota_sample(d, ["lang"], 0.3, ["doc_id"])
+    again = {
+        r["doc_id"] for r in quota_sample(kept, ["lang"], 1.0, ["doc_id"]).collect()
+    }
+    assert again == a
