@@ -151,6 +151,10 @@ EXTRAS = [
     "q_source_caps",
     "q_asof_nearest",
     "q_asof_tolerance",
+    "q_stratified_quota",
+    "q_cdc_merge",
+    "q_zorder_key",
+    "q_bloom_decontaminate",
     "q_incremental_feature",
     "q_pretraining_corpus",
     "q_corpus_update",

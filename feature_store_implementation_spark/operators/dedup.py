@@ -1813,7 +1813,8 @@ def bloom_bitset(
 ) -> list[int]:
     """Build a Bloom-filter bitset over a (small) distinct value set, packed
     as ``num_bits / 64`` signed longs — the compact membership summary a
-    prefilter can carry into every corpus partition as a plain literal.
+    prefilter ships to every executor as a one-row broadcast relation
+    (never as ``F.lit(list)``: that builds a per-row array constructor).
 
     Construction is one Spark aggregation: each value explodes to its
     ``num_hashes`` bit positions (``xxhash64(value, i) mod num_bits`` — the
@@ -1866,13 +1867,25 @@ def bloom_contains(col: str, bitset_col: str, num_bits: int, num_hashes: int) ->
     return F.expr(" AND ".join(tests))
 
 
+def _auto_bloom_bits(n_values: int, lo: int = 1 << 17, hi: int = 1 << 22) -> int:
+    """Smallest power-of-two bitset ≥ 16 bits/value, clamped to
+    [16 KB, 512 KB as bytes] — ~0.2% FPR at k=3 (k·n/m ≈ 0.19 →
+    (1-e^-0.19)³). The clamp ceiling keeps the bitset literal small
+    enough for plan codegen; above ~250M eval shingles, shard the eval
+    set and run the prefilter per shard."""
+    bits = lo
+    while bits < hi and bits < 16 * max(n_values, 1):
+        bits <<= 1
+    return bits
+
+
 def decontaminate_bloom(
     train: DataFrame,
     eval_df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 8,
-    num_bits: int = 1 << 17,
+    num_bits: int | None = None,
     num_hashes: int = 3,
 ) -> DataFrame:
     """:func:`decontaminate` with a Bloom prefilter on the corpus side —
@@ -1886,7 +1899,8 @@ def decontaminate_bloom(
     held-out suite (every eval benchmark + all validation splits,
     ~10⁷-10⁸ shingles) makes that broadcast relation gigabytes per
     executor. Here each corpus partition instead tests shingles against a
-    16 KB-by-default bitset literal (runtime-filter style, the same trick
+    16-512 KB broadcast bitset sized to the eval count (runtime-filter
+    style, the same trick
     Spark's own InjectRuntimeFilter plays with bloom_filter_agg on shuffle
     joins, which SQL doesn't expose for composed plans like this); only
     the surviving ~FPR fraction plus true overlaps reaches the exact
@@ -1900,11 +1914,28 @@ def decontaminate_bloom(
             F.explode(word_ngrams_col(toks, n)).alias("shingle"),
         )
 
-    ev = shingles(eval_df).select("shingle").distinct()
+    # the eval shingle set feeds THREE jobs (auto-size count, bitset
+    # aggregation, exact confirm join) — cache it under the module's
+    # scoped window so the distinct runs once
+    ev = _cache_scoped(shingles(eval_df).select("shingle").distinct())
+    if num_bits is None:
+        # auto-size from the eval shingle count: an undersized bitset is
+        # silently useless (measured: 2^17 bits at 47k shingles -> 28% FPR,
+        # survivors 13x the true matches; 2^20 -> ~0.2%). One extra
+        # eval-side job, never corpus-side.
+        num_bits = _auto_bloom_bits(ev.count())
     bitset = bloom_bitset(ev, "shingle", num_bits=num_bits, num_hashes=num_hashes)
+    # ship the bitset as a ONE-ROW broadcast relation, not a literal:
+    # F.lit(list) builds an array CONSTRUCTOR with |bitset| child
+    # expressions that re-materializes the array per input row (measured
+    # 8x slower at 16k words); the broadcast row is built once per
+    # executor and element_at reads it in place.
+    bf = F.broadcast(
+        train.sparkSession.createDataFrame([(bitset,)], "__bf array<bigint>")
+    )
     cand = (
         shingles(_spread_small_input(train))
-        .withColumn("__bf", F.lit(bitset))
+        .crossJoin(bf)
         .filter(bloom_contains("shingle", "__bf", num_bits, num_hashes))
         .drop("__bf")
     )

@@ -2505,8 +2505,9 @@ def test_bloom_bitset_no_false_negatives_and_bounded_size(spark):
     probe = spark.range(0, 10000).select(
         F.concat(F.lit("v-"), F.col("id").cast("string")).alias("s")
     )
+    bf = F.broadcast(spark.createDataFrame([(bits,)], "__bf array<bigint>"))
     hits = (
-        probe.withColumn("__bf", F.lit(bits))
+        probe.crossJoin(bf)
         .filter(bloom_contains("s", "__bf", num_bits, k))
         .count()
     )

@@ -85,12 +85,18 @@ def main() -> None:
         lb = file_bounds(f"{linear}/*.parquet", ["x", "y"])
         zb = file_bounds(f"{zordered}/*.parquet", ["x", "y"])
 
-        # 3x3 grid of 10%-per-side boxes (~1% of rows each)
-        boxes = [
-            {"x": (cx, cx + 10_000), "y": (cy, cy + 10_000)}
-            for cx in (10_000, 45_000, 80_000)
-            for cy in (10_000, 45_000, 80_000)
-        ]
+        # three predicate classes: the leading-column filter (linear's home
+        # turf), the NON-leading-column filter (linear must read everything;
+        # the case z-order exists for), and the 2-D box
+        boxes = (
+            [{"x": (c, c + 10_000)} for c in (10_000, 45_000, 80_000)]
+            + [{"y": (c, c + 10_000)} for c in (10_000, 45_000, 80_000)]
+            + [
+                {"x": (cx, cx + 10_000), "y": (cy, cy + 10_000)}
+                for cx in (10_000, 45_000, 80_000)
+                for cy in (10_000, 45_000, 80_000)
+            ]
+        )
         rows = []
         for box in boxes:
             lo_files = files_overlapping(lb, box)
@@ -108,16 +114,28 @@ def main() -> None:
                     "zorder_sec": round(zt, 3),
                 }
             )
-        avg = lambda k: round(sum(r[k] for r in rows) / len(rows), 3)  # noqa: E731
+        def summarize(cls: str, sel) -> dict:
+            grp = [r for r in rows if sel(r["box"])]
+            avg = lambda k: round(sum(r[k] for r in grp) / len(grp), 3)  # noqa: E731
+            return {
+                "class": cls,
+                "n": len(grp),
+                "avg_linear_files": avg("linear_files"),
+                "avg_zorder_files": avg("zorder_files"),
+                "avg_linear_sec": avg("linear_sec"),
+                "avg_zorder_sec": avg("zorder_sec"),
+            }
+
         print(
             json.dumps(
                 {
                     "n_rows": n_rows,
                     "n_files": len(lb),
-                    "avg_linear_files": avg("linear_files"),
-                    "avg_zorder_files": avg("zorder_files"),
-                    "avg_linear_sec": avg("linear_sec"),
-                    "avg_zorder_sec": avg("zorder_sec"),
+                    "classes": [
+                        summarize("x_only", lambda b: set(b) == {"x"}),
+                        summarize("y_only", lambda b: set(b) == {"y"}),
+                        summarize("xy_box", lambda b: set(b) == {"x", "y"}),
+                    ],
                     "boxes": rows,
                 }
             )
