@@ -708,6 +708,138 @@ class OfflineStore:
             deleted = True
         return deleted
 
+    def delete_rows(
+        self,
+        version_id: int,
+        entity_ids: list[str] | None = None,
+        where: str | None = None,
+        purge: bool = False,
+        _before_commit=None,
+    ) -> dict:
+        """Row-level DELETE for one version — the GDPR-erasure /
+        bad-batch-retraction operation (Delta's ``DELETE FROM``): rewrite
+        only the files that can contain matching rows, commit the survivors
+        plus every untouched file as ONE new segment superseding the
+        snapshot. The reference can ``DELETE`` in SQLite trivially; at
+        100 TB delete cost is governed by how few files you rewrite, which
+        is what the manifest's per-file ``entity_ranges`` buys here: an
+        erasure request for K subjects opens ~K files, not the version.
+
+        ``entity_ids`` — erase whole subjects (range-pruned to the files
+        whose [min,max] can contain them). ``where`` — an arbitrary SQL
+        predicate over (entity_id, value, computed_at) for retraction by
+        content/time; no file pruning unless combined with ``entity_ids``
+        (both given = AND). At least one is required — an unconstrained
+        delete must be the explicit :meth:`drop_version_values`.
+
+        Crash-atomic and append-safe exactly like compaction (whose
+        mutation lock this shares, so a concurrent compaction can never
+        supersede the same snapshot): survivors stage → fsync → move in
+        under new names → one atomic segment commit. An append landing
+        mid-delete keeps its own segment — it is not in the snapshot, so
+        it is never superseded (rows it re-adds for a deleted subject are
+        NEW data, correctly retained).
+
+        Time travel vs erasure: with ``purge=False`` the matched rows'
+        old files stay on disk un-referenced by live segments — as-of
+        reads of pre-delete snapshots still resolve them until the
+        age-gated :func:`vacuum_orphans` sweep (Delta's VACUUM retention
+        contract). ``purge=True`` removes them NOW: physical erasure that
+        deliberately breaks older snapshots' access to those rows —
+        which is the entire point of an erasure request.
+
+        Returns ``{"deleted_rows", "rewritten_files", "untouched_files",
+        "new_files", "purged_files"}``.
+        """
+        if entity_ids is None and where is None:
+            raise ValueError(
+                "delete_rows: pass entity_ids and/or where; an unconstrained "
+                "delete must be the explicit drop_version_values()"
+            )
+        vid = int(version_id)
+        self._migrate_legacy_store()
+        os.makedirs(self._segment_dir(vid), exist_ok=True)
+        lock = os.path.join(self._segment_dir(vid), ".compact.lock")
+        report = {
+            "deleted_rows": 0,
+            "rewritten_files": 0,
+            "untouched_files": 0,
+            "new_files": 0,
+            "purged_files": [],
+        }
+        with _pid_lock(lock, f"row delete for version {vid}"):
+            snapshot = self._read_segments(vid)
+            all_rel = sorted({f for s in snapshot.values() for f in s["files"]})
+            if not all_rel:
+                return report
+            affected = self._prune_segment_files(snapshot, entity_ids)
+            untouched = [rf for rf in all_rel if rf not in set(affected)]
+            report["untouched_files"] = len(untouched)
+            if not affected:
+                return report
+
+            match = F.lit(True)
+            if entity_ids is not None:
+                match = match & F.col("entity_id").isin(
+                    [str(e) for e in entity_ids]
+                )
+            if where is not None:
+                match = match & F.expr(where)
+            src = self._read_files(affected).select(
+                *[f.name for f in _FILE_SCHEMA.fields]
+            )
+            counts = src.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(match.cast("long")).alias("hit"),
+            ).collect()[0]
+            n_deleted = int(counts["hit"] or 0)
+            if n_deleted == 0:
+                return report  # range over-inclusion only — nothing to do
+            report["deleted_rows"] = n_deleted
+            report["rewritten_files"] = len(affected)
+
+            survivors = src.filter(~match)
+            size = sum(
+                os.path.getsize(os.path.join(self.path, rf)) for rf in affected
+            )
+            # survivors shrink proportionally; keep ~source file sizing
+            surv_bytes = size * (int(counts["n"]) - n_deleted) // max(int(counts["n"]), 1)
+            n_files = max(1, -(-surv_bytes // (128 * 1024 * 1024)))
+            txn = uuid.uuid4().hex[:12]
+            staging = os.path.join(self.path, ".staging", txn)
+            (
+                survivors.repartitionByRange(n_files, "entity_id")
+                .sortWithinPartitions("entity_id")
+                .write.parquet(staging)
+            )
+            part_rel = f"feature_version_id={vid}"
+            part_dir = os.path.join(self.path, part_rel)
+            os.makedirs(part_dir, exist_ok=True)
+            new_rel: list[str] = []
+            try:
+                for s in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
+                    _fsync_path(s)
+                    name = f"{txn}-{os.path.basename(s)}"
+                    os.rename(s, os.path.join(part_dir, name))
+                    new_rel.append(f"{part_rel}/{name}")
+                _fsync_path(part_dir)
+                if _before_commit is not None:  # test hook (crash/interleave)
+                    _before_commit()
+                self._commit_segment(
+                    vid, new_rel + untouched, supersedes=list(snapshot), name=txn
+                )
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
+            report["new_files"] = len(new_rel)
+            if purge:
+                for rf in affected:
+                    try:
+                        os.remove(os.path.join(self.path, rf))
+                        report["purged_files"].append(rf)
+                    except FileNotFoundError:
+                        pass
+        return report
+
 
 def vacuum_orphans(store: OfflineStore, min_age_seconds: float = 24 * 3600) -> list[str]:
     """Remove data files that no manifest references — the garbage a

@@ -74,6 +74,13 @@ class TableFormat(ABC):
         returns the resulting file count."""
 
     @abstractmethod
+    def delete(self, version_id: int, entity_ids: list[str]) -> int:
+        """Row-level delete by subject (GDPR erasure); returns rows
+        removed. Pre-delete snapshots stay resolvable until vacuum
+        (retention mode). Maps to Delta's ``DELETE FROM ... WHERE
+        entity_id IN (...)``."""
+
+    @abstractmethod
     def vacuum(self, min_age_seconds: float) -> list[str]:
         """Collect unreferenced data files older than the retention."""
 
@@ -114,6 +121,11 @@ class ManifestSegmentFormat(TableFormat):
             keep_old_files=True,  # retention mode: snapshots stay resolvable
             _before_commit=before_commit,
         )
+
+    def delete(self, version_id, entity_ids):
+        return self.store.delete_rows(version_id, entity_ids=entity_ids)[
+            "deleted_rows"
+        ]
 
     def vacuum(self, min_age_seconds):
         return vacuum_orphans(self.store, min_age_seconds)

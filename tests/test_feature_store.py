@@ -1698,3 +1698,117 @@ def test_pandas_by_entity_null_entity_and_error_contract(fs, spark):
     with pytest.raises(ComputationError, match="non-numeric"):
         fs.compute_version(bad.id, "v1", [{"id": "a", "amount": 1.0}])
     assert fs.catalog.list_pending() == []  # compensating delete still ran
+
+
+def test_delete_rows_prunes_rewrites_and_erases(spark, tmp_path):
+    """Row-level delete (GDPR erasure): only files whose entity_ranges can
+    contain the targets are rewritten; untouched files keep their exact
+    names (never rewritten); results match a full filter; an as-of read
+    from before the delete still resolves the pre-delete snapshot until
+    purge/vacuum."""
+    import os
+    import time
+
+    from feature_store_implementation_spark.store.offline import OfflineStore
+
+    store = OfflineStore(spark, str(tmp_path / "values"))
+    for lo in (0, 100, 200):
+        rows = [(f"{i:04d}", str(i)) for i in range(lo, lo + 100)]
+        df = spark.createDataFrame(rows, "entity_id string, value string").coalesce(1)
+        store.write_values(7, df)
+    before = time.time()
+    files_before = store._manifest_files(7)
+    assert len(files_before) == 3
+    affected = set(store._manifest_files(7, entity_ids=["0150", "0151"]))
+    assert len(affected) == 1  # ranges prune to the 0100-0199 file
+
+    rep = store.delete_rows(7, entity_ids=["0150", "0151"])
+    assert rep["deleted_rows"] == 2
+    assert rep["rewritten_files"] == 1
+    assert rep["untouched_files"] == 2
+    files_after = set(store._manifest_files(7))
+    # the two untouched files survive BY NAME (no rewrite); the affected
+    # file left the live set, replaced by new survivor file(s)
+    assert set(files_before) - affected <= files_after
+    assert not (affected & files_after)
+    assert store.values_for_version(7).filter(
+        "entity_id IN ('0150','0151')"
+    ).count() == 0
+    assert store.values_for_version(7).count() == 298
+    # pre-delete snapshot still resolves the deleted rows (purge=False)
+    asof = store.values_for_version_as_of(7, before)
+    assert asof.filter("entity_id = '0150'").count() == 1
+
+
+def test_delete_rows_where_predicate_and_purge(spark, tmp_path):
+    import os
+
+    from feature_store_implementation_spark.store.offline import OfflineStore
+
+    store = OfflineStore(spark, str(tmp_path / "values"))
+    rows = [(f"e{i:03d}", str(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "entity_id string, value string").coalesce(1)
+    store.write_values(3, df)
+    old_files = store._manifest_files(3)
+
+    rep = store.delete_rows(3, where="CAST(value AS INT) % 2 = 0", purge=True)
+    assert rep["deleted_rows"] == 100
+    assert rep["purged_files"] == old_files  # physical erasure, immediate
+    for rf in old_files:
+        assert not os.path.exists(os.path.join(store.path, rf))
+    vals = store.values_for_version(3)
+    assert vals.count() == 100
+    assert vals.filter("CAST(value AS INT) % 2 = 0").count() == 0
+
+
+def test_delete_rows_guards_and_noops(spark, tmp_path):
+    import pytest
+
+    from feature_store_implementation_spark.store.offline import OfflineStore
+
+    store = OfflineStore(spark, str(tmp_path / "values"))
+    with pytest.raises(ValueError, match="drop_version_values"):
+        store.delete_rows(1)
+    # empty store: structured no-op
+    rep = store.delete_rows(1, entity_ids=["x"])
+    assert rep == {
+        "deleted_rows": 0,
+        "rewritten_files": 0,
+        "untouched_files": 0,
+        "new_files": 0,
+        "purged_files": [],
+    }
+    df = spark.createDataFrame(
+        [("a", "1"), ("b", "2")], "entity_id string, value string"
+    ).coalesce(1)
+    store.write_values(1, df)
+    # target outside every range: no rewrite, no commit
+    rep = store.delete_rows(1, entity_ids=["zzz"])
+    assert rep["deleted_rows"] == 0 and rep["new_files"] == 0
+    assert store.values_for_version(1).count() == 2
+
+
+def test_delete_rows_concurrent_append_is_never_lost(spark, tmp_path):
+    """An append landing between the delete's snapshot and its commit keeps
+    its own segment: the delete supersedes only the snapshot it rewrote,
+    so the interleaved rows — even for a just-deleted subject — remain
+    visible (they are NEW data, post-erasure)."""
+    from feature_store_implementation_spark.store.offline import OfflineStore
+
+    store = OfflineStore(spark, str(tmp_path / "values"))
+    df = spark.createDataFrame(
+        [(f"k{i}", str(i)) for i in range(10)], "entity_id string, value string"
+    ).coalesce(1)
+    store.write_values(9, df)
+
+    def interleaved_append():
+        late = spark.createDataFrame(
+            [("k3", "REBORN"), ("new", "n")], "entity_id string, value string"
+        ).coalesce(1)
+        store.write_values(9, late)
+
+    rep = store.delete_rows(9, entity_ids=["k3"], _before_commit=interleaved_append)
+    assert rep["deleted_rows"] == 1
+    vals = {r["entity_id"]: r["value"] for r in store.values_for_version(9).collect()}
+    assert vals.get("k3") == "REBORN" and vals.get("new") == "n"
+    assert len(vals) == 11  # 10 - 1 deleted + 2 appended

@@ -1,6 +1,6 @@
 """The storage-seam conformance suite: every `TableFormat` backend must
-pass these five contracts (append-visible, concurrent-append,
-kill-during-write, as-of, compaction) IDENTICALLY. Today that is the
+pass these six contracts (append-visible, concurrent-append,
+kill-during-write, as-of, compaction, row-level delete) IDENTICALLY. Today that is the
 manifest-segment backend; a future Delta backend (delta-spark is not
 installable in this sandbox — pip is DNS-blocked) plugs into
 `available_formats()` and runs this file unchanged. SCALING.md's
@@ -108,3 +108,27 @@ def test_contract_vacuum_collects_replaced_files_after_retention(spark, fmt):
     removed = fmt.vacuum(min_age_seconds=0)
     assert removed  # the compacted-away originals
     assert _vals(fmt.read(1)) == rows  # live read untouched
+
+
+def test_contract_delete_erases_subjects_and_spares_snapshots(spark, fmt):
+    """Sixth contract: row-level delete removes exactly the targeted
+    subjects from the live table; everything else — including a
+    concurrent version and the pre-delete as-of snapshot — is untouched
+    (retention mode: erased rows stay time-travel-resolvable until
+    vacuum)."""
+    fmt.append(1, _rows(spark, "a"))
+    fmt.append(2, _rows(spark, "other", 5))
+    before = time.time()
+    time.sleep(0.02)
+
+    assert fmt.delete(1, ["e3", "e7", "nope"]) == 2
+    live = _vals(fmt.read(1))
+    assert live == [
+        (e, v) for e, v in _vals(_rows(spark, "a")) if e not in ("e3", "e7")
+    ]
+    assert fmt.read(2).count() == 5  # other versions untouched
+    # pre-delete snapshot still shows the erased subjects
+    snap = _vals(fmt.read_as_of(1, before))
+    assert snap == _vals(_rows(spark, "a"))
+    # idempotent: a second identical delete finds nothing
+    assert fmt.delete(1, ["e3", "e7"]) == 0
