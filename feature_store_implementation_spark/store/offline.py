@@ -375,6 +375,24 @@ class OfflineStore:
                 continue  # stat-less file: always read, never wrong
         return ranges
 
+    def _row_counts(self, rel_files: list[str]) -> dict[str, int]:
+        """Per-file row counts from the parquet footers the writer just
+        produced — the statistic that lets ``count_for_version`` answer
+        COUNT(*) from the manifest without scheduling a scan (what
+        Delta/Iceberg's numRecords column does). A file whose footer
+        can't be read is omitted; readers fall back to scanning."""
+        import pyarrow.parquet as pq
+
+        counts: dict[str, int] = {}
+        for rf in rel_files:
+            try:
+                counts[rf] = int(
+                    pq.ParquetFile(os.path.join(self.path, rf)).metadata.num_rows
+                )
+            except Exception:
+                continue
+        return counts
+
     @staticmethod
     def _range_covers(rng: list[str], targets: list[bytes]) -> bool:
         # parquet orders string stats by unsigned bytes; compare the same way
@@ -401,6 +419,9 @@ class OfflineStore:
         ranges = self._entity_ranges(sorted(files))
         if ranges:
             doc["entity_ranges"] = ranges
+        counts = self._row_counts(sorted(files))
+        if counts:
+            doc["row_counts"] = counts
         if supersedes:
             doc["supersedes"] = sorted(supersedes)
         final = os.path.join(seg_dir, f"{seg_id}.json")
@@ -537,7 +558,9 @@ class OfflineStore:
             self._commit_segment(vid, new_rel, name=txn)
         finally:
             shutil.rmtree(os.path.join(self.path, ".staging", txn), ignore_errors=True)
-        return self.values_for_version(vid).count()
+        # manifest-stat count: no read-back scan of the whole version per
+        # append (falls back to the scan only for stat-less legacy files)
+        return self.count_for_version(vid)
 
     # -- reads -------------------------------------------------------------
 
@@ -566,6 +589,32 @@ class OfflineStore:
         return self._read_files(self._manifest_files(vid, entity_ids)).filter(
             F.col("feature_version_id") == vid
         )
+
+    def count_for_version(self, version_id: int, as_of=None) -> int:
+        """COUNT(*) for one version answered from manifest statistics
+        alone — zero Spark jobs, zero files opened — whenever every live
+        file's row count was recorded at commit time (all post-round-10
+        segments; Delta/Iceberg answer the same query from their logs'
+        numRecords). Any stat-less file (legacy segments, pre-manifest
+        stores) falls back to the scan count, so the answer is always
+        exact. ``as_of`` gives the snapshot count under the same
+        time-travel rules as :meth:`values_for_version_as_of`.
+
+        This is what the write path returns after every append: at 100 TB
+        a scan-count after each micro-batch append would read the whole
+        version back per commit."""
+        vid = int(version_id)
+        secs = self._as_of_seconds(as_of) if as_of is not None else None
+        segs = self._read_segments(vid, as_of=secs)
+        files = sorted({f for s in segs.values() for f in s["files"]})
+        counts: dict[str, int] = {}
+        for s in segs.values():
+            counts.update(s.get("row_counts", {}))
+        if segs and all(f in counts for f in files):
+            return sum(counts[f] for f in files)
+        if as_of is not None:
+            return self.values_for_version_as_of(vid, as_of).count()
+        return self.values_for_version(vid).count()
 
     @staticmethod
     def _as_of_seconds(as_of) -> float:

@@ -1812,3 +1812,62 @@ def test_delete_rows_concurrent_append_is_never_lost(spark, tmp_path):
     vals = {r["entity_id"]: r["value"] for r in store.values_for_version(9).collect()}
     assert vals.get("k3") == "REBORN" and vals.get("new") == "n"
     assert len(vals) == 11  # 10 - 1 deleted + 2 appended
+
+
+def test_count_for_version_is_metadata_only_and_exact(spark, tmp_path):
+    """COUNT(*) from manifest row_counts: exact across appends, delete,
+    compaction, and as-of snapshots — and answered WITHOUT planning a
+    scan (proven by poisoning _read_files)."""
+    import time
+
+    from feature_store_implementation_spark.store.offline import (
+        OfflineStore,
+        compact_version_partition,
+    )
+
+    store = OfflineStore(spark, str(tmp_path / "values"))
+    for lo in (0, 100):
+        rows = [(f"{i:04d}", str(i)) for i in range(lo, lo + 50)]
+        df = spark.createDataFrame(rows, "entity_id string, value string").coalesce(1)
+        assert store.write_values(4, df) == lo // 2 + 50
+    before_delete = time.time()
+    assert store.count_for_version(4) == 100
+
+    store.delete_rows(4, entity_ids=["0010", "0110"])
+    assert store.count_for_version(4) == 98
+    assert store.count_for_version(4, as_of=before_delete) == 100
+
+    compact_version_partition(spark, store.path, 4)
+    assert store.count_for_version(4) == 98
+    # all of the above equal the scan truth
+    assert store.values_for_version(4).count() == 98
+
+    # the stat path never touches data files
+    def poisoned(_rel):
+        raise AssertionError("count_for_version planned a scan")
+
+    store._read_files = poisoned
+    assert store.count_for_version(4) == 98
+
+
+def test_count_for_version_falls_back_on_statless_segments(spark, tmp_path):
+    """A segment missing row_counts (hand-edited / pre-round-10) forces the
+    scan fallback — exactness beats the shortcut."""
+    import json
+    import os
+
+    from feature_store_implementation_spark.store.offline import OfflineStore
+
+    store = OfflineStore(spark, str(tmp_path / "values"))
+    df = spark.createDataFrame(
+        [(f"e{i}", str(i)) for i in range(30)], "entity_id string, value string"
+    ).coalesce(1)
+    store.write_values(2, df)
+    seg_dir = store._segment_dir(2)
+    for n in os.listdir(seg_dir):
+        if n.endswith(".json"):
+            p = os.path.join(seg_dir, n)
+            doc = json.load(open(p))
+            doc.pop("row_counts", None)
+            json.dump(doc, open(p, "w"))
+    assert store.count_for_version(2) == 30  # scan fallback, still exact
