@@ -155,6 +155,7 @@ EXTRAS = [
     "q_cdc_merge",
     "q_zorder_key",
     "q_bloom_decontaminate",
+    "q_gopher_rules",
     "q_incremental_feature",
     "q_pretraining_corpus",
     "q_corpus_update",

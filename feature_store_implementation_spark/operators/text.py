@@ -835,3 +835,182 @@ def script_profile(
         dom = F.when(better, F.lit(name)).otherwise(dom)
         best = F.when(better, F.col(rc)).otherwise(best)
     return out.withColumn("dominant_script", F.when(F.col("n_chars") > 0, dom).otherwise(F.lit("none")))
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Per-document Gopher quality-filter signals (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Appendix A1) — the standard
+    web-corpus repetition-free heuristics a pretraining intake applies
+    before any model-based scoring. Emits every rule's measured value
+    plus the combined ``keep`` verdict, so the filter itself is a
+    trivial ``WHERE keep = 1`` and the flags double as corpus
+    diagnostics:
+
+    * ``n_words`` — whitespace tokens (must be in [min_words, max_words])
+    * ``mean_word_len_micro`` — 1e6 × mean token length, exact integer
+      division (must be in [3, 10] words → [3e6, 10e6])
+    * ``symbol_word_ratio_micro`` — 1e6 × (# ``#`` chars + # ``...``
+      occurrences) / words (≤ 0.1)
+    * ``bullet_line_ratio_micro`` — 1e6 × lines starting with a bullet
+      (``•``/``- ``/``* ``) / lines (≤ 0.9)
+    * ``ellipsis_line_ratio_micro`` — 1e6 × lines ending in ``...`` or
+      ``…`` / lines (≤ 0.3)
+    * ``alpha_word_ratio_micro`` — 1e6 × words containing ≥1 ASCII
+      letter / words (≥ 0.8)
+    * ``n_stop_hits`` — DISTINCT ``stopwords`` present (≥ 2)
+
+    All ratios are exact integer micros (``1e6·a div b``), so the DuckDB
+    oracle reproduces them bit-for-bit — no float rounding surface.
+    Pure JVM expressions, map-only, one projection; at 100 TB this is a
+    whole-stage-codegen scan with zero shuffles, and the ``keep``
+    predicate pushes into the same stage as downstream filters.
+
+    Reference parity note: the reference engine has no quality gating
+    (its compute surface is generic pandas exec, reference
+    compute.py:40-55); this extends the intake the way every published
+    LLM-data pipeline (Gopher, RefinedWeb, FineWeb) does."""
+    text = F.col(text_col)
+    words = tokens_col(text, lowercase=False)
+    words_lc = tokens_col(text)
+    lines = F.split(text, r"\n")
+    n_words = F.size(words).cast("long")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("long")
+    word_chars = F.coalesce(
+        F.aggregate(words, F.lit(0).cast("long"), lambda a, x: a + F.length(x)),
+        F.lit(0).cast("long"),
+    )
+    n_hash = (F.length(text) - F.length(F.replace(text, F.lit("#")))).cast("long")
+    n_ellipsis = (
+        (F.length(text) - F.length(F.replace(text, F.lit("...")))) / 3
+    ).cast("long")
+    n_alpha = F.size(F.filter(words, lambda x: x.rlike("[a-zA-Z]"))).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda x: F.ltrim(x).startswith("•")
+            | F.ltrim(x).startswith("- ")
+            | F.ltrim(x).startswith("* "),
+        )
+    ).cast("long")
+    n_ell_lines = F.size(
+        F.filter(
+            lines,
+            lambda x: F.rtrim(x).endswith("...") | F.rtrim(x).endswith("…"),
+        )
+    ).cast("long")
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(
+        F.filter(stop_arr, lambda s: F.array_contains(words_lc, s))
+    ).cast("long")
+    micro = F.lit(1_000_000).cast("long")
+    nz_words = F.greatest(n_words, F.lit(1).cast("long"))
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        word_chars.alias("__wc"),
+        nz_words.alias("__nw"),
+        ((micro * (n_hash + n_ellipsis))).alias("__sym"),
+        n_bullet.alias("__nb"),
+        n_ell_lines.alias("__ne"),
+        n_lines.alias("__nl"),
+        n_alpha.alias("__na"),
+        n_stop.alias("n_stop_hits"),
+    )
+    mean_wl = F.expr("(1000000 * __wc) div __nw")
+    sym = F.expr("__sym div __nw")
+    bullet = F.expr("(1000000 * __nb) div __nl")
+    ell = F.expr("(1000000 * __ne) div __nl")
+    alpha = F.expr("(1000000 * __na) div __nw")
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & mean_wl.between(int(min_mean_word_len * 1e6), int(max_mean_word_len * 1e6))
+        & (sym <= int(max_symbol_word_ratio * 1e6))
+        & (bullet <= int(max_bullet_line_ratio * 1e6))
+        & (ell <= int(max_ellipsis_line_ratio * 1e6))
+        & (alpha >= int(min_alpha_word_ratio * 1e6))
+        & (F.col("n_stop_hits") >= min_stop_hits)
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        mean_wl.alias("mean_word_len_micro"),
+        sym.alias("symbol_word_ratio_micro"),
+        bullet.alias("bullet_line_ratio_micro"),
+        ell.alias("ellipsis_line_ratio_micro"),
+        alpha.alias("alpha_word_ratio_micro"),
+        "n_stop_hits",
+        keep.cast("int").alias("keep"),
+    )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4-style page cleaning (Raffel et al. 2020 §2.2, the "Colossal
+    Clean Crawled Corpus" heuristics): line-level retention + page-level
+    rejection, in one map-only projection.
+
+    Line rules — a line survives iff it ends in terminal punctuation
+    (``.``/``!``/``?``/``"``/``'``) AND has ≥ ``min_words_per_line``
+    whitespace words AND does not contain ``javascript`` (case-folded).
+    ``clean_text`` re-joins the survivors with ``\\n``.
+
+    Page rules — ``keep`` is 0 when the page mentions ``lorem ipsum``
+    (case-folded), contains a curly brace (code), or the CLEANED page
+    has fewer than ``min_sentences`` sentences (split on ``[.!?]`` with
+    non-empty remainder).
+
+    Emits (doc_id, clean_text, n_lines, n_lines_kept, n_sentences,
+    has_lorem, has_brace, keep). Pure JVM higher-order-function
+    expressions — no UDF, no shuffle; the 100 TB shape is a single
+    codegen'd scan. On punctuation-free synthetic corpora every page
+    degenerates to keep=0 (tests pin the real behavior on crafted
+    fixtures; see tests/test_text_extra.py)."""
+    text = F.col(text_col)
+    lines = F.split(text, r"\n")
+    is_kept = lambda x: (  # noqa: E731 — shared by two exprs below
+        F.rtrim(x).rlike('[.!?"\']$')
+        & (F.size(F.filter(F.split(x, r"\s+"), lambda t: t != "")) >= min_words_per_line)
+        & ~F.lower(x).contains("javascript")
+    )
+    kept = F.filter(lines, is_kept)
+    clean = F.array_join(kept, "\n")
+    n_sentences = F.size(
+        F.filter(F.split(clean, r"[.!?]"), lambda s: F.trim(s) != "")
+    ).cast("long")
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    has_brace = text.contains("{") | text.contains("}")
+    keep = (
+        ~has_lorem & ~has_brace & (n_sentences >= min_sentences)
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        clean.alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        n_sentences.alias("n_sentences"),
+        has_lorem.cast("int").alias("has_lorem"),
+        has_brace.cast("int").alias("has_brace"),
+        keep.cast("int").alias("keep"),
+    )

@@ -7800,6 +7800,67 @@ def q_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_gopher_rules",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words_lc,
+             string_split(text, chr(10)) AS lines,
+             text
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) AS wc,
+             GREATEST(CAST(len(words) AS BIGINT), 1) AS nw,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+               + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym,
+             CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS na,
+             CAST(len(list_filter(lines,
+                  x -> ltrim(x) LIKE '•%' OR ltrim(x) LIKE '- %' OR ltrim(x) LIKE '* %')) AS BIGINT) AS nb,
+             CAST(len(list_filter(lines,
+                  x -> rtrim(x) LIKE '%...' OR rtrim(x) LIKE '%…')) AS BIGINT) AS ne,
+             GREATEST(CAST(len(lines) AS BIGINT), 1) AS nl,
+             CAST(len(list_filter(['the','a'], s -> list_contains(words_lc, s))) AS BIGINT) AS n_stop_hits
+      FROM w
+    )
+    SELECT doc_id, n_words,
+      (1000000 * wc) // nw AS mean_word_len_micro,
+      (1000000 * n_sym) // nw AS symbol_word_ratio_micro,
+      (1000000 * nb) // nl AS bullet_line_ratio_micro,
+      (1000000 * ne) // nl AS ellipsis_line_ratio_micro,
+      (1000000 * na) // nw AS alpha_word_ratio_micro,
+      n_stop_hits,
+      CAST(n_words BETWEEN 50 AND 100000
+       AND (1000000 * wc) // nw BETWEEN 3000000 AND 10000000
+       AND (1000000 * n_sym) // nw <= 100000
+       AND (1000000 * nb) // nl <= 900000
+       AND (1000000 * ne) // nl <= 300000
+       AND (1000000 * na) // nw >= 800000
+       AND n_stop_hits >= 2 AS INT) AS keep
+    FROM m
+    """,
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rule signals per document (operators/text.py
+    gopher_rules; Rae et al. 2021 Appendix A1): word-count bounds, mean
+    word length, symbol-to-word ratio, bullet/ellipsis line ratios,
+    alphabetic-word ratio, distinct-stopword floor, and the combined
+    ``keep`` verdict. Every ratio is an exact integer micro (1e6·a div
+    b), so the DuckDB oracle is bit-identical. The stop list here is
+    vocabulary-adapted to the synthetic corpus (('the','a') — the Gopher
+    eight minus words the generator never emits) so ``keep``
+    discriminates instead of constant-failing on the stopword floor; the
+    operator's default IS the canonical Gopher list. Map-only,
+    whole-stage-codegen, zero shuffles at any scale."""
+    from ..operators.text import gopher_rules
+
+    d = load_table(spark, sf_dir, "documents")
+    return gopher_rules(d, stopwords=("the", "a"))
+
+
+@query(
     "q_cdc_merge",
     """
     WITH latest AS (

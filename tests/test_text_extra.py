@@ -1,0 +1,121 @@
+"""Gopher-rule and C4-cleaning operators on crafted fixtures.
+
+The synthetic ``documents`` table has no newlines or sentence punctuation,
+so the oracle query (q_gopher_rules) exercises only the word-level rules;
+these fixtures exercise the line-level and page-level rules with text
+shaped like real web pages."""
+
+import pytest
+
+from feature_store_implementation_spark.operators.text import (
+    GOPHER_STOPWORDS,
+    c4_clean,
+    gopher_rules,
+)
+
+
+def _rows(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+GOOD_PAGE = (
+    "The quick brown fox jumps over the lazy dog and that is fine to see. "
+    "We have been with them for years and that should be good enough. "
+    "The data of the run was clean and that gave us confidence to go on."
+)
+
+
+def test_gopher_good_page_keeps(spark):
+    # 3 sentences, ~50 words, normal lengths, plenty of stopwords
+    df = spark.createDataFrame([(1, GOOD_PAGE)], "doc_id long, text string")
+    out = _rows(gopher_rules(df, min_words=30))
+    r = out[1]
+    assert r["keep"] == 1
+    assert r["n_stop_hits"] >= 2
+    assert 3_000_000 <= r["mean_word_len_micro"] <= 10_000_000
+    assert r["alpha_word_ratio_micro"] >= 800_000
+
+
+@pytest.mark.parametrize(
+    "text, failing",
+    [
+        ("the of short", "n_words"),  # below min_words
+        (" ".join(["supercalifragilistic"] * 60), "mean_word_len_micro"),
+        (GOOD_PAGE + " " + "#" * 40, "symbol_word_ratio_micro"),
+        ("\n".join(["- the bullet item of note"] * 30), "bullet_line_ratio_micro"),
+        ("\n".join(["the line trails off of..."] * 30), "ellipsis_line_ratio_micro"),
+        (" ".join(["12345"] * 25) + " " + " ".join(["the of and"] * 9), "alpha_word_ratio_micro"),
+        (" ".join(["plainword"] * 60), "n_stop_hits"),
+    ],
+)
+def test_gopher_each_rule_rejects(spark, text, failing):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = _rows(gopher_rules(df, min_words=30))[1]
+    assert r["keep"] == 0, f"{failing} should have failed: {r}"
+
+
+def test_gopher_ratios_are_exact_integer_micros(spark):
+    # 4 words, 3 alphabetic -> alpha ratio = 750000 exactly (integer div)
+    df = spark.createDataFrame([(1, "the cat 99 sat")], "doc_id long, text string")
+    r = _rows(gopher_rules(df))[1]
+    assert r["alpha_word_ratio_micro"] == 750_000
+    assert r["n_words"] == 4
+    # mean word len = (3+3+2+3)*1e6 div 4 = 2750000
+    assert r["mean_word_len_micro"] == 2_750_000
+
+
+def test_gopher_default_stoplist_is_canonical():
+    assert GOPHER_STOPWORDS == (
+        "the", "be", "to", "of", "and", "that", "have", "with",
+    )
+
+
+def test_gopher_empty_text_is_rejected_not_nan(spark):
+    df = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+    out = _rows(gopher_rules(df))
+    for r in out.values():
+        assert r["keep"] == 0
+        assert r["mean_word_len_micro"] == 0  # div by guarded 1, not NULL/NaN
+
+
+C4_PAGE = "\n".join(
+    [
+        "The first line is a proper sentence with enough words.",  # kept
+        "Too short.",  # dropped: < 5 words
+        "this line has plenty of words but no terminal punctuation",  # dropped
+        "Enable javascript to view this content properly please.",  # dropped
+        "Another good line follows the first one right here!",  # kept
+        'He said "this quoted line should also survive the filter."',  # kept
+    ]
+)
+
+
+def test_c4_line_rules(spark):
+    df = spark.createDataFrame([(1, C4_PAGE)], "doc_id long, text string")
+    r = _rows(c4_clean(df))[1]
+    assert r["n_lines"] == 6
+    assert r["n_lines_kept"] == 3
+    assert r["clean_text"].count("\n") == 2
+    assert "javascript" not in r["clean_text"]
+    assert r["keep"] == 1  # 3 sentences survive
+
+
+def test_c4_page_rules_reject(spark):
+    pages = [
+        (1, C4_PAGE.replace("first line", "Lorem Ipsum line")),  # lorem
+        (2, C4_PAGE + "\nvar x = { a: 1 };"),  # brace = code
+        (3, "One good sentence stands alone with enough words here."),  # <3 sentences
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, text string")
+    out = _rows(c4_clean(df))
+    assert [out[i]["keep"] for i in (1, 2, 3)] == [0, 0, 0]
+    assert out[1]["has_lorem"] == 1
+    assert out[2]["has_brace"] == 1
+    assert out[3]["n_sentences"] == 1
+
+
+def test_c4_and_gopher_are_udf_free(spark):
+    df = spark.createDataFrame([(1, GOOD_PAGE)], "doc_id long, text string")
+    for op in (gopher_rules, c4_clean):
+        plan = op(df)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
