@@ -401,7 +401,12 @@ class OfflineStore:
         return any(mn <= t <= mx for t in targets)
 
     def _commit_segment(
-        self, version_id: int, files: list[str], supersedes: list[str] | None = None, name: str | None = None
+        self,
+        version_id: int,
+        files: list[str],
+        supersedes: list[str] | None = None,
+        name: str | None = None,
+        cdc: dict | None = None,
     ) -> str:
         """The commit point: tmp-write + fsync + atomic rename of a NEW
         segment file. Nothing is read-modified-written, so concurrent
@@ -424,6 +429,13 @@ class OfflineStore:
             doc["row_counts"] = counts
         if supersedes:
             doc["supersedes"] = sorted(supersedes)
+        if cdc:
+            # change-data-feed record: what KIND of commit this was
+            # ("append" | "delete" | "compact" | "restore") plus, for
+            # deletes, the sidecar change files holding the removed rows —
+            # see changes_for_version. Absent on pre-round-10 segments
+            # (the feed falls back to a file diff for those).
+            doc["cdc"] = cdc
         final = os.path.join(seg_dir, f"{seg_id}.json")
         tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
@@ -555,7 +567,7 @@ class OfflineStore:
                 raise RuntimeError("simulated crash before manifest commit")
             if _before_commit is not None:
                 _before_commit()
-            self._commit_segment(vid, new_rel, name=txn)
+            self._commit_segment(vid, new_rel, name=txn, cdc={"op": "append"})
         finally:
             shutil.rmtree(os.path.join(self.path, ".staging", txn), ignore_errors=True)
         # manifest-stat count: no read-back scan of the whole version per
@@ -680,6 +692,205 @@ class OfflineStore:
             ),
             key=lambda r: (r["committed_at"], r["segment"]),
         )
+
+    def changes_for_version(
+        self, version_id: int, since=None, until=None
+    ) -> DataFrame:
+        """CHANGE DATA FEED for one version (Delta's ``table_changes`` /
+        CDF analog): every row-level change committed in the half-open
+        window ``(since, until]`` — inserts from appends, deletes from
+        row-level erasures — as one DataFrame with ``_change_type``
+        (``insert`` | ``delete``), ``_commit_ts`` and ``_commit_segment``
+        alongside the row columns. ``since``/``until`` take unix seconds
+        or ISO-8601 (see :meth:`values_for_version_as_of`); ``since=None``
+        means "from the beginning", ``until=None`` "through now".
+
+        This is the incremental-consumer primitive at 100 TB: a
+        downstream materialization reads ONLY the files the window's
+        commits created (appends' own segment files, deletes' sidecar
+        change files) — never the table — so consuming a day's changes
+        costs O(day), not O(table). Semantics per commit kind:
+
+        * **append** — its files ARE the inserted rows (zero write
+          amplification: the data files double as the feed).
+        * **delete** — the rows come from the ``_change_data`` sidecar
+          committed with the delete (under ``purge=True`` the sidecar
+          carries entity ids with NULL values: downstream must erase too,
+          and the payload is retained nowhere).
+        * **compact** — content-neutral: contributes nothing.
+        * **restore** — not representable as row deltas (Delta's RESTORE
+          has the same property); raises ``ValueError`` telling the
+          consumer to resync from a snapshot read.
+        * **pre-CDC superseding segments** (a compaction or delete from
+          before this feed existed) — reconstructed as an exact multiset
+          diff of the superseded snapshot vs the new file set, IF those
+          files still exist; otherwise raises with resync guidance.
+
+        Deletes that remove N copies of a row emit N delete rows
+        (multiset semantics, matching ``exceptAll``)."""
+        vid = int(version_id)
+        lo = None if since is None else self._as_of_seconds(since)
+        hi = None if until is None else self._as_of_seconds(until)
+        all_segs: dict[str, dict] = {}
+        try:
+            names = os.listdir(self._segment_dir(vid))
+        except FileNotFoundError:
+            names = []
+        for n in names:
+            if n.endswith(".json"):
+                try:
+                    with open(os.path.join(self._segment_dir(vid), n)) as f:
+                        all_segs[n[:-5]] = json.load(f)
+                except FileNotFoundError:
+                    pass
+        try:
+            with open(os.path.join(self._manifest_dir(), f"v{vid}.json")) as f:
+                all_segs.setdefault("__root__", json.load(f))
+        except FileNotFoundError:
+            pass
+
+        meta = T.StructType(
+            _FILE_SCHEMA.fields
+            + [
+                T.StructField("_change_type", T.StringType(), False),
+                T.StructField("_commit_ts", T.DoubleType(), False),
+                T.StructField("_commit_segment", T.StringType(), False),
+            ]
+        )
+
+        def tagged(df: DataFrame, kind: str, ts: float, seg: str) -> DataFrame:
+            return df.select(
+                *[f.name for f in _FILE_SCHEMA.fields],
+                F.lit(kind).alias("_change_type"),
+                F.lit(float(ts)).alias("_commit_ts"),
+                F.lit(seg).alias("_commit_segment"),
+            )
+
+        def read_rel(rel_files: list[str]) -> DataFrame:
+            missing = [
+                rf
+                for rf in rel_files
+                if not os.path.exists(os.path.join(self.path, rf))
+            ]
+            if missing:
+                raise ValueError(
+                    f"change feed for version {vid} needs files that were "
+                    f"vacuumed/purged ({missing[:3]}...); resync the consumer "
+                    "from a snapshot read (values_for_version) instead"
+                )
+            return self._read_files(rel_files).select(
+                *[f.name for f in _FILE_SCHEMA.fields]
+            )
+
+        parts: list[DataFrame] = []
+        for seg, doc in sorted(
+            all_segs.items(), key=lambda kv: (float(kv[1].get("committed_at", 0.0)), kv[0])
+        ):
+            ts = float(doc.get("committed_at", 0.0))
+            if (lo is not None and ts <= lo) or (hi is not None and ts > hi):
+                continue
+            op = (doc.get("cdc") or {}).get("op")
+            if op is None:
+                op = "append" if not doc.get("supersedes") else "legacy_diff"
+            if op == "compact":
+                continue
+            if op == "restore":
+                raise ValueError(
+                    f"change feed window for version {vid} contains a RESTORE "
+                    f"commit (segment {seg}); a restore is not representable "
+                    "as row deltas — resync the consumer from a snapshot read"
+                )
+            if op == "append":
+                parts.append(tagged(read_rel(doc["files"]), "insert", ts, seg))
+            elif op == "delete":
+                cfiles = doc["cdc"]["change_files"]
+                gone = [
+                    rf
+                    for rf in cfiles
+                    if not os.path.exists(os.path.join(self.path, rf))
+                ]
+                if gone:
+                    raise ValueError(
+                        f"change feed for version {vid} needs change-data "
+                        f"sidecars that were vacuumed ({gone}); resync the "
+                        "consumer from a snapshot read instead"
+                    )
+                rows = self.spark.read.schema(_FILE_SCHEMA).parquet(
+                    *[os.path.join(self.path, rf) for rf in cfiles]
+                )
+                parts.append(tagged(rows, "delete", ts, seg))
+            else:  # legacy_diff: pre-CDC compaction/delete — exact file diff
+                old_rel = sorted(
+                    {
+                        f
+                        for s_name in doc.get("supersedes", [])
+                        if s_name in all_segs
+                        for f in all_segs[s_name]["files"]
+                    }
+                )
+                new = read_rel(doc["files"])
+                old = read_rel(old_rel)
+                parts.append(tagged(new.exceptAll(old), "insert", ts, seg))
+                parts.append(tagged(old.exceptAll(new), "delete", ts, seg))
+        if not parts:
+            return self.spark.createDataFrame([], meta)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def restore_version(self, version_id: int, as_of, _before_commit=None) -> dict:
+        """RESTORE the version to its snapshot at ``as_of`` (Delta's
+        ``RESTORE TABLE ... TO TIMESTAMP``): commit ONE new segment whose
+        file list is exactly what a time-travel read at ``as_of``
+        resolves, superseding every currently-live segment. Nothing is
+        rewritten or deleted — the snapshot's files are re-referenced, so
+        a restore of a 100 TB version is a metadata operation (one JSON
+        rename), and every intermediate state stays time-travelable
+        (restore is a NEW commit, not history surgery; Delta semantics).
+
+        Requires the snapshot's data files to still exist — a snapshot
+        past its :func:`vacuum_orphans` retention raises
+        ``FileNotFoundError``. Shares the compaction/delete mutation lock
+        so it can never race a concurrent rewrite. Returns
+        ``{"segment", "restored_files", "superseded_segments"}``; a
+        restore to the CURRENT state is a no-op (``segment=None``)."""
+        vid = int(version_id)
+        secs = self._as_of_seconds(as_of)
+        self._migrate_legacy_store()
+        os.makedirs(self._segment_dir(vid), exist_ok=True)
+        lock = os.path.join(self._segment_dir(vid), ".compact.lock")
+        with _pid_lock(lock, f"restore for version {vid}"):
+            snap = self._read_segments(vid, as_of=secs)
+            files = sorted({f for s in snap.values() for f in s["files"]})
+            missing = [
+                rf for rf in files if not os.path.exists(os.path.join(self.path, rf))
+            ]
+            if missing:
+                raise FileNotFoundError(
+                    f"restore target snapshot needs vacuumed files: {missing[:3]}..."
+                )
+            live = self._read_segments(vid)
+            live_files = sorted({f for s in live.values() for f in s["files"]})
+            if live_files == files:
+                return {
+                    "segment": None,
+                    "restored_files": len(files),
+                    "superseded_segments": [],
+                }
+            if _before_commit is not None:  # test hook (crash window)
+                _before_commit()
+            seg = self._commit_segment(
+                vid,
+                files,
+                supersedes=list(live),
+                cdc={"op": "restore", "as_of": secs},
+            )
+            return {
+                "segment": seg,
+                "restored_files": len(files),
+                "superseded_segments": sorted(live),
+            }
 
     def values_for_versions(
         self, version_ids: list[int], as_of=None, entity_ids: list[str] | None = None
@@ -847,6 +1058,26 @@ class OfflineStore:
             report["deleted_rows"] = n_deleted
             report["rewritten_files"] = len(affected)
 
+            # change-data sidecar (Delta CDF's _change_data analog): the
+            # removed rows, so downstream incremental consumers can apply
+            # the delete without diffing snapshots. Under purge (physical
+            # GDPR erasure) the PAYLOAD must not be retained anywhere —
+            # the sidecar carries entity ids with a NULL value, which is
+            # exactly what a downstream eraser needs and nothing more.
+            deleted_rows = src.filter(match)
+            if purge:
+                deleted_rows = deleted_rows.select(
+                    "entity_id",
+                    F.lit(None).cast("string").alias("value"),
+                    "computed_at",
+                )
+            txn_cdc = uuid.uuid4().hex[:12]
+            cdc_stage = os.path.join(self.path, ".staging", f"cdc-{txn_cdc}")
+            deleted_rows.write.parquet(cdc_stage)
+            cdc_rel = f"_change_data/v{vid}/{txn_cdc}"
+            os.makedirs(os.path.join(self.path, "_change_data", f"v{vid}"), exist_ok=True)
+            os.rename(cdc_stage, os.path.join(self.path, cdc_rel))
+
             survivors = src.filter(~match)
             size = sum(
                 os.path.getsize(os.path.join(self.path, rf)) for rf in affected
@@ -875,7 +1106,15 @@ class OfflineStore:
                 if _before_commit is not None:  # test hook (crash/interleave)
                     _before_commit()
                 self._commit_segment(
-                    vid, new_rel + untouched, supersedes=list(snapshot), name=txn
+                    vid,
+                    new_rel + untouched,
+                    supersedes=list(snapshot),
+                    name=txn,
+                    cdc={
+                        "op": "delete",
+                        "change_files": [cdc_rel],
+                        "purged": bool(purge),
+                    },
                 )
             finally:
                 shutil.rmtree(staging, ignore_errors=True)
@@ -922,6 +1161,35 @@ def vacuum_orphans(store: OfflineStore, min_age_seconds: float = 24 * 3600) -> l
             if os.path.getmtime(stage) < cutoff:
                 shutil.rmtree(stage, ignore_errors=True)
                 removed.append(stage)
+        except FileNotFoundError:
+            pass
+    # change-data sidecars no committed segment references (a delete that
+    # crashed between the sidecar rename and its segment commit); same age
+    # gate. Referenced sidecars stay — they are the change feed's payload
+    # and share the data files' retention story.
+    referenced_cdc: set[str] = set()
+    for vid in store._committed_versions():
+        for doc in store._read_segments(vid).values():
+            referenced_cdc.update((doc.get("cdc") or {}).get("change_files", []))
+        # superseded segments' sidecars still feed historical windows
+        seg_dir = store._segment_dir(vid)
+        if os.path.isdir(seg_dir):
+            for n in os.listdir(seg_dir):
+                if n.endswith(".json"):
+                    try:
+                        with open(os.path.join(seg_dir, n)) as f:
+                            doc = json.load(f)
+                    except (FileNotFoundError, ValueError):
+                        continue
+                    referenced_cdc.update(
+                        (doc.get("cdc") or {}).get("change_files", [])
+                    )
+    for cdir in glob.glob(os.path.join(store.path, "_change_data", "v*", "*")):
+        rel = os.path.relpath(cdir, store.path)
+        try:
+            if rel not in referenced_cdc and os.path.getmtime(cdir) < cutoff:
+                shutil.rmtree(cdir, ignore_errors=True)
+                removed.append(cdir)
         except FileNotFoundError:
             pass
     return removed
@@ -1004,7 +1272,13 @@ def compact_version_partition(
             if _before_commit is not None:  # test hook: interleave an append here
                 _before_commit()
             # the atomic cutover: publish new files + retire the snapshot
-            store._commit_segment(vid, new_rel, supersedes=list(snapshot), name=txn)
+            store._commit_segment(
+                vid,
+                new_rel,
+                supersedes=list(snapshot),
+                name=txn,
+                cdc={"op": "compact"},
+            )
             if not keep_old_files:
                 for rf in old_rel:  # old files are garbage once the swap lands
                     if rf in new_rel:

@@ -17,6 +17,11 @@ seam's SHAPE is what can be proven here: this module pins it as an abstract
                               through later appends AND later compactions
     * compaction            — file count drops, bytes survive, mid-compaction
                               appends stay live
+    * row-level delete      — subjects erased, snapshots spared (retention)
+    * change data feed      — the (since, until] feed replays to exactly the
+                              table's state; compactions contribute nothing
+    * restore               — a metadata-only rollback to any live snapshot,
+                              itself a new time-travelable commit
 
 The `ManifestSegmentFormat` adapter (today's backend) passes the suite; a
 future `DeltaFormat` adapter would implement the same five methods with
@@ -88,6 +93,21 @@ class TableFormat(ABC):
     def file_count(self, version_id: int) -> int:
         """Committed data files currently referenced by the version."""
 
+    @abstractmethod
+    def changes(self, version_id: int, since=None, until=None) -> DataFrame:
+        """CHANGE DATA FEED: row-level changes committed in ``(since,
+        until]`` with ``_change_type`` (insert|delete), ``_commit_ts``,
+        ``_commit_segment`` columns — inserts from appends, deletes from
+        erasures, nothing from compactions. Maps to Delta's
+        ``table_changes`` (CDF). Raises if the window contains a restore
+        or spans vacuumed files (consumer must resync)."""
+
+    @abstractmethod
+    def restore(self, version_id: int, as_of: float) -> dict:
+        """RESTORE the version to its ``as_of`` snapshot as a NEW commit
+        (metadata-only; no data movement; history stays time-travelable).
+        Maps to Delta's ``RESTORE TABLE ... TO TIMESTAMP AS OF``."""
+
 
 class ManifestSegmentFormat(TableFormat):
     """Today's backend: the parquet + manifest-segment protocol of
@@ -132,6 +152,12 @@ class ManifestSegmentFormat(TableFormat):
 
     def file_count(self, version_id):
         return len(self.store._manifest_files(int(version_id)))
+
+    def changes(self, version_id, since=None, until=None):
+        return self.store.changes_for_version(version_id, since=since, until=until)
+
+    def restore(self, version_id, as_of):
+        return self.store.restore_version(version_id, as_of)
 
 
 def _delta_available(spark: SparkSession) -> bool:

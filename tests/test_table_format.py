@@ -132,3 +132,82 @@ def test_contract_delete_erases_subjects_and_spares_snapshots(spark, fmt):
     assert snap == _vals(_rows(spark, "a"))
     # idempotent: a second identical delete finds nothing
     assert fmt.delete(1, ["e3", "e7"]) == 0
+
+
+def _apply_feed(feed_rows):
+    """Replay a change feed into a multiset of (entity_id, value)."""
+    from collections import Counter
+
+    state = Counter()
+    for r in sorted(feed_rows, key=lambda r: (r["_commit_ts"], r["_commit_segment"])):
+        key = (r["entity_id"], r["value"])
+        if r["_change_type"] == "insert":
+            state[key] += 1
+        else:
+            state[key] -= 1
+            if state[key] <= 0:
+                del state[key]
+    return sorted(state.elements())
+
+
+def test_contract_change_feed_replays_to_table_state(spark, fmt):
+    """Seventh contract: the change data feed over (None, now] — inserts
+    from appends, deletes from erasures, nothing from compactions —
+    replays to exactly the live table, and a windowed read costs only
+    the window's commits."""
+    fmt.append(1, _rows(spark, "day0", 10))
+    time.sleep(0.02)
+    mid = time.time()
+    time.sleep(0.02)
+    fmt.append(1, _rows(spark, "day1", 10))
+    fmt.delete(1, ["e3"])  # removes day0:3 and day1:3
+    fmt.compact(1)  # content-neutral: must contribute nothing
+
+    feed = fmt.changes(1).collect()
+    assert {r["_change_type"] for r in feed} == {"insert", "delete"}
+    assert _apply_feed(feed) == _vals(fmt.read(1))
+
+    # windowed: only commits strictly after `mid` (day1 append + delete)
+    windowed = fmt.changes(1, since=mid).collect()
+    inserts = [r for r in windowed if r["_change_type"] == "insert"]
+    deletes = [r for r in windowed if r["_change_type"] == "delete"]
+    assert _vals(spark.createDataFrame(inserts).select("entity_id", "value")) == _vals(
+        _rows(spark, "day1", 10)
+    )
+    assert sorted((r["entity_id"], r["value"]) for r in deletes) == [
+        ("e3", "day0:3"),
+        ("e3", "day1:3"),
+    ]
+
+
+def test_contract_restore_is_metadata_only_new_commit(spark, fmt):
+    """Eighth contract: restore rolls the live table back to any
+    snapshot without touching data files, is itself a new commit (the
+    rolled-back state stays time-travelable), and appends keep working
+    afterwards."""
+    fmt.append(1, _rows(spark, "day0", 10))
+    time.sleep(0.02)
+    pin = time.time()
+    time.sleep(0.02)
+    fmt.append(1, _rows(spark, "day1", 10))
+    pre_restore = time.time()
+
+    rep = fmt.restore(1, pin)
+    assert rep["segment"] is not None
+    time.sleep(0.02)
+    post_restore = time.time()
+    assert _vals(fmt.read(1)) == _vals(_rows(spark, "day0", 10))
+    # the pre-restore state is still a valid time-travel target
+    assert len(_vals(fmt.read_as_of(1, pre_restore))) == 20
+    # restore to the current state is a no-op
+    assert fmt.restore(1, time.time())["segment"] is None
+    # life goes on: appends after a restore commit normally
+    fmt.append(1, _rows(spark, "day2", 5))
+    assert fmt.read(1).count() == 15
+    # a feed window CONTAINING the restore refuses (resync contract) ...
+    with pytest.raises(ValueError, match="RESTORE"):
+        fmt.changes(1).collect()
+    # ... but a window strictly after it streams normally
+    after = fmt.changes(1, since=post_restore).collect()
+    assert {r["_change_type"] for r in after} == {"insert"}
+    assert len(after) == 5
