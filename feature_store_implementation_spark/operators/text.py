@@ -53,11 +53,11 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic document quality in [0,1]: length sweet-spot, moderate
-    punctuation, healthy stopword density (the classic Gopher-style rules,
-    reduced to oracle-expressible arithmetic)."""
-    text = F.col(text_col)
+def _quality_parts(text: Column) -> tuple[Column, Column, Column]:
+    """(length_score, punct_score, stop_score) sub-expressions shared by
+    :func:`quality_score` (the operator) and :func:`quality_expr` (the
+    inline-annotation form) — ONE definition, so the pipeline's inlined
+    gate and the oracle-checked operator can never drift."""
     toks = tokens_col(text)
     n_tokens = F.size(toks)
     n_chars = F.length(text)
@@ -68,6 +68,25 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     length_score = F.least(n_tokens.cast("double") / 50.0, F.lit(1.0))
     punct_score = F.lit(1.0) - F.least(punct_ratio * 5.0, F.lit(1.0))
     stop_score = F.least(stop_ratio * 4.0, F.lit(1.0))
+    return length_score, punct_score, stop_score
+
+
+def quality_expr(text: Column) -> Column:
+    """The ``quality`` column of :func:`quality_score` as a row-local
+    EXPRESSION, for callers annotating a corpus frame in place: a
+    pipeline that joins a quality frame back on doc_id shuffles the whole
+    corpus for a value computable in the scan (curate_corpus did exactly
+    that through round 9 — two corpus-wide hash joins gone)."""
+    length_score, punct_score, stop_score = _quality_parts(text)
+    return F.round(0.4 * length_score + 0.3 * punct_score + 0.3 * stop_score, 6)
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality in [0,1]: length sweet-spot, moderate
+    punctuation, healthy stopword density (the classic Gopher-style rules,
+    reduced to oracle-expressible arithmetic)."""
+    text = F.col(text_col)
+    length_score, punct_score, stop_score = _quality_parts(text)
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.round(length_score, 6).alias("length_score"),
@@ -78,29 +97,47 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Function-word-count language ID: score each candidate language by
-    marker hits per token, pick the argmax (ties → language-code order).
-    Scores ride along for calibration."""
-    toks = tokens_col(F.col(text_col))
+def _language_scores(text: Column) -> dict[str, Column]:
+    """Per-language rounded marker-hit scores (shared single definition;
+    see :func:`_quality_parts`)."""
+    toks = tokens_col(text)
     n = F.greatest(F.size(toks), F.lit(1)).cast("double")
-    scored = df.select(
-        F.col(id_col).alias("doc_id"),
-        *[
-            F.round(_count_in(toks, words).cast("double") / n, 6).alias(f"score_{lang}")
-            for lang, words in sorted(LANG_MARKERS.items())
-        ],
-    )
-    langs = sorted(LANG_MARKERS)
-    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    return {
+        lang: F.round(_count_in(toks, words).cast("double") / n, 6)
+        for lang, words in sorted(LANG_MARKERS.items())
+    }
+
+
+def _argmax_lang(scores: dict[str, Column]) -> Column:
+    langs = sorted(scores)
+    best = F.greatest(*[scores[lg] for lg in langs])
     pred = F.lit(None).cast("string")
     for lg in reversed(langs):  # earlier lang wins ties → apply in reverse
-        pred = F.when(F.col(f"score_{lg}") == best, F.lit(lg)).otherwise(pred)
+        pred = F.when(scores[lg] == best, F.lit(lg)).otherwise(pred)
     # zero marker hits = NO evidence: an all-zero tie would otherwise
     # resolve to the alphabetically-first code, confidently routing every
     # out-of-marker-set language (ja, ru, ar, ...) to 'de' — NULL says
     # "unknown", which is what a router must see
-    pred = F.when(best == 0, F.lit(None).cast("string")).otherwise(pred)
+    return F.when(best == 0, F.lit(None).cast("string")).otherwise(pred)
+
+
+def language_pred_expr(text: Column) -> Column:
+    """``predicted_lang`` of :func:`language_id` as a row-local
+    expression — the inline-annotation twin of :func:`quality_expr`."""
+    return _argmax_lang(_language_scores(text))
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Function-word-count language ID: score each candidate language by
+    marker hits per token, pick the argmax (ties → language-code order).
+    Scores ride along for calibration."""
+    scores = _language_scores(F.col(text_col))
+    scored = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(scores)],
+    )
+    langs = sorted(scores)
+    pred = _argmax_lang({lg: F.col(f"score_{lg}") for lg in langs})
     return scored.select(
         "doc_id",
         pred.alias("predicted_lang"),

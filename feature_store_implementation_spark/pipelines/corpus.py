@@ -37,7 +37,11 @@ from ..operators.dedup import (
 )
 from ..operators.graph import connected_components
 from ..operators.sampling import deterministic_sample
-from ..operators.text import language_id, quality_score, unigram_logprob
+from ..operators.text import (
+    language_pred_expr,
+    quality_expr,
+    unigram_logprob,
+)
 
 
 @dataclass(frozen=True)
@@ -126,26 +130,41 @@ def curate_corpus(
             cleaned = cleaned.join(docs.select(id_col, *keep_cols), id_col)
         docs = cleaned
 
-    q = quality_score(docs, text_col, id_col).select("doc_id", "quality")
-    l = language_id(docs, text_col, id_col).select("doc_id", "predicted_lang")
-    annotated = (
-        docs.withColumnRenamed(id_col, "doc_id")
-        .join(q, "doc_id")
-        .join(l, "doc_id")
+    # quality and language are ROW-LOCAL — annotate in the scan itself.
+    # (Through round 9 this was docs ⋈ quality_score ⋈ language_id on
+    # doc_id: two corpus-wide hash-join shuffles for values computable in
+    # the projection. quality_expr/language_pred_expr are the operators'
+    # own expressions — one definition, no drift.)
+    annotated = docs.withColumnRenamed(id_col, "doc_id").select(
+        "*",
+        quality_expr(F.col(text_col)).alias("quality"),
+        language_pred_expr(F.col(text_col)).alias("predicted_lang"),
     )
-    after_q = annotated.filter(F.col("quality") >= min_quality)
-    n_after_quality = after_q.count()
-    after_l = after_q.filter(F.col("predicted_lang").isin(*languages))
+    q_pass = F.col("quality") >= min_quality
+    l_pass = q_pass & F.col("predicted_lang").isin(*languages)
+    after_q = annotated.filter(q_pass)
+    after_l = annotated.filter(l_pass)
     # the gated frame feeds LSH twice (signatures + verify) — cache it
     if min_avg_logprob is not None:
+        n_after_quality = after_q.count()
         lp = unigram_logprob(after_l, text_col, "doc_id").select(
             "doc_id", "avg_logprob"
         )
         after_l = after_l.join(lp, "doc_id").filter(
             F.col("avg_logprob") >= min_avg_logprob
         )
-    after_l = _cache_scoped(after_l)
-    n_after_language = after_l.count()
+        after_l = _cache_scoped(after_l)
+        n_after_language = after_l.count()
+    else:
+        # both survivor counts in ONE map-side conditional agg (no second
+        # scan); the cache fills lazily at the LSH stage's first action
+        after_l = _cache_scoped(after_l)
+        gate = annotated.agg(
+            F.sum(q_pass.cast("long")).alias("nq"),
+            F.sum(l_pass.cast("long")).alias("nl"),
+        ).collect()[0]
+        n_after_quality = int(gate["nq"] or 0)
+        n_after_language = int(gate["nl"] or 0)
 
     pairs = minhash_near_dup_pairs(
         after_l.withColumnRenamed("doc_id", id_col) if id_col != "doc_id" else after_l,

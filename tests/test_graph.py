@@ -94,3 +94,24 @@ def test_triangle_count_max_degree_caps_only_wedge_middles(spark):
     assert triangle_count(df).collect()[0]["n_triangles"] == 3
     capped = triangle_count(df, max_degree=10).collect()[0]["n_triangles"]
     assert capped == 2  # B is the documented miss; A and C survive
+
+
+def test_driver_and_bsp_components_identical(spark):
+    """The adaptive driver-side union-find must label exactly like the
+    distributed min-label BSP on arbitrary graphs (chains, stars,
+    cycles, isolated vertices, both orientations)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    edges = [(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(80)]
+    edges += [(100, 101), (101, 102), (102, 103)]  # a chain
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    vdf = spark.createDataFrame([(i,) for i in range(0, 120, 7)], "node long")
+
+    fast = connected_components(edf, vertices=vdf)
+    slow = connected_components(edf, vertices=vdf, driver_max_edges=0)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+    # and the fast path really is the default for a set this small
+    assert fast.count() == slow.count()
