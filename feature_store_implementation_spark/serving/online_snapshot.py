@@ -107,6 +107,54 @@ def snapshot_shard(entity_id: str, n_shards: int) -> int:
     return xxhash64(str(entity_id).encode("utf-8")) % int(n_shards)
 
 
+_GEN_RE = None  # compiled lazily (module keeps a no-deps import surface)
+
+
+def _file_gen(name: str) -> int:
+    """Generation of a shard data file: ``gen{G}-*.parquet`` from
+    incremental sync, generation 0 for the original export's part files."""
+    global _GEN_RE
+    if _GEN_RE is None:
+        import re
+
+        _GEN_RE = re.compile(r"^gen(\d+)-")
+    m = _GEN_RE.match(name)
+    return int(m.group(1)) if m else 0
+
+
+def shard_live_files(shard_dir: str) -> list[str]:
+    """The files a reader of this shard must open: the HIGHEST generation
+    present. :meth:`~.vectors.FeatureStore.sync_online_snapshot` replaces
+    a shard by renaming a ``gen{G+1}-`` file in (atomic) and deleting the
+    old generation after — a reader racing the sync sees either
+    generation complete, never a mix, and a crash between the two steps
+    leaves both (the next reader takes the newer; the next sync sweeps
+    the older)."""
+    try:
+        files = [f for f in os.listdir(shard_dir) if f.endswith(".parquet")]
+    except FileNotFoundError:
+        return []
+    if not files:
+        return []
+    top = max(_file_gen(f) for f in files)
+    return sorted(
+        os.path.join(shard_dir, f) for f in files if _file_gen(f) == top
+    )
+
+
+def read_online_snapshot(spark, path: str):
+    """The whole snapshot as a DataFrame for batch consumers/parity
+    checks — generation-aware (a plain ``spark.read.parquet(path)``
+    double-counts a shard mid-sync or after a crashed sweep)."""
+    files = []
+    for d in sorted(os.listdir(path)):
+        if d.startswith("shard="):
+            files.extend(shard_live_files(os.path.join(path, d)))
+    if not files:
+        return spark.read.parquet(path)  # surfaces the empty/absent error
+    return spark.read.option("basePath", path).parquet(*files)
+
+
 def _snapshot_meta(path: str) -> dict:
     meta_file = os.path.join(path, "_snapshot_meta.json")
     if os.path.exists(meta_file):
@@ -156,9 +204,10 @@ def lookup_online_snapshot(
         )
     table = None
     for shard_dir in shard_dirs:
-        if not os.path.isdir(shard_dir):
+        live = shard_live_files(shard_dir)
+        if not live:
             continue
-        dataset = ds.dataset(shard_dir, format="parquet")
+        dataset = ds.dataset(live, format="parquet")
         table = dataset.to_table(filter=ds.field("entity_id") == probe)
         if table.num_rows:
             break

@@ -409,8 +409,20 @@ class FeatureStore:
                 _shutil.rmtree(stale, ignore_errors=True)
         staging = _os.path.join(parent, f".staging-{base}-{_uuid.uuid4().hex[:8]}")
 
+        # pin the export to ONE instant even when the caller gave none:
+        # values committed while the export job runs are then cleanly "the
+        # next sync's window" instead of maybe-included — and the recorded
+        # instant is what sync_online_snapshot feeds the change feed as
+        # `since`
+        pin = self.store._as_of_seconds(as_of) if as_of is not None else _time.time()
+        resolved = self._resolved_versions(version, as_of=pin)
+        if feature_names:
+            resolved = resolved.filter(F.col("feature_name").isin(feature_names))
+        vids = sorted(
+            {r["feature_version_id"] for r in resolved.select("feature_version_id").collect()}
+        )
         m = self.serve_matrix(
-            feature_names, version, as_of=as_of, preserve_stored_nulls=True
+            feature_names, version, as_of=pin, preserve_stored_nulls=True
         )
         out = m.withColumn(
             "shard", F.pmod(F.xxhash64("entity_id"), F.lit(int(n_shards)))
@@ -429,7 +441,22 @@ class FeatureStore:
             # every point read with a JSONDecodeError
             tmp = _os.path.join(staging, ".snapshot_meta.tmp")
             with open(tmp, "w") as f:
-                _json.dump({"n_shards": int(n_shards), "version": version}, f)
+                _json.dump(
+                    {
+                        "n_shards": int(n_shards),
+                        "version": version,
+                        # the incremental-sync contract (sync_online_snapshot):
+                        # the pinned export instant (the first sync window's
+                        # `since`), the names filter, and the resolved version
+                        # ids (sync refuses on resolution drift — a feature
+                        # whose backing version changed needs a re-export,
+                        # not a row patch)
+                        "exported_at": float(pin),
+                        "feature_names": list(feature_names) if feature_names else None,
+                        "feature_version_ids": [int(v) for v in vids],
+                    },
+                    f,
+                )
                 f.flush()
                 _os.fsync(f.fileno())
             _os.replace(tmp, _os.path.join(staging, "_snapshot_meta.json"))
@@ -447,6 +474,200 @@ class FeatureStore:
                 ) from None
             raise
         return rows
+
+    def sync_online_snapshot(self, path: str, max_changed: int = 100_000) -> dict:
+        """Incrementally refresh an exported online snapshot from the
+        offline store's CHANGE DATA FEED — the hourly companion to the
+        nightly :meth:`export_online_snapshot` bulk load. Cost is
+        O(changed entities), never O(snapshot): the feed window
+        ``(last sync, now]`` names exactly the entities whose vectors
+        moved, their matrix rows are recomputed with an entity-pruned
+        read, and ONLY the hash shards holding them are rewritten — an
+        unchanged shard's file is not opened, not rewritten, not even
+        stat'd by readers any differently.
+
+        Shard replacement is generation-based (``gen{G}-`` file prefix,
+        see :func:`~.online_snapshot.shard_live_files`): the new file is
+        staged and renamed in (atomic), the old generation deleted after
+        — a point read racing the sync resolves one complete generation,
+        never a mix, and a crash between the steps is self-healing
+        (readers take the newer, the next sync sweeps). Deleted subjects
+        (GDPR erasures in the feed) simply vanish from the rewritten
+        shard — the erasure propagates to the serving tier in the same
+        pass.
+
+        Refuses — with re-export guidance — when the snapshot predates
+        the sync metadata, when version resolution has drifted since the
+        export (a feature's backing version changed: every row is
+        potentially stale, a patch would lie), when the feed window
+        contains a RESTORE or vacuumed files, or when more than
+        ``max_changed`` entities moved (at that churn a bulk re-export
+        is cheaper than a point-patch storm). Returns
+        ``{"changed_entities", "shards_rewritten", "rows_upserted",
+        "synced_through"}``; a no-change window is a no-op."""
+        import glob as _glob
+        import json as _json
+        import os as _os
+        import shutil as _shutil
+        import time as _time
+        import uuid as _uuid
+
+        from ..store.offline import _pid_lock
+        from .online_snapshot import (
+            _file_gen,
+            _snapshot_meta,
+            shard_live_files,
+            snapshot_shard,
+        )
+
+        final = path.rstrip("/")
+        meta = _snapshot_meta(final)
+        if meta.get("exported_at") is None or meta.get("feature_version_ids") is None:
+            raise ValueError(
+                "snapshot predates incremental sync metadata (pre-round-10 "
+                "export) — re-export it once with export_online_snapshot"
+            )
+        with _pid_lock(_os.path.join(final, ".sync.lock"), "online snapshot sync"):
+            meta = _snapshot_meta(final)  # re-read under the lock
+            now = _time.time()
+            resolved = self._resolved_versions(meta.get("version"), as_of=now)
+            if meta.get("feature_names"):
+                resolved = resolved.filter(
+                    F.col("feature_name").isin(meta["feature_names"])
+                )
+            vids_now = sorted(
+                {
+                    int(r["feature_version_id"])
+                    for r in resolved.select("feature_version_id").collect()
+                }
+            )
+            if vids_now != [int(v) for v in meta["feature_version_ids"]]:
+                raise ValueError(
+                    f"version resolution drifted since export "
+                    f"({meta['feature_version_ids']} -> {vids_now}); every row "
+                    "is potentially stale — re-export the snapshot"
+                )
+            since = float(meta.get("synced_at") or meta["exported_at"])
+            changed: set[str] = set()
+            for vid in vids_now:
+                try:
+                    feed = self.store.changes_for_version(vid, since=since, until=now)
+                except ValueError as exc:
+                    raise ValueError(
+                        f"change feed unusable for version {vid} ({exc}); "
+                        "re-export the snapshot"
+                    ) from exc
+                changed.update(
+                    r["entity_id"]
+                    for r in feed.select("entity_id").distinct().collect()
+                )
+                if len(changed) > max_changed:
+                    raise ValueError(
+                        f"{len(changed)}+ entities changed since the last sync "
+                        f"(max_changed={max_changed}) — churn this heavy is "
+                        "cheaper as a bulk re-export"
+                    )
+            if not changed:
+                return {
+                    "changed_entities": 0,
+                    "shards_rewritten": 0,
+                    "rows_upserted": 0,
+                    "synced_through": now,
+                }
+
+            n_shards = int(meta["n_shards"])
+            shards = sorted({snapshot_shard(e, n_shards) for e in changed})
+            changed_df = F.broadcast(
+                self.spark.createDataFrame(
+                    [(e,) for e in sorted(changed)], "entity_id string"
+                )
+            )
+            fresh = (
+                self.serve_matrix(
+                    meta.get("feature_names"),
+                    meta.get("version"),
+                    as_of=now,
+                    preserve_stored_nulls=True,
+                )
+                .join(changed_df, "entity_id", "left_semi")
+                .withColumn(
+                    "shard",
+                    # int: matches the partition-directory-inferred type of
+                    # the old files so the unionByName needs no cast
+                    F.pmod(F.xxhash64("entity_id"), F.lit(n_shards)).cast("int"),
+                )
+            )
+            old_files = [
+                f for k in shards for f in shard_live_files(_os.path.join(final, f"shard={k}"))
+            ]
+            keep = (
+                self.spark.read.option("basePath", final).parquet(*old_files)
+                .join(changed_df, "entity_id", "left_anti")
+                if old_files
+                else None
+            )
+            combined = (
+                fresh if keep is None else keep.unionByName(fresh)
+            )
+            staging = _os.path.join(final, f".sync-staging-{_uuid.uuid4().hex[:8]}")
+            rows_upserted = 0
+            try:
+                (
+                    combined.repartition(max(len(shards), 1), "shard")
+                    .sortWithinPartitions("shard", "entity_id")
+                    .write.partitionBy("shard")
+                    .parquet(staging)
+                )
+                for k in shards:
+                    shard_dir = _os.path.join(final, f"shard={k}")
+                    _os.makedirs(shard_dir, exist_ok=True)
+                    staged = sorted(
+                        _glob.glob(_os.path.join(staging, f"shard={k}", "part-*.parquet"))
+                    )
+                    if not staged:
+                        # every entity of this shard was deleted: write one
+                        # EMPTY schema-bearing file (partitionBy drops empty
+                        # partitions; a generation must still supersede)
+                        empty_dir = _os.path.join(staging, f"empty-{k}")
+                        combined.filter(F.col("shard") == k).drop("shard").coalesce(
+                            1
+                        ).write.parquet(empty_dir)
+                        staged = sorted(
+                            _glob.glob(_os.path.join(empty_dir, "part-*.parquet"))
+                        )
+                    if len(staged) != 1:
+                        raise RuntimeError(
+                            f"sync expected one file for shard {k}, got {len(staged)}"
+                        )
+                    current = _os.listdir(shard_dir)
+                    next_gen = 1 + max(
+                        (_file_gen(f) for f in current if f.endswith(".parquet")),
+                        default=0,
+                    )
+                    name = f"gen{next_gen}-{_os.path.basename(staged[0])}"
+                    _os.rename(staged[0], _os.path.join(shard_dir, name))
+                    for f in current:  # retire the superseded generation(s)
+                        if f.endswith(".parquet") and _file_gen(f) < next_gen:
+                            try:
+                                _os.remove(_os.path.join(shard_dir, f))
+                            except FileNotFoundError:
+                                pass
+            finally:
+                _shutil.rmtree(staging, ignore_errors=True)
+            rows_upserted = fresh.count()
+            meta["synced_at"] = now
+            tmp = _os.path.join(final, ".snapshot_meta.tmp")
+            with open(tmp, "w") as f:
+                _json.dump(meta, f)
+                f.flush()
+                _os.fsync(f.fileno())
+            _os.replace(tmp, _os.path.join(final, "_snapshot_meta.json"))
+            return {
+                "changed_entities": len(changed),
+                "shards_rewritten": len(shards),
+                "rows_upserted": rows_upserted,
+                "synced_through": now,
+            }
 
     # -- registry passthrough (reference main.py:37-135, 233-244) ---------
 

@@ -1,0 +1,140 @@
+"""Incremental online-snapshot sync: the change-data-feed consumer that
+keeps the no-Spark-job serving tier fresh without re-exporting the table."""
+
+import glob
+import os
+import time
+
+import pytest
+
+from feature_store_implementation_spark.serving.online_snapshot import (
+    lookup_online_snapshot,
+    read_online_snapshot,
+    shard_live_files,
+)
+
+N_SHARDS = 4
+
+
+def _seed(fs, n=12):
+    t = fs.register_raw_table("t_sync", {"required_columns": ["id", "amount"]})
+    f = fs.create_feature("amt", t.id, "SUM(amount)", "numeric")
+    v = fs.compute_version(
+        f.id, "v1.0", [{"id": f"e{i:02d}", "amount": float(i)} for i in range(n)]
+    )
+    return f, v
+
+
+def _shard_state(path):
+    return {
+        d: sorted(os.path.basename(f) for f in shard_live_files(os.path.join(path, d)))
+        for d in sorted(os.listdir(path))
+        if d.startswith("shard=")
+    }
+
+
+def test_sync_upserts_only_changed_shards(fs, spark, tmp_path):
+    _, v = _seed(fs)
+    out = str(tmp_path / "snap")
+    fs.export_online_snapshot(out, n_shards=N_SHARDS)
+    before = _shard_state(out)
+    assert lookup_online_snapshot(out, "e03").features["amt"] == 3.0
+
+    # a later UPDATE of e03 (delete + append — the CDC upsert shape;
+    # serve_matrix takes one value per entity, so an update is exactly
+    # this) and a brand-new entity
+    fs.store.delete_rows(v.id, entity_ids=["e03"])
+    more = spark.createDataFrame(
+        [("e03", "333.0"), ("zz9", "99.0")], "entity_id string, value string"
+    )
+    fs.store.write_values(v.id, more)
+    rep = fs.sync_online_snapshot(out)
+    assert rep["changed_entities"] == 2
+    assert 1 <= rep["shards_rewritten"] <= 2
+
+    # freshness: the snapshot now serves the new values, no re-export
+    assert lookup_online_snapshot(out, "e03").features["amt"] == 333.0
+    assert lookup_online_snapshot(out, "zz9").features["amt"] == 99.0
+    # untouched shards kept their ORIGINAL generation-0 files
+    after = _shard_state(out)
+    untouched = [d for d in before if before[d] == after[d]]
+    assert len(untouched) == N_SHARDS - rep["shards_rewritten"]
+    # rewritten shards moved to a gen file
+    assert all(
+        after[d][0].startswith("gen1-") for d in before if before[d] != after[d]
+    )
+    # batch parity: gen-aware read == serve_matrix
+    back = {
+        (r["entity_id"], r["amt"]) for r in read_online_snapshot(spark, out).collect()
+    }
+    want = {(r["entity_id"], r["amt"]) for r in fs.serve_matrix().collect()}
+    assert back == want
+
+
+def test_sync_propagates_erasure_and_is_idempotent(fs, spark, tmp_path):
+    _, v = _seed(fs)
+    out = str(tmp_path / "snap")
+    fs.export_online_snapshot(out, n_shards=N_SHARDS)
+    fs.store.delete_rows(v.id, entity_ids=["e05"], purge=True)
+    rep = fs.sync_online_snapshot(out)
+    assert rep["changed_entities"] == 1
+    with pytest.raises(KeyError):
+        lookup_online_snapshot(out, "e05")
+    assert lookup_online_snapshot(out, "e06").features["amt"] == 6.0
+    # a second sync over the drained window is a no-op
+    rep2 = fs.sync_online_snapshot(out)
+    assert rep2["changed_entities"] == 0 and rep2["shards_rewritten"] == 0
+
+
+def test_sync_refuses_version_drift_and_legacy_meta(fs, spark, tmp_path):
+    f, v = _seed(fs)
+    out = str(tmp_path / "snap")
+    fs.export_online_snapshot(out, n_shards=N_SHARDS)
+
+    # legacy meta (pre-sync export): strip the sync fields
+    import json
+
+    legacy = str(tmp_path / "legacy")
+    fs.export_online_snapshot(legacy, n_shards=N_SHARDS)
+    mfile = os.path.join(legacy, "_snapshot_meta.json")
+    with open(mfile) as fh:
+        m = json.load(fh)
+    m.pop("exported_at")
+    m.pop("feature_version_ids")
+    with open(mfile, "w") as fh:
+        json.dump(m, fh)
+    with pytest.raises(ValueError, match="re-export"):
+        fs.sync_online_snapshot(legacy)
+
+    # version drift: a NEW version of the feature becomes latest
+    fs.compute_version(f.id, "v2.0", [{"id": "e00", "amount": 1.0}])
+    with pytest.raises(ValueError, match="drifted"):
+        fs.sync_online_snapshot(out)
+
+
+def test_sync_refuses_churn_above_threshold(fs, spark, tmp_path):
+    _, v = _seed(fs)
+    out = str(tmp_path / "snap")
+    fs.export_online_snapshot(out, n_shards=N_SHARDS)
+    more = spark.createDataFrame(
+        [(f"n{i}", str(float(i))) for i in range(6)], "entity_id string, value string"
+    )
+    fs.store.write_values(v.id, more)
+    with pytest.raises(ValueError, match="re-export"):
+        fs.sync_online_snapshot(out, max_changed=3)
+    # the refusal changed nothing: original snapshot intact
+    assert lookup_online_snapshot(out, "e01").features["amt"] == 1.0
+
+
+def test_export_pins_its_instant(fs, spark, tmp_path):
+    """Values committed AFTER the export's pin are the first sync's
+    window, not silently half-included in the export."""
+    _, v = _seed(fs, n=4)
+    out = str(tmp_path / "snap")
+    fs.export_online_snapshot(out, n_shards=2)
+    more = spark.createDataFrame([("late", "7.0")], "entity_id string, value string")
+    fs.store.write_values(v.id, more)
+    with pytest.raises(KeyError):
+        lookup_online_snapshot(out, "late")
+    fs.sync_online_snapshot(out)
+    assert lookup_online_snapshot(out, "late").features["amt"] == 7.0
