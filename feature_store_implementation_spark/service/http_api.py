@@ -19,10 +19,11 @@ GET  /api/v1/features/<id>/versions  200  main.py:233-246
 POST /api/v1/feature-vectors      200     main.py:249-335
 GET  /api/v1/health               200     main.py:339-342
 POST /api/v1/online-snapshots     201     (extension — no reference route)
+POST /api/v1/online-snapshots/<name>/sync  200  (extension)
 POST /api/v1/online-feature-vectors  200  (extension — no reference route)
 ================================  ======  =================================
 
-The two ``online-*`` routes are the snapshot serving tier
+The ``online-*`` routes are the snapshot serving tier
 (serving/online_snapshot.py): export lays the serve matrix out as
 hash-sharded entity-sorted parquet (the KV bulk-ingest layout), lookup is
 a shard-routed local point read with NO Spark job — the millisecond path
@@ -212,6 +213,27 @@ def create_app(
             ),
             201,
         )
+
+    @app.post("/api/v1/online-snapshots/<name>/sync")
+    def sync_online_snapshot(name: str):
+        """Incremental refresh from the change data feed (see
+        serving/vectors.py sync_online_snapshot): 200 with the sync
+        report; 404 for an unknown snapshot; a ConflictError (400 in
+        this facade's reference-parity mapping) when the snapshot needs
+        a re-export (legacy meta, version drift, unusable feed window,
+        churn past max_changed) — the same taxonomy as the export's
+        conflict semantics."""
+        path = _snap_path(name)
+        if not os.path.exists(path):
+            return jsonify({"detail": f"online snapshot '{name}' not found"}), 404
+        b = _body() if request.data else {}
+        try:
+            rep = store.sync_online_snapshot(
+                path, max_changed=int(b.get("max_changed", 100_000))
+            )
+        except ValueError as exc:
+            raise ConflictError(str(exc)) from None
+        return jsonify({"name": name, **rep})
 
     @app.post("/api/v1/online-feature-vectors")
     def get_online_feature_vector():

@@ -251,3 +251,50 @@ def test_online_snapshot_lookup_parity_missing_feature_shapes(client, tmp_path):
     r = online({"snapshot": "par", "entity_id": "e2",
                 "feature_names": ["other_amt"]})
     assert r.status_code == 404  # nothing held → miss, like serve_vector
+
+
+def test_online_snapshot_sync_route(client, fs, tmp_path):
+    """POST /online-snapshots/<name>/sync: 404 unknown name, 200 no-op on
+    a drained window, 200 with fresh values after a store-level update,
+    409 (re-export taxonomy) once version resolution drifts."""
+    _, f = _setup(client)
+    v = client.post(
+        f"/api/v1/features/{f['id']}/versions",
+        json={"version": "v1.0", "data": [{"id": "u1", "amount": 10.0}]},
+    )
+    assert v.status_code == 201
+    assert client.post(
+        "/api/v1/online-snapshots", json={"name": "live", "n_shards": 2}
+    ).status_code == 201
+
+    assert client.post("/api/v1/online-snapshots/nope/sync").status_code == 404
+
+    r = client.post("/api/v1/online-snapshots/live/sync")
+    assert r.status_code == 200
+    assert r.get_json()["changed_entities"] == 0
+
+    vid = v.get_json()["id"]
+    import pyspark.sql.functions as F  # noqa: F401
+
+    more = fs.spark.createDataFrame(
+        [("u9", "1.5")], "entity_id string, value string"
+    )
+    fs.store.write_values(vid, more)
+    r = client.post("/api/v1/online-snapshots/live/sync")
+    assert r.status_code == 200 and r.get_json()["changed_entities"] == 1
+    got = client.post(
+        "/api/v1/online-feature-vectors",
+        json={"snapshot": "live", "entity_id": "u9"},
+    )
+    assert got.status_code == 200
+    assert got.get_json()["features"] == {f["name"]: 1.5}
+
+    # drift: activate a new version of the same feature -> conflict
+    # (this facade maps ConflictError to 400, reference parity)
+    assert client.post(
+        f"/api/v1/features/{f['id']}/versions",
+        json={"version": "v2.0", "data": [{"id": "u1", "amount": 1.0}]},
+    ).status_code == 201
+    r = client.post("/api/v1/online-snapshots/live/sync")
+    assert r.status_code == 400
+    assert "re-export" in r.get_json()["detail"]
