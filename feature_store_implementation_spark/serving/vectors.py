@@ -307,6 +307,7 @@ class FeatureStore:
         version: str | None = None,
         as_of=None,
         preserve_stored_nulls: bool = False,
+        entity_ids: list[str] | None = None,
     ) -> DataFrame:
         """Batch serving: the full entity × feature matrix as ONE pivoted
         DataFrame (the training-set export path — what the reference would
@@ -323,7 +324,12 @@ class FeatureStore:
         feature' (NULL cell) from 'feature value is legitimately null'
         (``"null"`` cell) — the pivot otherwise conflates the two. The
         online-snapshot export sets it so the lookup tier keeps B8 shape
-        parity with serve_vector for null-valued features."""
+        parity with serve_vector for null-valued features.
+
+        ``entity_ids`` restricts the matrix to those entities AND pushes
+        the list into the store read (manifest-level entity-range file
+        skipping + a row filter) — the incremental-sync path recomputes K
+        changed vectors by opening ~K files, not the version."""
         if not self.store.exists():
             raise NotFoundError("No feature values have been written yet")
         resolved = self._resolved_versions(version, as_of=as_of)
@@ -337,7 +343,11 @@ class FeatureStore:
         vids = sorted({r["feature_version_id"] for r in meta})
         if not vids:
             raise NotFoundError("No feature values have been written yet")
-        values = self.store.values_for_versions(vids, as_of=as_of)
+        values = self.store.values_for_versions(vids, as_of=as_of, entity_ids=entity_ids)
+        if entity_ids is not None:  # pruning shrinks the scan; this is the answer
+            values = values.filter(
+                F.col("entity_id").isin([str(e) for e in entity_ids])
+            )
         if preserve_stored_nulls:
             values = values.withColumn(
                 "value", F.coalesce(F.col("value"), F.lit("null"))
@@ -582,21 +592,27 @@ class FeatureStore:
                     [(e,) for e in sorted(changed)], "entity_id string"
                 )
             )
-            fresh = (
-                self.serve_matrix(
-                    meta.get("feature_names"),
-                    meta.get("version"),
-                    as_of=now,
-                    preserve_stored_nulls=True,
-                )
-                .join(changed_df, "entity_id", "left_semi")
-                .withColumn(
-                    "shard",
-                    # int: matches the partition-directory-inferred type of
-                    # the old files so the unionByName needs no cast
-                    F.pmod(F.xxhash64("entity_id"), F.lit(n_shards)).cast("int"),
-                )
+            # small change sets push the id list into the store read
+            # (manifest entity-range file skipping: ~K files opened, not
+            # the version); big ones would bloat the plan as an IN-list,
+            # so they row-filter via the broadcast semi-join instead
+            prune = sorted(changed) if len(changed) <= 1000 else None
+            fresh = self.serve_matrix(
+                meta.get("feature_names"),
+                meta.get("version"),
+                as_of=now,
+                preserve_stored_nulls=True,
+                entity_ids=prune,
             )
+            if prune is None:
+                fresh = fresh.join(changed_df, "entity_id", "left_semi")
+            fresh = fresh.withColumn(
+                "shard",
+                # int: matches the partition-directory-inferred type of
+                # the old files so the unionByName needs no cast
+                F.pmod(F.xxhash64("entity_id"), F.lit(n_shards)).cast("int"),
+            ).localCheckpoint(eager=True)  # bounded by max_changed; reused
+            # by the shard write, the empty-shard path, and the row count
             old_files = [
                 f for k in shards for f in shard_live_files(_os.path.join(final, f"shard={k}"))
             ]
