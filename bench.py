@@ -156,6 +156,8 @@ EXTRAS = [
     "q_zorder_key",
     "q_bloom_decontaminate",
     "q_gopher_rules",
+    "q_change_feed",
+    "q_snapshot_sync",
     "q_incremental_feature",
     "q_pretraining_corpus",
     "q_corpus_update",

@@ -7861,6 +7861,134 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_change_feed",
+    """
+    SELECT CAST(c_custkey AS VARCHAR) AS entity_id,
+           CAST(c_custkey * 10 AS VARCHAR) AS value,
+           'insert' AS change_type
+    FROM customer
+    UNION ALL
+    SELECT CAST(c_custkey AS VARCHAR),
+           CAST(c_custkey * 10 AS VARCHAR),
+           'delete'
+    FROM customer WHERE c_custkey % 13 = 0
+    """,
+)
+def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The offline store's CHANGE DATA FEED, hash-checked END-TO-END
+    through the real storage lifecycle (store/offline.py
+    changes_for_version): every customer is appended as (entity, value)
+    rows, every 13th subject is then erased via row-level delete, and a
+    compaction runs over the result — the feed over the full window must
+    be exactly {every row as 'insert'} ∪ {the erased rows as 'delete'},
+    with the compaction contributing NOTHING (content-neutral by
+    contract). The oracle reconstructs that multiset from the customer
+    table alone, so a feed that leaked compaction rewrites, dropped a
+    delete, or double-counted an append hash-mismatches. Values are
+    integer-derived strings (engine-portable, no float formatting
+    surface); commit timestamps/segment ids are projected away (they are
+    run-local by nature — ordering is tested in pytest/conformance)."""
+    import shutil
+    import tempfile
+
+    from ..store.offline import OfflineStore, compact_version_partition
+
+    c = load_table(spark, sf_dir, "customer")
+    rows = c.select(
+        F.col("c_custkey").cast("string").alias("entity_id"),
+        (F.col("c_custkey") * 10).cast("long").cast("string").alias("value"),
+    )
+    erase = [
+        str(r["c_custkey"])
+        for r in c.filter(F.col("c_custkey") % 13 == 0)
+        .select("c_custkey")
+        .collect()
+    ]
+    tmp = tempfile.mkdtemp(prefix="q_cdf_")
+    try:
+        store = OfflineStore(spark, tmp)
+        store.write_values(1, rows)
+        store.delete_rows(1, entity_ids=erase)
+        compact_version_partition(spark, store.path, 1, keep_old_files=True)
+        feed = store.changes_for_version(1).select(
+            "entity_id",
+            "value",
+            F.col("_change_type").alias("change_type"),
+        )
+        # materialize before the tmp dir disappears
+        return spark.createDataFrame(
+            feed.collect(), "entity_id string, value string, change_type string"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_snapshot_sync",
+    """
+    SELECT CAST(c_custkey AS VARCHAR) AS entity_id,
+           CAST(CASE WHEN c_custkey % 5 = 0 THEN c_custkey * 1000
+                     ELSE c_custkey * 10 END AS VARCHAR) AS bal
+    FROM customer
+    WHERE NOT (c_custkey % 7 = 0 AND c_custkey % 5 <> 0)
+    """,
+)
+def q_snapshot_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL online-snapshot refresh, hash-checked end-to-end
+    (serving/vectors.py sync_online_snapshot): a feature over every
+    customer is exported as a hash-sharded snapshot; then every 5th
+    subject is UPDATED (delete+append — the CDC upsert shape) and every
+    7th (not also updated) ERASED; one sync consumes the change feed and
+    rewrites only the touched shards. The snapshot read back
+    (generation-aware) must equal the SQL-reconstructed final state —
+    updates visible, erasures gone, everything else untouched — so a
+    sync that missed a shard, applied a stale generation, or resurrected
+    an erased subject hash-mismatches. Values are integer-derived
+    strings (no float surface)."""
+    import shutil
+    import tempfile
+
+    from ..serving.online_snapshot import read_online_snapshot
+    from ..serving.vectors import FeatureStore
+
+    c = load_table(spark, sf_dir, "customer")
+    rows = c.select(
+        F.col("c_custkey").cast("string").alias("entity_id"),
+        (F.col("c_custkey") * 10).cast("long").cast("string").alias("value"),
+    )
+    upd = [
+        str(r["c_custkey"])
+        for r in c.filter(F.col("c_custkey") % 5 == 0).select("c_custkey").collect()
+    ]
+    erase = [
+        str(r["c_custkey"])
+        for r in c.filter((F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 5 != 0))
+        .select("c_custkey")
+        .collect()
+    ]
+    tmp = tempfile.mkdtemp(prefix="q_snapsync_")
+    try:
+        fs = FeatureStore(spark, f"{tmp}/fstore")
+        t = fs.register_raw_table("t_ss", {"required_columns": ["id", "amount"]})
+        feat = fs.create_feature("bal", t.id, "SUM(amount)", "numeric")
+        v = fs.catalog.create_version(feat.id, "v1.0")  # born active
+        fs.store.write_values(v.id, rows)
+        snap = f"{tmp}/snap"
+        fs.export_online_snapshot(snap, n_shards=8)
+        fs.store.delete_rows(v.id, entity_ids=upd + erase)
+        fresh = c.filter(F.col("c_custkey") % 5 == 0).select(
+            F.col("c_custkey").cast("string").alias("entity_id"),
+            (F.col("c_custkey") * 1000).cast("long").cast("string").alias("value"),
+        )
+        fs.store.write_values(v.id, fresh)
+        fs.sync_online_snapshot(snap)
+        out = read_online_snapshot(spark, snap).select("entity_id", "bal")
+        return spark.createDataFrame(out.collect(), "entity_id string, bal string")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "q_cdc_merge",
     """
     WITH latest AS (
