@@ -368,6 +368,7 @@ def minhash_near_dup_pairs(
     threshold: float = 0.7,
     max_bucket: int = 1000,
     stage: str = "pairs",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH.
 
@@ -386,8 +387,23 @@ def minhash_near_dup_pairs(
     BEFORE the exact-Jaccard verify — the tuning/scale-audit surface
     (tools/scale_check.py measures candidates-generated vs
     pairs-verified growth with corpus size).
+
+    ``sigs`` — a precomputed :func:`minhash_signatures` frame (same
+    n_shingle/k over the same text) covering a SUPERSET of ``df``'s
+    docs; it is semi-joined down to ``df`` and the signature scan is
+    skipped. This is how a pipeline that needs pairs at two thresholds
+    (dedup at 0.7, leakage-split at 0.5 — build_pretraining_corpus)
+    pays the tokenize→shingle→hash pass over the corpus text ONCE:
+    banding, bucket caps, and verify are recomputed per call on exactly
+    the given doc set, so candidates and pairs are bit-identical to the
+    self-computed path (pinned in tests).
     """
-    sigs = _cache_scoped(minhash_signatures(df, text_col, id_col, n_shingle, k))
+    if sigs is None:
+        sigs = _cache_scoped(minhash_signatures(df, text_col, id_col, n_shingle, k))
+    else:
+        sigs = sigs.join(
+            df.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi"
+        )
     banded = _minhash_bands(sigs, k, bands)
 
     # in-bucket sorted-id pair generation, skipping degenerate buckets

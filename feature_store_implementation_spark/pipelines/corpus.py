@@ -24,7 +24,7 @@ tests/test_corpus_pipeline.py.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -55,6 +55,12 @@ class CurationReport:
     n_after_decontamination: int
     n_output: int
     n_after_semantic: int | None = None  # None when no embeddings were given
+    # the gated corpus's MinHash signature frame (scope-cached), so a
+    # composing pipeline needing pairs at a SECOND threshold (the
+    # leakage-split pass) skips re-scanning the corpus text — pass it to
+    # minhash_near_dup_pairs(sigs=...). Lazy Spark plan, not data; None
+    # outside a cache scope's lifetime concerns. Excluded from equality.
+    minhash_sigs: DataFrame | None = field(default=None, compare=False)
 
 
 def curate_corpus(
@@ -166,11 +172,22 @@ def curate_corpus(
         n_after_quality = int(gate["nq"] or 0)
         n_after_language = int(gate["nl"] or 0)
 
+    # signatures computed ONCE over the gated corpus (the heavy
+    # tokenize→shingle→hash text scan), scope-cached, and handed to
+    # every pair pass — this call's, and the composing build's
+    # leakage-split pass at a lower threshold (report.minhash_sigs)
+    from ..operators.dedup import minhash_signatures
+
+    gated = (
+        after_l.withColumnRenamed("doc_id", id_col) if id_col != "doc_id" else after_l
+    )
+    sigs = _cache_scoped(minhash_signatures(gated, text_col, id_col))
     pairs = minhash_near_dup_pairs(
-        after_l.withColumnRenamed("doc_id", id_col) if id_col != "doc_id" else after_l,
+        gated,
         text_col=text_col,
         id_col=id_col,
         threshold=dedup_threshold,
+        sigs=sigs,
     )
     comps = connected_components(pairs, src="doc_id_a", dst="doc_id_b")
     # The loser frames (ids only — O(dup_rate × corpus) rows, a sliver of
@@ -271,4 +288,5 @@ def curate_corpus(
         n_after_decontamination,
         n_output,
         n_after_semantic,
+        minhash_sigs=sigs,
     )

@@ -268,8 +268,16 @@ def build_pretraining_corpus(
         stage("mixture", curated.count())
 
     # -- leakage-safe split ------------------------------------------------
+    # the curate stage's signature frame (scope-cached) carries over: the
+    # split pass re-bands/re-verifies at the LOWER threshold but never
+    # re-scans the corpus text (candidates/pairs identical either way —
+    # minhash_near_dup_pairs semi-joins the sigs to exactly `curated`)
     soft_pairs = minhash_near_dup_pairs(
-        curated, text_col=text_col, id_col=id_col, threshold=split_threshold
+        curated,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=split_threshold,
+        sigs=rep.minhash_sigs,
     )
     split_df = leakage_safe_split(
         curated, split_fractions, pairs=soft_pairs, id_col=id_col

@@ -2525,3 +2525,34 @@ def test_bloom_bitset_rejects_unaligned_num_bits(spark):
 
     with pytest.raises(ValueError, match="multiple of 64"):
         bloom_bitset(spark.range(1).selectExpr("'x' AS s"), "s", num_bits=100)
+
+
+def test_minhash_pairs_with_precomputed_sigs_identical(spark, sf_small):
+    """The sigs pass-through (one text scan, two thresholds) must produce
+    bit-identical pairs to the self-computed path — including when the
+    sigs frame covers a SUPERSET of the doc frame (the build's split pass
+    hands curate-stage signatures to the post-mixture survivor set)."""
+    from feature_store_implementation_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        minhash_signatures,
+    )
+    from feature_store_implementation_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_small, "documents")
+    subset = docs.filter(F.col("doc_id") % 3 != 0)
+    sigs_all = minhash_signatures(docs, "text", "doc_id")
+
+    for thr in (0.7, 0.5):
+        own = sorted(
+            map(tuple, minhash_near_dup_pairs(subset, threshold=thr).collect())
+        )
+        shared = sorted(
+            map(
+                tuple,
+                minhash_near_dup_pairs(
+                    subset, threshold=thr, sigs=sigs_all
+                ).collect(),
+            )
+        )
+        assert own == shared
