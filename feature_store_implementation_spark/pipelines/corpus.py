@@ -182,12 +182,16 @@ def curate_corpus(
         after_l.withColumnRenamed("doc_id", id_col) if id_col != "doc_id" else after_l
     )
     sigs = _cache_scoped(minhash_signatures(gated, text_col, id_col))
+    # the in-pipeline dedup pass self-computes: its internal signature
+    # plan has the same semantic hash as `sigs`, so the scope cache is
+    # SHARED (one materialization), and skipping the sigs= param keeps
+    # the needless self-semi-join out of this pass's plan — the param is
+    # for the build's split pass, whose doc set is a strict subset
     pairs = minhash_near_dup_pairs(
         gated,
         text_col=text_col,
         id_col=id_col,
         threshold=dedup_threshold,
-        sigs=sigs,
     )
     comps = connected_components(pairs, src="doc_id_a", dst="doc_id_b")
     # The loser frames (ids only — O(dup_rate × corpus) rows, a sliver of
