@@ -485,6 +485,59 @@ class FeatureStore:
             raise
         return rows
 
+    def maintain_online_snapshot(
+        self, path: str, n_shards: int | None = None, max_changed: int = 100_000
+    ) -> dict:
+        """ONE idempotent scheduled-maintenance call for the online
+        serving tier (the :func:`~..pipelines.pretraining.maintain_corpus`
+        discipline applied to snapshots): try the O(changed) incremental
+        sync; when the snapshot cannot be patched — legacy meta, version
+        resolution drift, a restore/vacuum hole in the feed, churn past
+        ``max_changed``, or no snapshot at all yet — fall back to a FULL
+        re-export, staged and swapped in (old dir renamed aside, new
+        renamed in, old removed), so the caller never decides which mode
+        applies. Returns the underlying report plus ``mode`` ∈
+        {"synced", "reexported", "created"} and, for rebuilds, ``reason``.
+
+        The swap is two renames, so a point read racing it can see a
+        brief not-found between them — the same cutover window any bulk
+        re-load has; schedule it accordingly (the sync path, which is the
+        steady state, has no such window: shard generations swap
+        atomically)."""
+        import os as _os
+        import shutil as _shutil
+        import uuid as _uuid
+
+        from .online_snapshot import _snapshot_meta
+
+        final = path.rstrip("/")
+        reason = None
+        if _os.path.exists(final):
+            try:
+                return {"mode": "synced", **self.sync_online_snapshot(final, max_changed=max_changed)}
+            except ValueError as exc:
+                reason = str(exc)
+            try:
+                meta = _snapshot_meta(final)
+            except FileNotFoundError:
+                meta = {}
+            if n_shards is None:
+                n_shards = int(meta.get("n_shards") or 16)
+            rebuild = f"{final}.rebuild-{_uuid.uuid4().hex[:8]}"
+            rows = self.export_online_snapshot(
+                rebuild,
+                n_shards=n_shards,
+                feature_names=meta.get("feature_names"),
+                version=meta.get("version"),  # keep the original selector
+            )
+            trash = f"{final}.retired-{_uuid.uuid4().hex[:8]}"
+            _os.rename(final, trash)
+            _os.rename(rebuild, final)
+            _shutil.rmtree(trash, ignore_errors=True)
+            return {"mode": "reexported", "reason": reason, "rows": rows}
+        rows = self.export_online_snapshot(final, n_shards=n_shards or 16)
+        return {"mode": "created", "rows": rows}
+
     def sync_online_snapshot(self, path: str, max_changed: int = 100_000) -> dict:
         """Incrementally refresh an exported online snapshot from the
         offline store's CHANGE DATA FEED — the hourly companion to the

@@ -138,3 +138,30 @@ def test_export_pins_its_instant(fs, spark, tmp_path):
         lookup_online_snapshot(out, "late")
     fs.sync_online_snapshot(out)
     assert lookup_online_snapshot(out, "late").features["amt"] == 7.0
+
+
+def test_maintain_online_snapshot_picks_the_right_mode(fs, spark, tmp_path):
+    """One scheduled call: create when absent, sync in the steady state,
+    re-export (swap-in-place) on version drift — serving the NEW matrix."""
+    f, v = _seed(fs, n=8)
+    out = str(tmp_path / "snap")
+
+    rep = fs.maintain_online_snapshot(out, n_shards=N_SHARDS)
+    assert rep["mode"] == "created" and rep["rows"] == 8
+
+    more = spark.createDataFrame([("x1", "5.0")], "entity_id string, value string")
+    fs.store.write_values(v.id, more)
+    rep = fs.maintain_online_snapshot(out)
+    assert rep["mode"] == "synced" and rep["changed_entities"] == 1
+    assert lookup_online_snapshot(out, "x1").features["amt"] == 5.0
+
+    # drift -> rebuild, swapped in place, serving v2 values
+    fs.compute_version(f.id, "v2.0", [{"id": "e00", "amount": 42.0}])
+    rep = fs.maintain_online_snapshot(out)
+    assert rep["mode"] == "reexported" and "drift" in rep["reason"]
+    assert lookup_online_snapshot(out, "e00").features["amt"] == 42.0
+    with pytest.raises(KeyError):  # v1-only entities left the matrix
+        lookup_online_snapshot(out, "e01")
+    # and the rebuilt snapshot is immediately syncable again
+    rep = fs.maintain_online_snapshot(out)
+    assert rep["mode"] == "synced" and rep["changed_entities"] == 0
