@@ -867,11 +867,20 @@ def minhash_index_query(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     max_bucket: int = 1000,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs BETWEEN an increment and a
     :func:`minhash_index_write` corpus — cross pairs only (new×new dups
     are one :func:`minhash_near_dup_pairs` call over the increment).
     Returns ``(new_id, corpus_id, jaccard)``.
+
+    ``sigs`` — a precomputed :func:`minhash_signatures` frame for (a
+    superset of) the increment. CALLER'S CONTRACT: it must have been
+    built with THIS index's stored ``n_shingle``/``k`` (check
+    ``params.json`` before passing — the frame cannot carry its own
+    provenance); band hashing stays bit-identical either way because
+    bands are derived here from the stored params. Skips the
+    increment's signature text scan.
 
     Plan shape: the increment is signed fresh with the INDEX's stored
     params — including ``bands``, so band hashing is bit-identical to the
@@ -899,9 +908,14 @@ def minhash_index_query(
         )
     k, bands = params["k"], params["bands"]
     corpus_sigs = _read_index_signatures(spark, path)
-    new_sigs = _cache_scoped(
-        minhash_signatures(new_df, text_col, id_col, params["n_shingle"], k)
-    )
+    if sigs is None:
+        new_sigs = _cache_scoped(
+            minhash_signatures(new_df, text_col, id_col, params["n_shingle"], k)
+        )
+    else:
+        new_sigs = sigs.join(
+            new_df.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi"
+        )
     nb = _minhash_bands(new_sigs, k, bands).withColumnRenamed("doc_id", "new_id")
     nb_counts = nb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n_new"))
     buckets = (

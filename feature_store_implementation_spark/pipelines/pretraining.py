@@ -684,6 +684,17 @@ def _update_corpus_locked(
         stage("decontaminate", rep.n_after_decontamination)
 
     # -- cross-corpus dedup via the persisted index (O(increment)) ----------
+    # reuse the curate stage's signature frame when the index's stored
+    # params match the frame's (minhash_signatures defaults — what the
+    # build's index_write recorded); otherwise sign fresh with the
+    # index's own params (the operator's contract)
+    with open(os.path.join(index_path, "params.json")) as _pf:
+        _ip = json.load(_pf)
+    _sig_reuse = (
+        rep.minhash_sigs
+        if (_ip.get("n_shingle"), _ip.get("k")) == (3, 32)
+        else None
+    )
     cross = minhash_index_query(
         spark,
         curated.withColumnRenamed(id_col, "doc_id")
@@ -693,6 +704,7 @@ def _update_corpus_locked(
         text_col=text_col,
         id_col="doc_id",
         threshold=p["split_threshold"],
+        sigs=_sig_reuse,
     ).localCheckpoint(eager=True)
     corpus_dups = (
         cross.filter(F.col("jaccard") >= p["dedup_threshold"])
@@ -767,7 +779,13 @@ def _update_corpus_locked(
         ],
     )
     soft_within = minhash_near_dup_pairs(
-        curated, text_col=text_col, id_col=id_col, threshold=p["split_threshold"]
+        curated,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=p["split_threshold"],
+        # curate's signature frame covers a superset of the surviving
+        # increment (same operator defaults); one text scan per update
+        sigs=rep.minhash_sigs,
     ).select(
         F.col("doc_id_a").cast("string").alias(f"{id_col}_a"),
         F.col("doc_id_b").cast("string").alias(f"{id_col}_b"),
