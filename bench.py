@@ -158,6 +158,7 @@ EXTRAS = [
     "q_gopher_rules",
     "q_change_feed",
     "q_snapshot_sync",
+    "q_stream_snapshot_maint",
     "q_incremental_feature",
     "q_pretraining_corpus",
     "q_corpus_update",
@@ -201,13 +202,30 @@ def main() -> None:
     # of that query's plan, not of the bench ordering.
     from feature_store_implementation_spark.operators.dedup import cache_scope
 
+    # per-stage wall seconds for the two end-to-end pipeline extras, keyed
+    # by that run's total — the run kept (the min) gets its OWN stage
+    # breakdown recorded, so driver-to-driver pipeline drift is
+    # attributable to a stage instead of arguing totals (r10 verdict)
+    from feature_store_implementation_spark.pipelines import pretraining as _pt
+
+    stage_samples: dict[str, dict[float, list]] = {}
+    _STAGE_GLOBALS = {
+        "q_pretraining_corpus": "LAST_BUILD_STAGE_SECONDS",
+        "q_corpus_update": "LAST_UPDATE_STAGE_SECONDS",
+    }
+
     def run(name: str) -> float:
         t0 = time.time()
         with cache_scope():
             df = qs[name](spark, sf_dir)
             if df.isStreaming is False:
                 df.count()
-        return round(time.time() - t0, 3)
+        t = round(time.time() - t0, 3)
+        if name in _STAGE_GLOBALS:
+            stage_samples.setdefault(name, {})[t] = list(
+                getattr(_pt, _STAGE_GLOBALS[name])
+            )
+        return t
 
     # Headline queries run REPS times each (interleaved round-robin so a
     # transient machine-load spike doesn't bias one query); per-query value
@@ -257,6 +275,10 @@ def main() -> None:
         "spread": spread,
         "extras": extra_timings,
         "extras_total": round(sum(extra_timings.values()), 3),
+        # stage breakdown OF THE RUN THAT WAS KEPT (min total per query)
+        "stage_seconds": {
+            name: by_t[min(by_t)] for name, by_t in stage_samples.items() if by_t
+        },
         "sf": sf_val,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

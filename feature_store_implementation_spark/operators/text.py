@@ -881,6 +881,7 @@ def gopher_rules(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    passthrough: bool = False,
     min_words: int = 50,
     max_words: int = 100_000,
     min_mean_word_len: float = 3.0,
@@ -918,6 +919,13 @@ def gopher_rules(
     Pure JVM expressions, map-only, one projection; at 100 TB this is a
     whole-stage-codegen scan with zero shuffles, and the ``keep``
     predicate pushes into the same stage as downstream filters.
+
+    ``passthrough=True`` keeps EVERY input column (no ``doc_id``
+    rename) and appends the signal columns — the no-join composition
+    shape: :func:`~..pipelines.corpus.curate_corpus`'s ``quality=
+    "gopher"`` gate annotates in the scan itself instead of shuffling a
+    (doc_id, keep) frame back onto the corpus. Input columns must not
+    collide with the signal names (``n_words`` … ``keep``).
 
     Reference parity note: the reference engine has no quality gating
     (its compute surface is generic pandas exec, reference
@@ -958,8 +966,9 @@ def gopher_rules(
     ).cast("long")
     micro = F.lit(1_000_000).cast("long")
     nz_words = F.greatest(n_words, F.lit(1).cast("long"))
+    lead = list(df.columns) if passthrough else [F.col(id_col).alias("doc_id")]
     out = df.select(
-        F.col(id_col).alias("doc_id"),
+        *lead,
         n_words.alias("n_words"),
         word_chars.alias("__wc"),
         nz_words.alias("__nw"),
@@ -985,7 +994,7 @@ def gopher_rules(
         & (F.col("n_stop_hits") >= min_stop_hits)
     )
     return out.select(
-        "doc_id",
+        *(list(df.columns) if passthrough else ["doc_id"]),
         "n_words",
         mean_wl.alias("mean_word_len_micro"),
         sym.alias("symbol_word_ratio_micro"),
@@ -1003,6 +1012,7 @@ def c4_clean(
     id_col: str = "doc_id",
     min_words_per_line: int = 5,
     min_sentences: int = 3,
+    passthrough: bool = False,
 ) -> DataFrame:
     """C4-style page cleaning (Raffel et al. 2020 §2.2, the "Colossal
     Clean Crawled Corpus" heuristics): line-level retention + page-level
@@ -1023,7 +1033,10 @@ def c4_clean(
     expressions — no UDF, no shuffle; the 100 TB shape is a single
     codegen'd scan. On punctuation-free synthetic corpora every page
     degenerates to keep=0 (tests pin the real behavior on crafted
-    fixtures; see tests/test_text_extra.py)."""
+    fixtures; see tests/test_text_extra.py). ``passthrough=True`` keeps
+    every input column (no ``doc_id`` rename) and appends the output
+    columns — the no-join shape ``curate_corpus(clean="c4")`` composes
+    (input must not already carry ``clean_text`` … ``keep``)."""
     text = F.col(text_col)
     lines = F.split(text, r"\n")
     is_kept = lambda x: (  # noqa: E731 — shared by two exprs below
@@ -1042,7 +1055,7 @@ def c4_clean(
         ~has_lorem & ~has_brace & (n_sentences >= min_sentences)
     )
     return df.select(
-        F.col(id_col).alias("doc_id"),
+        *(list(df.columns) if passthrough else [F.col(id_col).alias("doc_id")]),
         clean.alias("clean_text"),
         F.size(lines).cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_lines_kept"),

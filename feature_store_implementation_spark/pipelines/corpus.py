@@ -55,12 +55,25 @@ class CurationReport:
     n_after_decontamination: int
     n_output: int
     n_after_semantic: int | None = None  # None when no embeddings were given
+    n_after_clean: int | None = None  # None when no page cleaning was asked
     # the gated corpus's MinHash signature frame (scope-cached), so a
     # composing pipeline needing pairs at a SECOND threshold (the
     # leakage-split pass) skips re-scanning the corpus text — pass it to
     # minhash_near_dup_pairs(sigs=...). Lazy Spark plan, not data; None
     # outside a cache scope's lifetime concerns. Excluded from equality.
     minhash_sigs: DataFrame | None = field(default=None, compare=False)
+    # the (n_shingle, k) ``minhash_sigs`` was actually built with — a
+    # consumer reusing the frame against a PERSISTED index must compare
+    # the index's stored params to THIS, not to a hardcoded copy of
+    # minhash_signatures' defaults (which can drift silently, ADVICE r10)
+    minhash_sig_params: tuple | None = field(default=None, compare=False)
+    # ((stage, wall_seconds), ...) measured BETWEEN this call's own Spark
+    # actions — the black-box-buster for pipeline bench drift: without it,
+    # a composing build can only time curate_corpus as one opaque lump
+    # (r10 verdict: the driver bench moved +14% with no way to say which
+    # stage). Lazy caches mean each stage's first action pays its upstream
+    # compute — exactly the honest attribution.
+    stage_seconds: tuple | None = field(default=None, compare=False)
 
 
 def curate_corpus(
@@ -69,6 +82,10 @@ def curate_corpus(
     id_col: str = "doc_id",
     min_quality: float = 0.3,
     languages: tuple[str, ...] = ("en",),
+    clean: str | None = None,
+    clean_params: dict | None = None,
+    quality: str = "score",
+    quality_params: dict | None = None,
     dedup_threshold: float = 0.7,
     sample_fraction: float | None = None,
     strip_boilerplate: bool = False,
@@ -108,16 +125,40 @@ def curate_corpus(
     3-gram shingles but have the identical hash vector — pinned in
     tests); true paraphrase detection still needs neural embeddings.
 
+    ``clean="c4"`` prepends C4-style page cleaning (Raffel et al. 2020
+    §2.2, :func:`~..operators.text.c4_clean` — the operator itself, in
+    its no-join ``passthrough`` shape): each page's text is replaced by
+    its surviving lines and pages failing the page rules drop, BEFORE any
+    scoring — the production intake order (C4-clean → quality gate →
+    dedup). ``quality="gopher"`` swaps the composite score gate for the
+    Gopher rule battery (Rae et al. 2021 A1,
+    :func:`~..operators.text.gopher_rules`, same no-join shape) — the
+    gate is ``keep = 1`` over the full rule conjunction, and the signal
+    columns ride through to the output as corpus diagnostics the way
+    ``quality``/``predicted_lang`` do under the default. ``clean_params``
+    / ``quality_params`` pass straight through to the operators.
+
     Precondition: ``id_col`` must be unique and non-null. Duplicate ids
     would fan out multiplicatively in the quality/language joins and, with
     ``strip_boilerplate``, be collapsed by ``line_dedup`` then re-expanded
     by the metadata re-join — so they are rejected up front (checked in
     the same action that counts the input)."""
+    import time as _time
+
+    _stage_secs: list = []
+    _t = [_time.monotonic()]
+
+    def _tick(name: str) -> None:
+        now = _time.monotonic()
+        _stage_secs.append((name, round(now - _t[0], 3)))
+        _t[0] = now
+
     id_stats = docs.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(F.col(id_col)).alias("n_ids"),
     ).collect()[0]
     n_input = id_stats["n"]
+    _tick("input")
     if id_stats["n_ids"] != n_input:
         raise ValueError(
             f"curate_corpus requires unique non-null '{id_col}' values: "
@@ -136,17 +177,46 @@ def curate_corpus(
             cleaned = cleaned.join(docs.select(id_col, *keep_cols), id_col)
         docs = cleaned
 
+    n_after_clean = None
+    if clean is not None:
+        if clean != "c4":
+            raise ValueError(f"clean must be 'c4' or None — got {clean!r}")
+        from ..operators.text import c4_clean
+
+        page_cols = [c for c in docs.columns if c != text_col]
+        docs = (
+            c4_clean(docs, text_col, id_col, passthrough=True, **(clean_params or {}))
+            .filter(F.col("keep") == 1)
+            .select(*page_cols, F.col("clean_text").alias(text_col))
+        )
+        n_after_clean = docs.count()
+        _tick("c4_clean")
+
     # quality and language are ROW-LOCAL — annotate in the scan itself.
     # (Through round 9 this was docs ⋈ quality_score ⋈ language_id on
     # doc_id: two corpus-wide hash-join shuffles for values computable in
     # the projection. quality_expr/language_pred_expr are the operators'
     # own expressions — one definition, no drift.)
-    annotated = docs.withColumnRenamed(id_col, "doc_id").select(
-        "*",
-        quality_expr(F.col(text_col)).alias("quality"),
-        language_pred_expr(F.col(text_col)).alias("predicted_lang"),
-    )
-    q_pass = F.col("quality") >= min_quality
+    if quality == "gopher":
+        from ..operators.text import gopher_rules
+
+        annotated = gopher_rules(
+            docs.withColumnRenamed(id_col, "doc_id"),
+            text_col,
+            "doc_id",
+            passthrough=True,
+            **(quality_params or {}),
+        ).select("*", language_pred_expr(F.col(text_col)).alias("predicted_lang"))
+        q_pass = F.col("keep") == 1
+    elif quality == "score":
+        annotated = docs.withColumnRenamed(id_col, "doc_id").select(
+            "*",
+            quality_expr(F.col(text_col)).alias("quality"),
+            language_pred_expr(F.col(text_col)).alias("predicted_lang"),
+        )
+        q_pass = F.col("quality") >= min_quality
+    else:
+        raise ValueError(f"quality must be 'score' or 'gopher' — got {quality!r}")
     l_pass = q_pass & F.col("predicted_lang").isin(*languages)
     after_q = annotated.filter(q_pass)
     after_l = annotated.filter(l_pass)
@@ -161,6 +231,7 @@ def curate_corpus(
         )
         after_l = _cache_scoped(after_l)
         n_after_language = after_l.count()
+        _tick("quality_language")
     else:
         # both survivor counts in ONE map-side conditional agg (no second
         # scan); the cache fills lazily at the LSH stage's first action
@@ -171,6 +242,7 @@ def curate_corpus(
         ).collect()[0]
         n_after_quality = int(gate["nq"] or 0)
         n_after_language = int(gate["nl"] or 0)
+    _tick("quality_language")
 
     # signatures computed ONCE over the gated corpus (the heavy
     # tokenize→shingle→hash text scan), scope-cached, and handed to
@@ -181,6 +253,10 @@ def curate_corpus(
     gated = (
         after_l.withColumnRenamed("doc_id", id_col) if id_col != "doc_id" else after_l
     )
+    import inspect as _inspect
+
+    _sig_defaults = _inspect.signature(minhash_signatures).parameters
+    sig_params = (_sig_defaults["n_shingle"].default, _sig_defaults["k"].default)
     sigs = _cache_scoped(minhash_signatures(gated, text_col, id_col))
     # the in-pipeline dedup pass self-computes: its internal signature
     # plan has the same semantic hash as `sigs`, so the scope cache is
@@ -211,6 +287,7 @@ def curate_corpus(
     # pick the strategy (it will still broadcast when the set is small).
     deduped = after_l.join(losers, "doc_id", "left_anti")
     n_after_dedup = deduped.count()
+    _tick("lexical_dedup")
 
     n_after_semantic = None
     if embeddings is not None:
@@ -264,6 +341,7 @@ def curate_corpus(
         )
         deduped = deduped.join(sem_losers, "doc_id", "left_anti")
         n_after_semantic = deduped.count()
+        _tick("semantic_dedup")
 
     if eval_df is not None:
         contaminated = _cache_scoped(
@@ -279,11 +357,13 @@ def curate_corpus(
         )
         deduped = deduped.join(contaminated, "doc_id", "left_anti")
     n_after_decontamination = deduped.count()
+    _tick("decontaminate")
 
     out = deduped
     if sample_fraction is not None:
         out = deterministic_sample(out, ["doc_id"], sample_fraction)
     n_output = out.count()
+    _tick("output")
     return out, CurationReport(
         n_input,
         n_after_quality,
@@ -292,5 +372,8 @@ def curate_corpus(
         n_after_decontamination,
         n_output,
         n_after_semantic,
+        n_after_clean=n_after_clean,
         minhash_sigs=sigs,
+        minhash_sig_params=sig_params,
+        stage_seconds=tuple(_stage_secs),
     )

@@ -91,9 +91,13 @@ def _fingerprint(df: DataFrame, id_col: str, text_col: str) -> str:
     return format(row["fp"] or 0, "015x")
 
 
-#: per-stage wall seconds of the most recent build in this process —
-#: diagnostic only (see stage() hook inside build_pretraining_corpus)
+#: per-stage wall seconds of the most recent build / incremental update in
+#: this process — diagnostic only (see the stage() hooks inside
+#: build_pretraining_corpus / update_pretraining_corpus; bench.py exports
+#: both into BENCH_DETAIL.json so driver-to-driver pipeline drift can be
+#: attributed to a STAGE, round-11 verdict task 2)
 LAST_BUILD_STAGE_SECONDS: list = []
+LAST_UPDATE_STAGE_SECONDS: list = []
 
 
 def _scoped(fn):
@@ -122,6 +126,8 @@ def build_pretraining_corpus(
     collapse_whitespace: bool = True,
     min_quality: float = 0.3,
     languages: tuple[str, ...] = ("en",),
+    clean: str | None = None,
+    quality: str = "score",
     dedup_threshold: float = 0.7,
     semantic: bool = True,
     semantic_threshold: float = 0.95,
@@ -192,9 +198,14 @@ def build_pretraining_corpus(
     _timings: list[tuple[str, float]] = []
     _t_last = [_time.monotonic()]
 
-    def stage(name: str, n: int) -> None:
+    def stage(name: str, n: int, secs: float | None = None) -> None:
+        # secs: curate_corpus-internal attribution (report.stage_seconds)
+        # — without it every curate-backed stage would bill 0 and the
+        # first one the whole curate wall (r10 verdict: pipeline drift
+        # was unattributable). t_last always advances to NOW, so the
+        # next delta-timed stage stays honest.
         now = _time.monotonic()
-        _timings.append((name, round(now - _t_last[0], 3)))
+        _timings.append((name, round(now - _t_last[0], 3) if secs is None else secs))
         _t_last[0] = now
         stages.append({"stage": name, "n_docs": int(n)})
         global LAST_BUILD_STAGE_SECONDS
@@ -223,6 +234,8 @@ def build_pretraining_corpus(
         id_col=id_col,
         min_quality=min_quality,
         languages=languages,
+        clean=clean,
+        quality=quality,
         dedup_threshold=dedup_threshold,
         eval_df=eval_df,
         decontaminate_ngram=decontaminate_ngram,
@@ -231,13 +244,16 @@ def build_pretraining_corpus(
     )
     if id_col != "doc_id":  # curate_corpus standardizes the id column name
         curated = curated.withColumnRenamed("doc_id", id_col)
-    stage("quality", rep.n_after_quality)
-    stage("language", rep.n_after_language)
-    stage("lexical_dedup", rep.n_after_dedup)
+    _rs = dict(rep.stage_seconds or ())
+    if clean is not None:
+        stage("c4_clean", rep.n_after_clean, secs=_rs.get("c4_clean", 0.0))
+    stage("quality", rep.n_after_quality, secs=_rs.get("quality_language", 0.0))
+    stage("language", rep.n_after_language, secs=0.0)
+    stage("lexical_dedup", rep.n_after_dedup, secs=_rs.get("lexical_dedup", 0.0))
     if semantic:
-        stage("semantic_dedup", rep.n_after_semantic)
+        stage("semantic_dedup", rep.n_after_semantic, secs=_rs.get("semantic_dedup", 0.0))
     if eval_df is not None:
-        stage("decontaminate", rep.n_after_decontamination)
+        stage("decontaminate", rep.n_after_decontamination, secs=_rs.get("decontaminate", 0.0))
 
     # -- mixture weighting -------------------------------------------------
     mixture_record: dict | None = None
@@ -331,6 +347,8 @@ def build_pretraining_corpus(
             "collapse_whitespace": bool(collapse_whitespace),
             "min_quality": float(min_quality),
             "languages": list(languages),
+            "clean": clean,
+            "quality_gate": quality,
             "dedup_threshold": float(dedup_threshold),
             "semantic": bool(semantic),
             "semantic_threshold": float(semantic_threshold),
@@ -641,9 +659,18 @@ def _update_corpus_locked(
     index_path = os.path.join(path, manifest["dedup_index"]["path"])
 
     stages: list[dict] = []
+    import time as _time
 
-    def stage(name: str, n: int) -> None:
+    _timings: list[tuple[str, float]] = []
+    _t_last = [_time.monotonic()]
+
+    def stage(name: str, n: int, secs: float | None = None) -> None:
+        now = _time.monotonic()
+        _timings.append((name, round(now - _t_last[0], 3) if secs is None else secs))
+        _t_last[0] = now
         stages.append({"stage": name, "n_docs": int(n)})
+        global LAST_UPDATE_STAGE_SECONDS
+        LAST_UPDATE_STAGE_SECONDS = list(_timings)
 
     n_input = new_docs.count()
     stage("ingest", n_input)
@@ -667,6 +694,8 @@ def _update_corpus_locked(
         id_col=id_col,
         min_quality=p["min_quality"],
         languages=tuple(p["languages"]),
+        clean=p.get("clean"),
+        quality=p.get("quality_gate", "score"),
         dedup_threshold=p["dedup_threshold"],
         eval_df=eval_df,
         decontaminate_ngram=p["decontaminate_ngram"],
@@ -675,24 +704,30 @@ def _update_corpus_locked(
     )
     if id_col != "doc_id":
         curated = curated.withColumnRenamed("doc_id", id_col)
-    stage("quality", rep.n_after_quality)
-    stage("language", rep.n_after_language)
-    stage("lexical_dedup_within", rep.n_after_dedup)
+    _rs = dict(rep.stage_seconds or ())
+    if p.get("clean") is not None:
+        stage("c4_clean", rep.n_after_clean, secs=_rs.get("c4_clean", 0.0))
+    stage("quality", rep.n_after_quality, secs=_rs.get("quality_language", 0.0))
+    stage("language", rep.n_after_language, secs=0.0)
+    stage("lexical_dedup_within", rep.n_after_dedup, secs=_rs.get("lexical_dedup", 0.0))
     if p["semantic"]:
-        stage("semantic_dedup_within", rep.n_after_semantic)
+        stage("semantic_dedup_within", rep.n_after_semantic, secs=_rs.get("semantic_dedup", 0.0))
     if eval_df is not None:
-        stage("decontaminate", rep.n_after_decontamination)
+        stage("decontaminate", rep.n_after_decontamination, secs=_rs.get("decontaminate", 0.0))
 
     # -- cross-corpus dedup via the persisted index (O(increment)) ----------
     # reuse the curate stage's signature frame when the index's stored
-    # params match the frame's (minhash_signatures defaults — what the
-    # build's index_write recorded); otherwise sign fresh with the
-    # index's own params (the operator's contract)
+    # params match the (n_shingle, k) the frame was ACTUALLY built with
+    # (report.minhash_sig_params — not a hardcoded copy of the defaults,
+    # which would silently pass a mismatched frame if they ever drift,
+    # ADVICE r10); otherwise sign fresh with the index's own params
+    # (the operator's contract)
     with open(os.path.join(index_path, "params.json")) as _pf:
         _ip = json.load(_pf)
     _sig_reuse = (
         rep.minhash_sigs
-        if (_ip.get("n_shingle"), _ip.get("k")) == (3, 32)
+        if rep.minhash_sig_params is not None
+        and (_ip.get("n_shingle"), _ip.get("k")) == tuple(rep.minhash_sig_params)
         else None
     )
     cross = minhash_index_query(

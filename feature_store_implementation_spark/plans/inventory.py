@@ -3219,17 +3219,45 @@ def q_cogroup_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_media_decode", None)
+@query(
+    "q_media_decode",
+    """
+    WITH b AS (
+      SELECT doc_id AS media_id,
+             octet_length(encode(text)) AS n_bytes,
+             sha256(text) AS sha
+      FROM documents
+    ),
+    i AS (
+      SELECT media_id, n_bytes, sha,
+             unnest(generate_series(0, 7)) AS feature_idx
+      FROM b
+    )
+    SELECT media_id,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           sha AS sha256,
+           CAST(feature_idx AS BIGINT) AS feature_idx,
+           CAST(CAST((
+               (strpos('0123456789abcdef', substr(sha, feature_idx * 2 + 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(sha, feature_idx * 2 + 2, 1)) - 1)
+           ) / 255.0 AS FLOAT) AS DOUBLE) AS feature_val
+    FROM i
+    """,
+)
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full multimodal decode pipeline (rows-only): text bytes stand in for
-    opaque media blobs; mapInPandas runs the (stubbed) decoder per Arrow
-    batch producing typed features — checksum parity with q_media_metadata
-    is asserted in tests/test_multimodal.py.
-
-    The library keeps the typed ``feature: array<float>`` column
-    (operators/multimodal.py FEATURE_SCHEMA); the *query* output JSON-encodes
-    it so every column is scalar — the driver's rows-only canonicalization
-    sorts all columns through pandas and cannot hash list cells."""
+    """Full multimodal decode pipeline (operators/multimodal.py
+    decode_media_features): text bytes stand in for opaque media blobs;
+    mapInPandas runs the (stubbed deterministic) decoder per Arrow batch
+    producing typed features. FULL ORACLE since round 11 (the family's
+    last rows-only check): the fake decoder is sha256-seeded —
+    ``feature[i] = digest_byte[i] / 255.0`` as float32 — so DuckDB
+    replays it exactly with hex arithmetic on ``sha256(text)`` (byte i =
+    hex pair 2i..2i+1 decoded via strpos) and the identical
+    int→double-divide→float32→double rounding chain; IEEE 754 makes both
+    engines bit-equal. The library's ``array<float>`` column is exploded
+    to (feature_idx, feature_val) rows because the hash compare needs
+    scalar cells; crc32 stays library-side (DuckDB has no standard CRC-32
+    — parity is pytest-pinned in tests/test_multimodal.py)."""
     from ..operators.multimodal import decode_media_features
 
     d = load_table(spark, sf_dir, "documents").select(
@@ -3240,8 +3268,13 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "n_bytes",
         "sha256",
-        "crc32",
-        F.to_json(F.col("feature")).alias("feature_json"),
+        F.posexplode("feature").alias("feature_idx", "feature_val"),
+    ).select(
+        "media_id",
+        "n_bytes",
+        "sha256",
+        F.col("feature_idx").cast("long").alias("feature_idx"),
+        F.col("feature_val").cast("double").alias("feature_val"),
     )
 
 
@@ -7982,6 +8015,87 @@ def q_snapshot_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         fs.store.write_values(v.id, fresh)
         fs.sync_online_snapshot(snap)
+        out = read_online_snapshot(spark, snap).select("entity_id", "bal")
+        return spark.createDataFrame(out.collect(), "entity_id string, bal string")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "q_stream_snapshot_maint",
+    """
+    SELECT CAST(c_custkey AS VARCHAR) AS entity_id,
+           CAST(c_custkey * 10 AS VARCHAR) AS bal
+    FROM customer
+    UNION ALL
+    SELECT concat('n', CAST(o_orderkey AS VARCHAR)),
+           CAST(o_orderkey * 3 AS VARCHAR)
+    FROM orders WHERE o_orderkey % 40 IN (1, 2)
+    """,
+)
+def q_stream_snapshot_maint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING online-snapshot freshness, hash-checked end-to-end
+    (streaming/features.py stream_snapshot_maintenance): a snapshot is
+    exported over every customer, then two availableNow file-triggers
+    stream in fresh entities (orders keys %40==1, then %40==2); each
+    epoch appends to the offline store EXACTLY-ONCE (epoch-keyed txn)
+    and advances the snapshot through maintain_online_snapshot — the
+    consumed-segment-ledger sync, riding the stream's own trigger
+    cadence. The generation-aware snapshot read-back must equal the
+    SQL-reconstructed final state (base ∪ both batches), so a missed
+    epoch, a double-applied batch, or a stale shard generation
+    hash-mismatches. Values are integer-derived strings (no float
+    surface); stream ≡ batch equality and replay no-op are pinned in
+    tests/test_streaming.py."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..serving.online_snapshot import read_online_snapshot
+    from ..serving.vectors import FeatureStore
+    from ..streaming.features import stream_snapshot_maintenance
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    base = c.select(
+        F.col("c_custkey").cast("string").alias("entity_id"),
+        (F.col("c_custkey") * 10).cast("long").cast("string").alias("value"),
+    )
+    tmp = tempfile.mkdtemp(prefix="q_streamsnap_")
+    try:
+        fs = FeatureStore(spark, f"{tmp}/fstore")
+        t = fs.register_raw_table("t_ssm", {"required_columns": ["id", "amount"]})
+        feat = fs.create_feature("bal", t.id, "SUM(amount)", "numeric")
+        v = fs.catalog.create_version(feat.id, "v1.0")  # born active
+        fs.store.write_values(v.id, base)
+        snap = f"{tmp}/snap"
+        fs.export_online_snapshot(snap, n_shards=8)
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for i, m in enumerate((1, 2)):
+            batch = o.filter(F.col("o_orderkey") % 40 == m).select(
+                F.concat(F.lit("n"), F.col("o_orderkey").cast("string")).alias(
+                    "entity_id"
+                ),
+                (F.col("o_orderkey") * 3).cast("long").cast("string").alias("value"),
+            )
+            stage = os.path.join(tmp, f"stage{i}")
+            batch.coalesce(1).write.parquet(stage)
+            dest = os.path.join(src, f"chunk_{i}.parquet")
+            shutil.move(_glob.glob(f"{stage}/part-*.parquet")[0], dest)
+            os.utime(dest, (1_700_000_000 + i * 10,) * 2)
+        q = stream_snapshot_maintenance(
+            spark.readStream.schema("entity_id string, value string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            fs,
+            v.id,
+            snap,
+            os.path.join(tmp, "ckpt"),
+        )
+        if not q.awaitTermination(300):
+            raise TimeoutError("snapshot maintenance stream did not drain")
         out = read_online_snapshot(spark, snap).select("entity_id", "bal")
         return spark.createDataFrame(out.collect(), "entity_id string, bal string")
     finally:

@@ -227,10 +227,20 @@ def create_app(
         if not os.path.exists(path):
             return jsonify({"detail": f"online snapshot '{name}' not found"}), 404
         b = _body() if request.data else {}
+        # validate the request BEFORE the sync try: a non-integer
+        # max_changed is a plain 400 validation error, not the
+        # ConflictError "re-export needed" taxonomy (ADVICE r10)
         try:
-            rep = store.sync_online_snapshot(
-                path, max_changed=int(b.get("max_changed", 100_000))
+            max_changed = int(b.get("max_changed", 100_000))
+        except (TypeError, ValueError):
+            return (
+                jsonify(
+                    {"detail": f"max_changed must be an integer, got {b.get('max_changed')!r}"}
+                ),
+                400,
             )
+        try:
+            rep = store.sync_online_snapshot(path, max_changed=max_changed)
         except ValueError as exc:
             raise ConflictError(str(exc)) from None
         return jsonify({"name": name, **rep})

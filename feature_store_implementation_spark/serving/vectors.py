@@ -52,6 +52,14 @@ class FeatureStore:
     # (see export_online_snapshot). Sized generously above any plausible
     # export wall time — debris costs only disk until then.
     STAGING_SWEEP_AGE_S = 24 * 3600
+    # consumed-segment-ledger pruning horizon (sync_online_snapshot): a
+    # segment whose committed_at sits this far below the newest observed
+    # commit is presumed fully visible (capture→rename in _commit_segment
+    # is one fsync'd JSON write, and 10 min dwarfs any sane NTP skew
+    # between writers), so it can be folded into the ledger's floor and
+    # dropped from the explicit id list — keeping the ledger O(recent
+    # commits), not O(all commits ever), at 100 TB append rates.
+    FEED_LEDGER_LAG_S = 600.0
 
     def __init__(self, spark: SparkSession, root: str, cache: FeatureCache | None = None):
         self.spark = spark
@@ -431,6 +439,25 @@ class FeatureStore:
         vids = sorted(
             {r["feature_version_id"] for r in resolved.select("feature_version_id").collect()}
         )
+        # the sync ledger: which commits this snapshot's CONTENT covers, by
+        # SEGMENT ID (not timestamp — a commit that becomes visible after a
+        # timestamp window closes is lost forever under (since, now] rules;
+        # an id ledger just consumes it whenever it appears, ADVICE r10).
+        # Captured BEFORE serve_matrix builds its plan: the matrix's own
+        # (later) listing is a superset, so every ledgered segment is
+        # guaranteed IN the data; a segment the matrix saw but the ledger
+        # missed is merely re-upserted by the first sync (idempotent).
+        consumed = {
+            str(v): {
+                "floor": 0.0,
+                "segments": sorted(
+                    seg
+                    for seg, doc in self.store._feed_segments(v).items()
+                    if float(doc.get("committed_at", 0.0)) <= pin
+                ),
+            }
+            for v in vids
+        }
         m = self.serve_matrix(
             feature_names, version, as_of=pin, preserve_stored_nulls=True
         )
@@ -464,6 +491,7 @@ class FeatureStore:
                         "exported_at": float(pin),
                         "feature_names": list(feature_names) if feature_names else None,
                         "feature_version_ids": [int(v) for v in vids],
+                        "consumed_segments": consumed,
                     },
                     f,
                 )
@@ -503,7 +531,17 @@ class FeatureStore:
         brief not-found between them — the same cutover window any bulk
         re-load has; schedule it accordingly (the sync path, which is the
         steady state, has no such window: shard generations swap
-        atomically)."""
+        atomically). A crash INSIDE that window is recovered on the next
+        call: a rebuild dir is only ever renamed to its final name after
+        export_online_snapshot committed it whole (its own staging
+        protocol), so when ``final`` is missing but a ``.rebuild-*``
+        sibling exists, the newest one — meta, version selector, shard
+        count and all — is adopted before anything else runs; without
+        this, the crash stranded the ONLY copy of ``_snapshot_meta.json``
+        in the trash dir and the next call silently re-created the
+        snapshot with default settings (ADVICE r10). Leftover
+        ``.retired-*`` / stale ``.rebuild-*`` dirs are swept here too."""
+        import glob as _glob
         import os as _os
         import shutil as _shutil
         import uuid as _uuid
@@ -512,6 +550,24 @@ class FeatureStore:
 
         final = path.rstrip("/")
         reason = None
+        rebuilds = sorted(_glob.glob(f"{final}.rebuild-*"), key=_os.path.getmtime)
+        if not _os.path.exists(final) and rebuilds:
+            # crashed between rename(final→trash) and rename(rebuild→final):
+            # adopt the newest committed rebuild — it IS the snapshot
+            _os.rename(rebuilds.pop(), final)
+        # retired dirs are always dead; a leftover rebuild is only swept
+        # AGE-GATED — a young one may be a live concurrent maintain's
+        # export mid-swap (same rule as the staging sweep)
+        import time as _time
+
+        for leftover in _glob.glob(f"{final}.retired-*"):
+            _shutil.rmtree(leftover, ignore_errors=True)
+        for leftover in rebuilds:
+            try:
+                if _time.time() - _os.path.getmtime(leftover) > self.STAGING_SWEEP_AGE_S:
+                    _shutil.rmtree(leftover, ignore_errors=True)
+            except OSError:
+                pass
         if _os.path.exists(final):
             try:
                 return {"mode": "synced", **self.sync_online_snapshot(final, max_changed=max_changed)}
@@ -542,12 +598,17 @@ class FeatureStore:
         """Incrementally refresh an exported online snapshot from the
         offline store's CHANGE DATA FEED — the hourly companion to the
         nightly :meth:`export_online_snapshot` bulk load. Cost is
-        O(changed entities), never O(snapshot): the feed window
-        ``(last sync, now]`` names exactly the entities whose vectors
-        moved, their matrix rows are recomputed with an entity-pruned
-        read, and ONLY the hash shards holding them are rewritten — an
-        unchanged shard's file is not opened, not rewritten, not even
-        stat'd by readers any differently.
+        O(changed entities), never O(snapshot): a per-version
+        CONSUMED-SEGMENT LEDGER in the snapshot meta names exactly the
+        commits already applied; the complement of the visible listing is
+        this round's work (:meth:`~..store.offline.OfflineStore.
+        changes_for_segments` — exactly-once even when a commit's
+        ``committed_at`` lands inside an already-closed wall-clock window,
+        the loss mode of the pre-round-11 ``(last sync, now]`` rule). The
+        feed names the entities whose vectors moved, their matrix rows are
+        recomputed with an entity-pruned read, and ONLY the hash shards
+        holding them are rewritten — an unchanged shard's file is not
+        opened, not rewritten, not even stat'd by readers any differently.
 
         Shard replacement is generation-based (``gen{G}-`` file prefix,
         see :func:`~.online_snapshot.shard_live_files`): the new file is
@@ -610,27 +671,89 @@ class FeatureStore:
                     f"({meta['feature_version_ids']} -> {vids_now}); every row "
                     "is potentially stale — re-export the snapshot"
                 )
-            since = float(meta.get("synced_at") or meta["exported_at"])
+            # CONSUMED-SEGMENT LEDGER (not a timestamp window): each vid's
+            # ledger is (floor, explicit ids) — a commit is consumed iff
+            # committed_at <= floor OR its id is listed. Pending = every
+            # VISIBLE commit that is neither; a commit that publishes late
+            # (the _commit_segment capture→rename gap, writer clock skew)
+            # is simply absent from this round's listing and consumed the
+            # round it appears — nothing timestamped inside a closed
+            # window can be lost (ADVICE r10, medium). Commits stamped
+            # after `now` stay pending too: the fresh matrix below reads
+            # as_of=now, so consuming them here would ledger data the read
+            # can't see. Pre-round-11 snapshots carry no ledger; their
+            # synced_at/exported_at instant bootstraps the floor (the old
+            # window rule, one last time).
+            ledger: dict = meta.get("consumed_segments") or {
+                str(v): {
+                    "floor": float(meta.get("synced_at") or meta["exported_at"]),
+                    "segments": [],
+                }
+                for v in vids_now
+            }
             changed: set[str] = set()
+            new_ledger: dict = {}
             for vid in vids_now:
-                try:
-                    feed = self.store.changes_for_version(vid, since=since, until=now)
-                except ValueError as exc:
-                    raise ValueError(
-                        f"change feed unusable for version {vid} ({exc}); "
-                        "re-export the snapshot"
-                    ) from exc
-                changed.update(
-                    r["entity_id"]
-                    for r in feed.select("entity_id").distinct().collect()
+                ent = ledger.get(str(vid)) or {"floor": 0.0, "segments": []}
+                floor = float(ent.get("floor", 0.0))
+                done = set(ent.get("segments") or [])
+                listing = self.store._feed_segments(vid)
+                ts_of = {
+                    s: float(d.get("committed_at", 0.0)) for s, d in listing.items()
+                }
+                pending = sorted(
+                    s
+                    for s, ts in ts_of.items()
+                    if floor < ts <= now and s not in done
                 )
-                if len(changed) > max_changed:
-                    raise ValueError(
-                        f"{len(changed)}+ entities changed since the last sync "
-                        f"(max_changed={max_changed}) — churn this heavy is "
-                        "cheaper as a bulk re-export"
+                if pending:
+                    try:
+                        feed = self.store.changes_for_segments(vid, pending)
+                    except ValueError as exc:
+                        raise ValueError(
+                            f"change feed unusable for version {vid} ({exc}); "
+                            "re-export the snapshot"
+                        ) from exc
+                    changed.update(
+                        r["entity_id"]
+                        for r in feed.select("entity_id").distinct().collect()
                     )
+                    if len(changed) > max_changed:
+                        raise ValueError(
+                            f"{len(changed)}+ entities changed since the last "
+                            f"sync (max_changed={max_changed}) — churn this "
+                            "heavy is cheaper as a bulk re-export"
+                        )
+                # fold everything observed (<= now) into the ledger, then
+                # advance the floor to (newest observed − lag) and drop the
+                # ids it implies — the ledger stays O(recent commits)
+                observed = {s for s, ts in ts_of.items() if ts <= now}
+                all_done = done | observed
+                new_floor = max(
+                    floor,
+                    max((ts_of[s] for s in observed), default=floor)
+                    - self.FEED_LEDGER_LAG_S,
+                )
+                new_ledger[str(vid)] = {
+                    "floor": new_floor,
+                    "segments": sorted(
+                        s
+                        for s in all_done
+                        if ts_of.get(s, new_floor + 1.0) > new_floor
+                    ),
+                }
             if not changed:
+                # persist the advanced ledger even on a no-op: compacts
+                # and restores observed this round are folded in so they
+                # are not re-examined every sync
+                meta["consumed_segments"] = new_ledger
+                meta["synced_at"] = now
+                tmp = _os.path.join(final, ".snapshot_meta.tmp")
+                with open(tmp, "w") as f:
+                    _json.dump(meta, f)
+                    f.flush()
+                    _os.fsync(f.fileno())
+                _os.replace(tmp, _os.path.join(final, "_snapshot_meta.json"))
                 return {
                     "changed_entities": 0,
                     "shards_rewritten": 0,
@@ -724,6 +847,7 @@ class FeatureStore:
             finally:
                 _shutil.rmtree(staging, ignore_errors=True)
             rows_upserted = fresh.count()
+            meta["consumed_segments"] = new_ledger
             meta["synced_at"] = now
             tmp = _os.path.join(final, ".snapshot_meta.tmp")
             with open(tmp, "w") as f:

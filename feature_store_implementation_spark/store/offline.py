@@ -129,30 +129,57 @@ def _lock_holder(lock: str) -> tuple[int, str]:
     return pid, host
 
 
+# mutation-lock lease: the holder's heartbeat touches the lock mtime every
+# LOCK_HEARTBEAT_S; an acquirer may reclaim ANY holder — local or remote —
+# whose lease has gone LOCK_LEASE_TTL_S without a beat. The TTL is sized
+# 20× the beat so scheduler stalls, GC pauses, and NFS attribute-cache
+# staleness (typically ≤60 s) cannot expire a LIVE holder.
+LOCK_HEARTBEAT_S = 15.0
+LOCK_LEASE_TTL_S = 300.0
+
+
+def _lease_expired(lock: str, ttl: float = LOCK_LEASE_TTL_S) -> bool:
+    import time
+
+    try:
+        return time.time() - os.stat(lock).st_mtime > ttl
+    except OSError:
+        return False  # gone (or unreadable): nothing to expire
+
+
 @contextmanager
 def _pid_lock(lock: str, what: str):
-    """O_EXCL pid+hostname-recording lock with DEAD-HOLDER recovery — the
-    corpus mutation lock's discipline applied to the compaction locks: a
-    compactor killed mid-run (SIGKILL/OOM/power loss) must not block
-    every later compaction forever. The lock records the holder's pid
-    AND hostname; an acquirer finding the lock held by a dead process
-    ON ITS OWN HOST clears it and retries ONCE. The hostname check is
-    what makes this safe on a shared filesystem (NFS): a live holder on
-    another host almost always has a pid that happens not to exist
-    locally — ``kill(pid, 0)`` can only probe local processes — so a
-    pid-only protocol would sweep a live remote holder's lock and admit
-    two concurrent mutators. A recorded hostname that is not this host
-    (or a legacy pid-only lock with no hostname) therefore always stays
-    for the operator, exactly as the docstring contract promises.
+    """O_EXCL pid+hostname lock with LEASED dead-holder recovery. Two
+    reclaim paths, both serialized behind an O_EXCL ``<lock>.takeover``
+    sidecar with a re-verify, so two acquirers observing the same stale
+    holder cannot race remove-then-recreate and both enter:
 
-    The clear itself is serialized behind an O_EXCL ``<lock>.takeover``
-    sidecar with a re-verify of the recorded holder, so two acquirers
-    observing the same dead holder cannot race remove-then-recreate and
-    both enter (the slower remove would delete the faster winner's
-    fresh lock)."""
+    * **dead local pid** — immediate: the holder recorded THIS host and
+      ``kill(pid, 0)`` says it is gone. (``kill`` can only probe local
+      processes, so this path never judges a remote holder.)
+    * **expired lease** — any holder, any host (round-10 verdict: a
+      remote holder that died used to block forever, and a crash between
+      the O_EXCL open and the pid write left a ``(0, "")`` lock nothing
+      would ever clear). While held, a daemon heartbeat touches the lock
+      mtime every LOCK_HEARTBEAT_S; a lock whose mtime is older than
+      LOCK_LEASE_TTL_S has therefore missed ~20 consecutive beats — the
+      holder is dead (or partitioned long past any plausible pause), and
+      the lease-expiry re-verify under the sidecar (same holder AND still
+      expired) means one fresh beat from a merely-slow holder cancels the
+      takeover. The half-written ``(0, "")`` lock ages out on the same
+      clock — it never beats.
+
+    A live holder on another host is never swept: its heartbeat keeps the
+    lease fresh, exactly the NFS-safety property the hostname check alone
+    used to provide."""
+    import threading
+    import time
+
     local_host = os.uname().nodename
     fd = None
-    for attempt in (0, 1):
+    # up to TWO reclaim passes before the final attempt: an expired
+    # takeover sidecar and the expired lock behind it each cost one
+    for attempt in (0, 1, 2):
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             break
@@ -166,39 +193,65 @@ def _pid_lock(lock: str, what: str):
                     dead_local = True
                 except PermissionError:
                     pass
-            if attempt == 0 and dead_local:
+            expired = _lease_expired(lock)
+            if attempt < 2 and (dead_local or expired):
                 takeover = lock + ".takeover"
                 try:
                     tfd = os.open(takeover, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 except FileExistsError:
+                    # a stuck takeover sidecar ages out on the lease clock
+                    # too (its writer may have died holding it)
+                    if _lease_expired(takeover):
+                        try:
+                            os.remove(takeover)
+                        except FileNotFoundError:
+                            pass
+                        continue
                     raise RuntimeError(
-                        f"a stale-lock takeover for {what} is itself stuck "
-                        f"(sidecar: {takeover}); remove it (and the lock, "
-                        "if its owner is known dead) to re-enable"
+                        f"a stale-lock takeover for {what} is itself in "
+                        f"flight (sidecar: {takeover}); remove it (and the "
+                        "lock, if its owner is known dead) to re-enable"
                     ) from None
                 try:
-                    # re-verify under the sidecar: only sweep the lock if
-                    # it still records the dead local holder we observed
-                    # (a live winner may have already recreated it)
-                    if _lock_holder(lock) == (pid, host):
+                    # re-verify under the sidecar: sweep only if the lock
+                    # still records the holder we observed AND (for the
+                    # lease path) the lease is STILL expired — one fresh
+                    # heartbeat in between means the holder lives
+                    if _lock_holder(lock) == (pid, host) and (
+                        dead_local or _lease_expired(lock)
+                    ):
                         try:
                             os.remove(lock)
                         except FileNotFoundError:
                             pass
                 finally:
                     os.close(tfd)
-                    os.remove(takeover)
+                    try:
+                        os.remove(takeover)
+                    except FileNotFoundError:
+                        pass
                 continue
             raise RuntimeError(
                 f"another {what} is in flight (lock: {lock}, pid "
                 f"{pid or '?'} on host {host or '?'}); remove the file "
                 "only if its owner is known dead"
             )
+    stop = threading.Event()
+
+    def _beat() -> None:
+        while not stop.wait(LOCK_HEARTBEAT_S):
+            try:
+                os.utime(lock, None)
+            except OSError:
+                return  # lock swept (we were judged dead) — stop beating
+    hb = threading.Thread(target=_beat, name=f"lock-heartbeat:{what}", daemon=True)
     try:
         os.write(fd, f"{os.getpid()}\n{local_host}".encode())
         os.close(fd)
+        hb.start()
         yield
     finally:
+        stop.set()
         try:
             os.remove(lock)
         except FileNotFoundError:
@@ -420,13 +473,22 @@ class OfflineStore:
         import time
 
         seg_id = name or uuid.uuid4().hex[:12]
-        doc: dict = {"files": sorted(files), "committed_at": time.time()}
+        doc: dict = {"files": sorted(files)}
         ranges = self._entity_ranges(sorted(files))
         if ranges:
             doc["entity_ranges"] = ranges
         counts = self._row_counts(sorted(files))
         if counts:
             doc["row_counts"] = counts
+        # committed_at is captured AFTER the footer scans, immediately
+        # before the write+rename: stamping it first (pre-round-11) meant a
+        # slow footer scan could publish a segment whole SECONDS after its
+        # recorded instant, so any timestamp-windowed consumer whose window
+        # closed in between missed the commit forever (ADVICE r10). The
+        # residual capture→visible gap is now one fsync'd JSON write;
+        # feed consumers additionally track consumed SEGMENT IDS
+        # (changes_for_segments) so even that gap cannot lose a commit.
+        doc["committed_at"] = time.time()
         if supersedes:
             doc["supersedes"] = sorted(supersedes)
         if cdc:
@@ -508,6 +570,7 @@ class OfflineStore:
         self,
         version_id: int,
         values: DataFrame,
+        txn: str | None = None,
         _crash_before_commit: bool = False,
         _before_commit=None,
     ) -> int:
@@ -528,8 +591,27 @@ class OfflineStore:
         ``_before_commit`` is the interleaving hook for the two-writer
         proof: it runs just before this append's commit point (e.g. a
         second writer's complete append), and tests assert BOTH appends'
-        rows are visible afterwards."""
+        rows are visible afterwards.
+
+        ``txn`` names the commit (12 lowercase hex chars — the data-file
+        prefix grammar ``_TXN_FILE_RE`` readers key on): an append whose
+        segment already exists SHORT-CIRCUITS without reading or writing
+        anything — the exactly-once primitive for epoch-keyed streaming
+        sinks (a replayed foreachBatch trigger re-derives the same txn
+        from (query id, epoch id) and becomes a no-op). Callers must
+        derive it deterministically from the retry scope; a REUSED txn
+        across different payloads silently drops the second."""
         vid = int(version_id)
+        if txn is not None:
+            if not re.fullmatch(r"[0-9a-f]{12}", txn):
+                raise ValueError(
+                    f"txn must be 12 lowercase hex chars, got {txn!r} "
+                    "(derive it e.g. sha256(query_id/epoch).hexdigest()[:12])"
+                )
+            if os.path.exists(
+                os.path.join(self._segment_dir(vid), f"{txn}.json")
+            ):
+                return self.count_for_version(vid)
         self._migrate_legacy_store()
         out = values.select(
             F.col("entity_id").cast("string").alias("entity_id"),
@@ -549,7 +631,8 @@ class OfflineStore:
         if out.rdd.getNumPartitions() > 1:
             out = out.repartitionByRange("entity_id")
         out = out.sortWithinPartitions("entity_id")
-        txn = uuid.uuid4().hex[:12]
+        if txn is None:
+            txn = uuid.uuid4().hex[:12]
         staging = os.path.join(self.path, ".staging", txn)
         out.write.parquet(staging)
         part_rel = f"feature_version_id={vid}"
@@ -731,6 +814,19 @@ class OfflineStore:
         vid = int(version_id)
         lo = None if since is None else self._as_of_seconds(since)
         hi = None if until is None else self._as_of_seconds(until)
+        all_segs = self._feed_segments(vid)
+
+        def keep(seg: str, ts: float) -> bool:
+            return not ((lo is not None and ts <= lo) or (hi is not None and ts > hi))
+
+        return self._changes_from_segments(vid, all_segs, keep)
+
+    def _feed_segments(self, version_id: int) -> dict[str, dict]:
+        """Every segment record ever committed for the version — live AND
+        superseded — plus the legacy root manifest as ``__root__``. The
+        change feed's universe: superseded records must stay visible so
+        pre-CDC compactions/deletes can be reconstructed as file diffs."""
+        vid = int(version_id)
         all_segs: dict[str, dict] = {}
         try:
             names = os.listdir(self._segment_dir(vid))
@@ -741,14 +837,43 @@ class OfflineStore:
                 try:
                     with open(os.path.join(self._segment_dir(vid), n)) as f:
                         all_segs[n[:-5]] = json.load(f)
-                except FileNotFoundError:
+                except (FileNotFoundError, ValueError):
                     pass
         try:
             with open(os.path.join(self._manifest_dir(), f"v{vid}.json")) as f:
                 all_segs.setdefault("__root__", json.load(f))
-        except FileNotFoundError:
+        except (FileNotFoundError, ValueError):
             pass
+        return all_segs
 
+    def changes_for_segments(self, version_id: int, segment_ids) -> DataFrame:
+        """The change feed of EXACTLY the named commits (by segment id) —
+        the exactly-once consumer primitive. Timestamp windows
+        (:meth:`changes_for_version`) can lose a commit that becomes
+        VISIBLE after the window closed but carries a ``committed_at``
+        inside it (the capture→rename gap in :meth:`_commit_segment`, or
+        wall-clock skew between writers); a consumer that instead records
+        the segment ids it has processed and feeds the complement here is
+        immune — a late-visible commit is simply absent from this round's
+        listing and consumed next round (ADVICE r10, medium). Same output
+        schema and op semantics as the windowed feed."""
+        vid = int(version_id)
+        want = {str(s) for s in segment_ids}
+        all_segs = self._feed_segments(vid)
+        missing = sorted(want - set(all_segs))
+        if missing:
+            raise ValueError(
+                f"change feed for version {vid}: unknown segment ids "
+                f"{missing[:3]} — the consumer's ledger names commits this "
+                "store has no record of; resync from a snapshot read"
+            )
+        return self._changes_from_segments(
+            vid, all_segs, lambda seg, ts: seg in want
+        )
+
+    def _changes_from_segments(
+        self, vid: int, all_segs: dict[str, dict], keep
+    ) -> DataFrame:
         meta = T.StructType(
             _FILE_SCHEMA.fields
             + [
@@ -787,7 +912,7 @@ class OfflineStore:
             all_segs.items(), key=lambda kv: (float(kv[1].get("committed_at", 0.0)), kv[0])
         ):
             ts = float(doc.get("committed_at", 0.0))
-            if (lo is not None and ts <= lo) or (hi is not None and ts > hi):
+            if not keep(seg, ts):
                 continue
             op = (doc.get("cdc") or {}).get("op")
             if op is None:

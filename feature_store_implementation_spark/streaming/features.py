@@ -333,6 +333,68 @@ def stream_upsert_to_offline_store(
     return writer.start()
 
 
+def stream_snapshot_maintenance(
+    values: DataFrame,
+    fs,
+    version_id: int,
+    snapshot_path: str,
+    checkpoint: str,
+    key_col: str = "entity_id",
+    available_now: bool = True,
+    max_changed: int = 100_000,
+):
+    """Streaming value ingestion + ONLINE-SNAPSHOT freshness in one
+    ``foreachBatch`` (round-11 verdict task 7): per epoch the batch's
+    (``key_col``, value) rows append to the offline store EXACTLY-ONCE —
+    the commit txn is ``sha256(query id / epoch id)[:12]``, so a replayed
+    trigger re-derives the same name and write_values short-circuits on
+    the already-committed segment — then ``maintain_online_snapshot``
+    advances the serving tier off the change data feed. The sync side
+    needs no epoch key at all: its consumed-segment LEDGER is the
+    idempotency (a replayed maintenance call re-lists the feed, finds
+    every commit consumed, and no-ops), which is exactly why the ledger
+    replaced wall-clock windows. Snapshot freshness therefore rides the
+    stream's own trigger cadence instead of an external scheduler, and a
+    crash anywhere replays into a no-op, never a double-apply.
+
+    Effects are namespaced by the CHECKPOINT'S query id (resolved
+    lazily inside the first trigger — the engine writes
+    ``<checkpoint>/metadata`` at stream start), the same fresh-checkpoint
+    discipline as :func:`streaming_dedup_ingest`: epoch ids restart at 0
+    for a new checkpoint, and an un-namespaced txn would short-circuit
+    the new stream's first batches against the old stream's segments.
+
+    Stream-vs-batch content equality (the stream's snapshot ==
+    maintain_online_snapshot applied after a batch write of the same
+    rows) is pinned in tests/test_streaming.py. ``values`` must carry
+    (``key_col``, value) with value already codec-encoded."""
+    import hashlib
+
+    qid_box: list = []
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if not qid_box:
+            qid_box.append(_checkpoint_query_id(fs.spark, checkpoint))
+        txn = hashlib.sha256(
+            f"snapshot-maint/{qid_box[0]}/{int(epoch_id)}".encode()
+        ).hexdigest()[:12]
+        fresh = (
+            batch_df.withColumnRenamed(key_col, "entity_id")
+            if key_col != "entity_id"
+            else batch_df
+        )
+        if not fresh.isEmpty():
+            fs.store.write_values(int(version_id), fresh, txn=txn)
+        fs.maintain_online_snapshot(snapshot_path, max_changed=max_changed)
+
+    writer = values.writeStream.foreachBatch(apply).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def enrich_stream(
     events: DataFrame, dim: DataFrame, key: str = "user_id", how: str = "left"
 ) -> DataFrame:

@@ -298,3 +298,30 @@ def test_online_snapshot_sync_route(client, fs, tmp_path):
     r = client.post("/api/v1/online-snapshots/live/sync")
     assert r.status_code == 400
     assert "re-export" in r.get_json()["detail"]
+
+
+def test_online_snapshot_sync_validates_max_changed(client, fs, tmp_path):
+    """A malformed max_changed is a plain 400 VALIDATION error, not the
+    ConflictError 're-export needed' taxonomy (ADVICE r10): the client sent
+    garbage; the snapshot does not need a re-export."""
+    _, f = _setup(client)
+    assert client.post(
+        f"/api/v1/features/{f['id']}/versions",
+        json={"version": "v1.0", "data": [{"id": "u1", "amount": 10.0}]},
+    ).status_code == 201
+    assert client.post(
+        "/api/v1/online-snapshots", json={"name": "val", "n_shards": 2}
+    ).status_code == 201
+
+    r = client.post(
+        "/api/v1/online-snapshots/val/sync", json={"max_changed": "abc"}
+    )
+    assert r.status_code == 400
+    detail = r.get_json()["detail"]
+    assert "max_changed" in detail and "re-export" not in detail
+
+    # a valid value still syncs
+    r = client.post(
+        "/api/v1/online-snapshots/val/sync", json={"max_changed": 5}
+    )
+    assert r.status_code == 200

@@ -1,0 +1,104 @@
+"""Lease-based mutation locks (round-11 verdict task 3): a holder that dies
+on ANOTHER host — or crashes between the O_EXCL open and the pid write —
+must not block mutations forever; a live holder (local or remote) must
+never be swept, because its heartbeat keeps the lease fresh."""
+
+import os
+import subprocess
+import threading
+import time
+
+import pytest
+
+from feature_store_implementation_spark.store import offline as off
+
+
+def _write_lock(lock, pid, host, age_s=0.0):
+    with open(lock, "w") as lf:
+        lf.write(f"{pid}\n{host}")
+    if age_s:
+        old = time.time() - age_s
+        os.utime(lock, (old, old))
+
+
+def test_expired_remote_lock_is_reclaimed(tmp_path):
+    lock = str(tmp_path / "m.lock")
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    _write_lock(lock, proc.pid, "some-other-host", age_s=off.LOCK_LEASE_TTL_S + 5)
+    with off._pid_lock(lock, "test mutation"):
+        pid, host = off._lock_holder(lock)
+        assert (pid, host) == (os.getpid(), os.uname().nodename)
+    assert not os.path.exists(lock)
+
+
+def test_fresh_remote_lock_is_never_reclaimed(tmp_path):
+    lock = str(tmp_path / "m.lock")
+    _write_lock(lock, 999999, "some-other-host")  # mtime = now: lease fresh
+    with pytest.raises(RuntimeError, match="in flight"):
+        with off._pid_lock(lock, "test mutation"):
+            pass
+    assert os.path.exists(lock)  # untouched
+
+
+def test_half_written_lock_ages_out(tmp_path):
+    """A crash between O_EXCL open and the pid write leaves a lock parsing
+    as (0, "") — no pid to probe, no host to trust. It never heartbeats,
+    so the lease clock clears it."""
+    lock = str(tmp_path / "m.lock")
+    open(lock, "w").close()  # empty: parses as (0, "")
+    with pytest.raises(RuntimeError, match="in flight"):  # young: stays
+        with off._pid_lock(lock, "test mutation"):
+            pass
+    old = time.time() - off.LOCK_LEASE_TTL_S - 5
+    os.utime(lock, (old, old))
+    with off._pid_lock(lock, "test mutation"):
+        pass
+    assert not os.path.exists(lock)
+
+
+def test_heartbeat_keeps_the_lease_fresh(tmp_path, monkeypatch):
+    """While held, the heartbeat touches the lock mtime, so a slow holder's
+    lease never expires mid-mutation. Beat interval shrunk for the test."""
+    monkeypatch.setattr(off, "LOCK_HEARTBEAT_S", 0.05)
+    lock = str(tmp_path / "m.lock")
+    seen = []
+    entered = threading.Event()
+    release = threading.Event()
+
+    def hold():
+        with off._pid_lock(lock, "held mutation"):
+            entered.set()
+            release.wait(10)
+
+    t = threading.Thread(target=hold, daemon=True)
+    t.start()
+    assert entered.wait(5)
+    # backdate, then observe the heartbeat pull the mtime forward again
+    old = time.time() - 3600
+    os.utime(lock, (old, old))
+    for _ in range(100):
+        time.sleep(0.05)
+        if os.stat(lock).st_mtime > old + 1:
+            seen.append(True)
+            break
+    release.set()
+    t.join(5)
+    assert seen, "heartbeat never refreshed the lock mtime"
+    assert not os.path.exists(lock)
+
+
+def test_stuck_takeover_sidecar_ages_out(tmp_path):
+    """The takeover sidecar's own writer can die holding it; it ages out
+    on the same lease clock instead of wedging takeovers forever."""
+    lock = str(tmp_path / "m.lock")
+    sidecar = lock + ".takeover"
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    _write_lock(lock, proc.pid, os.uname().nodename)  # dead LOCAL holder
+    old = time.time() - off.LOCK_LEASE_TTL_S - 5
+    open(sidecar, "w").close()
+    os.utime(sidecar, (old, old))
+    with off._pid_lock(lock, "test mutation"):
+        pass
+    assert not os.path.exists(sidecar)

@@ -165,3 +165,113 @@ def test_maintain_online_snapshot_picks_the_right_mode(fs, spark, tmp_path):
     # and the rebuilt snapshot is immediately syncable again
     rep = fs.maintain_online_snapshot(out)
     assert rep["mode"] == "synced" and rep["changed_entities"] == 0
+
+
+def test_sync_consumes_late_visible_commit(fs, spark, tmp_path):
+    """The ADVICE-r10 loss mode: a commit whose committed_at lands INSIDE an
+    already-drained window (slow footer scan / writer clock skew publishes
+    the segment JSON after the sync's listing). Timestamp windows skip it
+    forever; the consumed-segment ledger applies it the round it appears."""
+    import json
+
+    _, v = _seed(fs)
+    out = str(tmp_path / "snap")
+    fs.export_online_snapshot(out, n_shards=N_SHARDS)
+    rep = fs.sync_online_snapshot(out)  # drain: ledger now covers everything
+    assert rep["changed_entities"] == 0
+
+    # commit an append, then backdate its committed_at to BEFORE the sync —
+    # exactly what a commit that was mid-_commit_segment during the sync's
+    # os.listdir looks like to the next sync
+    more = spark.createDataFrame(
+        [("late1", "7.5")], "entity_id string, value string"
+    )
+    fs.store.write_values(v.id, more)
+    seg_dir = fs.store._segment_dir(v.id)
+    newest = max(
+        (p for p in glob.glob(os.path.join(seg_dir, "*.json"))),
+        key=os.path.getmtime,
+    )
+    with open(newest) as fh:
+        doc = json.load(fh)
+    # backdate INSIDE the pruning horizon — a real capture→rename gap is
+    # sub-second; beyond FEED_LEDGER_LAG_S the floor legitimately owns it
+    doc["committed_at"] = float(doc["committed_at"]) - 300.0
+    with open(newest, "w") as fh:
+        json.dump(doc, fh)
+
+    rep2 = fs.sync_online_snapshot(out)
+    assert rep2["changed_entities"] == 1
+    assert lookup_online_snapshot(out, "late1").features["amt"] == 7.5
+    # and it is consumed exactly once
+    rep3 = fs.sync_online_snapshot(out)
+    assert rep3["changed_entities"] == 0
+
+
+def test_ledger_floor_prunes_but_never_loses(fs, spark, tmp_path):
+    """The explicit segment-id list stays O(recent commits): ids older than
+    the pruning horizon fold into the floor; everything still syncs."""
+    import json
+
+    _, v = _seed(fs)
+    out = str(tmp_path / "snap")
+    fs.export_online_snapshot(out, n_shards=N_SHARDS)
+    for i in range(3):
+        fs.store.write_values(
+            v.id,
+            spark.createDataFrame(
+                [(f"p{i}", str(float(i)))], "entity_id string, value string"
+            ),
+        )
+    # age those past the horizon, then land one FRESH commit: the next
+    # sync's floor advances to (fresh − lag), folding the aged ids
+    seg_dir = fs.store._segment_dir(v.id)
+    aged = set()
+    for p in glob.glob(os.path.join(seg_dir, "*.json")):
+        with open(p) as fh:
+            doc = json.load(fh)
+        doc["committed_at"] = float(doc["committed_at"]) - 3 * fs.FEED_LEDGER_LAG_S
+        with open(p, "w") as fh:
+            json.dump(doc, fh)
+        aged.add(os.path.basename(p)[: -len(".json")])
+    fs.store.write_values(
+        v.id,
+        spark.createDataFrame([("fresh", "4.0")], "entity_id string, value string"),
+    )
+    rep = fs.sync_online_snapshot(out)
+    assert rep["changed_entities"] == 4
+    with open(os.path.join(out, "_snapshot_meta.json")) as fh:
+        meta = json.load(fh)
+    ent = meta["consumed_segments"][str(v.id)]
+    assert not aged & set(ent["segments"])  # aged ids folded into the floor
+    assert len(ent["segments"]) == 1  # only the fresh commit stays explicit
+    assert ent["floor"] > 0.0
+    assert lookup_online_snapshot(out, "p2").features["amt"] == 2.0
+    assert lookup_online_snapshot(out, "fresh").features["amt"] == 4.0
+    assert fs.sync_online_snapshot(out)["changed_entities"] == 0
+
+
+def test_maintain_recovers_crashed_swap(fs, spark, tmp_path):
+    """A crash between the re-export swap's two renames leaves NO snapshot
+    at the path and the only meta copy in the trash dir; the next maintain
+    must adopt the committed rebuild — selector, shard count and all — not
+    re-create with defaults (ADVICE r10)."""
+    import json
+
+    _, v = _seed(fs)
+    out = str(tmp_path / "snap")
+    fs.export_online_snapshot(out, n_shards=3, feature_names=["amt"])
+    # the crash window, reproduced literally: rebuild committed whole,
+    # final renamed aside, second rename never happened
+    rebuild = out + ".rebuild-deadbeef"
+    fs.export_online_snapshot(rebuild, n_shards=3, feature_names=["amt"])
+    os.rename(out, out + ".retired-deadbeef")
+
+    rep = fs.maintain_online_snapshot(out)
+    assert rep["mode"] == "synced"  # adopted, then the steady-state path
+    with open(os.path.join(out, "_snapshot_meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta["n_shards"] == 3
+    assert meta["feature_names"] == ["amt"]
+    assert lookup_online_snapshot(out, "e03").features["amt"] == 3.0
+    assert not os.path.exists(out + ".retired-deadbeef")  # trash swept

@@ -932,3 +932,66 @@ def test_streaming_dedup_ingest_collapses_same_id_within_batch(spark, tmp_path):
     # the index holds one signature set per doc, not per delivery
     sigs = _read_index_signatures(spark, index)
     assert sigs.select("doc_id").distinct().count() == 4
+
+
+def test_stream_snapshot_maintenance_equals_batch(fs, spark, tmp_path):
+    """The streaming snapshot sink (foreachBatch: epoch-keyed store append
+    + ledger-idempotent maintain): after the stream drains, the snapshot
+    content must EQUAL a batch-maintained snapshot over the same rows —
+    and a full replay (fresh checkpoint, same data) must change nothing."""
+    import os
+
+    from feature_store_implementation_spark.serving.online_snapshot import (
+        read_online_snapshot,
+    )
+    from feature_store_implementation_spark.streaming.features import (
+        stream_snapshot_maintenance,
+    )
+
+    t = fs.register_raw_table("t_ssm", {"required_columns": ["id", "amount"]})
+    f = fs.create_feature("ssm_amt", t.id, "SUM(amount)", "numeric")
+    v = fs.compute_version(
+        f.id, "v1.0", [{"id": f"s{i:02d}", "amount": float(i)} for i in range(6)]
+    )
+    snap = str(tmp_path / "snap")
+    fs.maintain_online_snapshot(snap, n_shards=2)  # mode=created
+
+    # two micro-batches of new values arriving as files
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate([[("n1", "11.0"), ("n2", "12.0")], [("n3", "13.0")]]):
+        spark.createDataFrame(rows, "entity_id string, value string").coalesce(
+            1
+        ).write.parquet(os.path.join(src, f"b{i}"))
+
+    def run(ck):
+        stream = spark.readStream.schema("entity_id string, value string").option(
+            "recursiveFileLookup", "true"
+        ).parquet(src)
+        q = stream_snapshot_maintenance(
+            stream, fs, v.id, snap, str(tmp_path / ck), available_now=True
+        )
+        q.awaitTermination(180)
+
+    run("ck1")
+    got = {
+        (r["entity_id"], r["ssm_amt"])
+        for r in read_online_snapshot(spark, snap).collect()
+    }
+    want = {(r["entity_id"], r["ssm_amt"]) for r in fs.serve_matrix().collect()}
+    assert got == want
+    assert ("n3", "13.0") in got and len(got) == 9
+
+    n_before = fs.store.values_for_version(v.id).count()
+    run("ck2")  # full replay, fresh checkpoint: append idempotent via store
+    # content (fresh checkpoint = new query id => new txns, but the rows
+    # are the same values; the snapshot must still equal the batch matrix)
+    got2 = {
+        (r["entity_id"], r["ssm_amt"])
+        for r in read_online_snapshot(spark, snap).collect()
+    }
+    assert got2 == want
+
+    # a replay of the SAME checkpoint is a strict no-op at the store level
+    run("ck1")
+    assert fs.store.values_for_version(v.id).count() == n_before + 3  # ck2 dup rows exist
