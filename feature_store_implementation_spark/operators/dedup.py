@@ -2128,3 +2128,47 @@ def remove_repeated_spans(
             .alias("n_removed"),
         )
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Soft deduplication (SoftDeDup — He et al. 2024, public): instead of
+    DROPPING duplicates, every document gets a sampling weight inversely
+    proportional to its exact-duplicate cluster size, so a doc that
+    appears 40× contributes ~once-worth of expected gradient mass while
+    its (possibly informative) content is never hard-deleted. Returns
+    ``(doc_id, cluster_size, weight)`` with ``weight = 1/cluster_size``
+    — feed it to :func:`~.sampling.weighted_sample_wor` or a sampler's
+    per-row rate.
+
+    The cluster key is the md5 of the normalized text (lowercased,
+    whitespace runs collapsed, trimmed — the same canonical form the C4
+    exact route dedups on) so formatting-only copies share a cluster;
+    ``normalize=False`` keys on the raw bytes. For NEAR-dup-aware soft
+    weights, compose :func:`minhash_near_dup_pairs` →
+    :func:`~.graph.connected_components` and count over the component id
+    instead — this operator is the exact-hash fast path.
+
+    Plan at 100 TB: ONE hash-partition shuffle on the 32-hex key (a
+    count-only window over the cluster key — no join back, no second
+    corpus shuffle). Cluster sizes are bounded by the corpus's actual
+    duplication, and a mega-cluster (the empty doc, a boilerplate page)
+    lands on one reducer only for its in-partition sort — AQE skew-split
+    applies. Map-only before and after; no collect, no UDF."""
+    from pyspark.sql import Window
+
+    text = F.col(text_col)
+    if normalize:
+        text = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    key = F.md5(text)
+    w = Window.partitionBy(key)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+    ).withColumn(
+        "weight", F.round(F.lit(1.0) / F.col("cluster_size"), 6)
+    )

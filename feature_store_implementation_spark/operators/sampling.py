@@ -440,3 +440,123 @@ def cap_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    ngram_ns: tuple[int, ...] = (1, 2),
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS 2023 — public method):
+    score every raw document by how much more likely its hashed n-gram
+    bag is under the TARGET distribution than under the RAW distribution.
+    Returns ``(doc_id, n_feats, log_weight)`` where
+
+        log_weight(d) = Σ_b k_{d,b} · ( ln p̂_target(b) − ln p̂_raw(b) )
+
+    over hashed n-gram buckets ``b`` (word n-grams for each n in
+    ``ngram_ns``, md5-hashed into ``n_buckets`` buckets, per-OCCURRENCE
+    counts k — the paper's bag-of-hashed-ngrams features), with add-k
+    ``smoothing`` on both unigram-over-bucket distributions. Feeding
+    ``log_weight`` to :func:`weighted_sample_wor` (as exp-weight via the
+    Gumbel trick the paper uses) or a top-k completes the resampling
+    step; this operator is the distribution fit + scoring pass.
+
+    Docs with no tokens are absent (no features → no distribution).
+
+    Plan at 100 TB: the corpus collapses FIRST to (doc, bucket, k) — the
+    explode never leaves its stage (map-side partial count into the
+    (doc, bucket) hash aggregate), the raw bucket distribution is a
+    second tiny aggregation of that frame (≤ ``n_buckets`` rows out),
+    the target corpus contributes one aggregation of its own, and the
+    per-bucket log-ratio table (≤ ``n_buckets`` rows) BROADCASTS back
+    onto the per-doc frame, so the scoring join ships no corpus bytes.
+    Zipf-head buckets skew only the small re-aggregations, never a
+    corpus-wide sort. No collect, no window, no UDF.
+
+    Determinism discipline (same as text.unigram_logprob): bucket ids
+    come from the first 8 md5 hex chars (engine-portable, exact in a
+    long), the distributions divide as doubles, LN rounds to 8 decimals
+    BEFORE accumulation, partial sums accumulate in DECIMAL, and only
+    the final per-doc weight returns to double (6 dp)."""
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    if smoothing <= 0:
+        raise ValueError("smoothing must be positive (both distributions "
+                         "must give every bucket nonzero mass)")
+    from ..functions.textfns import tokens_col
+
+    def grams(text: F.Column) -> F.Column:
+        toks = tokens_col(text)
+        parts = []
+        for n in ngram_ns:
+            if n == 1:
+                parts.append(toks)
+            else:
+                parts.append(
+                    F.when(
+                        F.size(toks) >= n,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                            lambda i: F.array_join(F.slice(toks, i, n), " "),
+                        ),
+                    ).otherwise(F.array().cast("array<string>"))
+                )
+        out = parts[0]
+        for p in parts[1:]:
+            out = F.concat(out, p)
+        return out
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    ).alias("bucket")
+
+    def feats(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("doc_id"), F.explode(grams(F.col(text_col))).alias("g")
+        ).select("doc_id", bucket)
+
+    per_doc = feats(raw).groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    rdist = per_doc.groupBy("bucket").agg(F.sum("k").alias("cr"))
+    tdist = feats(target).groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    r_total = rdist.agg(F.sum("cr").alias("tr"))
+    t_total = tdist.agg(F.sum("ct").alias("tt"))
+
+    s = float(smoothing)
+    denom_pad = F.lit(s * n_buckets)
+    lam = (
+        rdist.join(tdist, "bucket", "left")
+        .na.fill({"ct": 0})
+        .crossJoin(F.broadcast(r_total))
+        .crossJoin(F.broadcast(t_total))
+        .select(
+            "bucket",
+            F.round(
+                F.log((F.col("ct") + s) / (F.col("tt") + denom_pad))
+                - F.log((F.col("cr") + s) / (F.col("tr") + denom_pad)),
+                8,
+            )
+            .cast("decimal(18,12)")
+            .alias("lam"),
+        )
+    )
+    # decimal sizing mirrors unigram_logprob: k(10,0) × lam(18,12) →
+    # (29,12), summed at (38,12) — inside the 38-digit cap, no silent
+    # scale reduction
+    weighted = F.col("k").cast("decimal(10,0)") * F.col("lam")
+    return (
+        per_doc.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_feats"),
+            F.round(F.sum(weighted).cast("double"), 6).alias("log_weight"),
+        )
+    )
