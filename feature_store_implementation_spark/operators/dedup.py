@@ -1639,6 +1639,7 @@ def embedding_near_dup_pairs(
     max_bucket: int = 10000,
     broadcast_verify_max_rows: int = 200_000,
     stage: str = "pairs",
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above ``threshold``.
 
@@ -1694,7 +1695,16 @@ def embedding_near_dup_pairs(
     candidate pairs before the exact-cosine verify (scale-audit
     surface); combining it with the ``"all"`` route or ``block_col``
     raises — those routes have no candidate stage, and silently
-    returning verified 3-column pairs would corrupt a scale audit."""
+    returning verified 3-column pairs would corrupt a scale audit.
+
+    ``n_rows_hint`` — the EXACT distinct-``id_col`` count of ``df``,
+    when the caller already knows it: skips the counting job the lsh
+    route's auto width and the blocked route's verify gate otherwise
+    pay (on the blocked route the count re-executes the dropDuplicates
+    shuffle, so the hint removes a full extra pass). Plan-affecting on
+    the lsh route (width/tables derive from it) — an approximate value
+    silently changes which pairs are generated; pass it only when it is
+    the true count."""
     if stage == "candidates" and (block_col is not None or candidates != "lsh"):
         raise ValueError(
             "stage='candidates' requires the lsh candidate route "
@@ -1710,7 +1720,7 @@ def embedding_near_dup_pairs(
 
         from .similarity import _planes
 
-        n_rows = v.count()
+        n_rows = n_rows_hint if n_rows_hint is not None else v.count()
         if n_planes is None:
             n_planes = _auto_planes(n_rows)
         if n_tables is None:
@@ -1785,8 +1795,13 @@ def embedding_near_dup_pairs(
             b, (F.col("a.block") == F.col("b.block")) & (F.col("a.vid") < F.col("b.vid"))
         ).select(F.col("a.vid").alias("vid_a"), F.col("b.vid").alias("vid_b"))
         v2 = v.select("vid", "v").dropDuplicates(["vid"])
+        # the verify gate only needs the DISTINCT vector count; a caller
+        # that already knows it (semantic_dedup knows its survivor count)
+        # saves one full execution of the dropDuplicates shuffle here —
+        # without the hint, v2 runs twice (this count + the verify itself)
+        n_v2 = n_rows_hint if n_rows_hint is not None else v2.count()
         return _einsum_verify(
-            v2, pair_ids, threshold, broadcast_verify_max_rows, v2.count()
+            v2, pair_ids, threshold, broadcast_verify_max_rows, n_v2
         )
     a, b = v.alias("a"), v.alias("b")
     return (

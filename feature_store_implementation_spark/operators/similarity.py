@@ -415,6 +415,7 @@ def semantic_dedup(
     iters: int = 3,
     threshold: float = 0.95,
     n_assign: int = 2,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     spherical k-means clustering → EXACT cosine pairs within each cluster
@@ -448,6 +449,12 @@ def semantic_dedup(
     as a hot LSH bucket and warrant a pre-pass of :func:`kmeans_clusters`
     to audit the cluster histogram.
 
+    ``n_rows`` — ``df``'s row count when the caller already knows it
+    (curate_corpus passes its survivor count): forwarded to the pair
+    verify's broadcast-vs-join gate, saving one counting pass. Gate-only
+    on this route — the pair set is identical either way, so an
+    approximate value cannot change results.
+
     Returns one row per input vector:
     ``(id, cluster, keep_id, is_duplicate)`` — ``keep_id`` is the minimum
     id of the vector's semantic-duplicate component (itself when it has no
@@ -469,8 +476,11 @@ def semantic_dedup(
         assigned.select(id_col, F.explode("cells").alias("__cell")), id_col
     )
     pairs = embedding_near_dup_pairs(
-        blocked, vec_col, id_col, threshold=threshold, block_col="__cell"
-        # a pair sharing BOTH top-2 cells is generated once per shared cell
+        blocked, vec_col, id_col, threshold=threshold, block_col="__cell",
+        # a pair sharing BOTH top-2 cells is generated once per shared cell;
+        # n_rows (the caller's known corpus count — curate_corpus passes its
+        # survivor count) spares the verify gate a second dropDuplicates pass
+        n_rows_hint=n_rows,
     ).select("vec_id_a", "vec_id_b").distinct()
     comps = connected_components(pairs, src="vec_id_a", dst="vec_id_b").select(
         F.col("node").alias(id_col), F.col("component").alias("keep_id")

@@ -233,15 +233,23 @@ def curate_corpus(
         n_after_language = after_l.count()
         _tick("quality_language")
     else:
-        # both survivor counts in ONE map-side conditional agg (no second
-        # scan); the cache fills lazily at the LSH stage's first action
-        after_l = _cache_scoped(after_l)
-        gate = annotated.agg(
-            F.sum(q_pass.cast("long")).alias("nq"),
-            F.sum(l_pass.cast("long")).alias("nl"),
-        ).collect()[0]
-        n_after_quality = int(gate["nq"] or 0)
-        n_after_language = int(gate["nl"] or 0)
+        # both survivor counts ride the LSH stage's cache-fill action as
+        # Spark Observation metrics — ZERO extra corpus scans (through
+        # r10 this was one dedicated conditional-agg job; the observed
+        # node sits above the gate filters, so the fill that materializes
+        # the gated cache sees every annotated row). Read deferred to
+        # report construction — by then the dedup pass has acted.
+        from pyspark.sql import Observation
+
+        _gate_obs = Observation()
+        after_l = _cache_scoped(
+            annotated.observe(
+                _gate_obs,
+                F.sum(q_pass.cast("long")).alias("nq"),
+                F.sum(l_pass.cast("long")).alias("nl"),
+            ).filter(l_pass)
+        )
+        n_after_quality = n_after_language = None  # resolved from _gate_obs
     _tick("quality_language")
 
     # signatures computed ONCE over the gated corpus (the heavy
@@ -335,6 +343,9 @@ def curate_corpus(
                 id_col=embedding_id_col,
                 k=semantic_k,
                 threshold=semantic_threshold,
+                # alive is 1:1 with the lexical survivors (hash_embed) or
+                # semi-joined down to them — the count is already known
+                n_rows=n_after_dedup,
             )
             .filter(F.col("is_duplicate"))
             .select(F.col(embedding_id_col).alias("doc_id"))
@@ -364,6 +375,26 @@ def curate_corpus(
         out = deterministic_sample(out, ["doc_id"], sample_fraction)
     n_output = out.count()
     _tick("output")
+    if n_after_quality is None:
+        # the cache-fill action has long since run (every later stage
+        # counted survivors of the cached gate), so this get() returns
+        # the already-collected metrics without triggering a job
+        try:
+            _gate_rows = _gate_obs.get
+            n_after_quality = int(_gate_rows["nq"] or 0)
+            n_after_language = int(_gate_rows["nl"] or 0)
+        except Exception:
+            # tiny LOCAL inputs (createDataFrame test corpora) can fold
+            # the plan into a LocalRelation whose observed-metrics row
+            # PySpark's toPyRow cannot convert — fall back to the direct
+            # conditional agg (one map-only job; only ever paid on local
+            # relations, where it is driver-cheap by construction)
+            gate = annotated.agg(
+                F.sum(q_pass.cast("long")).alias("nq"),
+                F.sum(l_pass.cast("long")).alias("nl"),
+            ).collect()[0]
+            n_after_quality = int(gate["nq"] or 0)
+            n_after_language = int(gate["nl"] or 0)
     return out, CurationReport(
         n_input,
         n_after_quality,

@@ -211,8 +211,11 @@ def build_pretraining_corpus(
         global LAST_BUILD_STAGE_SECONDS
         LAST_BUILD_STAGE_SECONDS = list(_timings)
 
-    n_input = docs.count()
-    stage("ingest", n_input)
+    # ingest/normalize stage rows are recorded AFTER curate_corpus returns,
+    # from the report's own input count — normalize is 1:1 and the metadata
+    # re-join is id-preserving, so rep.n_input IS the ingest count and the
+    # build never pays a dedicated corpus-count job for it (one full scan
+    # saved per build; curate's input-stats action bills the raw scan)
 
     # -- normalize (1:1 map; metadata re-joined) ---------------------------
     meta_cols = [c for c in docs.columns if c not in (id_col, text_col)]
@@ -225,7 +228,6 @@ def build_pretraining_corpus(
     )
     if meta_cols:
         normed = normed.join(docs.select(id_col, *meta_cols), id_col)
-    stage("normalize", n_input)
 
     # -- quality → language → lexical dedup → semantic → decontaminate ----
     curated, rep = curate_corpus(
@@ -245,6 +247,9 @@ def build_pretraining_corpus(
     if id_col != "doc_id":  # curate_corpus standardizes the id column name
         curated = curated.withColumnRenamed("doc_id", id_col)
     _rs = dict(rep.stage_seconds or ())
+    n_input = rep.n_input
+    stage("ingest", n_input, secs=_rs.get("input", 0.0))
+    stage("normalize", n_input, secs=0.0)
     if clean is not None:
         stage("c4_clean", rep.n_after_clean, secs=_rs.get("c4_clean", 0.0))
     stage("quality", rep.n_after_quality, secs=_rs.get("quality_language", 0.0))
