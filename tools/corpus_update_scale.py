@@ -84,8 +84,9 @@ def _chain(spark, sf_dir: str, n_rev: int, maintain_every: int) -> None:
                     (F.col("doc_id") + 10_000_000 * i + 5_000_000).alias(
                         "doc_id"
                     ),
+                    # content words only — see the non-chain synthesis note
                     F.regexp_replace(
-                        F.col("text"), r"(\w+)", f"c{i}w$1x{i}"
+                        F.col("text"), r"(\w{6,})", f"c{i}w$1x{i}"
                     ).alias("text"),
                     "lang",
                 )
@@ -152,8 +153,13 @@ def main() -> None:
         .limit(250)
         .select(
             (F.col("doc_id") + 20_000_000).alias("doc_id"),
+            # rename CONTENT words only (≥6 chars): the short function
+            # words the language-ID markers key on survive, so the fresh
+            # docs pass the quality/language gates the update re-applies
+            # (renaming every word NULLed predicted_lang and gate-dropped
+            # the whole fresh half — committed=0, measuring nothing)
             F.regexp_replace(
-                F.col("text"), r"(\w+)", r"fresh$1ment"
+                F.col("text"), r"(\w{6,})", r"fresh$1ment"
             ).alias("text"),
             "lang",
         )
