@@ -128,6 +128,8 @@ EXTRAS = [
     "q_chunk_tokens",
     "q_dedup_incremental",
     "q_weighted_sample_wor",
+    "q_dsir_weights",
+    "q_soft_dedup",
     "q_random_projection",
     "q_pca_project",
     "q_dedup_index_grow",

@@ -522,11 +522,21 @@ def dsir_importance_weights(
             F.col(id_col).alias("doc_id"), F.explode(grams(F.col(text_col))).alias("g")
         ).select("doc_id", bucket)
 
-    per_doc = feats(raw).groupBy("doc_id", "bucket").agg(
-        F.count(F.lit(1)).alias("k")
+    # Spark shares no subplans across DataFrame branches — without these
+    # scope caches the (doc, bucket, k) frame's lineage (the corpus scan +
+    # explode) would re-run for EACH of rdist / its total / the scoring
+    # join (~4 corpus scans; the plan audit caught it), and tdist's target
+    # scan twice. Cached: corpus exploded once, target once, every other
+    # branch reads ≤n_buckets-row frames.
+    from .dedup import _cache_scoped
+
+    per_doc = _cache_scoped(
+        feats(raw).groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("k"))
     )
-    rdist = per_doc.groupBy("bucket").agg(F.sum("k").alias("cr"))
-    tdist = feats(target).groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    rdist = _cache_scoped(per_doc.groupBy("bucket").agg(F.sum("k").alias("cr")))
+    tdist = _cache_scoped(
+        feats(target).groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    )
     r_total = rdist.agg(F.sum("cr").alias("tr"))
     t_total = tdist.agg(F.sum("ct").alias("tt"))
 
