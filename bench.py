@@ -130,6 +130,7 @@ EXTRAS = [
     "q_weighted_sample_wor",
     "q_dsir_weights",
     "q_soft_dedup",
+    "q_cross_entropy",
     "q_random_projection",
     "q_pca_project",
     "q_dedup_index_grow",

@@ -1064,3 +1064,81 @@ def c4_clean(
         has_brace.cast("int").alias("has_brace"),
         keep.cast("int").alias("keep"),
     )
+
+
+def cross_entropy_score(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """CCNet-style target-LM quality scoring (Wenzek et al. 2020, public):
+    score every raw document by its per-token cross-entropy under a
+    unigram LM fitted on a CLEAN ``target`` corpus — the "how much does
+    this page look like Wikipedia" filter, the head/middle/tail quality
+    binning signal of the CCNet pipeline (the reference pipeline trains a
+    5-gram KenLM; the unigram form is the same statistic at the model
+    order this engine can fit in one aggregation). Complements
+    :func:`unigram_logprob` (the corpus's OWN LM — typicality) and
+    :func:`~.sampling.dsir_importance_weights` (the target/raw RATIO):
+    this is the absolute target-likelihood term. Returns
+    ``(doc_id, n_tokens, cross_entropy)`` where cross_entropy =
+    −mean ln p̂_target(tok) — LOWER is more target-like. Docs with no
+    tokens are absent.
+
+    Out-of-target tokens take the add-``smoothing`` floor mass
+    ``s/(T + s·(V+1))`` (V = target vocab size, the +1 the single
+    unseen-token bucket), so the statistic is finite everywhere and a
+    page of pure gibberish lands at the ceiling −ln(floor).
+
+    Plan at 100 TB: the raw corpus collapses to (doc, tok, k) with
+    map-side combine; the target LM is ONE aggregation of the target
+    corpus (vocab-sized, token-keyed); the scoring join ships one row
+    per (doc, token) and the LM side broadcasts when small, with AQE
+    skew-split behind the Zipf head otherwise. No window, no UDF, no
+    collect. Determinism: exact integer probabilities, LN rounded to 8
+    decimals BEFORE DECIMAL accumulation, final mean rounded to 6 —
+    the unigram_logprob discipline, hash-checked by the q_cross_entropy
+    oracle."""
+    if smoothing <= 0:
+        raise ValueError("smoothing must be positive")
+    from .dedup import _cache_scoped
+
+    per_doc = _cache_scoped(
+        raw.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens_col(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    lm = _cache_scoped(
+        target.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = lm.agg(
+        F.sum("ct").alias("tt"), F.count(F.lit(1)).alias("vocab")
+    )
+    s = float(smoothing)
+    denom = F.col("tt") + s * (F.col("vocab") + 1)
+    lp = F.round(
+        F.log((F.coalesce(F.col("ct"), F.lit(0)) + s) / denom), 8
+    ).cast("decimal(18,12)")
+    weighted = F.col("k").cast("decimal(10,0)") * lp
+    # plain token-keyed join on purpose: the target vocab is corpus-sized
+    # at scale (forcing a broadcast would ship gigabytes); AQE broadcasts
+    # it when it IS small and skew-splits the Zipf head otherwise — the
+    # unigram_logprob join discipline
+    return (
+        per_doc.join(lm, "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.round(-F.sum(weighted).cast("double") / F.sum("k"), 6).alias(
+                "cross_entropy"
+            ),
+        )
+    )

@@ -8360,3 +8360,43 @@ def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return soft_dedup_weights(d, "text", "doc_id")
+
+
+@query(
+    "q_cross_entropy",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang, u.tok
+      FROM (SELECT doc_id, lang,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+            FROM documents), UNNEST(toks) AS u(tok)
+    ),
+    per_doc AS (
+      SELECT doc_id, tok, COUNT(*) AS k FROM tok GROUP BY 1, 2
+    ),
+    lm AS (
+      SELECT tok, COUNT(*) AS ct FROM tok WHERE lang = 'en' GROUP BY 1
+    ),
+    tot AS (SELECT SUM(ct) AS tt, COUNT(*) AS vocab FROM lm)
+    SELECT p.doc_id, CAST(SUM(p.k) AS BIGINT) AS n_tokens,
+           ROUND(-CAST(SUM(CAST(p.k AS DECIMAL(10,0)) *
+                 CAST(round(ln((COALESCE(l.ct, 0) + 1.0) / (tot.tt + 1.0 * (tot.vocab + 1))), 8) AS DECIMAL(18,12))
+               ) AS DOUBLE) / SUM(p.k), 6) AS cross_entropy
+    FROM per_doc p LEFT JOIN lm l USING (tok) CROSS JOIN tot
+    GROUP BY p.doc_id
+    """,
+)
+def q_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style target-LM quality score (operators/text.py
+    cross_entropy_score — Wenzek et al. 2020): per-doc cross-entropy of
+    every document under a unigram LM fitted on the English subset; the
+    head/middle/tail quality-binning statistic. The oracle replays the
+    add-1-smoothed integer probabilities and the 8-dp-LN / decimal-sum /
+    6-dp-mean discipline token-for-token. Plan: raw corpus collapses to
+    (doc, tok, k) map-side, the LM is one aggregation of the target,
+    the scoring join is token-keyed (AQE broadcasts a small LM), the
+    1-row totals broadcast — no window, UDF, or collect."""
+    from ..operators.text import cross_entropy_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return cross_entropy_score(d, d.filter(F.col("lang") == "en"), "text", "doc_id")

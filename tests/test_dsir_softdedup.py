@@ -178,3 +178,80 @@ def test_soft_dedup_weight_mass_equals_cluster_count(spark):
     )
     assert abs(total - n_clusters) < 1e-3
     assert w.count() == d.count()  # nothing dropped — that's the point
+
+
+# -- CCNet-style target cross-entropy ----------------------------------------
+
+
+def _py_cross_entropy(raw: dict[str, str], target: dict[str, str], s: float):
+    from collections import Counter
+
+    lm: Counter = Counter()
+    for t in target.values():
+        lm.update([w for w in t.lower().split() if w])
+    tt, vocab = sum(lm.values()), len(lm)
+    out = {}
+    for d, t in raw.items():
+        toks = [w for w in t.lower().split() if w]
+        if not toks:
+            continue
+        num = sum(
+            round(math.log((lm.get(w, 0) + s) / (tt + s * (vocab + 1))), 8)
+            for w in toks
+        )
+        out[d] = (len(toks), round(-num / len(toks), 6))
+    return out
+
+
+def test_cross_entropy_matches_pure_python_replay(spark):
+    from feature_store_implementation_spark.operators.text import cross_entropy_score
+
+    raw = {
+        "a": "the cat sat on the mat",
+        "b": "zzz qqq www unseen gibberish tokens",
+        "c": "the dog and the cat",
+        "d": "",
+    }
+    target = {"t1": "the cat and the dog sat", "t2": "a dog on a mat"}
+    raw_df = spark.createDataFrame(list(raw.items()), ["doc_id", "text"])
+    tgt_df = spark.createDataFrame(list(target.items()), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["cross_entropy"])
+        for r in cross_entropy_score(raw_df, tgt_df).collect()
+    }
+    assert got == _py_cross_entropy(raw, target, 1.0)
+    assert "d" not in got  # tokenless -> absent
+    # pure-OOV doc sits exactly at the unseen-floor ceiling
+    tt = sum(len([w for w in t.split() if w]) for t in target.values())
+    vocab = len({w for t in target.values() for w in t.lower().split() if w})
+    floor = round(-round(math.log(1.0 / (tt + vocab + 1)), 8), 6)
+    assert got["b"][1] == floor
+    # and is strictly worse (higher) than every in-distribution doc
+    assert got["b"][1] > got["a"][1] and got["b"][1] > got["c"][1]
+
+
+def test_cross_entropy_ranks_target_like_docs_lower(spark):
+    from feature_store_implementation_spark.operators.text import cross_entropy_score
+
+    d = load_table(spark, SF, "documents")
+    ce = cross_entropy_score(d, d.filter(F.col("lang") == "en"))
+    joined = ce.join(d.select("doc_id", "lang"), "doc_id")
+    means = {
+        r["grp"]: r["m"]
+        for r in joined.groupBy(
+            F.when(F.col("lang") == "en", "en").otherwise("other").alias("grp")
+        )
+        .agg(F.avg("cross_entropy").alias("m"))
+        .collect()
+    }
+    assert means["en"] < means["other"]  # lower = more target-like
+
+
+def test_cross_entropy_rejects_bad_smoothing(spark):
+    import pytest
+
+    from feature_store_implementation_spark.operators.text import cross_entropy_score
+
+    d = spark.createDataFrame([("a", "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="smoothing"):
+        cross_entropy_score(d, d, smoothing=0.0)
