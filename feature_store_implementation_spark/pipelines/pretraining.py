@@ -133,6 +133,9 @@ def build_pretraining_corpus(
     semantic_threshold: float = 0.95,
     eval_df: DataFrame | None = None,
     decontaminate_ngram: int = 8,
+    select_target: DataFrame | None = None,
+    select_budget: int | None = None,
+    select_n_buckets: int = 10_000,
     mixture_weights: dict[str, float] | None = None,
     mixture_alpha: float | None = None,
     mixture_col: str = "source",
@@ -157,6 +160,12 @@ def build_pretraining_corpus(
       ``embeddings="hash"`` when ``semantic`` (self-contained SemDeDup;
       no external model needed) and the benchmark anti-join when
       ``eval_df`` is given.
+    * **dsir_select** — optional DSIR importance selection (Xie et al.
+      2023): fit hashed-n-gram target-vs-raw importance weights on the
+      cleaned pool (``select_target``) and keep the top
+      ``select_budget`` docs (log_weight desc, id asc — deterministic).
+      Corpus-global: a corpus built with it REFUSES incremental updates
+      (the fit and the top-K are properties of the whole pool).
     * **mixture** — either explicit ``mixture_weights`` (group → keep
       rate, :func:`weighted_mix` semantics) or temperature rebalancing:
       ``mixture_alpha`` computes share^α target weights over
@@ -186,6 +195,10 @@ def build_pretraining_corpus(
         split_fractions = {"train": 0.98, "valid": 0.01, "test": 0.01}
     if mixture_weights is not None and mixture_alpha is not None:
         raise ValueError("pass mixture_weights OR mixture_alpha, not both")
+    if (select_target is None) != (select_budget is None):
+        raise ValueError("pass select_target AND select_budget together")
+    if select_budget is not None and select_budget <= 0:
+        raise ValueError("select_budget must be positive")
 
     stages: list[dict] = []
     # wall-clock per stage, exposed ONLY through the module-level
@@ -259,6 +272,40 @@ def build_pretraining_corpus(
         stage("semantic_dedup", rep.n_after_semantic, secs=_rs.get("semantic_dedup", 0.0))
     if eval_df is not None:
         stage("decontaminate", rep.n_after_decontamination, secs=_rs.get("decontaminate", 0.0))
+
+    # -- DSIR importance selection (optional) -------------------------------
+    # the paper's composition: fit target-vs-raw hashed-n-gram importance
+    # weights on the CLEANED pool and keep the top-``select_budget`` docs
+    # (deterministic: log_weight desc, id asc — one TakeOrderedAndProject,
+    # never a global sort). Corpus-GLOBAL by nature: the raw distribution
+    # is fitted on this pool, so incremental updates refuse (see
+    # _update_corpus_locked) rather than select inconsistently.
+    select_record: dict | None = None
+    if select_target is not None:
+        from ..operators.sampling import dsir_importance_weights
+
+        w = dsir_importance_weights(
+            curated,
+            select_target,
+            text_col=text_col,
+            id_col=id_col,
+            n_buckets=select_n_buckets,
+        )
+        keep = (
+            w.orderBy(F.desc("log_weight"), "doc_id")
+            .limit(int(select_budget))
+            .select(F.col("doc_id").alias(id_col))
+        )
+        curated = curated.join(keep, id_col, "left_semi").localCheckpoint(
+            eager=True
+        )
+        n_selected = curated.count()
+        stage("dsir_select", n_selected)
+        select_record = {
+            "budget": int(select_budget),
+            "n_buckets": int(select_n_buckets),
+            "selected": int(n_selected),
+        }
 
     # -- mixture weighting -------------------------------------------------
     mixture_record: dict | None = None
@@ -359,6 +406,7 @@ def build_pretraining_corpus(
             "semantic_threshold": float(semantic_threshold),
             "decontaminate": eval_df is not None,
             "decontaminate_ngram": int(decontaminate_ngram),
+            "dsir_select": select_record,
             "split_threshold": float(split_threshold),
             "split_fractions": {k: float(v) for k, v in split_fractions.items()},
             "n_shards": int(n_shards),
@@ -644,6 +692,19 @@ def _update_corpus_locked(
             f"the corpus at {path} was built WITH benchmark "
             "decontamination (manifest params.decontaminate=true); pass "
             "the same eval_df to every update, or rebuild without it"
+        )
+    if p.get("dsir_select"):
+        # DSIR budget selection is corpus-GLOBAL: the importance weights
+        # are a fit of target vs THIS raw pool and the budget is a top-K
+        # over the whole corpus. An increment scored against a stale fit
+        # (or top-K'd at increment scale) silently changes what the
+        # selection means, so refuse with the recovery path instead
+        raise ValueError(
+            f"the corpus at {path} was built with DSIR budget selection "
+            "(manifest params.dsir_select) — the top-K is global over the "
+            "raw pool, so increments cannot be selected consistently; "
+            "rebuild with build_pretraining_corpus to reselect, or build "
+            "without select_target/select_budget for an updatable corpus"
         )
     revisions = manifest.get("revisions", [])
     if txn is not None:

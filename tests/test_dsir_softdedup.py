@@ -255,3 +255,72 @@ def test_cross_entropy_rejects_bad_smoothing(spark):
     d = spark.createDataFrame([("a", "x")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="smoothing"):
         cross_entropy_score(d, d, smoothing=0.0)
+
+
+# -- DSIR selection wired into the build pipeline ------------------------------
+
+
+def test_build_with_dsir_selection(spark, tmp_path):
+    from feature_store_implementation_spark.pipelines.pretraining import (
+        build_pretraining_corpus,
+        update_pretraining_corpus,
+    )
+
+    d = load_table(spark, SF, "documents")
+    target = d.filter(F.col("lang") == "en").select("doc_id", "text")
+    m = build_pretraining_corpus(
+        d,
+        str(tmp_path / "c1"),
+        languages=("en", "fr", "de", "es", "zh"),
+        semantic=False,
+        select_target=target,
+        select_budget=120,
+        split_fractions={"train": 0.9, "valid": 0.05, "test": 0.05},
+        n_shards=2,
+        seed=7,
+        dedup_index=True,
+    )
+    by_stage = {s["stage"]: s["n_docs"] for s in m["stages"]}
+    assert by_stage["dsir_select"] == 120  # pool >> budget -> exactly K
+    assert m["params"]["dsir_select"]["selected"] == 120
+    assert sum(v["rows"] for v in m["splits"].values()) == 120
+
+    # byte-identical replay: the selection is deterministic
+    m2 = build_pretraining_corpus(
+        d,
+        str(tmp_path / "c2"),
+        languages=("en", "fr", "de", "es", "zh"),
+        semantic=False,
+        select_target=target,
+        select_budget=120,
+        split_fractions={"train": 0.9, "valid": 0.05, "test": 0.05},
+        n_shards=2,
+        seed=7,
+        dedup_index=True,
+    )
+    assert {k: v["fingerprint"] for k, v in m["splits"].items()} == {
+        k: v["fingerprint"] for k, v in m2["splits"].items()
+    }
+
+    # corpus-global selection -> incremental updates refuse with guidance
+    import pytest
+
+    inc = d.limit(5).select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text", "lang")
+    with pytest.raises(ValueError, match="dsir_select"):
+        update_pretraining_corpus(inc, str(tmp_path / "c1"))
+
+
+def test_build_rejects_half_specified_selection(spark, tmp_path):
+    import pytest
+
+    from feature_store_implementation_spark.pipelines.pretraining import (
+        build_pretraining_corpus,
+    )
+
+    d = load_table(spark, SF, "documents")
+    with pytest.raises(ValueError, match="together"):
+        build_pretraining_corpus(d, str(tmp_path / "x"), select_budget=10)
+    with pytest.raises(ValueError, match="positive"):
+        build_pretraining_corpus(
+            d, str(tmp_path / "y"), select_target=d, select_budget=0
+        )
