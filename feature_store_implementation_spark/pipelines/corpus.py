@@ -184,12 +184,22 @@ def curate_corpus(
         from ..operators.text import c4_clean
 
         page_cols = [c for c in docs.columns if c != text_col]
+        # the page-survivor count rides the first downstream action as an
+        # Observation (same zero-extra-scan discipline as the gate counts
+        # below — a dedicated count here re-ran the c4 scan; review r11);
+        # the tick therefore bills ~0 and the c4 compute lands on the
+        # stage whose action fills the gated cache, per the lazy-cache
+        # attribution convention
+        from pyspark.sql import Observation
+
+        _clean_obs = Observation()
         docs = (
             c4_clean(docs, text_col, id_col, passthrough=True, **(clean_params or {}))
+            .observe(_clean_obs, F.sum((F.col("keep") == 1).cast("long")).alias("nc"))
             .filter(F.col("keep") == 1)
             .select(*page_cols, F.col("clean_text").alias(text_col))
         )
-        n_after_clean = docs.count()
+        _clean_fallback = docs  # the survivors, for the LocalRelation fallback
         _tick("c4_clean")
 
     # quality and language are ROW-LOCAL — annotate in the scan itself.
@@ -231,7 +241,10 @@ def curate_corpus(
         )
         after_l = _cache_scoped(after_l)
         n_after_language = after_l.count()
-        _tick("quality_language")
+        # no _tick here: the unconditional quality_language tick below
+        # covers both branches — an in-branch tick double-appended the
+        # stage name and the later ~0s entry overwrote the real seconds
+        # in every dict() consumer (review r11)
     else:
         # both survivor counts ride the LSH stage's cache-fill action as
         # Spark Observation metrics — ZERO extra corpus scans (through
@@ -343,9 +356,11 @@ def curate_corpus(
                 id_col=embedding_id_col,
                 k=semantic_k,
                 threshold=semantic_threshold,
-                # alive is 1:1 with the lexical survivors (hash_embed) or
-                # semi-joined down to them — the count is already known
-                n_rows=n_after_dedup,
+                # only the hash-embed route is 1:1 with the lexical
+                # survivors; an external embeddings frame may not cover
+                # every survivor, so its true count is NOT known here and
+                # the gate hint stays unset (review r11)
+                n_rows=n_after_dedup if isinstance(embeddings, str) else None,
             )
             .filter(F.col("is_duplicate"))
             .select(F.col(embedding_id_col).alias("doc_id"))
@@ -375,6 +390,12 @@ def curate_corpus(
         out = deterministic_sample(out, ["doc_id"], sample_fraction)
     n_output = out.count()
     _tick("output")
+    if clean is not None and n_after_clean is None:
+        try:
+            n_after_clean = int(_clean_obs.get["nc"] or 0)
+        except Exception:
+            # folded LocalRelation inputs — same caveat as the gate obs
+            n_after_clean = _clean_fallback.count()
     if n_after_quality is None:
         # the cache-fill action has long since run (every later stage
         # counted survivors of the cached gate), so this get() returns

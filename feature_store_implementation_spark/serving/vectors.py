@@ -447,6 +447,15 @@ class FeatureStore:
         # (later) listing is a superset, so every ledgered segment is
         # guaranteed IN the data; a segment the matrix saw but the ledger
         # missed is merely re-upserted by the first sync (idempotent).
+        # floor=0 with the full visible id list ON PURPOSE (a timestamp
+        # floor here was tried and reverted in review r11: it presumes
+        # consumption by STAMP, so a backdated-stamp commit landing after
+        # the export would be silently skipped — the ledger's no-loss
+        # contract only holds when the export's consumed set is exactly
+        # what it observed). Cost is bounded and transient: the list
+        # mirrors the segment listing the export walks anyway (O(segment
+        # retention) — vacuum bounds it), and the FIRST sync's floor
+        # advance folds and prunes it back to O(recent commits).
         consumed = {
             str(v): {
                 "floor": 0.0,
@@ -546,53 +555,72 @@ class FeatureStore:
         import shutil as _shutil
         import uuid as _uuid
 
+        from ..store.offline import _pid_lock
         from .online_snapshot import _snapshot_meta
 
         final = path.rstrip("/")
         reason = None
-        rebuilds = sorted(_glob.glob(f"{final}.rebuild-*"), key=_os.path.getmtime)
-        if not _os.path.exists(final) and rebuilds:
-            # crashed between rename(final→trash) and rename(rebuild→final):
-            # adopt the newest committed rebuild — it IS the snapshot
-            _os.rename(rebuilds.pop(), final)
-        # retired dirs are always dead; a leftover rebuild is only swept
-        # AGE-GATED — a young one may be a live concurrent maintain's
-        # export mid-swap (same rule as the staging sweep)
-        import time as _time
+        # the whole adopt/sweep/swap sequence runs under a leased lock:
+        # unguarded, two concurrent maintainers raced the rebuild glob
+        # against each other's renames (one adopts the other's rebuild
+        # mid-swap, or getmtime hits a dir the other just renamed away)
+        # (review r11). sync_online_snapshot's own .sync.lock nests below
+        # this one (different file, fixed order — no deadlock).
+        _os.makedirs(_os.path.dirname(_os.path.abspath(final)), exist_ok=True)
+        with _pid_lock(f"{final}.maintain.lock", "online-snapshot maintenance"):
+            def _mtime(p: str) -> float:
+                try:
+                    return _os.path.getmtime(p)
+                except OSError:
+                    return 0.0  # vanished (operator sweep) — sorts oldest
 
-        for leftover in _glob.glob(f"{final}.retired-*"):
-            _shutil.rmtree(leftover, ignore_errors=True)
-        for leftover in rebuilds:
-            try:
-                if _time.time() - _os.path.getmtime(leftover) > self.STAGING_SWEEP_AGE_S:
-                    _shutil.rmtree(leftover, ignore_errors=True)
-            except OSError:
-                pass
-        if _os.path.exists(final):
-            try:
-                return {"mode": "synced", **self.sync_online_snapshot(final, max_changed=max_changed)}
-            except ValueError as exc:
-                reason = str(exc)
-            try:
-                meta = _snapshot_meta(final)
-            except FileNotFoundError:
-                meta = {}
-            if n_shards is None:
-                n_shards = int(meta.get("n_shards") or 16)
-            rebuild = f"{final}.rebuild-{_uuid.uuid4().hex[:8]}"
-            rows = self.export_online_snapshot(
-                rebuild,
-                n_shards=n_shards,
-                feature_names=meta.get("feature_names"),
-                version=meta.get("version"),  # keep the original selector
-            )
-            trash = f"{final}.retired-{_uuid.uuid4().hex[:8]}"
-            _os.rename(final, trash)
-            _os.rename(rebuild, final)
-            _shutil.rmtree(trash, ignore_errors=True)
-            return {"mode": "reexported", "reason": reason, "rows": rows}
-        rows = self.export_online_snapshot(final, n_shards=n_shards or 16)
-        return {"mode": "created", "rows": rows}
+            rebuilds = sorted(_glob.glob(f"{final}.rebuild-*"), key=_mtime)
+            while not _os.path.exists(final) and rebuilds:
+                # crashed between rename(final→trash) and
+                # rename(rebuild→final): adopt the newest committed
+                # rebuild — it IS the snapshot
+                try:
+                    _os.rename(rebuilds.pop(), final)
+                except FileNotFoundError:
+                    continue  # that candidate vanished — try the next
+            # retired dirs are always dead; a leftover rebuild is only swept
+            # AGE-GATED — a young one may be a live concurrent maintain's
+            # export mid-swap (same rule as the staging sweep)
+            import time as _time
+
+            for leftover in _glob.glob(f"{final}.retired-*"):
+                _shutil.rmtree(leftover, ignore_errors=True)
+            for leftover in rebuilds:
+                try:
+                    if _time.time() - _os.path.getmtime(leftover) > self.STAGING_SWEEP_AGE_S:
+                        _shutil.rmtree(leftover, ignore_errors=True)
+                except OSError:
+                    pass
+            if _os.path.exists(final):
+                try:
+                    return {"mode": "synced", **self.sync_online_snapshot(final, max_changed=max_changed)}
+                except ValueError as exc:
+                    reason = str(exc)
+                try:
+                    meta = _snapshot_meta(final)
+                except FileNotFoundError:
+                    meta = {}
+                if n_shards is None:
+                    n_shards = int(meta.get("n_shards") or 16)
+                rebuild = f"{final}.rebuild-{_uuid.uuid4().hex[:8]}"
+                rows = self.export_online_snapshot(
+                    rebuild,
+                    n_shards=n_shards,
+                    feature_names=meta.get("feature_names"),
+                    version=meta.get("version"),  # keep the original selector
+                )
+                trash = f"{final}.retired-{_uuid.uuid4().hex[:8]}"
+                _os.rename(final, trash)
+                _os.rename(rebuild, final)
+                _shutil.rmtree(trash, ignore_errors=True)
+                return {"mode": "reexported", "reason": reason, "rows": rows}
+            rows = self.export_online_snapshot(final, n_shards=n_shards or 16)
+            return {"mode": "created", "rows": rows}
 
     def sync_online_snapshot(self, path: str, max_changed: int = 100_000) -> dict:
         """Incrementally refresh an exported online snapshot from the
@@ -677,11 +705,20 @@ class FeatureStore:
             # VISIBLE commit that is neither; a commit that publishes late
             # (the _commit_segment capture→rename gap, writer clock skew)
             # is simply absent from this round's listing and consumed the
-            # round it appears — nothing timestamped inside a closed
-            # window can be lost (ADVICE r10, medium). Commits stamped
-            # after `now` stay pending too: the fresh matrix below reads
-            # as_of=now, so consuming them here would ledger data the read
-            # can't see. Pre-round-11 snapshots carry no ledger; their
+            # round it appears (ADVICE r10, medium). The floor advance
+            # below presumes anything stamped more than FEED_LEDGER_LAG_S
+            # behind the newest observed commit is consumed — that is
+            # SOUND because _commit_segment re-stamps any commit whose
+            # capture→rename stall exceeded PUBLISH_RESTAMP_S (= lag/2):
+            # a late-VISIBLE commit therefore always carries a timestamp
+            # within lag/2 of its visibility instant, which the algebra
+            # keeps strictly above any floor a concurrent sync could have
+            # advanced to. The one unguarded mode is CROSS-writer wall
+            # clocks skewed by more than lag/2 — deploy NTP or raise
+            # FEED_LEDGER_LAG_S accordingly. Commits stamped after `now`
+            # stay pending too: the fresh matrix below reads as_of=now,
+            # so consuming them here would ledger data the read can't
+            # see. Pre-round-11 snapshots carry no ledger; their
             # synced_at/exported_at instant bootstraps the floor (the old
             # window rule, one last time).
             ledger: dict = meta.get("consumed_segments") or {

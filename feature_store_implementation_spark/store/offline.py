@@ -137,6 +137,12 @@ def _lock_holder(lock: str) -> tuple[int, str]:
 LOCK_HEARTBEAT_S = 15.0
 LOCK_LEASE_TTL_S = 300.0
 
+# _commit_segment re-stamps committed_at when the capture->rename gap
+# exceeded this (half the serving ledger's FEED_LEDGER_LAG_S, so a
+# re-stamped commit always lands above any floor the stalled stamp could
+# have fallen behind)
+PUBLISH_RESTAMP_S = 300.0
+
 
 def _lease_expired(lock: str, ttl: float = LOCK_LEASE_TTL_S) -> bool:
     import time
@@ -242,8 +248,14 @@ def _pid_lock(lock: str, what: str):
         while not stop.wait(LOCK_HEARTBEAT_S):
             try:
                 os.utime(lock, None)
-            except OSError:
+            except FileNotFoundError:
                 return  # lock swept (we were judged dead) — stop beating
+            except OSError:
+                # transient I/O hiccup (NFS ESTALE/EIO): KEEP beating —
+                # one missed beat is 1/20th of the lease; exiting here
+                # would let a contender lawfully sweep a LIVE holder
+                # (review r11)
+                continue
     hb = threading.Thread(target=_beat, name=f"lock-heartbeat:{what}", daemon=True)
     try:
         os.write(fd, f"{os.getpid()}\n{local_host}".encode())
@@ -252,8 +264,13 @@ def _pid_lock(lock: str, what: str):
         yield
     finally:
         stop.set()
+        # release ONLY a lock that still records this holder: if our lease
+        # was swept mid-mutation (long suspend), the lock on disk now
+        # belongs to the contender — unlinking it would let a THIRD
+        # mutator in while the second still runs (review r11)
         try:
-            os.remove(lock)
+            if _lock_holder(lock) == (os.getpid(), local_host):
+                os.remove(lock)
         except FileNotFoundError:
             pass
 
@@ -506,6 +523,25 @@ class OfflineStore:
             os.fsync(f.fileno())
         os.replace(tmp, final)
         _fsync_path(seg_dir)
+        # publish-delay re-stamp: if this process stalled between the
+        # committed_at capture and the rename (SIGSTOP, VM pause, NFS
+        # outage) for longer than a ledger-lag fraction, a consumed-segment
+        # ledger whose floor advanced past our stamp would presume this
+        # commit consumed without ever applying it (review r11). Re-stamp
+        # with a fresh instant via the same atomic replace: a sync that
+        # already saw the old stamp has consumed the segment (fine); one
+        # that never saw it now sees a timestamp above its floor. The
+        # remaining unguarded skew is CROSS-writer clock drift, documented
+        # at the ledger.
+        if time.time() - doc["committed_at"] > PUBLISH_RESTAMP_S:
+            doc["committed_at"] = time.time()
+            tmp2 = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp2, "w") as f:
+                json.dump(doc, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp2, final)
+            _fsync_path(seg_dir)
         return seg_id
 
     def _manifest_version_ids(self) -> set[int] | None:
@@ -634,6 +670,14 @@ class OfflineStore:
         if txn is None:
             txn = uuid.uuid4().hex[:12]
         staging = os.path.join(self.path, ".staging", txn)
+        # a crashed prior attempt of THIS txn (killed inside the parquet
+        # write, before the finally swept it) leaves the staging dir
+        # behind; error-if-exists would then fail every replay of the
+        # epoch forever — the exactly-once sink's retry path must sweep
+        # the orphan first (its files are unreferenced by construction:
+        # the txn's segment does not exist or we would have
+        # short-circuited above) (review r11)
+        shutil.rmtree(staging, ignore_errors=True)
         out.write.parquet(staging)
         part_rel = f"feature_version_id={vid}"
         part_dir = os.path.join(self.path, part_rel)
@@ -837,8 +881,22 @@ class OfflineStore:
                 try:
                     with open(os.path.join(self._segment_dir(vid), n)) as f:
                         all_segs[n[:-5]] = json.load(f)
-                except (FileNotFoundError, ValueError):
-                    pass
+                except FileNotFoundError:
+                    pass  # vacuumed between listdir and open — legitimately gone
+                except ValueError as e:
+                    # segments are staged + atomically renamed, so a parse
+                    # failure is real on-disk corruption, not a torn read.
+                    # Skipping would silently erase the commit from the
+                    # change-feed universe (its rows never reach any
+                    # consumer, with zero diagnostics) — fail loudly
+                    # instead (review r11)
+                    raise ValueError(
+                        f"corrupt segment record for version {vid}: "
+                        f"{os.path.join(self._segment_dir(vid), n)} — the "
+                        "change feed cannot be reconstructed past it; "
+                        "restore the file from a replica or RESTORE the "
+                        "version to a snapshot that predates it"
+                    ) from e
         try:
             with open(os.path.join(self._manifest_dir(), f"v{vid}.json")) as f:
                 all_segs.setdefault("__root__", json.load(f))

@@ -111,3 +111,34 @@ def test_empty_feed_has_schema(spark, store):
     df = store.changes_for_version(99)
     assert df.count() == 0
     assert "_change_type" in df.columns and "_commit_ts" in df.columns
+
+
+def test_txn_replay_sweeps_crashed_staging_dir(spark, store):
+    """A crashed prior attempt of the same txn leaves .staging/<txn>
+    behind; the replay must sweep it instead of failing error-if-exists
+    forever — the exactly-once streaming sink's retry path (review r11)."""
+    txn = "deadbeef0001"
+    # simulate: the orphan of a kill inside the parquet write
+    staging = os.path.join(store.path, ".staging", txn)
+    os.makedirs(staging)
+    with open(os.path.join(staging, "part-00000-junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    n = store.write_values(1, _rows(spark, "a"), txn=txn)
+    assert n == 10
+    # and the short-circuit still holds on a true replay
+    assert store.write_values(1, _rows(spark, "a"), txn=txn) == 10
+    assert store.count_for_version(1) == 10
+
+
+def test_corrupt_segment_record_fails_loudly(spark, store):
+    """Malformed segment JSON must raise, not silently vanish from the
+    change-feed universe (review r11)."""
+    store.write_values(1, _rows(spark, "a"))
+    seg_dir = store._segment_dir(1)
+    bad = os.path.join(seg_dir, "0000corrupted.json")
+    with open(bad, "w") as f:
+        f.write("{truncated")
+    with pytest.raises(ValueError, match="corrupt segment record"):
+        store.changes_for_version(1)
+    os.remove(bad)
+    assert store.changes_for_version(1).count() == 10

@@ -1412,3 +1412,19 @@ def test_build_and_update_with_c4_gopher_gates(spark, tmp_path):
     iby = {s["stage"]: s["n_docs"] for s in rec["stages"]}
     assert iby["c4_clean"] == 2 and iby["quality"] == 1
     assert sum(v["rows"] for v in rec["splits"].values()) == 1
+
+
+def test_stage_seconds_single_entry_per_stage(spark):
+    """min_avg_logprob's branch used to tick quality_language twice; the
+    second ~0s entry overwrote the real measurement in every dict()
+    consumer (review r11)."""
+    from feature_store_implementation_spark.pipelines.corpus import curate_corpus
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    _, rep = curate_corpus(
+        docs, min_quality=0.0, languages=("en", "fr", "de", "es", "zh"),
+        min_avg_logprob=-20.0,
+    )
+    names = [n for n, _ in rep.stage_seconds]
+    assert names.count("quality_language") == 1
+    assert len(names) == len(set(names))

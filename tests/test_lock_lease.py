@@ -102,3 +102,26 @@ def test_stuck_takeover_sidecar_ages_out(tmp_path):
     with off._pid_lock(lock, "test mutation"):
         pass
     assert not os.path.exists(sidecar)
+
+
+def test_swept_holder_release_leaves_successor_lock_alone(tmp_path):
+    """A holder whose lease was swept mid-mutation must NOT unlink the
+    contender's lock on exit: the release re-checks the recorded holder
+    and only removes its own lock (review r11)."""
+    lock = str(tmp_path / "m.lock")
+    with off._pid_lock(lock, "test mutation"):
+        # simulate the lease sweep + a successor acquiring: replace the
+        # lock with one recording a different (remote) holder
+        os.remove(lock)
+        _write_lock(lock, 4242, "other-host")
+    # the original holder exited — the successor's lock must survive
+    assert os.path.exists(lock)
+    assert off._lock_holder(lock) == (4242, "other-host")
+    os.remove(lock)
+
+
+def test_release_removes_own_lock(tmp_path):
+    lock = str(tmp_path / "m.lock")
+    with off._pid_lock(lock, "test mutation"):
+        assert os.path.exists(lock)
+    assert not os.path.exists(lock)
