@@ -2150,6 +2150,7 @@ def soft_dedup_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     normalize: bool = True,
+    passthrough: bool = False,
 ) -> DataFrame:
     """Soft deduplication (SoftDeDup — He et al. 2024, public): instead of
     DROPPING duplicates, every document gets a sampling weight inversely
@@ -2158,7 +2159,9 @@ def soft_dedup_weights(
     its (possibly informative) content is never hard-deleted. Returns
     ``(doc_id, cluster_size, weight)`` with ``weight = 1/cluster_size``
     — feed it to :func:`~.sampling.weighted_sample_wor` or a sampler's
-    per-row rate.
+    per-row rate. ``passthrough=True`` keeps every input column and
+    appends the two (the ``build_pretraining_corpus(lexical="soft")``
+    composition shape — no id rename, no join-back).
 
     The cluster key is the md5 of the normalized text (lowercased,
     whitespace runs collapsed, trimmed — the same canonical form the C4
@@ -2181,9 +2184,13 @@ def soft_dedup_weights(
         text = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
     key = F.md5(text)
     w = Window.partitionBy(key)
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
-    ).withColumn(
+    size = F.count(F.lit(1)).over(w).cast("long").alias("cluster_size")
+    # passthrough (the c4_clean/gopher composition shape): every input
+    # column rides through with the two outputs appended — the no-join
+    # way build_pretraining_corpus(lexical="soft") attaches weights to
+    # full corpus rows (same single shuffle; a join-back would be a
+    # second one)
+    head = ["*"] if passthrough else [F.col(id_col).alias("doc_id")]
+    return df.select(*head, size).withColumn(
         "weight", F.round(F.lit(1.0) / F.col("cluster_size"), 6)
     )

@@ -468,6 +468,8 @@ def dsir_importance_weights(
     step; this operator is the distribution fit + scoring pass.
 
     Docs with no tokens are absent (no features → no distribution).
+    ``target`` only needs ``text_col`` — its document ids (if any) are
+    irrelevant to the fitted distribution and never touched.
 
     Plan at 100 TB: the corpus collapses FIRST to (doc, bucket, k) — the
     explode never leaves its stage (map-side partial count into the
@@ -522,6 +524,13 @@ def dsir_importance_weights(
             F.col(id_col).alias("doc_id"), F.explode(grams(F.col(text_col))).alias("g")
         ).select("doc_id", bucket)
 
+    def gram_buckets(df: DataFrame) -> DataFrame:
+        # the target distribution needs only the gram column — the target
+        # frame is NOT required to carry id_col (its ids were selected and
+        # discarded pre-round-12, failing targets that carry only a text
+        # column with an AnalysisException; ADVICE r11)
+        return df.select(F.explode(grams(F.col(text_col))).alias("g")).select(bucket)
+
     # Spark shares no subplans across DataFrame branches — without these
     # scope caches the (doc, bucket, k) frame's lineage (the corpus scan +
     # explode) would re-run for EACH of rdist / its total / the scoring
@@ -535,7 +544,7 @@ def dsir_importance_weights(
     )
     rdist = _cache_scoped(per_doc.groupBy("bucket").agg(F.sum("k").alias("cr")))
     tdist = _cache_scoped(
-        feats(target).groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+        gram_buckets(target).groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
     )
     r_total = rdist.agg(F.sum("cr").alias("tr"))
     t_total = tdist.agg(F.sum("ct").alias("tt"))

@@ -1006,6 +1006,179 @@ def gopher_rules(
     )
 
 
+# ---------------------------------------------------------------------------
+# HTML → text extraction (the Common-Crawl on-ramp: every public CC pipeline
+# — C4, CCNet, RefinedWeb — starts with an extraction pass before cleaning)
+# ---------------------------------------------------------------------------
+#
+# The whole extractor is ONE ordered regex/replace program, shared verbatim
+# between the Spark expression builder (html_extract_expr) and the DuckDB
+# oracle generator (html_extract_sql) — single source, zero drift. Every
+# pattern is written in the Java-regex ∩ RE2 portable subset (the
+# script_profile/pii_redact discipline): inline (?i)/(?s) flags, non-greedy
+# quantifiers, \b — but NO backreferences and NO lookaround (RE2 lacks
+# both), which is why the content-stripping elements are one pattern per
+# tag name instead of <(script|style)>…</\1>.
+
+# 1. elements whose CONTENT is never prose — drop tag AND body
+_HTML_CONTENT_STRIP: tuple[tuple[str, str], ...] = tuple(
+    (rf"(?is)<{t}[^>]*>.*?</{t}\s*>", " ") for t in ("script", "style", "noscript", "template")
+)
+# 2. comments (incl. IE conditionals), doctype, XML/processing prologs
+# 3. block-level boundaries become LINE BREAKS before tags vanish — this
+#    is what turns <p>/<li>/<h1> structure into the line segmentation the
+#    C4 line rules consume
+# 4. every remaining tag is inline — drop the tag, keep its text
+_HTML_STRIP_STEPS: tuple[tuple[str, str], ...] = _HTML_CONTENT_STRIP + (
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?i)<!doctype[^>]*>", " "),
+    (r"(?s)<\?.*?\?>", " "),
+    (
+        r"(?i)</?(?:p|div|br|hr|li|ul|ol|dl|dt|dd|h1|h2|h3|h4|h5|h6|tr|td|th"
+        r"|table|thead|tbody|tfoot|caption|blockquote|pre|section|article"
+        r"|header|footer|nav|aside|main|form|fieldset|figure|figcaption"
+        r"|address|center|title|option|select)\b[^>]*>",
+        "\n",
+    ),
+    (r"<[^>]*>", " "),
+)
+
+# HTML entity decode: fixed literal table (portable string replace in both
+# engines — no regex callback exists in either). &amp; decodes LAST so
+# "Tom &amp; Jerry" round-trips; the named/numeric leftovers regex then
+# drops whatever the table doesn't know (the CCNet behavior: unknown
+# entities are noise, not prose).
+_HTML_ENTITY_TABLE: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&#34;", '"'),
+    ("&nbsp;", " "),
+    ("&#160;", " "),
+    ("&ndash;", "–"),
+    ("&mdash;", "—"),
+    ("&hellip;", "…"),
+    ("&#8216;", "‘"),
+    ("&#8217;", "’"),
+    ("&#8220;", "“"),
+    ("&#8221;", "”"),
+    ("&copy;", "©"),
+    ("&reg;", "®"),
+    ("&trade;", "™"),
+    ("&eacute;", "é"),
+    ("&egrave;", "è"),
+    ("&agrave;", "à"),
+    ("&ccedil;", "ç"),
+    ("&auml;", "ä"),
+    ("&ouml;", "ö"),
+    ("&uuml;", "ü"),
+    ("&szlig;", "ß"),
+    ("&ntilde;", "ñ"),
+    ("&amp;", "&"),
+)
+_HTML_DROP_ENTITY = r"&[a-zA-Z][a-zA-Z0-9]{1,31};|&#[0-9]{1,7};|&#[xX][0-9a-fA-F]{1,6};"
+
+# whitespace → line segmentation: horizontal runs collapse to one space,
+# spaces hugging a break vanish, break runs collapse to ONE \n (each run
+# of block boundaries is one segment edge), outer breaks trim away
+_HTML_WS_STEPS: tuple[tuple[str, str], ...] = (
+    (r"[\t\r\f ]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n+", "\n"),
+    (r"^\n+|\n+$", ""),
+)
+
+
+def html_extract_expr(col: Column) -> Column:
+    """The extraction program as one Spark expression chain — pure JVM
+    regexp_replace/replace, whole-stage-codegen'd, no UDF. Shared by
+    :func:`html_extract` and the curate_corpus ``extract="html"`` gate."""
+    x = col
+    for pat, rep in _HTML_STRIP_STEPS:
+        x = F.regexp_replace(x, pat, rep)
+    for lit, rep in _HTML_ENTITY_TABLE:
+        x = F.replace(x, F.lit(lit), F.lit(rep))
+    x = F.regexp_replace(x, _HTML_DROP_ENTITY, " ")
+    for pat, rep in _HTML_WS_STEPS:
+        x = F.regexp_replace(x, pat, rep)
+    return F.trim(x)
+
+
+def _sql_str(s: str) -> str:
+    """A DuckDB string literal for ``s``; newlines go through chr(10) —
+    RE2's rewrite grammar has no \\n escape, and an embedded raw newline
+    inside a SQL literal is valid but unreadable."""
+    parts = s.split("\n")
+    lits = ["'" + p.replace("'", "''") + "'" for p in parts]
+    out = lits[0]
+    for nxt in lits[1:]:
+        out += " || chr(10) || " + nxt
+    # drop empty-string concat ends ('' || x → x) for readability
+    return out.replace("'' || ", "").replace(" || ''", "")
+
+
+def html_extract_sql(expr: str) -> str:
+    """The SAME extraction program as a DuckDB scalar expression over
+    ``expr`` — the oracle twin. DuckDB's regexp_replace is RE2 and
+    first-match by default, hence the explicit 'g' flag; patterns are
+    passed byte-identically to the Spark side."""
+    x = expr
+    for pat, rep in _HTML_STRIP_STEPS:
+        x = f"regexp_replace({x}, {_sql_str(pat)}, {_sql_str(rep)}, 'g')"
+    for lit, rep in _HTML_ENTITY_TABLE:
+        x = f"replace({x}, {_sql_str(lit)}, {_sql_str(rep)})"
+    x = f"regexp_replace({x}, {_sql_str(_HTML_DROP_ENTITY)}, ' ', 'g')"
+    for pat, rep in _HTML_WS_STEPS:
+        x = f"regexp_replace({x}, {_sql_str(pat)}, {_sql_str(rep)}, 'g')"
+    return f"trim({x})"
+
+
+def html_extract(
+    df: DataFrame,
+    html_col: str = "text",
+    id_col: str = "doc_id",
+    passthrough: bool = False,
+    out_col: str = "extracted_text",
+) -> DataFrame:
+    """HTML → text extraction (the missing Common-Crawl on-ramp, r11
+    verdict task 1): strip script/style/noscript/template with their
+    bodies, comments, doctype and processing instructions; turn
+    block-level element boundaries into line breaks; drop every remaining
+    tag; decode the common HTML entities (and drop unknown ones); then
+    normalize whitespace into trimmed, non-empty, ``\\n``-separated lines
+    — exactly the prose-lines shape :func:`c4_clean`'s line rules and the
+    Gopher battery expect. Feed it a WARC ``response`` payload
+    (:func:`~..sources.files.warc_text_documents` ``extract="html"``) and
+    the existing C4/Gopher/dedup chain runs on real crawl HTML.
+
+    Emits ``(doc_id, extracted_text, n_lines, n_chars)``; with
+    ``passthrough=True`` keeps every input column and appends the three.
+    A page with no prose yields the empty string and ``n_lines = 0``.
+
+    Plan at 100 TB: one map-only projection — a fixed chain of JVM
+    ``regexp_replace``/``replace`` expressions inside whole-stage codegen;
+    no UDF, no shuffle, no join. The regex program is the portable
+    Java∩RE2 subset and is REPLAYED VERBATIM by DuckDB via
+    :func:`html_extract_sql`, so the q_html_extract oracle hash-checks
+    every rule. Deliberate scope (documented, deterministic): no
+    charset-sniffing (upstream decodes bytes), no JS/CSS evaluation, no
+    readability-style boilerplate scoring — line-level boilerplate is the
+    downstream C4/line-dedup stage's job."""
+    x = html_extract_expr(F.col(html_col))
+    n_lines = F.when(x == "", F.lit(0)).otherwise(
+        F.size(F.split(x, r"\n"))
+    ).cast("long")
+    head = list(df.columns) if passthrough else [F.col(id_col).alias("doc_id")]
+    return df.select(
+        *head,
+        x.alias(out_col),
+        n_lines.alias("n_lines"),
+        F.length(x).cast("long").alias("n_chars"),
+    )
+
+
 def c4_clean(
     df: DataFrame,
     text_col: str = "text",
@@ -1122,7 +1295,22 @@ def cross_entropy_score(
         F.sum("ct").alias("tt"), F.count(F.lit(1)).alias("vocab")
     )
     s = float(smoothing)
-    denom = F.col("tt") + s * (F.col("vocab") + 1)
+    # empty-LM guard: a tokenless target corpus yields tt = NULL, which
+    # would propagate NULL cross-entropy to EVERY doc silently — a quality
+    # gate built on the score would then pass/drop everything according to
+    # its null-handling instead of erroring (ADVICE r11). raise_error is
+    # lazy (fires on first action), so the plan stays composable but the
+    # fault is loud.
+    tt_ok = F.when(
+        F.col("tt").isNull() | (F.col("tt") <= 0),
+        F.raise_error(
+            F.lit(
+                "cross_entropy_score: target corpus has no tokens — the "
+                "fitted LM is empty; fit on a non-empty clean corpus"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("tt"))
+    denom = tt_ok + s * (F.col("vocab") + 1)
     lp = F.round(
         F.log((F.coalesce(F.col("ct"), F.lit(0)) + s) / denom), 8
     ).cast("decimal(18,12)")

@@ -82,11 +82,12 @@ def curate_corpus(
     id_col: str = "doc_id",
     min_quality: float = 0.3,
     languages: tuple[str, ...] = ("en",),
+    extract: str | None = None,
     clean: str | None = None,
     clean_params: dict | None = None,
     quality: str = "score",
     quality_params: dict | None = None,
-    dedup_threshold: float = 0.7,
+    dedup_threshold: float | None = 0.7,
     sample_fraction: float | None = None,
     strip_boilerplate: bool = False,
     boilerplate_max_doc_freq: int = 2,
@@ -124,6 +125,14 @@ def curate_corpus(
     lexical shingling structurally misses (word-order shuffles share few
     3-gram shingles but have the identical hash vector — pinned in
     tests); true paraphrase detection still needs neural embeddings.
+
+    ``extract="html"`` prepends HTML→text extraction
+    (:func:`~..operators.text.html_extract_expr`) as the FIRST stage —
+    the Common-Crawl on-ramp: raw crawl payloads are markup, and every
+    downstream gate (C4 line rules, Gopher signals, quality score,
+    shingle dedup) is defined over prose lines, not tag soup. Row-local
+    expression in the same scan, no extra pass, no join; each document's
+    ``text_col`` is replaced by its extracted lines.
 
     ``clean="c4"`` prepends C4-style page cleaning (Raffel et al. 2020
     §2.2, :func:`~..operators.text.c4_clean` — the operator itself, in
@@ -165,6 +174,18 @@ def curate_corpus(
             f"{n_input} rows but {id_stats['n_ids']} distinct ids — "
             f"dedup ids first (e.g. docs.dropDuplicates(['{id_col}']))"
         )
+
+    if extract is not None:
+        if extract != "html":
+            raise ValueError(f"extract must be 'html' or None — got {extract!r}")
+        from ..operators.text import html_extract_expr
+
+        # FIRST stage, before even boilerplate line-dedup (whose line
+        # hashing wants prose lines, not markup): row-local replacement
+        # of text_col in the same scan — no join, no gate (pages that
+        # extract to nothing fall to the clean/quality gates)
+        docs = docs.withColumn(text_col, html_extract_expr(F.col(text_col)))
+        _tick("html_extract")
 
     if strip_boilerplate:
         cleaned = line_dedup(
@@ -284,29 +305,38 @@ def curate_corpus(
     # SHARED (one materialization), and skipping the sigs= param keeps
     # the needless self-semi-join out of this pass's plan — the param is
     # for the build's split pass, whose doc set is a strict subset
-    pairs = minhash_near_dup_pairs(
-        gated,
-        text_col=text_col,
-        id_col=id_col,
-        threshold=dedup_threshold,
-    )
-    comps = connected_components(pairs, src="doc_id_a", dst="doc_id_b")
-    # The loser frames (ids only — O(dup_rate × corpus) rows, a sliver of
-    # the corpus BYTES) are scope-cached: every downstream action on the
-    # survivor frame — stage counts here, and in a composed build the
-    # mixture/split/shard/fingerprint/pack passes — re-executes the
-    # survivor lineage, and without these caches each re-execution would
-    # re-run the full LSH (and semantic/decontamination) plan instead of
-    # re-joining a materialized id list against the cached gated frame.
-    losers = _cache_scoped(
-        comps.filter(F.col("node") != F.col("component")).select(
-            F.col("node").alias("doc_id")
+    if dedup_threshold is None:
+        # soft-dedup composition (build_pretraining_corpus lexical="soft",
+        # round-12): keep every near-dup — the composing build WEIGHTS
+        # duplicates (He et al. 2024) instead of dropping them. The
+        # signature frame above still materializes for the build's
+        # leakage-split pass; only the pair/drop passes are skipped.
+        deduped = after_l
+    else:
+        pairs = minhash_near_dup_pairs(
+            gated,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=dedup_threshold,
         )
-    )
-    # NO broadcast hint here: the loser set is O(dup_rate x corpus) — at
-    # 100 TB with 30-50% duplicate rates that is billions of rows. Let AQE
-    # pick the strategy (it will still broadcast when the set is small).
-    deduped = after_l.join(losers, "doc_id", "left_anti")
+        comps = connected_components(pairs, src="doc_id_a", dst="doc_id_b")
+        # The loser frames (ids only — O(dup_rate × corpus) rows, a sliver
+        # of the corpus BYTES) are scope-cached: every downstream action on
+        # the survivor frame — stage counts here, and in a composed build
+        # the mixture/split/shard/fingerprint/pack passes — re-executes the
+        # survivor lineage, and without these caches each re-execution
+        # would re-run the full LSH (and semantic/decontamination) plan
+        # instead of re-joining a materialized id list against the cached
+        # gated frame.
+        losers = _cache_scoped(
+            comps.filter(F.col("node") != F.col("component")).select(
+                F.col("node").alias("doc_id")
+            )
+        )
+        # NO broadcast hint here: the loser set is O(dup_rate x corpus) —
+        # at 100 TB with 30-50% duplicate rates that is billions of rows.
+        # Let AQE pick the strategy (it still broadcasts when small).
+        deduped = after_l.join(losers, "doc_id", "left_anti")
     n_after_dedup = deduped.count()
     _tick("lexical_dedup")
 

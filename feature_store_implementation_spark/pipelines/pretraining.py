@@ -133,6 +133,9 @@ def build_pretraining_corpus(
     semantic_threshold: float = 0.95,
     eval_df: DataFrame | None = None,
     decontaminate_ngram: int = 8,
+    lexical: str = "drop",
+    ce_target: DataFrame | None = None,
+    ce_max: float | None = None,
     select_target: DataFrame | None = None,
     select_budget: int | None = None,
     select_n_buckets: int = 10_000,
@@ -160,6 +163,27 @@ def build_pretraining_corpus(
       ``embeddings="hash"`` when ``semantic`` (self-contained SemDeDup;
       no external model needed) and the benchmark anti-join when
       ``eval_df`` is given.
+    * **lexical="soft"** — SoftDeDup weighting (He et al. 2024) as the
+      alternative to hard near-dup dropping: curate keeps every lexical
+      duplicate and each surviving row gains ``(cluster_size, weight)``
+      with ``weight = 1/exact-dup-cluster-size``
+      (:func:`~..operators.dedup.soft_dedup_weights` in its passthrough
+      shape — same single shuffle, no join-back). Weights ride into the
+      shards for the trainer's sampler; the manifest records the
+      effective mass (Σweight ≈ distinct-content count). Requires
+      ``semantic=False`` — exact duplicates embed identically, so the
+      semantic stage would silently re-drop what soft dedup kept.
+      Duplicates still cannot straddle the split (they are near-dup
+      pairs at any threshold). Weights are corpus-global → the build
+      refuses incremental updates, like dsir_select.
+    * **ce_filter** — optional CCNet-style quality gate (Wenzek et al.
+      2020): fit a unigram LM on ``ce_target`` (the clean reference
+      corpus) and keep documents whose per-token cross-entropy under it
+      is ≤ ``ce_max``
+      (:func:`~..operators.text.cross_entropy_score`). Runs after
+      curate, before DSIR selection — gate, then select. The gate is a
+      property of (target, threshold), but an update skipping it would
+      commit ungated documents, so builds with it refuse increments.
     * **dsir_select** — optional DSIR importance selection (Xie et al.
       2023): fit hashed-n-gram target-vs-raw importance weights on the
       cleaned pool (``select_target``) and keep the top
@@ -199,6 +223,16 @@ def build_pretraining_corpus(
         raise ValueError("pass select_target AND select_budget together")
     if select_budget is not None and select_budget <= 0:
         raise ValueError("select_budget must be positive")
+    if lexical not in ("drop", "soft"):
+        raise ValueError(f"lexical must be 'drop' or 'soft' — got {lexical!r}")
+    if lexical == "soft" and semantic:
+        raise ValueError(
+            "lexical='soft' keeps exact duplicates, which embed "
+            "identically — the semantic stage would re-drop them and "
+            "silently defeat the soft weighting; pass semantic=False"
+        )
+    if (ce_target is None) != (ce_max is None):
+        raise ValueError("pass ce_target AND ce_max together")
 
     stages: list[dict] = []
     # wall-clock per stage, exposed ONLY through the module-level
@@ -251,7 +285,7 @@ def build_pretraining_corpus(
         languages=languages,
         clean=clean,
         quality=quality,
-        dedup_threshold=dedup_threshold,
+        dedup_threshold=dedup_threshold if lexical == "drop" else None,
         eval_df=eval_df,
         decontaminate_ngram=decontaminate_ngram,
         embeddings="hash" if semantic else None,
@@ -272,6 +306,26 @@ def build_pretraining_corpus(
         stage("semantic_dedup", rep.n_after_semantic, secs=_rs.get("semantic_dedup", 0.0))
     if eval_df is not None:
         stage("decontaminate", rep.n_after_decontamination, secs=_rs.get("decontaminate", 0.0))
+
+    # -- CCNet cross-entropy quality gate (optional) ------------------------
+    # gate THEN select: the absolute target-likelihood filter runs before
+    # DSIR's relative importance top-K, the CCNet → DSIR composition order
+    ce_record: dict | None = None
+    if ce_target is not None:
+        from ..operators.text import cross_entropy_score
+
+        ce = cross_entropy_score(
+            curated, ce_target, text_col=text_col, id_col=id_col
+        )
+        keepers = ce.filter(F.col("cross_entropy") <= float(ce_max)).select(
+            F.col("doc_id").alias(id_col)
+        )
+        curated = curated.join(keepers, id_col, "left_semi").localCheckpoint(
+            eager=True
+        )
+        n_ce = curated.count()
+        stage("ce_filter", n_ce)
+        ce_record = {"ce_max": float(ce_max), "selected": int(n_ce)}
 
     # -- DSIR importance selection (optional) -------------------------------
     # the paper's composition: fit target-vs-raw hashed-n-gram importance
@@ -334,6 +388,29 @@ def build_pretraining_corpus(
     if mixture_record is not None:
         curated = curated.localCheckpoint(eager=True)
         stage("mixture", curated.count())
+
+    # -- SoftDeDup weighting (lexical="soft") ------------------------------
+    # LAST selection-adjacent stage on purpose: cluster sizes are counted
+    # over the FINAL pool (after ce/dsir/mixture drops), so 1/size is the
+    # true surviving multiplicity — weighting before a drop stage would
+    # under-weight clusters that later lost members
+    soft_record: dict | None = None
+    if lexical == "soft":
+        from ..operators.dedup import soft_dedup_weights
+
+        curated = soft_dedup_weights(
+            curated, text_col=text_col, id_col=id_col, passthrough=True
+        ).localCheckpoint(eager=True)
+        m = curated.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("weight").alias("mass"),
+            F.max("cluster_size").alias("mx"),
+        ).first()
+        stage("soft_dedup", int(m["n"]))
+        soft_record = {
+            "effective_mass": round(float(m["mass"] or 0.0), 6),
+            "max_cluster_size": int(m["mx"] or 0),
+        }
 
     # -- leakage-safe split ------------------------------------------------
     # the curate stage's signature frame (scope-cached) carries over: the
@@ -406,6 +483,9 @@ def build_pretraining_corpus(
             "semantic_threshold": float(semantic_threshold),
             "decontaminate": eval_df is not None,
             "decontaminate_ngram": int(decontaminate_ngram),
+            "lexical": lexical,
+            "soft_dedup": soft_record,
+            "ce_filter": ce_record,
             "dsir_select": select_record,
             "split_threshold": float(split_threshold),
             "split_fractions": {k: float(v) for k, v in split_fractions.items()},
@@ -705,6 +785,26 @@ def _update_corpus_locked(
             "raw pool, so increments cannot be selected consistently; "
             "rebuild with build_pretraining_corpus to reselect, or build "
             "without select_target/select_budget for an updatable corpus"
+        )
+    if p.get("lexical") == "soft":
+        # soft-dedup weights are 1/cluster_size over the WHOLE pool: an
+        # increment adding copies of an existing doc changes every
+        # sibling's weight, which a revision append cannot retro-patch
+        raise ValueError(
+            f"the corpus at {path} was built with SoftDeDup weighting "
+            "(manifest params.lexical='soft') — cluster sizes are "
+            "corpus-global, so increments cannot be weighted "
+            "consistently; rebuild to reweight, or build with "
+            "lexical='drop' for an updatable corpus"
+        )
+    if p.get("ce_filter"):
+        # the update path has no ce_target to re-fit the LM against; an
+        # increment skipping the gate would commit ungated documents
+        raise ValueError(
+            f"the corpus at {path} was built with the cross-entropy "
+            "quality gate (manifest params.ce_filter) — updates cannot "
+            "re-apply it without the target corpus; rebuild to re-gate, "
+            "or build without ce_target/ce_max for an updatable corpus"
         )
     revisions = manifest.get("revisions", [])
     if txn is not None:

@@ -7750,6 +7750,82 @@ def q_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@query("q_pretrain_weighted", None)
+def q_pretrain_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WEIGHTED pretraining-build variant (round-12, r11 verdict
+    task 7): ``lexical="soft"`` swaps hard near-dup dropping for SoftDeDup
+    1/cluster-size weighting (He et al. 2024) and ``ce_target``/``ce_max``
+    gates on CCNet target-LM cross-entropy (Wenzek et al. 2020) before
+    sharding — both stages riding pipelines/pretraining.py
+    build_pretraining_corpus. A corpus with PLANTED exact duplicates
+    (3 copies of one doc, 2 of another) builds end-to-end; the result is
+    the per-stage survivor manifest plus the weight histogram of the
+    exported shards (cluster_size → n_docs, weight) — deterministic
+    across runs. Rows-only by design like q_pretraining_corpus (the
+    composition of oracle-verified operators); the pinned-equality proof
+    — shard weights == standalone soft_dedup_weights on the same pool,
+    gated ids == standalone cross_entropy_score gate — lives in
+    tests/test_corpus_pipeline.py."""
+    import shutil
+    import tempfile
+
+    from ..pipelines.pretraining import build_pretraining_corpus
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") < 150).select("doc_id", "text", "lang")
+    dup = base.filter(F.col("doc_id").isin(0, 1)).select("doc_id", "text")
+    planted = base.unionByName(
+        dup.crossJoin(spark.range(1, 3).withColumnRenamed("id", "k"))
+        .filter((F.col("doc_id") == 0) | (F.col("k") == 1))
+        .select(
+            (F.col("doc_id") + 100_000 + F.col("k") * 10).alias("doc_id"),
+            "text",
+            F.lit("en").alias("lang"),
+        )
+    )
+    target = d.filter(F.col("lang") == "en").select("text").limit(100)
+    tmp = tempfile.mkdtemp(prefix="q_pretrain_w_")
+    try:
+        m = build_pretraining_corpus(
+            planted,
+            tmp,
+            languages=("en", "fr", "de", "es", "zh"),
+            lexical="soft",
+            semantic=False,
+            ce_target=target,
+            ce_max=6.5,
+            split_fractions={"train": 0.9, "valid": 0.05, "test": 0.05},
+            n_shards=2,
+            seed=42,
+        )
+        rows = [(s["stage"], int(s["n_docs"]), None) for s in m["stages"]]
+        rows += [
+            (f"split:{k}", int(v["rows"]), None)
+            for k, v in sorted(m["splits"].items())
+        ]
+        hist = []
+        for name in m["splits"]:
+            import os as _os
+
+            part = spark.read.parquet(_os.path.join(tmp, f"split={name}"))
+            hist.append(part.select("cluster_size", "weight"))
+        h = hist[0]
+        for q in hist[1:]:
+            h = h.unionByName(q)
+        rows += [
+            (f"weight:{r['cluster_size']}", int(r["n"]), float(r["weight"]))
+            for r in sorted(
+                h.groupBy("cluster_size", "weight")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect(),
+                key=lambda r: r["cluster_size"],
+            )
+        ]
+        return spark.createDataFrame(rows, "stage string, n_docs long, weight double")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @query("q_corpus_update", None)
 def q_corpus_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The INCREMENTAL corpus loop (pipelines/pretraining.py
@@ -7898,6 +7974,84 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return gopher_rules(d, stopwords=("the", "a"))
+
+
+# the q_html_extract page template: each document's text is wrapped in a
+# deterministic HTML page exercising every extractor rule class — doctype,
+# head/title, a script whose BODY contains markup and an inequality, style,
+# a comment, block structure (h1/p/ul/li/footer), named + numeric entities,
+# an unknown entity, and a bare ampersand. Both engines build the SAME
+# string, so the oracle hash-checks the full regex program on corpus text.
+_HTML_WRAP_PRE = (
+    '<!DOCTYPE html><html><head><title>Doc '
+)
+_HTML_WRAP_MID1 = (
+    '</title><script type="text/javascript">if(a<b){track("</p>")}</script>'
+    "<style>p{margin:0}</style></head><body><!-- header -->"
+    '<div class="main"><h1>Document &amp; Friends &#8212; r12</h1><p>'
+)
+_HTML_WRAP_MID2 = "</p><ul><li>first &ndash; "
+_HTML_WRAP_POST = (
+    "&nbsp;item</li><li>caf&eacute; &bogus; twice</li></ul>"
+    "<footer>&copy; 2026 Example Corp & Co</footer></body></html>"
+)
+
+
+def _html_extract_oracle() -> str:
+    from ..operators.text import html_extract_sql
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    wrap = (
+        f"{lit(_HTML_WRAP_PRE)} || CAST(doc_id AS VARCHAR) || "
+        f"{lit(_HTML_WRAP_MID1)} || text || {lit(_HTML_WRAP_MID2)} || "
+        f"source || {lit(_HTML_WRAP_POST)}"
+    )
+    e = html_extract_sql("html")
+    return f"""
+    WITH h AS (
+      SELECT doc_id, {wrap} AS html FROM documents
+    ), e AS (
+      SELECT doc_id, {e} AS x FROM h
+    )
+    SELECT doc_id, x AS extracted_text,
+      CASE WHEN x = '' THEN 0
+           ELSE CAST(len(string_split(x, chr(10))) AS BIGINT) END AS n_lines,
+      CAST(length(x) AS BIGINT) AS n_chars
+    FROM e
+    """
+
+
+@query("q_html_extract", _html_extract_oracle)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text extraction (operators/text.py html_extract — the
+    Common-Crawl on-ramp, r11 verdict task 1): each document's text is
+    wrapped in the deterministic page template above, then the extractor
+    strips script/style bodies, comments and doctype, converts block
+    boundaries to line breaks, drops remaining tags, decodes entities
+    (dropping unknown ones) and normalizes whitespace into trimmed
+    ``\\n``-joined lines. The DuckDB oracle replays the IDENTICAL regex
+    program (html_extract_sql generates it from the same tables), so the
+    hash check covers every rule. Plan: one map-only projection — a fixed
+    JVM regexp_replace/replace chain in whole-stage codegen; no UDF, no
+    shuffle, no join at any scale."""
+    from ..operators.text import html_extract
+
+    d = load_table(spark, sf_dir, "documents")
+    page = d.select(
+        "doc_id",
+        F.concat(
+            F.lit(_HTML_WRAP_PRE),
+            F.col("doc_id").cast("string"),
+            F.lit(_HTML_WRAP_MID1),
+            F.col("text"),
+            F.lit(_HTML_WRAP_MID2),
+            F.col("source"),
+            F.lit(_HTML_WRAP_POST),
+        ).alias("html"),
+    )
+    return html_extract(page, html_col="html", id_col="doc_id")
 
 
 @query(

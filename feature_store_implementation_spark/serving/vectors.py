@@ -60,6 +60,15 @@ class FeatureStore:
     # dropped from the explicit id list — keeping the ledger O(recent
     # commits), not O(all commits ever), at 100 TB append rates.
     FEED_LEDGER_LAG_S = 600.0
+    # seq-keyed ledger margin (round-12): segments carry a store-wide
+    # monotone commit seq allocated under a lock held across the
+    # publishing rename, so visibility order equals seq order and the
+    # seq floor can advance to (max consumed seq − this margin) with NO
+    # clock involved. The margin exists solely for the lease-takeover
+    # double fault (a writer stalled ≥ the 300 s lease TTL mid-commit
+    # publishing an old seq late): that writer's commit stays pending
+    # unless ≥ this many commits landed store-wide during its stall.
+    FEED_LEDGER_SEQ_LAG = 1024
 
     def __init__(self, spark: SparkSession, root: str, cache: FeatureCache | None = None):
         self.spark = spark
@@ -459,6 +468,7 @@ class FeatureStore:
         consumed = {
             str(v): {
                 "floor": 0.0,
+                "seq_floor": 0,
                 "segments": sorted(
                     seg
                     for seg, doc in self.store._feed_segments(v).items()
@@ -555,6 +565,7 @@ class FeatureStore:
         import shutil as _shutil
         import uuid as _uuid
 
+        from ..store.offline import LockContention as _LockContention
         from ..store.offline import _pid_lock
         from .online_snapshot import _snapshot_meta
 
@@ -599,6 +610,13 @@ class FeatureStore:
             if _os.path.exists(final):
                 try:
                     return {"mode": "synced", **self.sync_online_snapshot(final, max_changed=max_changed)}
+                except _LockContention as exc:
+                    # a DIRECT sync_online_snapshot caller holds .sync.lock
+                    # right now — the snapshot is being refreshed by someone
+                    # else, so falling through to a full re-export would
+                    # race it for nothing. Report contention instead of
+                    # failing the whole maintain (ADVICE r11).
+                    return {"mode": "contended", "reason": str(exc)}
                 except ValueError as exc:
                     reason = str(exc)
                 try:
@@ -700,30 +718,40 @@ class FeatureStore:
                     "is potentially stale — re-export the snapshot"
                 )
             # CONSUMED-SEGMENT LEDGER (not a timestamp window): each vid's
-            # ledger is (floor, explicit ids) — a commit is consumed iff
-            # committed_at <= floor OR its id is listed. Pending = every
-            # VISIBLE commit that is neither; a commit that publishes late
-            # (the _commit_segment capture→rename gap, writer clock skew)
-            # is simply absent from this round's listing and consumed the
-            # round it appears (ADVICE r10, medium). The floor advance
-            # below presumes anything stamped more than FEED_LEDGER_LAG_S
-            # behind the newest observed commit is consumed — that is
-            # SOUND because _commit_segment re-stamps any commit whose
-            # capture→rename stall exceeded PUBLISH_RESTAMP_S (= lag/2):
-            # a late-VISIBLE commit therefore always carries a timestamp
-            # within lag/2 of its visibility instant, which the algebra
-            # keeps strictly above any floor a concurrent sync could have
-            # advanced to. The one unguarded mode is CROSS-writer wall
-            # clocks skewed by more than lag/2 — deploy NTP or raise
-            # FEED_LEDGER_LAG_S accordingly. Commits stamped after `now`
-            # stay pending too: the fresh matrix below reads as_of=now,
-            # so consuming them here would ledger data the read can't
-            # see. Pre-round-11 snapshots carry no ledger; their
-            # synced_at/exported_at instant bootstraps the floor (the old
-            # window rule, one last time).
+            # ledger is (seq_floor, floor, explicit ids). A commit is
+            # consumed iff
+            #   seq-bearing (round-12 stores): seq <= seq_floor OR id listed
+            #   legacy (no seq):  committed_at <= floor OR id listed.
+            # Pending = every VISIBLE commit that is neither; a commit
+            # that publishes late is simply absent from this round's
+            # listing and consumed the round it appears (ADVICE r10).
+            #
+            # The SEQ floor is clock-free (r11 verdict task 4, closing the
+            # cross-writer skew residual): seqs are allocated under a lock
+            # held across the publishing rename, so visibility order
+            # equals seq order regardless of any writer's wall clock; the
+            # floor advances to (max consumed seq − FEED_LEDGER_SEQ_LAG),
+            # never past a visible-but-unconsumed commit. The only way a
+            # commit can land below the seq floor unconsumed is the
+            # lease-takeover double fault (writer stalled ≥ the 300 s
+            # lease TTL mid-commit while ≥ SEQ_LAG commits landed
+            # store-wide) — strictly narrower than any clock assumption.
+            #
+            # The TIMESTAMP floor remains only for legacy (pre-seq)
+            # segments, whose population is frozen at upgrade time; its
+            # old soundness argument (PUBLISH_RESTAMP_S = lag/2 re-stamp,
+            # NTP within lag/2) still applies to them. Commits stamped
+            # after `now` stay pending either way: the fresh matrix below
+            # reads as_of=now (keyed on committed_at), so consuming them
+            # here would ledger data the read can't see. Pre-round-11
+            # snapshots carry no ledger; their synced_at/exported_at
+            # instant bootstraps the legacy floor, and seq_floor starts
+            # at 0 — seq-bearing commits the old snapshot already covered
+            # are re-upserted once (idempotent), never skipped.
             ledger: dict = meta.get("consumed_segments") or {
                 str(v): {
                     "floor": float(meta.get("synced_at") or meta["exported_at"]),
+                    "seq_floor": 0,
                     "segments": [],
                 }
                 for v in vids_now
@@ -733,15 +761,21 @@ class FeatureStore:
             for vid in vids_now:
                 ent = ledger.get(str(vid)) or {"floor": 0.0, "segments": []}
                 floor = float(ent.get("floor", 0.0))
+                seq_floor = int(ent.get("seq_floor", 0))
                 done = set(ent.get("segments") or [])
                 listing = self.store._feed_segments(vid)
                 ts_of = {
                     s: float(d.get("committed_at", 0.0)) for s, d in listing.items()
                 }
+                seq_of = {s: int(d.get("seq", 0)) for s, d in listing.items()}
+
+                def _consumed(s: str) -> bool:
+                    if seq_of[s] > 0:
+                        return seq_of[s] <= seq_floor or s in done
+                    return ts_of[s] <= floor or s in done
+
                 pending = sorted(
-                    s
-                    for s, ts in ts_of.items()
-                    if floor < ts <= now and s not in done
+                    s for s in listing if ts_of[s] <= now and not _consumed(s)
                 )
                 if pending:
                     try:
@@ -762,21 +796,39 @@ class FeatureStore:
                             "heavy is cheaper as a bulk re-export"
                         )
                 # fold everything observed (<= now) into the ledger, then
-                # advance the floor to (newest observed − lag) and drop the
-                # ids it implies — the ledger stays O(recent commits)
+                # advance both floors and drop the ids they imply — the
+                # ledger stays O(recent commits)
                 observed = {s for s, ts in ts_of.items() if ts <= now}
                 all_done = done | observed
+                legacy_obs = [ts_of[s] for s in observed if seq_of[s] == 0]
                 new_floor = max(
                     floor,
-                    max((ts_of[s] for s in observed), default=floor)
-                    - self.FEED_LEDGER_LAG_S,
+                    max(legacy_obs, default=floor) - self.FEED_LEDGER_LAG_S,
+                )
+                seq_obs = [seq_of[s] for s in observed if seq_of[s] > 0]
+                # never advance past a visible commit left unconsumed this
+                # round (stamped after `now` — a writer clock running
+                # ahead): it must stay pending for a future sync
+                unconsumed = [
+                    seq_of[s]
+                    for s in listing
+                    if seq_of[s] > 0 and s not in all_done
+                ]
+                cand = max(seq_obs, default=seq_floor) - self.FEED_LEDGER_SEQ_LAG
+                new_seq_floor = max(
+                    seq_floor, min([cand] + [q - 1 for q in unconsumed])
                 )
                 new_ledger[str(vid)] = {
                     "floor": new_floor,
+                    "seq_floor": new_seq_floor,
                     "segments": sorted(
                         s
                         for s in all_done
-                        if ts_of.get(s, new_floor + 1.0) > new_floor
+                        if (
+                            seq_of.get(s, 0) > new_seq_floor
+                            if seq_of.get(s, 0) > 0
+                            else ts_of.get(s, new_floor + 1.0) > new_floor
+                        )
                     ),
                 }
             if not changed:

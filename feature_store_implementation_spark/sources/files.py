@@ -186,11 +186,19 @@ def warc_source(spark: SparkSession, path: str) -> DataFrame:
     return binf.select("path", "content").mapInPandas(parse, schema=WARC_SCHEMA)
 
 
-def warc_text_documents(records: DataFrame) -> DataFrame:
+def warc_text_documents(records: DataFrame, extract: str | None = None) -> DataFrame:
     """WARC records → the ``documents`` shape: keep ``conversion`` (WET
     extracted-text) and ``response`` records, strip the HTTP header block
     from responses (payload after the first CRLF CRLF), decode utf-8
     LOSSILY, emit (doc_id = record id, url, text). Map-only.
+
+    ``extract="html"`` additionally runs
+    :func:`~..operators.text.html_extract` over each RESPONSE body —
+    real Common Crawl response payloads are HTML, and handing raw markup
+    to the C4/Gopher chain scores tag soup, not prose (r11 verdict
+    task 1). ``conversion`` (WET) records are already extracted text and
+    pass through untouched. Still map-only: the extractor is a fixed
+    JVM regexp chain in the same projection.
 
     The decode is an Arrow-batched pandas UDF with errors='replace':
     Spark 4's JVM ``decode()`` RAISES MALFORMED_CHARACTER_CODING on any
@@ -212,6 +220,14 @@ def warc_text_documents(records: DataFrame) -> DataFrame:
         (F.col("warc_type") == "response") & (pos > 0),
         F.col("_txt").substr(pos + 4, F.length("_txt")),
     ).otherwise(F.col("_txt"))
+    if extract is not None:
+        if extract != "html":
+            raise ValueError(f"extract must be 'html' or None — got {extract!r}")
+        from ..operators.text import html_extract_expr
+
+        body = F.when(
+            F.col("warc_type") == "response", html_extract_expr(body)
+        ).otherwise(body)
     return kept.select(
         F.col("record_id").alias("doc_id"),
         F.col("target_uri").alias("url"),

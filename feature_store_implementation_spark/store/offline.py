@@ -144,6 +144,14 @@ LOCK_LEASE_TTL_S = 300.0
 PUBLISH_RESTAMP_S = 300.0
 
 
+class LockContention(RuntimeError):
+    """A `_pid_lock` found a LIVE holder (fresh lease, live pid). Distinct
+    from other RuntimeErrors so callers that want to degrade gracefully on
+    contention — maintain_online_snapshot reporting ``mode: contended``
+    instead of failing the whole maintenance call (ADVICE r11) — can catch
+    exactly this without swallowing real faults."""
+
+
 def _lease_expired(lock: str, ttl: float = LOCK_LEASE_TTL_S) -> bool:
     import time
 
@@ -213,7 +221,7 @@ def _pid_lock(lock: str, what: str):
                         except FileNotFoundError:
                             pass
                         continue
-                    raise RuntimeError(
+                    raise LockContention(
                         f"a stale-lock takeover for {what} is itself in "
                         f"flight (sidecar: {takeover}); remove it (and the "
                         "lock, if its owner is known dead) to re-enable"
@@ -237,7 +245,7 @@ def _pid_lock(lock: str, what: str):
                     except FileNotFoundError:
                         pass
                 continue
-            raise RuntimeError(
+            raise LockContention(
                 f"another {what} is in flight (lock: {lock}, pid "
                 f"{pid or '?'} on host {host or '?'}); remove the file "
                 "only if its owner is known dead"
@@ -273,6 +281,37 @@ def _pid_lock(lock: str, what: str):
                 os.remove(lock)
         except FileNotFoundError:
             pass
+
+
+@contextmanager
+def _pid_lock_blocking(lock: str, what: str, timeout: float = 2 * LOCK_LEASE_TTL_S):
+    """`_pid_lock` that WAITS on a live holder instead of failing fast —
+    for short critical sections (commit sequencing: two fsync'd writes and
+    a rename) where contention between concurrent appends is normal and
+    momentary. Dead holders still age out on the lease clock, so the wait
+    is bounded; past ``timeout`` (default 2×TTL — one full lease expiry
+    plus takeover slack) the contention propagates."""
+    import sys
+    import time
+
+    deadline = time.time() + timeout
+    while True:
+        cm = _pid_lock(lock, what)
+        try:
+            cm.__enter__()
+        except LockContention:
+            if time.time() >= deadline:
+                raise
+            time.sleep(0.05)
+            continue
+        try:
+            yield
+        except BaseException:
+            if not cm.__exit__(*sys.exc_info()):
+                raise
+        else:
+            cm.__exit__(None, None, None)
+        return
 
 
 class OfflineStore:
@@ -484,7 +523,23 @@ class OfflineStore:
         committed segment (and file set) fully intact. The segment record
         carries per-file entity_id min/max (``entity_ranges``) so reads
         with an entity predicate can skip whole files without opening a
-        single footer — see :meth:`_entity_ranges`."""
+        single footer — see :meth:`_entity_ranges`.
+
+        Every segment is also stamped with a MONOTONE PER-STORE COMMIT
+        SEQUENCE NUMBER (``seq``, round-12): allocated from a persisted
+        counter under a leased ``.seq.lock`` held ACROSS the allocation
+        AND the publishing rename, so among commits that ever become
+        visible, visibility order equals seq order — independent of any
+        writer's wall clock. The incremental-sync ledger keys consumed-ness
+        on seq for seq-bearing segments, which closes the cross-writer
+        clock-skew loss mode the timestamp floor had (r11 verdict task 4).
+        A crash between counter persist and rename burns a seq (a
+        permanent hole — the replayed txn allocates a fresh one); holes
+        are harmless because nothing ever waits on a specific seq. The
+        one residual ordering violation is a holder whose lease was swept
+        mid-span (≥300 s stall) publishing an OLD seq after newer ones —
+        the ledger keeps a FEED_LEDGER_SEQ_LAG-commit margin for exactly
+        that double-fault."""
         seg_dir = self._segment_dir(version_id)
         os.makedirs(seg_dir, exist_ok=True)
         import time
@@ -516,13 +571,21 @@ class OfflineStore:
             # (the feed falls back to a file diff for those).
             doc["cdc"] = cdc
         final = os.path.join(seg_dir, f"{seg_id}.json")
-        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(doc, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, final)
-        _fsync_path(seg_dir)
+        # seq allocation and the publishing rename share one leased lock
+        # span: that is what makes visibility order equal seq order (see
+        # the docstring). The span is two tiny fsync'd writes + a rename —
+        # the expensive footer scans above run UNLOCKED.
+        with _pid_lock_blocking(
+            os.path.join(self._manifest_dir(), ".seq.lock"), "commit sequencing"
+        ):
+            doc["seq"] = self._next_commit_seq()
+            tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(doc, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, final)
+            _fsync_path(seg_dir)
         # publish-delay re-stamp: if this process stalled between the
         # committed_at capture and the rename (SIGSTOP, VM pause, NFS
         # outage) for longer than a ledger-lag fraction, a consumed-segment
@@ -543,6 +606,45 @@ class OfflineStore:
             os.replace(tmp2, final)
             _fsync_path(seg_dir)
         return seg_id
+
+    def _next_commit_seq(self) -> int:
+        """Allocate the next per-store commit sequence number. Caller must
+        hold ``.seq.lock``. The counter file is persisted (fsync + rename)
+        BEFORE the caller's segment rename, so a crash in between burns a
+        seq — a permanent, harmless hole (the replayed txn allocates a
+        fresh one) — but never duplicates one. A missing/corrupt counter
+        recovers from the max seq recorded across committed segments, so
+        losing the counter file alone cannot re-issue a live seq."""
+        ctr = os.path.join(self._manifest_dir(), ".commit_seq")
+        n = None
+        try:
+            with open(ctr) as f:
+                n = int(f.read().strip())
+        except (OSError, ValueError):
+            n = self._max_committed_seq()
+        n += 1
+        tmp = f"{ctr}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(str(n))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, ctr)
+        return n
+
+    def _max_committed_seq(self) -> int:
+        """Max ``seq`` across every committed segment doc — the rare
+        counter-recovery scan (and 0 for a store that predates seqs)."""
+        md = self._manifest_dir()
+        mx = 0
+        for p in glob.glob(os.path.join(md, "v*", "*.json")) + glob.glob(
+            os.path.join(md, "v*.json")
+        ):
+            try:
+                with open(p) as f:
+                    mx = max(mx, int(json.load(f).get("seq", 0)))
+            except (OSError, ValueError, TypeError):
+                continue
+        return mx
 
     def _manifest_version_ids(self) -> set[int] | None:
         """Version ids present in the manifest directory layout (root
@@ -667,36 +769,66 @@ class OfflineStore:
         if out.rdd.getNumPartitions() > 1:
             out = out.repartitionByRange("entity_id")
         out = out.sortWithinPartitions("entity_id")
-        if txn is None:
-            txn = uuid.uuid4().hex[:12]
-        staging = os.path.join(self.path, ".staging", txn)
-        # a crashed prior attempt of THIS txn (killed inside the parquet
-        # write, before the finally swept it) leaves the staging dir
-        # behind; error-if-exists would then fail every replay of the
-        # epoch forever — the exactly-once sink's retry path must sweep
-        # the orphan first (its files are unreferenced by construction:
-        # the txn's segment does not exist or we would have
-        # short-circuited above) (review r11)
-        shutil.rmtree(staging, ignore_errors=True)
-        out.write.parquet(staging)
-        part_rel = f"feature_version_id={vid}"
-        part_dir = os.path.join(self.path, part_rel)
-        os.makedirs(part_dir, exist_ok=True)
-        new_rel = []
-        try:
-            for src in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
-                _fsync_path(src)
-                name = f"{txn}-{os.path.basename(src)}"
-                os.rename(src, os.path.join(part_dir, name))
-                new_rel.append(f"{part_rel}/{name}")
-            _fsync_path(part_dir)
-            if _crash_before_commit:
-                raise RuntimeError("simulated crash before manifest commit")
-            if _before_commit is not None:
-                _before_commit()
-            self._commit_segment(vid, new_rel, name=txn, cdc={"op": "append"})
-        finally:
-            shutil.rmtree(os.path.join(self.path, ".staging", txn), ignore_errors=True)
+        with ExitStack() as fence:
+            if txn is None:
+                # fresh uuid: no second writer can name this staging dir,
+                # so the replay fence below has nothing to exclude
+                txn = uuid.uuid4().hex[:12]
+            else:
+                # replay fence (ADVICE r11): the orphan sweep below removed
+                # the accidental mutual exclusion the error-if-exists
+                # parquet write used to provide — two LIVE writers replaying
+                # the SAME txn (a zombie streaming driver plus its
+                # replacement) could sweep each other's in-flight staging
+                # dir and interleave the rename/commit sequence. The leased
+                # per-txn lock restores fail-fast: a second live replayer
+                # gets LockContention immediately, while a DEAD prior
+                # holder's lease expires and the retry proceeds. The lock
+                # file is a SIBLING of the staging dir (.staging/<txn>.lock)
+                # so neither sweep ever removes a held lock.
+                os.makedirs(os.path.join(self.path, ".staging"), exist_ok=True)
+                fence.enter_context(
+                    _pid_lock(
+                        os.path.join(self.path, ".staging", f"{txn}.lock"),
+                        f"append replay of txn {txn}",
+                    )
+                )
+                # re-check the exactly-once short-circuit under the lock:
+                # the competing replayer may have committed between our
+                # first check and this acquisition
+                if os.path.exists(
+                    os.path.join(self._segment_dir(vid), f"{txn}.json")
+                ):
+                    return self.count_for_version(vid)
+            staging = os.path.join(self.path, ".staging", txn)
+            # a crashed prior attempt of THIS txn (killed inside the parquet
+            # write, before the finally swept it) leaves the staging dir
+            # behind; error-if-exists would then fail every replay of the
+            # epoch forever — the exactly-once sink's retry path must sweep
+            # the orphan first (its files are unreferenced by construction:
+            # the txn's segment does not exist or we would have
+            # short-circuited above, and no LIVE writer holds it — the
+            # fence excluded that) (review r11)
+            shutil.rmtree(staging, ignore_errors=True)
+            out.write.parquet(staging)
+            part_rel = f"feature_version_id={vid}"
+            part_dir = os.path.join(self.path, part_rel)
+            os.makedirs(part_dir, exist_ok=True)
+            new_rel = []
+            try:
+                for src in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
+                    _fsync_path(src)
+                    name = f"{txn}-{os.path.basename(src)}"
+                    os.rename(src, os.path.join(part_dir, name))
+                    new_rel.append(f"{part_rel}/{name}")
+                _fsync_path(part_dir)
+                if _crash_before_commit:
+                    raise RuntimeError("simulated crash before manifest commit")
+                if _before_commit is not None:
+                    _before_commit()
+                self._commit_segment(vid, new_rel, name=txn, cdc={"op": "append"})
+            finally:
+                shutil.rmtree(os.path.join(self.path, ".staging", txn), ignore_errors=True)
         # manifest-stat count: no read-back scan of the whole version per
         # append (falls back to the scan only for stat-less legacy files)
         return self.count_for_version(vid)
@@ -776,7 +908,19 @@ class OfflineStore:
         pin the snapshot instant in the experiment config and the same
         rows come back no matter how the version grew since — valid
         until ``vacuum_orphans`` collects compacted-away data files
-        (age-gated, Delta-VACUUM lifetime contract)."""
+        (age-gated, Delta-VACUUM lifetime contract).
+
+        One narrow repeatability caveat (ADVICE r11): a writer that
+        stalled > PUBLISH_RESTAMP_S (300 s — SIGSTOP, VM pause, NFS
+        outage) between capturing ``committed_at`` and publishing the
+        segment RE-STAMPS it with a fresh instant after it is already
+        visible. An ``as_of`` pinned inside that (old stamp, new stamp)
+        gap is therefore non-repeatable for that one segment: it is
+        included before the re-stamp and excluded after. Pin snapshot
+        instants at least PUBLISH_RESTAMP_S in the past (or use the
+        monotone per-segment ``seq`` in :meth:`history`) to be immune;
+        in exchange, the re-stamp is what guarantees the incremental-sync
+        ledger can never presume a stalled commit consumed."""
         vid = int(version_id)
         secs = self._as_of_seconds(as_of)
         segs = self._read_segments(vid, as_of=secs)
@@ -786,10 +930,12 @@ class OfflineStore:
     def history(self, version_id: int) -> list[dict]:
         """The version's commit log, oldest first: every segment record
         ever committed — including superseded ones — as
-        ``(segment, committed_at, n_files, supersedes)``. The audit/debug
-        face of the manifest protocol (what Delta's DESCRIBE HISTORY is
-        to its transaction log); feed a row's ``committed_at`` to
-        :meth:`values_for_version_as_of` to reproduce that moment."""
+        ``(segment, seq, committed_at, n_files, supersedes)``. The
+        audit/debug face of the manifest protocol (what Delta's DESCRIBE
+        HISTORY is to its transaction log); feed a row's ``committed_at``
+        to :meth:`values_for_version_as_of` to reproduce that moment.
+        ``seq`` is the store-wide monotone commit number (0 on segments
+        that predate it) — the clock-free ordering key."""
         vid = int(version_id)
         segs = self._read_segments(vid, as_of=None)
         # also surface superseded records (filtered out of the live view)
@@ -810,6 +956,7 @@ class OfflineStore:
             (
                 {
                     "segment": k,
+                    "seq": int(v.get("seq", 0)),
                     "committed_at": float(v.get("committed_at", 0.0)),
                     "n_files": len(v.get("files", [])),
                     "supersedes": sorted(v.get("supersedes", [])),

@@ -142,3 +142,26 @@ def test_corrupt_segment_record_fails_loudly(spark, store):
         store.changes_for_version(1)
     os.remove(bad)
     assert store.changes_for_version(1).count() == 10
+
+
+def test_commit_seq_monotone_and_counter_recovers(spark, store):
+    """Round-12 commit sequencing: every segment commit gets a store-wide
+    strictly increasing seq (clock-free ordering for the sync ledger), and
+    a lost counter file recovers from the committed docs — never re-issuing
+    a live seq."""
+    store.write_values(1, _rows(spark, "a", 3))
+    store.write_values(2, _rows(spark, "b", 3))
+    store.write_values(1, _rows(spark, "c", 3))
+    seqs = sorted(
+        r["seq"] for vid in (1, 2) for r in store.history(vid)
+    )
+    assert seqs == [1, 2, 3]  # dense, monotone, per-STORE
+
+    # lose the counter: the next allocation must resume past max committed
+    os.remove(os.path.join(store._manifest_dir(), ".commit_seq"))
+    store.write_values(2, _rows(spark, "d", 3))
+    assert max(r["seq"] for r in store.history(2)) == 4
+
+    # a delete and a compaction are commits too — they take seqs in order
+    store.delete_rows(1, entity_ids=["e0"])
+    assert max(r["seq"] for r in store.history(1)) == 5

@@ -190,12 +190,14 @@ def test_hash_semantic_stage_catches_word_order_shuffles(spark):
 # ---------------------------------------------------------------------------
 
 
-def _build(spark, tmp_path, name, seed=42, **kw):
+def _build(spark, tmp_path, name, seed=42, docs_override=None, **kw):
     from feature_store_implementation_spark.pipelines.pretraining import (
         build_pretraining_corpus,
     )
 
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    if docs_override is not None:
+        docs = docs_override
     eval_df = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
     defaults = dict(
         languages=("en", "fr", "de", "es", "zh"),
@@ -1428,3 +1430,180 @@ def test_stage_seconds_single_entry_per_stage(spark):
     names = [n for n, _ in rep.stage_seconds]
     assert names.count("quality_language") == 1
     assert len(names) == len(set(names))
+
+
+def test_pipeline_html_extract_stage(spark, sf_small):
+    """extract="html" (round-12): HTML-wrapped documents curate to the
+    SAME survivor set as the plain-text corpus — the extractor recovers
+    the prose the downstream gates score — and the stage appears in the
+    per-stage attribution."""
+    docs = _docs(spark, sf_small)
+    html = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><script>var x="<p>junk</p>";</script></head>'
+                  '<body><div class="c"><p>'),
+            F.col("text"),
+            F.lit("</p></div></body></html>"),
+        ).alias("text"),
+    )
+    out_plain, rep_plain = curate_corpus(docs, min_quality=0.2)
+    out_html, rep_html = curate_corpus(html, min_quality=0.2, extract="html")
+    assert sorted(r["doc_id"] for r in out_html.collect()) == sorted(
+        r["doc_id"] for r in out_plain.collect()
+    )
+    assert dict(rep_html.stage_seconds).keys() >= {"html_extract"}
+    # without extraction, the same markup corpus curates differently
+    # (tag soup shifts quality/shingles) — the stage is load-bearing
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        curate_corpus(html, extract="xml")
+
+
+def test_pretraining_soft_dedup_build(spark, tmp_path):
+    """lexical="soft" (round-12): duplicates survive WITH 1/cluster-size
+    weights equal to the standalone operator's on the same final pool,
+    twins share a split, the manifest records the effective mass, and the
+    build refuses increments (weights are corpus-global)."""
+    import os
+
+    import pytest as _pytest
+
+    from feature_store_implementation_spark.operators.dedup import soft_dedup_weights
+    from feature_store_implementation_spark.pipelines.pretraining import (
+        update_pretraining_corpus,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").limit(120)
+    # plant exact duplicates: 3 copies of doc 0's text, 2 of doc 1's
+    dup = base.filter(F.col("doc_id").isin(0, 1)).select("doc_id", "text")
+    planted = base.select("doc_id", "text", "lang", "source").unionByName(
+        dup.crossJoin(spark.range(1, 3).withColumnRenamed("id", "k"))
+        .filter((F.col("doc_id") == 0) | (F.col("k") == 1))
+        .select(
+            (F.col("doc_id") + 100_000 + F.col("k") * 10).alias("doc_id"),
+            "text",
+            F.lit("en").alias("lang"),
+            F.lit("dup").alias("source"),
+        )
+    )
+    m = _build(
+        spark,
+        tmp_path,
+        "soft",
+        docs_override=planted,
+        lexical="soft",
+        semantic=False,
+        eval_df=None,
+        mixture_alpha=None,
+        dedup_index=True,
+    )
+    assert m["params"]["lexical"] == "soft"
+    assert m["params"]["soft_dedup"]["max_cluster_size"] >= 2
+    names = [s["stage"] for s in m["stages"]]
+    assert "soft_dedup" in names and "lexical_dedup" in names
+    # lexical_dedup dropped nothing (soft mode)
+    by = {s["stage"]: s["n_docs"] for s in m["stages"]}
+    assert by["lexical_dedup"] == by["language"]
+
+    root = str(tmp_path / "soft")
+    allout = None
+    for name in m["splits"]:
+        part = spark.read.parquet(os.path.join(root, f"split={name}")).select(
+            "doc_id", "text", "cluster_size", "weight"
+        ).withColumn("split", F.lit(name))
+        allout = part if allout is None else allout.unionByName(part)
+    rows = allout.collect()
+    # pinned equality with the standalone operator over the final pool
+    want = {
+        r["doc_id"]: (r["cluster_size"], r["weight"])
+        for r in soft_dedup_weights(
+            allout.select("doc_id", "text"), "text", "doc_id"
+        ).collect()
+    }
+    got = {r["doc_id"]: (r["cluster_size"], r["weight"]) for r in rows}
+    assert got == want
+    # effective mass recorded = sum of weights
+    assert abs(
+        m["params"]["soft_dedup"]["effective_mass"]
+        - sum(r["weight"] for r in rows)
+    ) < 1e-4
+    # surviving twins never straddle the split
+    split_of = {}
+    leaked = False
+    for r in rows:
+        key = r["text"]
+        if key in split_of and split_of[key] != r["split"]:
+            leaked = True
+        split_of.setdefault(key, r["split"])
+    assert not leaked
+    # weighted builds refuse increments
+    inc = base.limit(5).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"), "text",
+        F.lit("en").alias("lang"), F.lit("x").alias("source"),
+    )
+    with _pytest.raises(ValueError, match="soft"):
+        update_pretraining_corpus(inc, root)
+
+
+def test_pretraining_ce_filter_build(spark, tmp_path):
+    """ce_target/ce_max (round-12): the gated build's surviving id set
+    equals the standalone cross_entropy_score gate applied to the ungated
+    build's pool, the manifest records the gate, and updates refuse."""
+    import os
+
+    import pytest as _pytest
+
+    from feature_store_implementation_spark.operators.text import cross_entropy_score
+    from feature_store_implementation_spark.pipelines.pretraining import (
+        update_pretraining_corpus,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    target = docs.filter(F.col("lang") == "en").select("text").limit(80)
+
+    def pool_df(name):
+        root = str(tmp_path / name)
+        parts = []
+        for split in ("train", "valid", "test"):
+            p = os.path.join(root, f"split={split}")
+            if os.path.exists(p):
+                parts.append(spark.read.parquet(p).select("doc_id", "text"))
+        out = parts[0]
+        for q in parts[1:]:
+            out = out.unionByName(q)
+        return out
+
+    def pool_ids(name):
+        return {r["doc_id"] for r in pool_df(name).select("doc_id").collect()}
+
+    kw = dict(eval_df=None, mixture_alpha=None, semantic=False)
+    _build(spark, tmp_path, "plain", **kw)
+    # the shards carry the build's NORMALIZED text — exactly what the
+    # gated build's ce stage scored, so the standalone replay matches
+    pool = pool_df("plain")
+    ce = cross_entropy_score(pool, target)
+    ce_max = float(
+        ce.agg(F.expr("percentile(cross_entropy, 0.6)")).first()[0]
+    )
+    expect = {
+        r["doc_id"]
+        for r in ce.filter(F.col("cross_entropy") <= ce_max).collect()
+    }
+
+    m = _build(
+        spark, tmp_path, "gated", ce_target=target, ce_max=ce_max,
+        dedup_index=True, **kw
+    )
+    assert m["params"]["ce_filter"] == {"ce_max": ce_max, "selected": len(expect)}
+    assert pool_ids("gated") == expect
+    assert [s["stage"] for s in m["stages"]].index("ce_filter") < [
+        s["stage"] for s in m["stages"]
+    ].index("split")
+
+    inc = docs.limit(3).select(
+        (F.col("doc_id") + 900_000).alias("doc_id"), "text", "lang", "source"
+    )
+    with _pytest.raises(ValueError, match="cross-entropy"):
+        update_pretraining_corpus(inc, str(tmp_path / "gated"))

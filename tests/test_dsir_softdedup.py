@@ -324,3 +324,43 @@ def test_build_rejects_half_specified_selection(spark, tmp_path):
         build_pretraining_corpus(
             d, str(tmp_path / "y"), select_target=d, select_budget=0
         )
+
+
+def test_dsir_target_needs_no_id_column(spark):
+    """ADVICE r11: the target distribution is id-free — a target frame
+    carrying ONLY a text column must work (its ids, when present, were
+    always discarded anyway)."""
+    from feature_store_implementation_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    raw = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    target_textonly = spark.createDataFrame(
+        [("alpha beta",), ("alpha gamma",)], "text string"
+    )
+    out = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_importance_weights(raw, target_textonly).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1] > out[2]  # target-like doc scores higher
+
+
+def test_cross_entropy_empty_target_raises_not_nulls(spark):
+    """ADVICE r11: a tokenless target corpus must FAIL LOUDLY — silently
+    returning NULL cross-entropy for every doc turns any quality gate
+    built on it into a coin flip decided by null-handling."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from feature_store_implementation_spark.operators.text import cross_entropy_score
+
+    raw = spark.createDataFrame([(1, "some words here")], "doc_id long, text string")
+    empty_tgt = spark.createDataFrame([("",), ("   ",)], "text string")
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)) as exc:
+        cross_entropy_score(raw, empty_tgt).collect()
+    assert "target corpus has no tokens" in str(exc.value)

@@ -277,3 +277,37 @@ def test_jsonl_quarantine_keeps_legit_all_null_rows(spark, tmp_path):
     assert sorted(r["a"] for r in good.collect() if r["a"] is not None) == [1]
     assert good.count() == 2  # {"a": null} is a nullable ROW
     assert sorted(r["raw"] for r in quar.collect()) == sorted(["{}", '{"x": 1}'])
+
+
+def test_warc_html_extract_mode(spark, tmp_path):
+    """extract="html" (round-12): response payloads — which are HTML on
+    real Common Crawl — come out as extracted prose lines; conversion
+    (WET) records are already text and pass through byte-identically."""
+    from pyspark.sql import functions as F
+
+    from feature_store_implementation_spark.sources.files import (
+        warc_source,
+        warc_text_documents,
+    )
+
+    html = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        b"<html><head><title>Crawl Page</title><script>nav()</script></head>"
+        b"<body><p>Real prose here.</p><p>Second paragraph.</p></body></html>"
+    )
+    wet_text = "already extracted <not a tag to keep>".encode()
+    warc = _warc_record(
+        "response", "1", "http://a/", html, "application/http; msgtype=response"
+    ) + _warc_record("conversion", "2", "http://b/", wet_text)
+    (tmp_path / "c.warc").write_bytes(warc)
+    recs = warc_source(spark, str(tmp_path / "c.warc"))
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in warc_text_documents(recs, extract="html").collect()
+    }
+    assert docs["1"] == "Crawl Page\nReal prose here.\nSecond paragraph."
+    assert docs["2"] == "already extracted <not a tag to keep>"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        warc_text_documents(recs, extract="xhtml")

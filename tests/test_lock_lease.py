@@ -125,3 +125,43 @@ def test_release_removes_own_lock(tmp_path):
     with off._pid_lock(lock, "test mutation"):
         assert os.path.exists(lock)
     assert not os.path.exists(lock)
+
+
+def test_lock_contention_is_typed(tmp_path):
+    """Contention raises LockContention (a RuntimeError subclass) so
+    callers can degrade gracefully without swallowing real faults."""
+    lock = str(tmp_path / "m.lock")
+    _write_lock(lock, 999999, "some-other-host")
+    with pytest.raises(off.LockContention):
+        with off._pid_lock(lock, "test mutation"):
+            pass
+
+
+def test_blocking_lock_waits_out_a_short_holder(tmp_path):
+    """_pid_lock_blocking (round-12 commit sequencing): a momentary live
+    holder delays the acquirer instead of failing it."""
+    lock = str(tmp_path / "m.lock")
+    got = []
+
+    def holder():
+        with off._pid_lock(lock, "first"):
+            time.sleep(0.4)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    time.sleep(0.1)  # ensure the holder owns the lock
+    with off._pid_lock_blocking(lock, "second", timeout=10.0):
+        got.append(off._lock_holder(lock))
+    t.join()
+    assert got and got[0] == (os.getpid(), os.uname().nodename)
+    assert not os.path.exists(lock)
+
+
+def test_blocking_lock_times_out_on_stuck_live_holder(tmp_path):
+    lock = str(tmp_path / "m.lock")
+    _write_lock(lock, 999999, "some-other-host")  # fresh lease, never yields
+    t0 = time.monotonic()
+    with pytest.raises(off.LockContention):
+        with off._pid_lock_blocking(lock, "test mutation", timeout=0.3):
+            pass
+    assert time.monotonic() - t0 < 5.0

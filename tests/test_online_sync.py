@@ -209,8 +209,10 @@ def test_sync_consumes_late_visible_commit(fs, spark, tmp_path):
 
 
 def test_ledger_floor_prunes_but_never_loses(fs, spark, tmp_path):
-    """The explicit segment-id list stays O(recent commits): ids older than
-    the pruning horizon fold into the floor; everything still syncs."""
+    """The explicit segment-id list stays O(recent commits): seq-bearing
+    ids more than FEED_LEDGER_SEQ_LAG commits behind the newest consumed
+    seq fold into the seq floor (round-12 clock-free pruning rule);
+    everything still syncs."""
     import json
 
     _, v = _seed(fs)
@@ -223,32 +225,93 @@ def test_ledger_floor_prunes_but_never_loses(fs, spark, tmp_path):
                 [(f"p{i}", str(float(i)))], "entity_id string, value string"
             ),
         )
-    # age those past the horizon, then land one FRESH commit: the next
-    # sync's floor advances to (fresh − lag), folding the aged ids
-    seg_dir = fs.store._segment_dir(v.id)
-    aged = set()
-    for p in glob.glob(os.path.join(seg_dir, "*.json")):
-        with open(p) as fh:
-            doc = json.load(fh)
-        doc["committed_at"] = float(doc["committed_at"]) - 3 * fs.FEED_LEDGER_LAG_S
-        with open(p, "w") as fh:
-            json.dump(doc, fh)
-        aged.add(os.path.basename(p)[: -len(".json")])
     fs.store.write_values(
         v.id,
         spark.createDataFrame([("fresh", "4.0")], "entity_id string, value string"),
     )
+    # simulate a long-lived store: the FRESH commit's seq sits far past the
+    # older ones (as if thousands of other commits landed store-wide), so
+    # the seq floor advance (max consumed − SEQ_LAG) folds the aged ids
+    seg_dir = fs.store._segment_dir(v.id)
+    docs = {}
+    for p in glob.glob(os.path.join(seg_dir, "*.json")):
+        with open(p) as fh:
+            docs[p] = json.load(fh)
+    newest = max(docs, key=lambda p: docs[p].get("seq", 0))
+    far_seq = fs.FEED_LEDGER_SEQ_LAG + 2000
+    docs[newest]["seq"] = far_seq
+    with open(newest, "w") as fh:
+        json.dump(docs[newest], fh)
+    with open(os.path.join(fs.store._manifest_dir(), ".commit_seq"), "w") as fh:
+        fh.write(str(far_seq))
+    aged = {
+        os.path.basename(p)[: -len(".json")] for p in docs if p != newest
+    }
     rep = fs.sync_online_snapshot(out)
     assert rep["changed_entities"] == 4
     with open(os.path.join(out, "_snapshot_meta.json")) as fh:
         meta = json.load(fh)
     ent = meta["consumed_segments"][str(v.id)]
     assert not aged & set(ent["segments"])  # aged ids folded into the floor
-    assert len(ent["segments"]) == 1  # only the fresh commit stays explicit
-    assert ent["floor"] > 0.0
+    assert len(ent["segments"]) == 1  # only the far-seq commit stays explicit
+    assert ent["seq_floor"] >= far_seq - fs.FEED_LEDGER_SEQ_LAG
     assert lookup_online_snapshot(out, "p2").features["amt"] == 2.0
     assert lookup_online_snapshot(out, "fresh").features["amt"] == 4.0
     assert fs.sync_online_snapshot(out)["changed_entities"] == 0
+
+
+def test_ledger_seq_immune_to_writer_clock_skew(fs, spark, tmp_path):
+    """The r11 verdict's task-4 proof: a second writer whose wall clock
+    runs FAR behind stamps its commit below every timestamp floor the
+    ledger could ever have advanced to — under the pre-round-12 timestamp
+    algebra that commit was presumed consumed and lost from every future
+    window. The seq-keyed ledger consumes it by sequence number, which no
+    writer clock can forge."""
+    import json
+
+    _, v = _seed(fs)
+    out = str(tmp_path / "snap")
+    fs.export_online_snapshot(out, n_shards=N_SHARDS)
+    assert fs.sync_online_snapshot(out)["changed_entities"] == 0
+
+    # writer B: clock skewed a full hour behind (>> FEED_LEDGER_LAG_S)
+    fs.store.write_values(
+        v.id,
+        spark.createDataFrame([("skw", "13.0")], "entity_id string, value string"),
+    )
+    seg_dir = fs.store._segment_dir(v.id)
+    newest = max(glob.glob(os.path.join(seg_dir, "*.json")), key=os.path.getmtime)
+    with open(newest) as fh:
+        doc = json.load(fh)
+    assert doc.get("seq", 0) > 0  # round-12 stores always stamp one
+    doc["committed_at"] = float(doc["committed_at"]) - 3600.0
+    with open(newest, "w") as fh:
+        json.dump(doc, fh)
+
+    rep = fs.sync_online_snapshot(out)
+    assert rep["changed_entities"] == 1  # NOT lost
+    assert lookup_online_snapshot(out, "skw").features["amt"] == 13.0
+    # consumed exactly once — and a clock AHEAD by an hour is merely
+    # deferred (stays pending until `now` passes it), never skipped
+    assert fs.sync_online_snapshot(out)["changed_entities"] == 0
+    fs.store.write_values(
+        v.id,
+        spark.createDataFrame([("ahd", "14.0")], "entity_id string, value string"),
+    )
+    newest = max(glob.glob(os.path.join(seg_dir, "*.json")), key=os.path.getmtime)
+    with open(newest) as fh:
+        doc = json.load(fh)
+    doc["committed_at"] = float(doc["committed_at"]) + 3600.0
+    with open(newest, "w") as fh:
+        json.dump(doc, fh)
+    assert fs.sync_online_snapshot(out)["changed_entities"] == 0  # deferred
+    with open(os.path.join(out, "_snapshot_meta.json")) as fh:
+        meta = json.load(fh)
+    ent = meta["consumed_segments"][str(v.id)]
+    # the deferred commit is neither listed consumed nor below the floor
+    seg_id = os.path.basename(newest)[: -len(".json")]
+    assert seg_id not in ent["segments"]
+    assert ent["seq_floor"] < doc["seq"]
 
 
 def test_maintain_recovers_crashed_swap(fs, spark, tmp_path):
@@ -275,3 +338,46 @@ def test_maintain_recovers_crashed_swap(fs, spark, tmp_path):
     assert meta["feature_names"] == ["amt"]
     assert lookup_online_snapshot(out, "e03").features["amt"] == 3.0
     assert not os.path.exists(out + ".retired-deadbeef")  # trash swept
+
+
+def test_maintain_reports_contended_on_live_sync_lock(fs, spark, tmp_path):
+    """ADVICE r11: a DIRECT sync_online_snapshot caller holding .sync.lock
+    must make maintain report contention — not fail, and NOT fall through
+    to a competing full re-export."""
+    _seed(fs)
+    out = str(tmp_path / "snap")
+    fs.export_online_snapshot(out, n_shards=N_SHARDS)
+    lock = os.path.join(out, ".sync.lock")
+    with open(lock, "w") as fh:
+        fh.write("999999\nsome-other-host")  # fresh lease: a LIVE holder
+    try:
+        rep = fs.maintain_online_snapshot(out)
+    finally:
+        os.remove(lock)
+    assert rep["mode"] == "contended"
+    assert "in flight" in rep["reason"]
+    # and the snapshot was not clobbered by a re-export
+    assert lookup_online_snapshot(out, "e03").features["amt"] == 3.0
+
+
+def test_replayed_txn_append_fails_fast_on_live_writer(fs, spark, tmp_path):
+    """ADVICE r11: two LIVE writers replaying the SAME txn must not sweep
+    each other's staging mid-write — the second fails fast on the per-txn
+    replay fence (a dead holder's lease still expires and unblocks)."""
+    from feature_store_implementation_spark.store.offline import LockContention
+
+    _, v = _seed(fs)
+    txn = "ab" * 6
+    staging_lock = os.path.join(fs.store.path, ".staging", f"{txn}.lock")
+    os.makedirs(os.path.dirname(staging_lock), exist_ok=True)
+    with open(staging_lock, "w") as fh:
+        fh.write("999999\nsome-other-host")
+    rows = spark.createDataFrame([("zz", "1.0")], "entity_id string, value string")
+    try:
+        with pytest.raises(LockContention, match="append replay"):
+            fs.store.write_values(v.id, rows, txn=txn)
+    finally:
+        os.remove(staging_lock)
+    # with the fence free, the same replay commits exactly once
+    n = fs.store.write_values(v.id, rows, txn=txn)
+    assert fs.store.write_values(v.id, rows, txn=txn) == n  # short-circuit

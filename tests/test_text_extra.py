@@ -119,3 +119,59 @@ def test_c4_and_gopher_are_udf_free(spark):
     for op in (gopher_rules, c4_clean):
         plan = op(df)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (round-12: the Common-Crawl on-ramp)
+# ---------------------------------------------------------------------------
+
+
+def test_html_extract_rules(spark):
+    from feature_store_implementation_spark.operators.text import html_extract
+
+    pages = [
+        (1, '<html><head><title>T1</title><script>var a = "<p>fake</p>";</script>'
+            "<style>body{color:red}</style></head><body><h1>Head Line</h1>"
+            "<p>Para one text.</p><p>Para two text.</p></body></html>"),
+        (2, "<div>a<br>b</div><ul><li>x</li><li>y</li></ul>"),
+        (3, "&lt;tag&gt; &amp; &quot;quotes&quot; &#39;apos&#39; &nbsp;done "
+            "&unknown; &#9999; plain & ampersand"),
+        (4, "<!-- comment only -->"),
+        (5, "<p>UPPER</p><P>case</P><DIV>mix</DIV>"),
+        (6, "plain text, no markup"),
+        (7, "<script>no close tag, body remains"),
+        (8, "<table><tr><td>c1</td><td>c2</td></tr></table>"),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, text string")
+    out = _rows(html_extract(df))
+    assert out[1]["extracted_text"] == "T1\nHead Line\nPara one text.\nPara two text."
+    assert out[1]["n_lines"] == 4
+    assert "fake" not in out[1]["extracted_text"]  # script body gone
+    assert "color" not in out[1]["extracted_text"]  # style body gone
+    assert out[2]["extracted_text"] == "a\nb\nx\ny"
+    assert (
+        out[3]["extracted_text"]
+        == "<tag> & \"quotes\" 'apos' done plain & ampersand"
+    )
+    assert out[4]["extracted_text"] == "" and out[4]["n_lines"] == 0
+    assert out[5]["extracted_text"] == "UPPER\ncase\nmix"  # case-folded tags
+    assert out[6]["extracted_text"] == "plain text, no markup"
+    assert out[6]["n_chars"] == len("plain text, no markup")
+    # an unclosed content element cannot swallow the document: the bare
+    # tag strips, its text survives
+    assert out[7]["extracted_text"] == "no close tag, body remains"
+    assert out[8]["extracted_text"] == "c1\nc2"
+
+
+def test_html_extract_passthrough_and_udf_free(spark):
+    from feature_store_implementation_spark.operators.text import html_extract
+
+    df = spark.createDataFrame(
+        [(1, "<p>body text</p>", "en")], "doc_id long, text string, lang string"
+    )
+    out = html_extract(df, passthrough=True)
+    assert set(out.columns) == {"doc_id", "text", "lang", "extracted_text", "n_lines", "n_chars"}
+    r = out.collect()[0]
+    assert r["extracted_text"] == "body text" and r["lang"] == "en"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
