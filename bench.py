@@ -165,6 +165,12 @@ EXTRAS = [
     "q_incremental_feature",
     "q_pretraining_corpus",
     "q_corpus_update",
+    "q_html_extract",
+    "q_url_parts",
+    "q_pretrain_weighted",
+    "q_ccnet_bins",
+    "q_resample_weight",
+    "q_domain_filter",
 ]
 
 
@@ -249,15 +255,38 @@ def main() -> None:
 
     timings = {name: median(samples[name]) for name in names}
     spread = {name: [min(samples[name]), max(samples[name])] for name in names}
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    # the COMMITTED prior round's extras (this file is overwritten below,
+    # so read before): the drift-vs-noise reference for the min-of-3 rule
+    try:
+        with open(detail_path) as f:
+            prior_extras = json.load(f).get("extras") or {}
+    except (OSError, ValueError):
+        prior_extras = {}
     extra_timings = {name: run(name) for name in extras}
     # Adaptive re-time: extras normally run once, but a single sample on a
     # loaded 32-core box has ±25% noise — r3's three "regressed" extras all
     # re-timed back under their old numbers. Anything slow enough to draw a
     # verdict (>1s) earns a second run; keep the min (load spikes only ever
-    # add time).
+    # add time). And when the min-of-2 STILL sits >1.5× above the committed
+    # prior, a third sample self-adjudicates (r11 verdict task 3: three
+    # extras drifted ≥2.5× driver-to-driver on untouched code and stayed
+    # `weak` for a round because min-of-2 couldn't rule out back-to-back
+    # load spikes) — noise clears on the extra run; a real regression
+    # survives min-of-3 and is then worth believing.
+    retimed3: list[str] = []
     for name, t in list(extra_timings.items()):
         if t > 1.0:
             extra_timings[name] = min(t, run(name))
+        prior = prior_extras.get(name)
+        if (
+            prior
+            and extra_timings[name] > 1.0
+            and extra_timings[name] > 1.5 * prior
+        ):
+            extra_timings[name] = min(extra_timings[name], run(name))
+            retimed3.append(name)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -278,14 +307,16 @@ def main() -> None:
         "spread": spread,
         "extras": extra_timings,
         "extras_total": round(sum(extra_timings.values()), 3),
+        # extras that exceeded 1.5x their committed prior after min-of-2
+        # and earned the third sample — if a name keeps appearing here
+        # across rounds at an elevated number, it is a real regression
+        "extras_min3": sorted(retimed3),
         # stage breakdown OF THE RUN THAT WAS KEPT (min total per query)
         "stage_seconds": {
             name: by_t[min(by_t)] for name, by_t in stage_samples.items() if by_t
         },
         "sf": sf_val,
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     print(f"per-query detail ({len(extra_timings)} extras) -> {detail_path}")

@@ -442,6 +442,68 @@ def cap_per_group(
     )
 
 
+def resample_by_weight(
+    df: DataFrame,
+    weight_col: str = "weight",
+    key_cols: list[str] | None = None,
+    scale: float = 1.0,
+    seed: str = "",
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Materialize per-row sampling WEIGHTS into integer REPLICATION —
+    the consumer step for every weight-producing selector here
+    (:func:`dsir_importance_weights` after exp/normalize,
+    :func:`~.dedup.soft_dedup_weights`, cross-entropy bin weights) when
+    the trainer reads a flat corpus and cannot apply per-example weights
+    itself: a row with ``x = weight·scale`` emits ``floor(x)`` copies
+    plus one more with probability ``frac(x)``, so E[copies] = x exactly
+    and the materialized corpus realizes the weighted distribution in
+    expectation (the standard stochastic-rounding corpus-epoch recipe —
+    e.g. how DoReMi/DSIR-weighted corpora are flattened for training).
+
+    The extra-copy coin is the portable md5-uniform
+    ``u = int(md5(seed|keys)[:13 hex],16)/16¹³`` (the portable_sample /
+    weighted_sample_wor rule): deterministic, engine-portable,
+    append-stable — a grown corpus never re-flips an old row's coin, and
+    a new ``seed`` is a fresh independent rounding. Rows with
+    ``weight·scale ≤ 0`` emit nothing; output is every input column plus
+    ``copy`` (1..n, the training-order disambiguator
+    :func:`shuffle_shards` can key on).
+
+    Plan at 100 TB: map-only — the coin and copy count are codegen'd
+    expressions and the fan-out is a JVM ``explode(sequence(...))``; no
+    shuffle, no UDF, no collect. Output rows ≈ scale · Σweight, the
+    corpus the caller ASKED to materialize."""
+    keys = key_cols or ["doc_id"]
+    x = F.col(weight_col).cast("double") * F.lit(float(scale))
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(str(seed)), *[F.col(c).cast("string") for c in keys]
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(float(16**13))
+    n = (
+        F.floor(x) + F.when(u < x - F.floor(x), F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    return (
+        df.withColumn("__n_copies", n)
+        .filter(F.col("__n_copies") > 0)
+        .select(
+            *df.columns,
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("__n_copies"))).alias(
+                copy_col
+            ),
+        )
+    )
+
+
 def dsir_importance_weights(
     raw: DataFrame,
     target: DataFrame,

@@ -1007,6 +1007,230 @@ def gopher_rules(
 
 
 # ---------------------------------------------------------------------------
+# URL canonicalization + registered-domain extraction (round-12, r11 verdict
+# task 5): the per-domain primitives real crawl pipelines key on — domain
+# caps (cap_per_group), URL-dedup, per-domain mixture weights — need a
+# canonical URL and an effective domain derived from the raw `url` column.
+# Same single-source discipline as html_extract: one set of portable
+# Java∩RE2 patterns drives both the Spark expressions and the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+_URL_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+_URL_AUTH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
+_URL_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+_URL_USERINFO_RE = r"^[^@]*@"
+_URL_PORT_STRIP_RE = r":[0-9]*$"
+_URL_PORT_RE = r":([0-9]+)$"
+_URL_FRAG_STRIP_RE = r"#.*$"
+_URL_FRAG_RE = r"#(.*)$"
+_URL_QUERY_RE = r"\?(.*)$"
+# tracking params every public pipeline strips (Google/Facebook/Microsoft
+# click ids + the urchin family); anchored — matched against each k=v pair
+_URL_TRACKING_RE = r"^(utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid)="
+
+# A bundled snapshot of COMMON two-level public suffixes (public knowledge
+# — the publicsuffix.org list's most frequent ccTLD second levels). The
+# heuristic: registered domain = last two host labels, or last THREE when
+# the last two form one of these suffixes. Deliberately a snapshot, not
+# the full 9k-rule list: the engine's portable-expression discipline
+# (wildcard/exception PSL rules need procedural logic), covering the
+# overwhelming majority of crawl bytes; swap in a fuller alternation for
+# exactness on the tail.
+_PUBLIC_SUFFIX_2 = (
+    "ac.uk", "co.uk", "gov.uk", "me.uk", "net.uk", "org.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "ac.jp", "co.jp", "go.jp", "ne.jp", "or.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
+    "co.kr", "or.kr", "co.za", "co.nz", "net.nz", "org.nz",
+    "com.my", "com.ph", "com.vn", "com.eg", "com.sa",
+    "co.id", "co.th", "in.th", "com.pl", "com.pt", "com.gr",
+    "com.co", "com.pe", "com.ve", "com.ua", "com.ru",
+)
+_URL_SUFFIX3_RE = (
+    r"([^.]+\.(?:" + "|".join(s.replace(".", r"\.") for s in _PUBLIC_SUFFIX_2) + r"))$"
+)
+_URL_SUFFIX2_RE = r"([^.]+\.[^.]+)$"
+
+
+def url_parts_exprs(col: Column) -> dict[str, Column]:
+    """URL decomposition + canonicalization as named Spark expressions —
+    all JVM regexp work, whole-stage-codegen, no UDF. Keys:
+    scheme/host/port/path/query/fragment (strings, '' when absent),
+    canonical_url (NULL for a scheme-less/invalid URL), registered_domain.
+
+    Canonical form: scheme and host lowercased, userinfo dropped, default
+    ports (http:80, https:443) dropped, empty path → '/', fragment
+    dropped, tracking params (utm_*/gclid/fbclid/msclkid/mc_*) removed
+    from the query with remaining param order preserved."""
+    u = col
+    scheme = F.lower(F.regexp_extract(u, _URL_SCHEME_RE, 1))
+    auth = F.regexp_extract(u, _URL_AUTH_RE, 1)
+    hostport = F.regexp_replace(auth, _URL_USERINFO_RE, "")
+    host = F.lower(F.regexp_replace(hostport, _URL_PORT_STRIP_RE, ""))
+    port = F.regexp_extract(hostport, _URL_PORT_RE, 1)
+    path = F.regexp_extract(u, _URL_PATH_RE, 1)
+    fragment = F.regexp_extract(u, _URL_FRAG_RE, 1)
+    query = F.regexp_extract(
+        F.regexp_replace(u, _URL_FRAG_STRIP_RE, ""), _URL_QUERY_RE, 1
+    )
+    clean_query = F.array_join(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~F.lower(p).rlike(_URL_TRACKING_RE),
+        ),
+        "&",
+    )
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    canonical = F.when(
+        u.rlike(_URL_SCHEME_RE),
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+            F.when(path == "", F.lit("/")).otherwise(path),
+            F.when(clean_query != "", F.concat(F.lit("?"), clean_query)).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    registered = F.coalesce(
+        F.nullif(F.regexp_extract(host, _URL_SUFFIX3_RE, 1), F.lit("")),
+        F.regexp_extract(host, _URL_SUFFIX2_RE, 1),
+    )
+    return {
+        "scheme": scheme,
+        "host": host,
+        "port": port,
+        "path": path,
+        "query": clean_query,
+        "fragment": fragment,
+        "canonical_url": canonical,
+        "registered_domain": registered,
+    }
+
+
+def url_parts(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    passthrough: bool = False,
+) -> DataFrame:
+    """Decompose and canonicalize a raw ``url`` column (see
+    :func:`url_parts_exprs` for the exact rules). Emits ``(doc_id,
+    scheme, host, port, path, query, fragment, canonical_url,
+    registered_domain)``; ``passthrough=True`` keeps every input column.
+
+    The crawled-corpus compositions this feeds: ``cap_per_group(df,
+    "registered_domain", K)`` for the C4/RefinedWeb max-K-docs-per-domain
+    rule on REAL crawl columns, ``dropDuplicates(["canonical_url"])`` for
+    URL-dedup that ignores tracking-param and fragment noise, and
+    ``weighted_mix`` over ``registered_domain`` for per-domain mixture
+    weights. Registered-domain notes: IP-literal hosts degrade to their
+    last two octets and single-label hosts (``localhost``) to '' — both
+    documented heuristic edges of the expression-only PSL snapshot.
+
+    Plan at 100 TB: map-only — a fixed chain of JVM regexp expressions in
+    one whole-stage-codegen'd projection; no UDF, no shuffle, no join.
+    The DuckDB oracle (q_url_parts) replays the identical patterns."""
+    parts = url_parts_exprs(F.col(url_col))
+    head = list(df.columns) if passthrough else [F.col(id_col).alias("doc_id")]
+    return df.select(*head, *(v.alias(k) for k, v in parts.items()))
+
+
+def url_parts_sql(rel: str) -> str:
+    """The SAME decomposition as a DuckDB query over ``rel`` — any
+    relation SQL producing (doc_id, url). Patterns are passed
+    byte-identically to the Spark side; single-match regexp_replace
+    suffices everywhere (every replaced pattern is anchored)."""
+    return f"""
+    WITH d AS ({rel}),
+    a AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '{_URL_SCHEME_RE}', 1)) AS scheme,
+        regexp_replace(regexp_extract(url, '{_URL_AUTH_RE}', 1),
+                       '{_URL_USERINFO_RE}', '') AS hostport,
+        regexp_extract(url, '{_URL_PATH_RE}', 1) AS path,
+        regexp_extract(regexp_replace(url, '{_URL_FRAG_STRIP_RE}', ''),
+                       '{_URL_QUERY_RE}', 1) AS query,
+        regexp_extract(url, '{_URL_FRAG_RE}', 1) AS fragment,
+        regexp_matches(url, '{_URL_SCHEME_RE}') AS ok
+      FROM d
+    ),
+    b AS (
+      SELECT *,
+        lower(regexp_replace(hostport, '{_URL_PORT_STRIP_RE}', '')) AS host,
+        regexp_extract(hostport, '{_URL_PORT_RE}', 1) AS port,
+        coalesce(array_to_string(list_filter(string_split(query, '&'),
+          p -> p <> '' AND NOT regexp_matches(lower(p), '{_URL_TRACKING_RE}')),
+          '&'), '') AS clean_query
+      FROM a
+    )
+    SELECT doc_id, scheme, host, port, path, clean_query AS query, fragment,
+      CASE WHEN ok THEN scheme || '://' || host ||
+        CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                 OR (scheme = 'https' AND port = '443'))
+             THEN ':' || port ELSE '' END ||
+        CASE WHEN path = '' THEN '/' ELSE path END ||
+        CASE WHEN clean_query <> '' THEN '?' || clean_query ELSE '' END
+      ELSE NULL END AS canonical_url,
+      coalesce(nullif(regexp_extract(host, '{_URL_SUFFIX3_RE}', 1), ''),
+               regexp_extract(host, '{_URL_SUFFIX2_RE}', 1)) AS registered_domain
+    FROM b
+    """
+
+
+def domain_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """URL blocklist filtering (the RefinedWeb/UT1-style pass, public):
+    drop every document whose URL resolves to a blocked domain. An entry
+    blocks BOTH its exact host and — when the entry is a registered
+    domain — every subdomain of it, because matching is two EQUI-joins
+    against the derived columns: ``host`` (ads.tracker.example.com
+    matches an ``ads.tracker.example.com`` entry) and
+    ``registered_domain`` (any ``*.example.com`` matches an
+    ``example.com`` entry). Blocklist entries are lowercased/trimmed;
+    the caller supplies the list (UT1, an in-house list — content policy
+    is data, not code).
+
+    Plan at 100 TB: the URL decomposition is :func:`url_parts_exprs`'s
+    map-only regexp chain; the blocklist (thousands-to-millions of rows,
+    kilobytes-to-megabytes) BROADCASTS into two hash anti-joins — no
+    corpus shuffle, no non-equi join, no UDF. The q_domain_filter oracle
+    replays host/registered-domain derivation + both anti-joins."""
+    bl = blocklist.select(
+        F.lower(F.trim(F.col(domain_col))).alias("__bl_domain")
+    ).distinct()
+    p = url_parts_exprs(F.col(url_col))
+    tagged = df.withColumn("__host", p["host"]).withColumn(
+        "__rd", p["registered_domain"]
+    )
+    return (
+        tagged.join(
+            F.broadcast(bl.withColumnRenamed("__bl_domain", "__rd")),
+            "__rd",
+            "left_anti",
+        )
+        .join(
+            F.broadcast(bl.withColumnRenamed("__bl_domain", "__host")),
+            "__host",
+            "left_anti",
+        )
+        .drop("__host", "__rd")
+    )
+
+
+# ---------------------------------------------------------------------------
 # HTML → text extraction (the Common-Crawl on-ramp: every public CC pipeline
 # — C4, CCNet, RefinedWeb — starts with an extraction pass before cleaning)
 # ---------------------------------------------------------------------------
@@ -1329,4 +1553,68 @@ def cross_entropy_score(
                 "cross_entropy"
             ),
         )
+    )
+
+
+def ccnet_bins(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    fractions: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    smoothing: float = 1.0,
+    exact: bool = True,
+) -> DataFrame:
+    """CCNet head/middle/tail quality binning (Wenzek et al. 2020, §4.4,
+    public): score every document with :func:`cross_entropy_score` under
+    the clean-target LM, then split each LANGUAGE's score distribution at
+    the ``fractions`` quantiles — the lowest-cross-entropy (most
+    target-like) slice is ``head``, then ``middle``, then ``tail``. This
+    is the exact selection rule CCNet publishes its corpus under
+    (per-language perplexity terciles), and the standard way the absolute
+    score becomes an actionable keep/weight decision: train on head+middle,
+    or weight the bins.
+
+    Per-language on purpose: cross-entropy magnitudes are not comparable
+    across languages (different token inventories), so one global cutoff
+    would class entire languages as tail — the published pipeline bins
+    within each language for exactly this reason.
+
+    Returns ``(doc_id, lang, n_tokens, cross_entropy, bin)`` — one row
+    per scored document (tokenless docs are absent, as in
+    cross_entropy_score).
+
+    Plan at 100 TB: the scoring plan is cross_entropy_score's; the lang
+    join is id-keyed (one shuffle, or free when the caller's frame already
+    carries lang); the cutoff aggregation reduces the corpus to ONE ROW
+    PER LANGUAGE which broadcasts back, so binning is a map-side CASE —
+    no window over the corpus, ever. ``exact=True`` uses the exact
+    interpolated percentile (what the DuckDB oracle replays bit-for-bit
+    after the 6-dp round); at real corpus scale pass ``exact=False`` for
+    ``percentile_approx`` — the mergeable t-digest sketch with the same
+    one-row-per-lang plan shape, which is also what CCNet itself does
+    (cutoffs from a sampled histogram)."""
+    f1, f2 = float(fractions[0]), float(fractions[1])
+    if not (0.0 < f1 < f2 < 1.0):
+        raise ValueError(f"need 0 < fractions[0] < fractions[1] < 1 — got {fractions}")
+    ce = cross_entropy_score(raw, target, text_col, id_col, smoothing)
+    scored = ce.join(
+        raw.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")),
+        "doc_id",
+    )
+    pct = "percentile" if exact else "percentile_approx"
+    cuts = scored.groupBy("lang").agg(
+        F.round(F.expr(f"{pct}(cross_entropy, {f1!r})"), 6).alias("__c_head"),
+        F.round(F.expr(f"{pct}(cross_entropy, {f2!r})"), 6).alias("__c_mid"),
+    )
+    return scored.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "cross_entropy",
+        F.when(F.col("cross_entropy") <= F.col("__c_head"), F.lit("head"))
+        .when(F.col("cross_entropy") <= F.col("__c_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bin"),
     )

@@ -1,0 +1,159 @@
+"""Growth points for the round-11 selection/scoring surfaces at ~sf1
+(r11 verdict task 6): dsir_importance_weights, cross_entropy_score and
+soft_dedup_weights over the documents corpus at a base SF dir and an
+N×-scaled replica (tools/build_sf_replica.py), plus the streaming
+snapshot-MAINTENANCE loop (export → churn → maintain, 3 epochs) over a
+1× and an N× entity population with FIXED per-epoch churn.
+
+What the exponents should show (the plans' scale claims):
+
+* DSIR — corpus collapses map-side to (doc, bucket, k), the ≤n_buckets
+  log-ratio table broadcasts back: growth ≈ linear in corpus bytes,
+  never super-linear (no corpus-side shuffle grows with the join).
+* cross-entropy — target LM is one aggregation, the token-keyed scoring
+  join is AQE-planned: linear in corpus tokens.
+* soft-dedup — ONE count-window shuffle on the md5 cluster key: linear.
+* maintenance loop — O(changed): near-FLAT in snapshot size at fixed
+  churn (the sync patches only touched shards; the export amortizes).
+
+Usage:
+    python tools/build_sf_replica.py --mult 10 --out /tmp/sf1
+    python tools/selection_scale.py /root/testdata/sf0.1 /tmp/sf1
+
+Prints one JSON line per surface:
+    {"metric": "selection_scale", "surface": ..., "base_s": ...,
+     "scaled_s": ..., "growth": ..., "base_rows": ..., "scaled_rows": ...}
+"""
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from feature_store_implementation_spark.operators.dedup import (  # noqa: E402
+    cache_scope,
+    soft_dedup_weights,
+)
+from feature_store_implementation_spark.operators.sampling import (  # noqa: E402
+    dsir_importance_weights,
+)
+from feature_store_implementation_spark.operators.text import (  # noqa: E402
+    cross_entropy_score,
+)
+from feature_store_implementation_spark.serving.vectors import FeatureStore  # noqa: E402
+from feature_store_implementation_spark.session import get_spark  # noqa: E402
+from feature_store_implementation_spark.sources.tables import load_table  # noqa: E402
+
+
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 3)
+
+
+def _best(fn, reps: int = 2) -> float:
+    # min-of-N on a shared box (load spikes only ever add time)
+    return min(_timed(fn) for _ in range(reps))
+
+
+def selection_surfaces(spark, sf_dir: str) -> dict[str, float]:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    target = docs.filter(F.col("lang") == "en").select("text")
+    out: dict[str, float] = {"rows": docs.count()}
+
+    def dsir():
+        with cache_scope():
+            dsir_importance_weights(docs, target).agg(F.count(F.lit(1))).collect()
+
+    def ce():
+        with cache_scope():
+            cross_entropy_score(docs, target).agg(F.count(F.lit(1))).collect()
+
+    def soft():
+        with cache_scope():
+            soft_dedup_weights(docs).agg(F.count(F.lit(1))).collect()
+
+    out["dsir_weights"] = _best(dsir)
+    out["cross_entropy"] = _best(ce)
+    out["soft_dedup"] = _best(soft)
+    return out
+
+
+def maintenance_loop(spark, sf_dir: str, churn: int = 100, epochs: int = 3) -> dict:
+    """export → (churn → maintain) × epochs over the customer-sized
+    entity population; reports the mean maintain wall per epoch."""
+    root = tempfile.mkdtemp(prefix="maint_scale_")
+    try:
+        fs = FeatureStore(spark, f"{root}/fstore")
+        t = fs.register_raw_table("src", {"required_columns": ["id", "amount"]})
+        f = fs.create_feature("balance", t.id, "SUM(amount)", "numeric")
+        v = fs.catalog.create_version(f.id, "v1.0")
+        src = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").cast("string").alias("entity_id"),
+            F.col("c_acctbal").cast("string").alias("value"),
+        )
+        n = src.count()
+        fs.store.write_values(v.id, src)
+        snap = f"{root}/snap"
+        t0 = time.time()
+        fs.maintain_online_snapshot(snap, n_shards=32)  # mode: created
+        export_s = round(time.time() - t0, 3)
+        epoch_s = []
+        for e in range(epochs):
+            moved = src.limit(churn).select(
+                "entity_id", F.concat(F.lit(f"e{e}:"), "value").alias("value")
+            )
+            fs.store.delete_rows(v.id, entity_ids=[r["entity_id"] for r in moved.select("entity_id").collect()])
+            fs.store.write_values(v.id, moved)
+            t0 = time.time()
+            rep = fs.maintain_online_snapshot(snap)
+            epoch_s.append(round(time.time() - t0, 3))
+            assert rep["mode"] == "synced", rep
+        return {
+            "rows": n,
+            "export_s": export_s,
+            "maintain_mean_s": round(sum(epoch_s) / len(epoch_s), 3),
+            "maintain_epochs": epoch_s,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    scaled = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+    spark = get_spark("selection-scale")
+    b = selection_surfaces(spark, base)
+    s = selection_surfaces(spark, scaled)
+    for surface in ("dsir_weights", "cross_entropy", "soft_dedup"):
+        print(json.dumps({
+            "metric": "selection_scale",
+            "surface": surface,
+            "base_s": b[surface],
+            "scaled_s": s[surface],
+            "growth": round(s[surface] / b[surface], 2),
+            "base_rows": b["rows"],
+            "scaled_rows": s["rows"],
+        }))
+    mb = maintenance_loop(spark, base)
+    ms = maintenance_loop(spark, scaled)
+    print(json.dumps({
+        "metric": "selection_scale",
+        "surface": "stream_maintain_loop",
+        "base_s": mb["maintain_mean_s"],
+        "scaled_s": ms["maintain_mean_s"],
+        "growth": round(ms["maintain_mean_s"] / mb["maintain_mean_s"], 2),
+        "base_rows": mb["rows"],
+        "scaled_rows": ms["rows"],
+        "base_export_s": mb["export_s"],
+        "scaled_export_s": ms["export_s"],
+    }))
+
+
+if __name__ == "__main__":
+    main()
