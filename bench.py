@@ -171,6 +171,7 @@ EXTRAS = [
     "q_ccnet_bins",
     "q_resample_weight",
     "q_domain_filter",
+    "q_bigram_cross_entropy",
 ]
 
 

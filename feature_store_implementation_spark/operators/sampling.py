@@ -449,6 +449,7 @@ def resample_by_weight(
     scale: float = 1.0,
     seed: str = "",
     copy_col: str = "copy",
+    max_copies: int = 1_000_000,
 ) -> DataFrame:
     """Materialize per-row sampling WEIGHTS into integer REPLICATION —
     the consumer step for every weight-producing selector here
@@ -473,7 +474,11 @@ def resample_by_weight(
     Plan at 100 TB: map-only — the coin and copy count are codegen'd
     expressions and the fan-out is a JVM ``explode(sequence(...))``; no
     shuffle, no UDF, no collect. Output rows ≈ scale · Σweight, the
-    corpus the caller ASKED to materialize."""
+    corpus the caller ASKED to materialize. One guard: a single row
+    asking for more than ``max_copies`` copies (a weight outlier × an
+    aggressive scale — e.g. un-normalized DSIR exp-weights) fails LOUDLY
+    instead of materializing a multi-GB sequence inside one task —
+    normalize or clip the weights, or raise ``max_copies`` knowingly."""
     keys = key_cols or ["doc_id"]
     x = F.col(weight_col).cast("double") * F.lit(float(scale))
     u = F.conv(
@@ -492,6 +497,19 @@ def resample_by_weight(
     n = (
         F.floor(x) + F.when(u < x - F.floor(x), F.lit(1)).otherwise(F.lit(0))
     ).cast("long")
+    n = F.when(
+        n > int(max_copies),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"resample_by_weight: a row wants > max_copies="
+                    f"{int(max_copies)} copies (weight*scale = "
+                ),
+                F.round(x, 3).cast("string"),
+                F.lit(") — normalize/clip the weights or raise max_copies"),
+            )
+        ).cast("long"),
+    ).otherwise(n)
     return (
         df.withColumn("__n_copies", n)
         .filter(F.col("__n_copies") > 0)

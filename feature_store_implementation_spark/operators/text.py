@@ -1556,6 +1556,127 @@ def cross_entropy_score(
     )
 
 
+_BOS = "\x02"  # sentence-start sentinel: the first token's bigram context
+
+
+def _bigram_pairs_col(toks: Column) -> Column:
+    """(prev, cur) pairs for a token array, BOS-padded so position 1 is
+    scored like every other position (prev = the \\x02 sentinel) — pure
+    JVM transform/element_at, map-side, 1-based like the DuckDB replay.
+    NULL/empty token arrays yield an empty pair array (sequence(1,0)
+    DESCENDS in Spark — the remove_repeated_spans guard)."""
+    safe = F.coalesce(toks, F.array().cast("array<string>"))
+    return F.when(
+        F.size(safe) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(safe)),
+            lambda o: F.struct(
+                F.when(o == 1, F.lit(_BOS))
+                .otherwise(F.element_at(safe, (o - 1).cast("int")))
+                .alias("prev"),
+                F.element_at(safe, o.cast("int")).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+
+
+def bigram_cross_entropy_score(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+    interpolation: float = 0.7,
+) -> DataFrame:
+    """Interpolated BIGRAM target-LM cross-entropy (Jelinek–Mercer
+    interpolation, public — Jelinek & Mercer 1980; the standard
+    fixed-weight backoff): one model order closer to CCNet's 5-gram
+    KenLM than :func:`cross_entropy_score`'s unigram, and the order that
+    starts catching WORD-SALAD pages — a document made of common words
+    in nonsense order scores near-target under any unigram LM but far
+    from it under a bigram one. Every position (BOS-padded, so the first
+    token scores like the rest) contributes
+
+        −ln( λ·p̂(cur|prev) + (1−λ)·p̂(cur) )
+
+    with both estimates add-``smoothing`` over the target corpus:
+    p̂(cur|prev) = (c(prev,cur)+s)/(c(prev,·)+s·(V+1)) — an UNSEEN
+    context degrades to the uniform floor and the unigram term carries
+    the estimate, which is exactly what the interpolation is for.
+    Returns ``(doc_id, n_tokens, bigram_cross_entropy)``; tokenless docs
+    absent; LOWER = more target-like.
+
+    Plan at 100 TB: pairs are built MAP-SIDE from the token array (JVM
+    transform/element_at — no per-doc window, no lag shuffle); the raw
+    corpus collapses to (doc, prev, cur, k) with partial combine; the
+    target LM is two aggregations (bigram counts, context totals) plus
+    the shared unigram LM; scoring is three token-keyed joins AQE plans
+    (broadcast when the LM is small, skew-split on the Zipf head). No
+    UDF, no collect, no window. Determinism: the probability mixes in
+    double, LN rounds to 8 dp BEFORE decimal accumulation, final mean
+    rounds to 6 — the exact q_cross_entropy discipline, hash-replayed by
+    the q_bigram_cross_entropy oracle."""
+    if smoothing <= 0:
+        raise ValueError("smoothing must be positive")
+    if not (0.0 <= interpolation <= 1.0):
+        raise ValueError(f"interpolation must be in [0, 1] — got {interpolation}")
+    from .dedup import _cache_scoped
+
+    lam = float(interpolation)
+    s = float(smoothing)
+
+    def pairs_of(df: DataFrame, *extra: str) -> DataFrame:
+        toks = tokens_col(F.col(text_col))
+        return df.select(
+            *extra, F.explode(_bigram_pairs_col(toks)).alias("pr")
+        ).select(*extra, F.col("pr.prev").alias("prev"), F.col("pr.cur").alias("cur"))
+
+    per_doc = _cache_scoped(
+        pairs_of(raw.select(F.col(id_col).alias("doc_id"), text_col), "doc_id")
+        .groupBy("doc_id", "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    tpairs = _cache_scoped(
+        pairs_of(target.select(text_col))
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c_uv"))
+    )
+    ctx = tpairs.groupBy("prev").agg(F.sum("c_uv").alias("c_u"))
+    # the unigram LM over the SAME pair frame (cur covers every token
+    # exactly once thanks to the BOS pad) — one source, no second scan
+    lm = tpairs.groupBy("cur").agg(F.sum("c_uv").alias("c_v"))
+    totals = lm.agg(F.sum("c_v").alias("tt"), F.count(F.lit(1)).alias("vocab"))
+    tt_ok = F.when(
+        F.col("tt").isNull() | (F.col("tt") <= 0),
+        F.raise_error(
+            F.lit(
+                "bigram_cross_entropy_score: target corpus has no tokens — "
+                "the fitted LM is empty; fit on a non-empty clean corpus"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("tt"))
+    vfloor = s * (F.col("vocab") + 1)
+    p_bi = (F.coalesce(F.col("c_uv"), F.lit(0)) + s) / (
+        F.coalesce(F.col("c_u"), F.lit(0)) + vfloor
+    )
+    p_uni = (F.coalesce(F.col("c_v"), F.lit(0)) + s) / (tt_ok + vfloor)
+    lp = F.round(F.log(lam * p_bi + (1.0 - lam) * p_uni), 8).cast("decimal(18,12)")
+    weighted = F.col("k").cast("decimal(10,0)") * lp
+    return (
+        per_doc.join(tpairs, ["prev", "cur"], "left")
+        .join(ctx, "prev", "left")
+        .join(lm, "cur", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.round(-F.sum(weighted).cast("double") / F.sum("k"), 6).alias(
+                "bigram_cross_entropy"
+            ),
+        )
+    )
+
+
 def ccnet_bins(
     raw: DataFrame,
     target: DataFrame,

@@ -8157,6 +8157,68 @@ def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_parts(kept).select("doc_id", "host", "registered_domain")
 
 
+def _bigram_ce_oracle() -> str:
+    # single-source constants: the SAME doubles the Spark plan embeds —
+    # lam as-is, (1 - lam) computed in PYTHON so the 0.30000000000000004
+    # double reaches both engines bit-identically
+    lam = 0.7
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    pr AS (
+      SELECT doc_id, lang,
+             CASE WHEN r.o = 1 THEN chr(2) ELSE toks[r.o - 1] END AS prev,
+             toks[r.o] AS cur
+      FROM base, UNNEST(range(1, len(toks) + 1)) AS r(o)
+    ),
+    per_doc AS (SELECT doc_id, prev, cur, COUNT(*) AS k FROM pr GROUP BY 1, 2, 3),
+    tp AS (SELECT prev, cur, COUNT(*) AS c_uv FROM pr WHERE lang = 'en' GROUP BY 1, 2),
+    ctx AS (SELECT prev, SUM(c_uv) AS c_u FROM tp GROUP BY 1),
+    lm AS (SELECT cur, SUM(c_uv) AS c_v FROM tp GROUP BY 1),
+    tot AS (SELECT SUM(c_v) AS tt, COUNT(*) AS vocab FROM lm)
+    SELECT p.doc_id, CAST(SUM(p.k) AS BIGINT) AS n_tokens,
+           ROUND(-CAST(SUM(CAST(p.k AS DECIMAL(10,0)) *
+                 CAST(round(ln(
+                   {lam!r} * ((COALESCE(t.c_uv, 0) + 1.0) / (COALESCE(c.c_u, 0) + 1.0 * (tot.vocab + 1)))
+                   + {(1.0 - lam)!r} * ((COALESCE(l.c_v, 0) + 1.0) / (tot.tt + 1.0 * (tot.vocab + 1)))
+                 ), 8) AS DECIMAL(18,12))
+               ) AS DOUBLE) / SUM(p.k), 6) AS bigram_cross_entropy
+    FROM per_doc p
+    LEFT JOIN tp t USING (prev, cur)
+    LEFT JOIN ctx c USING (prev)
+    LEFT JOIN lm l USING (cur)
+    CROSS JOIN tot
+    GROUP BY p.doc_id
+    """
+
+
+@query("q_bigram_cross_entropy", _bigram_ce_oracle)
+def q_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram target-LM cross-entropy (operators/text.py
+    bigram_cross_entropy_score — Jelinek–Mercer fixed-weight
+    interpolation): every document scored under λ·p(cur|prev) +
+    (1−λ)·p(cur) fitted on the English subset, BOS-padded so the first
+    token scores like the rest — one model order closer to CCNet's KenLM
+    than q_cross_entropy, and the order that catches word-salad pages a
+    unigram LM scores as target-like. The oracle replays the map-side
+    pair construction (1-based element_at ≡ toks[o]), both add-1
+    estimates, the EXACT interpolation doubles (1−λ computed once in
+    Python so 0.30000000000000004 reaches both engines), and the
+    8-dp-LN/decimal/6-dp-mean discipline. Plan: pairs built in the
+    projection (no lag window), corpus collapses to (doc,prev,cur,k),
+    LM = two aggregations over ONE pair frame, three token-keyed joins
+    AQE plans, 1-row totals broadcast; no UDF, window, or collect."""
+    from ..operators.text import bigram_cross_entropy_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_cross_entropy_score(
+        d, d.filter(F.col("lang") == "en"), "text", "doc_id"
+    )
+
+
 def _ccnet_bins_oracle() -> str:
     # the q_cross_entropy arithmetic as a CTE, then per-language tercile
     # cutoffs (quantile_cont == Spark's exact interpolated percentile,

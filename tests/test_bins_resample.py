@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from feature_store_implementation_spark.operators.text import (
+    bigram_cross_entropy_score,
     ccnet_bins,
     domain_filter,
 )
@@ -61,6 +62,48 @@ def test_ccnet_bins_validates_fractions(spark):
     d = _docs(spark, [(1, "a", "en")])
     with pytest.raises(ValueError, match="fractions"):
         ccnet_bins(d, d, fractions=(0.7, 0.3))
+
+
+def test_bigram_ce_catches_word_salad(spark):
+    """The property that motivates the bigram order: a document made of
+    TARGET WORDS in nonsense order has the exact same unigram
+    distribution as in-order text — a unigram LM cannot tell them apart —
+    but its bigrams are unseen, so the interpolated bigram CE separates
+    them."""
+    from feature_store_implementation_spark.operators.text import cross_entropy_score
+
+    target_rows = [(100 + i, "the cat sat on the mat", "en") for i in range(5)]
+    probe_rows = [
+        (1, "the cat sat on the mat", "en"),   # in-order: seen bigrams
+        (2, "mat the on sat cat the", "en"),   # same words, salad order
+    ]
+    d = _docs(spark, target_rows + probe_rows)
+    target = d.filter("doc_id >= 100")
+    bce = {
+        r["doc_id"]: r["bigram_cross_entropy"]
+        for r in bigram_cross_entropy_score(d, target).filter("doc_id < 100").collect()
+    }
+    uce = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in cross_entropy_score(d, target).filter("doc_id < 100").collect()
+    }
+    assert uce[1] == uce[2]          # unigram LM is blind to order
+    assert bce[1] < bce[2] - 0.5     # bigram LM is not
+
+
+def test_bigram_ce_edges(spark):
+    import pytest as _pytest
+
+    d = _docs(spark, [(1, "a b", "en"), (2, "", "en"), (3, None, "en")])
+    out = bigram_cross_entropy_score(d, d.filter("doc_id = 1"))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1}          # tokenless docs absent
+    assert rows[1]["n_tokens"] == 2  # BOS pad: every token scored once
+    # empty target LM fails loudly, not NULL-everywhere
+    with _pytest.raises(Exception, match="no tokens"):
+        bigram_cross_entropy_score(d, d.filter("doc_id = 2")).collect()
+    with _pytest.raises(ValueError, match="interpolation"):
+        bigram_cross_entropy_score(d, d, interpolation=1.5)
 
 
 def test_resample_by_weight_integer_weights_exact(spark):
@@ -127,6 +170,37 @@ def test_resample_consumes_soft_dedup_weights(spark):
     # coin per doc) — allow the binomial spread; unique doc: exactly 6
     assert 1 <= n_dup <= 10
     assert n_uni == 6
+
+
+def test_resample_by_weight_fanout_guard(spark):
+    """A weight outlier × scale that would explode one row into millions
+    of copies fails loudly instead of OOMing a task."""
+    df = spark.createDataFrame([(1, 50.0)], "doc_id long, weight double")
+    with pytest.raises(Exception, match="max_copies"):
+        resample_by_weight(df, "weight", ["doc_id"], scale=1.0, max_copies=10).count()
+    # at or under the cap: fine
+    assert (
+        resample_by_weight(df, "weight", ["doc_id"], scale=1.0, max_copies=50).count()
+        == 50
+    )
+
+
+def test_ccnet_bins_approx_mode(spark):
+    """exact=False (the 100 TB path: mergeable percentile_approx sketch)
+    produces the same 3/3/3 terciles on a well-separated distribution."""
+    target_words = "the quick brown fox jumps over a lazy dog again"
+    rows = (
+        [(i, target_words, "en") for i in range(3)]
+        + [(i, "the quick zzz qqq fox", "en") for i in range(3, 6)]
+        + [(i, "xqj zzv qpw mlk rrt", "en") for i in range(6, 9)]
+    )
+    d = _docs(spark, rows)
+    out = {
+        r["doc_id"]: r["bin"]
+        for r in ccnet_bins(d, d.filter("doc_id < 3"), exact=False).collect()
+    }
+    assert all(out[i] == "head" for i in range(3))
+    assert all(out[i] == "tail" for i in range(6, 9))
 
 
 def test_domain_filter_modes(spark):

@@ -57,7 +57,14 @@ def _timed(fn) -> float:
 
 
 def _best(fn, reps: int = 2) -> float:
-    # min-of-N on a shared box (load spikes only ever add time)
+    # ONE UNTIMED WARM-UP, then min-of-N: the first execution of each
+    # surface in a session pays JIT + whole-stage-codegen compilation +
+    # broadcast-pool spin-up, and because every base measurement runs
+    # before every scaled one, that cost lands entirely on the BASE
+    # number — two un-warmed runs measured the 1x point SLOWER than the
+    # 10x point. min-of-N alone cannot shed it when both timed samples
+    # are cold; the discard run can.
+    fn()
     return min(_timed(fn) for _ in range(reps))
 
 
@@ -140,6 +147,7 @@ def main() -> None:
             "base_rows": b["rows"],
             "scaled_rows": s["rows"],
         }))
+    maintenance_loop(spark, base)  # discard: warm the export/sync plans
     mb = maintenance_loop(spark, base)
     ms = maintenance_loop(spark, scaled)
     print(json.dumps({
