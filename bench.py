@@ -172,6 +172,7 @@ EXTRAS = [
     "q_resample_weight",
     "q_domain_filter",
     "q_bigram_cross_entropy",
+    "q_quality_classifier",
 ]
 
 

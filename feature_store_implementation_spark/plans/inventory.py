@@ -8157,6 +8157,37 @@ def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_parts(kept).select("doc_id", "host", "registered_domain")
 
 
+@query("q_quality_classifier", None)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style learned quality filter (operators/classifier.py —
+    the GPT-3/LLaMA "pages like the reference corpus" classifier, Brown
+    et al. 2020 §A / Joulin et al. 2016): hashed bag-of-{1,2}-gram
+    logistic regression trained English-vs-rest on a bounded
+    deterministic md5-ranked sample (the k-means/PQ bounded-collect
+    discipline — fastText itself is a single-node trainer), then scored
+    over the WHOLE corpus UDF-free: one (doc,bucket,k) collapse, the
+    weight table broadcast, one per-doc aggregation. Rows-only by design
+    (iterative training is not SQL-expressible); exactness is pinned in
+    tests/test_classifier.py: separable-class recovery with held-out
+    generalization, bit-determinism across repartitionings (8-dp weights
+    + decimal dot accumulation), and driver-vs-distributed scoring
+    parity. Output is fully deterministic, so the driver's rows/schema
+    check is stable round-to-round."""
+    from ..operators.classifier import classifier_scores, train_text_classifier
+
+    d = load_table(spark, sf_dir, "documents")
+    model = train_text_classifier(
+        d.filter(F.col("lang") == "en"),
+        d.filter(F.col("lang") != "en"),
+        "text",
+        "doc_id",
+        n_buckets=1 << 14,
+        iters=60,
+        sample_n=2000,
+    )
+    return classifier_scores(d, model, "text", "doc_id")
+
+
 def _bigram_ce_oracle() -> str:
     # single-source constants: the SAME doubles the Spark plan embeds —
     # lam as-is, (1 - lam) computed in PYTHON so the 0.30000000000000004
