@@ -173,6 +173,7 @@ EXTRAS = [
     "q_domain_filter",
     "q_bigram_cross_entropy",
     "q_quality_classifier",
+    "q_outlink_graph",
 ]
 
 

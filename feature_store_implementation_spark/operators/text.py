@@ -1186,6 +1186,55 @@ def url_parts_sql(rel: str) -> str:
     """
 
 
+# href="..." / href='...' in anchor tags — two patterns because the
+# portable Java∩RE2 subset has no backreference to match the opening
+# quote; attribute scan is bounded to the tag ([^>]*)
+_HREF_DQ_RE = r"""(?i)<a\b[^>]*\bhref\s*=\s*"([^"]*)\""""
+_HREF_SQ_RE = r"(?i)<a\b[^>]*\bhref\s*=\s*'([^']*)'"
+
+
+def html_links(
+    df: DataFrame,
+    html_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Outlink extraction (the crawl-graph on-ramp: every public link
+    analysis — PageRank-style domain ranking, link-spam detection, seed
+    discovery — starts by pulling anchors out of the fetched HTML):
+    every ``href`` of every ``<a>`` tag, double- or single-quoted, in
+    document order (double-quoted first — deterministic, documented).
+    Emits one row per link: ``(doc_id, link, link_host,
+    link_domain)`` where host/domain come from
+    :func:`url_parts_exprs` — empty strings for RELATIVE links (no
+    scheme), which is how callers split internal from external links.
+    Relative-URL resolution against a base href is out of scope
+    (documented; it needs the page's own URL and RFC 3986 dot-segment
+    logic — downstream of this operator).
+
+    Composes with the existing graph algebra: ``html_links`` → filter
+    absolute → group (src_domain, link_domain) edges →
+    :func:`~.graph.pagerank` / triangle counting on the DOMAIN graph.
+
+    Plan at 100 TB: map-only — two JVM ``regexp_extract_all`` calls
+    concatenated, one explode, and the url_parts regexp chain on the
+    result; no UDF, no shuffle, no join. The q_outlink_graph oracle
+    replays both patterns and the domain derivation."""
+    links = F.concat(
+        F.regexp_extract_all(F.col(html_col), F.lit(_HREF_DQ_RE), F.lit(1)),
+        F.regexp_extract_all(F.col(html_col), F.lit(_HREF_SQ_RE), F.lit(1)),
+    )
+    p = url_parts_exprs(F.col("link"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(links).alias("link"))
+        .select(
+            "doc_id",
+            "link",
+            p["host"].alias("link_host"),
+            p["registered_domain"].alias("link_domain"),
+        )
+    )
+
+
 def domain_filter(
     df: DataFrame,
     blocklist: DataFrame,

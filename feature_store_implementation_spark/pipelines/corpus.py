@@ -144,8 +144,13 @@ def curate_corpus(
     :func:`~..operators.text.gopher_rules`, same no-join shape) — the
     gate is ``keep = 1`` over the full rule conjunction, and the signal
     columns ride through to the output as corpus diagnostics the way
-    ``quality``/``predicted_lang`` do under the default. ``clean_params``
-    / ``quality_params`` pass straight through to the operators.
+    ``quality``/``predicted_lang`` do under the default.
+    ``quality="model"`` gates on a LEARNED classifier instead
+    (``quality_params={"model": train_text_classifier(...), "threshold":
+    0.5}`` — the GPT-3/LLaMA reference-corpus filter,
+    :func:`~..operators.classifier.classifier_scores`); docs that score
+    nothing (no tokens) fail the gate. ``clean_params`` /
+    ``quality_params`` pass straight through to the operators.
 
     Precondition: ``id_col`` must be unique and non-null. Duplicate ids
     would fan out multiplicatively in the quality/language joins and, with
@@ -246,8 +251,37 @@ def curate_corpus(
             language_pred_expr(F.col(text_col)).alias("predicted_lang"),
         )
         q_pass = F.col("quality") >= min_quality
+    elif quality == "model":
+        # learned quality gate (the GPT-3/LLaMA classifier recipe): score
+        # under a trained operators/classifier model and keep docs above
+        # the threshold. The ONE non-row-local quality mode: scoring is
+        # the classifier's (doc,bucket,k) collapse + broadcast-weights
+        # dot product, joined back id-keyed — still no UDF and no second
+        # corpus scan beyond the featurize. Tokenless docs score nothing
+        # → they fail the gate (coalesce 0.0), matching the other modes'
+        # treatment of empty text.
+        qp = dict(quality_params or {})
+        model = qp.get("model")
+        if model is None:
+            raise ValueError(
+                "quality='model' needs quality_params={'model': "
+                "train_text_classifier(...)[, 'threshold': 0.5]}"
+            )
+        thr = float(qp.get("threshold", 0.5))
+        from ..operators.classifier import classifier_scores
+
+        base = docs.withColumnRenamed(id_col, "doc_id")
+        scores = classifier_scores(base, model, text_col, "doc_id").select(
+            "doc_id", "quality_score"
+        )
+        annotated = base.join(scores, "doc_id", "left").select(
+            "*", language_pred_expr(F.col(text_col)).alias("predicted_lang")
+        )
+        q_pass = F.coalesce(F.col("quality_score"), F.lit(0.0)) >= thr
     else:
-        raise ValueError(f"quality must be 'score' or 'gopher' — got {quality!r}")
+        raise ValueError(
+            f"quality must be 'score', 'gopher' or 'model' — got {quality!r}"
+        )
     l_pass = q_pass & F.col("predicted_lang").isin(*languages)
     after_q = annotated.filter(q_pass)
     after_l = annotated.filter(l_pass)

@@ -128,6 +128,7 @@ def build_pretraining_corpus(
     languages: tuple[str, ...] = ("en",),
     clean: str | None = None,
     quality: str = "score",
+    quality_params: dict | None = None,
     dedup_threshold: float = 0.7,
     semantic: bool = True,
     semantic_threshold: float = 0.95,
@@ -285,6 +286,7 @@ def build_pretraining_corpus(
         languages=languages,
         clean=clean,
         quality=quality,
+        quality_params=quality_params,
         dedup_threshold=dedup_threshold if lexical == "drop" else None,
         eval_df=eval_df,
         decontaminate_ngram=decontaminate_ngram,
@@ -478,6 +480,21 @@ def build_pretraining_corpus(
             "languages": list(languages),
             "clean": clean,
             "quality_gate": quality,
+            # quality="model": the trained classifier IS a build artifact —
+            # persisting it in the manifest (weights are 8-dp floats, ~100 KB
+            # at 2^14 buckets) is what lets update_pretraining_corpus gate
+            # increments under the IDENTICAL frozen model instead of refusing
+            "quality_model": (
+                {
+                    **{k: v for k, v in (quality_params or {}).items() if k != "model"},
+                    "model": {
+                        **(quality_params or {})["model"],
+                        "ngram_ns": list((quality_params or {})["model"]["ngram_ns"]),
+                    },
+                }
+                if quality == "model"
+                else None
+            ),
             "dedup_threshold": float(dedup_threshold),
             "semantic": bool(semantic),
             "semantic_threshold": float(semantic_threshold),
@@ -862,6 +879,7 @@ def _update_corpus_locked(
         languages=tuple(p["languages"]),
         clean=p.get("clean"),
         quality=p.get("quality_gate", "score"),
+        quality_params=p.get("quality_model"),
         dedup_threshold=p["dedup_threshold"],
         eval_df=eval_df,
         decontaminate_ngram=p["decontaminate_ngram"],

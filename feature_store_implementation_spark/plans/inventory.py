@@ -8157,6 +8157,105 @@ def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_parts(kept).select("doc_id", "host", "registered_domain")
 
 
+def _outlink_graph_oracle() -> str:
+    from ..operators.text import (
+        _HREF_DQ_RE,
+        _HREF_SQ_RE,
+        _URL_AUTH_RE,
+        _URL_PORT_STRIP_RE,
+        _URL_SUFFIX2_RE,
+        _URL_SUFFIX3_RE,
+        _URL_USERINFO_RE,
+    )
+
+    def dom(col: str) -> str:
+        host = (
+            f"lower(regexp_replace(regexp_replace(regexp_extract({col}, "
+            f"'{_URL_AUTH_RE}', 1), '{_URL_USERINFO_RE}', ''), "
+            f"'{_URL_PORT_STRIP_RE}', ''))"
+        )
+        return (
+            f"coalesce(nullif(regexp_extract({host}, '{_URL_SUFFIX3_RE}', 1), ''), "
+            f"regexp_extract({host}, '{_URL_SUFFIX2_RE}', 1))"
+        )
+
+    dq = _HREF_DQ_RE.replace("'", "''")
+    sq = _HREF_SQ_RE.replace("'", "''")
+    return f"""
+    WITH page AS (
+      SELECT doc_id,
+        'https://src' || CAST(doc_id % 13 AS VARCHAR) || '.org/p' AS src_url,
+        '<p>t</p><a href="https://site' || CAST(doc_id % 11 AS VARCHAR)
+          || '.com/a?p=1">x</a>'
+          || CASE WHEN doc_id % 3 = 0 THEN '<a href=''/local/page''>y</a>'
+             ELSE '<a href=''HTTP://Blog.Example' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.CO.UK:80/x''>y</a>' END AS html
+      FROM documents
+    ),
+    links AS (
+      SELECT doc_id, src_url, u.link
+      FROM page, UNNEST(list_concat(
+        regexp_extract_all(html, '{dq}', 1),
+        regexp_extract_all(html, '{sq}', 1))) AS u(link)
+    )
+    SELECT {dom('src_url')} AS src_domain, {dom('link')} AS link_domain,
+           CAST(COUNT(*) AS BIGINT) AS n_links
+    FROM links
+    WHERE {dom('link')} <> ''
+    GROUP BY 1, 2
+    """
+
+
+@query("q_outlink_graph", _outlink_graph_oracle)
+def q_outlink_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction → domain link graph (operators/text.py
+    html_links — the crawl-graph on-ramp): each document is wrapped in a
+    deterministic page with one double-quoted absolute anchor, plus
+    either a single-quoted RELATIVE anchor (doc_id % 3 == 0 — excluded
+    from the graph: no scheme → empty domain) or a single-quoted
+    uppercase ccTLD anchor (host lowercased, public-suffix registered
+    domain). Edges aggregate (source registered domain → link registered
+    domain, count). The oracle replays both href patterns and the
+    host/registered-domain regex chain. Plan: map-only extraction
+    (regexp_extract_all ×2 + one explode), then ONE hash aggregation on
+    the edge key — the graph operators' (pagerank, triangles) input
+    shape; no UDF, no join."""
+    from ..operators.text import html_links, url_parts_exprs
+
+    d = load_table(spark, sf_dir, "documents")
+    page = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://src"), (F.col("doc_id") % 13).cast("string"),
+            F.lit(".org/p"),
+        ).alias("src_url"),
+        F.concat(
+            F.lit('<p>t</p><a href="https://site'),
+            (F.col("doc_id") % 11).cast("string"),
+            F.lit('.com/a?p=1">x</a>'),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("<a href='/local/page'>y</a>")
+            ).otherwise(
+                F.concat(
+                    F.lit("<a href='HTTP://Blog.Example"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".CO.UK:80/x'>y</a>"),
+                )
+            ),
+        ).alias("html"),
+    )
+    links = html_links(page, "html", "doc_id").join(
+        page.select("doc_id", "src_url"), "doc_id"
+    )
+    src_dom = url_parts_exprs(F.col("src_url"))["registered_domain"]
+    return (
+        links.filter(F.col("link_domain") != "")
+        .select(src_dom.alias("src_domain"), "link_domain")
+        .groupBy("src_domain", "link_domain")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+    )
+
+
 @query("q_quality_classifier", None)
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style learned quality filter (operators/classifier.py —

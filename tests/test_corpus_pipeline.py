@@ -1607,3 +1607,62 @@ def test_pretraining_ce_filter_build(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="cross-entropy"):
         update_pretraining_corpus(inc, str(tmp_path / "gated"))
+
+
+def test_pretraining_model_quality_gate_build_and_update(spark, tmp_path):
+    """quality="model" (round-12): the learned classifier gates the
+    build, the trained model persists in the manifest, and an
+    incremental update gates its docs under the IDENTICAL frozen model —
+    spam-vocabulary increments drop, reference-vocabulary ones land."""
+    import json
+    import os
+
+    from feature_store_implementation_spark.operators.classifier import (
+        train_text_classifier,
+    )
+    from feature_store_implementation_spark.pipelines.pretraining import (
+        update_pretraining_corpus,
+    )
+
+    good_words = "the quick brown fox jumps over the lazy dog near the river bank today"
+    spam_words = "click buy casino winner free bonus claim prize now deal offer cash"
+
+    def mk(n0, n, words, lang="en"):
+        return [(n0 + i, f"{words} {n0 + i}", lang) for i in range(n)]
+
+    docs = spark.createDataFrame(
+        mk(0, 12, good_words) + mk(50, 8, spam_words),
+        "doc_id long, text string, lang string",
+    )
+    model = train_text_classifier(
+        docs.filter("doc_id < 50"), docs.filter("doc_id >= 50"),
+        n_buckets=1 << 12, iters=80, sample_n=100,
+    )
+    path = str(tmp_path / "mq")
+    m = _build(
+        spark, tmp_path, "mq",
+        docs_override=docs,
+        eval_df=None,
+        quality="model",
+        quality_params={"model": model, "threshold": 0.5},
+        semantic=False,
+        mixture_alpha=None,
+        mixture_col=None,
+        dedup_index=True,
+    )
+    by_stage = {s["stage"]: s["n_docs"] for s in m["stages"]}
+    assert by_stage["quality"] == 12  # every spam page gated
+    # the model rode into the manifest (weights round-trip JSON exactly)
+    with open(os.path.join(path, "_corpus_manifest.json")) as f:
+        p = json.load(f)["params"]
+    assert p["quality_gate"] == "model"
+    assert p["quality_model"]["model"]["weights"] == model["weights"]
+
+    inc = spark.createDataFrame(
+        mk(200, 5, good_words) + mk(300, 5, spam_words),
+        "doc_id long, text string, lang string",
+    )
+    rec = update_pretraining_corpus(inc, path)
+    by2 = {s["stage"]: s["n_docs"] for s in rec["stages"]}
+    assert by2["ingest"] == 10
+    assert by2["quality"] == 5  # increment gated under the frozen model

@@ -254,3 +254,47 @@ def test_canonical_url_dedup_ignores_tracking_noise(spark):
         .count()
     )
     assert n == 2  # 1 and 2 canonicalize identically
+
+
+# ---------------------------------------------------------------------------
+# Outlink extraction (round-12)
+# ---------------------------------------------------------------------------
+
+
+def test_html_links_extraction_rules(spark):
+    from feature_store_implementation_spark.operators.text import html_links
+
+    rows = [
+        (1, '<a href="https://A.COM/x">a</a> text <A HREF=\'http://b.co.uk/y\'>b</A>'),
+        (2, '<a class="z" href="/relative/path">r</a>'),
+        (3, "<p>no links at all</p>"),
+        (4, '<a href="">empty</a>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = html_links(df).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # both quote styles, case-insensitive tag/attr; dq-first ordering
+    assert [r["link"] for r in by_doc[1]] == [
+        "https://A.COM/x", "http://b.co.uk/y"
+    ]
+    assert by_doc[1][0]["link_host"] == "a.com"
+    assert by_doc[1][0]["link_domain"] == "a.com"
+    assert by_doc[1][1]["link_domain"] == "b.co.uk"  # public-suffix aware
+    # relative link: kept, but host/domain empty (the internal/external split)
+    assert by_doc[2][0]["link"] == "/relative/path"
+    assert by_doc[2][0]["link_host"] == "" and by_doc[2][0]["link_domain"] == ""
+    # no anchors -> no rows; empty href -> one row with empty link
+    assert 3 not in by_doc
+    assert by_doc[4][0]["link"] == ""
+
+
+def test_html_links_plan_is_map_only(spark):
+    from feature_store_implementation_spark.operators.text import html_links
+
+    df = spark.createDataFrame([(1, '<a href="https://x.com">x</a>')],
+                               "doc_id long, text string")
+    plan = html_links(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+    assert "Generate" in plan  # the one explode
