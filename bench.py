@@ -174,6 +174,7 @@ EXTRAS = [
     "q_bigram_cross_entropy",
     "q_quality_classifier",
     "q_outlink_graph",
+    "q_resolve_links",
 ]
 
 

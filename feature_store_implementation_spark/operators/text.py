@@ -1186,6 +1186,105 @@ def url_parts_sql(rel: str) -> str:
     """
 
 
+# relative-URL resolution (RFC 3986 §5, the practically-complete subset
+# expressible in portable Java∩RE2 WITHOUT group-references in
+# replacements — Java says $1 where RE2 says \1, so replacements stay
+# literal): base origin, base directory, and dot-segment removal as
+# bounded fixed-point regex passes. Scope documented at resolve_url.
+_URL_ORIGIN_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+_URL_QF_STRIP_RE = r"[?#].*$"
+_URL_QF_RE = r"[?#].*$"
+_URL_LASTSEG_RE = r"/[^/]*$"
+# '/./' collapse (2 passes: global non-overlapping replacement leaves
+# every second '.' of '/././' for the next pass)
+_DOT_SLASH_RE = r"/\./"
+# '/<segment>/../' collapse where <segment> is not '.' or '..' (RE2 has
+# no lookaround; the alternation spells out "not . and not ..")
+_PARENT_RE = r"/(?:[^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)/\.\./"
+_DOT_PASSES = 2
+_PARENT_PASSES = 4
+
+
+def _normalize_dots(u: Column) -> Column:
+    """Dot-segment removal on the pre-query part of ``u`` (query/fragment
+    split off first so '/../' INSIDE a query string is never touched),
+    re-concatenated. Bounded: 2 './' passes + 4 '../' levels."""
+    pre = F.regexp_replace(u, _URL_QF_STRIP_RE, "")
+    rest = F.regexp_extract(u, _URL_QF_RE, 0)
+    for _ in range(_DOT_PASSES):
+        pre = F.regexp_replace(pre, _DOT_SLASH_RE, "/")
+    for _ in range(_PARENT_PASSES):
+        pre = F.regexp_replace(pre, _PARENT_RE, "/")
+    return F.concat(pre, rest)
+
+
+def resolve_url_expr(base: Column, href: Column) -> Column:
+    """Resolve ``href`` against ``base`` (RFC 3986 §5 merge rules):
+    absolute hrefs pass through; ``//host/...`` takes the base scheme;
+    ``/path`` joins the base origin; ``?q`` and ``#f`` replace the
+    base's query/fragment; everything else joins the base DIRECTORY and
+    dot-segments collapse (2 './' + 4 '../' levels — bounded fixed-point
+    passes, portable Java∩RE2 with literal-only replacements). An empty
+    href is the base minus its fragment. Documented out of scope:
+    '/../' escaping above the root is left literal (pathological hrefs),
+    deeper than 4 '../' levels likewise. NULL when base is not an
+    absolute URL."""
+    origin = F.regexp_extract(base, _URL_ORIGIN_RE, 0)
+    noqf = F.regexp_replace(base, _URL_QF_STRIP_RE, "")
+    nofrag = F.regexp_replace(base, _URL_FRAG_STRIP_RE, "")
+    scheme = F.lower(F.regexp_extract(base, _URL_SCHEME_RE, 1))
+    # base directory: path up to (and incl.) the last '/', '/' when the
+    # base has no path at all (origin-only base)
+    basedir = F.when(noqf == origin, F.concat(origin, F.lit("/"))).otherwise(
+        F.regexp_replace(noqf, _URL_LASTSEG_RE, "/")
+    )
+    resolved = (
+        F.when(href == "", nofrag)
+        .when(href.rlike(_URL_SCHEME_RE), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), _normalize_dots(F.concat(origin, href)))
+        .when(href.startswith("#"), F.concat(nofrag, href))
+        .when(href.startswith("?"), F.concat(noqf, href))
+        .otherwise(_normalize_dots(F.concat(basedir, href)))
+    )
+    return F.when(base.rlike(_URL_SCHEME_RE), resolved)
+
+
+def resolve_url_sql(base: str, href: str) -> str:
+    """The SAME resolution as a DuckDB scalar expression over the SQL
+    expressions ``base``/``href`` — byte-identical patterns, literal
+    replacements only (the one regex dialect seam — $1 vs \\1 — is
+    avoided by construction)."""
+
+    def norm(u: str) -> str:
+        pre = f"regexp_replace({u}, '{_URL_QF_STRIP_RE}', '')"
+        rest = f"regexp_extract({u}, '{_URL_QF_RE}', 0)"
+        for _ in range(_DOT_PASSES):
+            pre = f"regexp_replace({pre}, '{_DOT_SLASH_RE}', '/', 'g')"
+        for _ in range(_PARENT_PASSES):
+            pre = f"regexp_replace({pre}, '{_PARENT_RE}', '/', 'g')"
+        return f"({pre} || {rest})"
+
+    origin = f"regexp_extract({base}, '{_URL_ORIGIN_RE}', 0)"
+    noqf = f"regexp_replace({base}, '{_URL_QF_STRIP_RE}', '')"
+    nofrag = f"regexp_replace({base}, '{_URL_FRAG_STRIP_RE}', '')"
+    scheme = f"lower(regexp_extract({base}, '{_URL_SCHEME_RE}', 1))"
+    basedir = (
+        f"CASE WHEN {noqf} = {origin} THEN {origin} || '/' "
+        f"ELSE regexp_replace({noqf}, '{_URL_LASTSEG_RE}', '/') END"
+    )
+    return f"""
+    CASE WHEN NOT regexp_matches({base}, '{_URL_SCHEME_RE}') THEN NULL
+         WHEN {href} = '' THEN {nofrag}
+         WHEN regexp_matches({href}, '{_URL_SCHEME_RE}') THEN {href}
+         WHEN {href} LIKE '//%' THEN {scheme} || ':' || {href}
+         WHEN {href} LIKE '/%' THEN {norm(f"({origin} || {href})")}
+         WHEN {href} LIKE '#%' THEN {nofrag} || {href}
+         WHEN {href} LIKE '?%' THEN {noqf} || {href}
+         ELSE {norm(f"({basedir} || {href})")}
+    END"""
+
+
 # href="..." / href='...' in anchor tags — two patterns because the
 # portable Java∩RE2 subset has no backreference to match the opening
 # quote; attribute scan is bounded to the tag ([^>]*)
@@ -1197,6 +1296,7 @@ def html_links(
     df: DataFrame,
     html_col: str = "text",
     id_col: str = "doc_id",
+    base_url_col: str | None = None,
 ) -> DataFrame:
     """Outlink extraction (the crawl-graph on-ramp: every public link
     analysis — PageRank-style domain ranking, link-spam detection, seed
@@ -1207,9 +1307,12 @@ def html_links(
     link_domain)`` where host/domain come from
     :func:`url_parts_exprs` — empty strings for RELATIVE links (no
     scheme), which is how callers split internal from external links.
-    Relative-URL resolution against a base href is out of scope
-    (documented; it needs the page's own URL and RFC 3986 dot-segment
-    logic — downstream of this operator).
+    With ``base_url_col`` (the page's own URL — the WARC
+    ``target_uri``), every href is first RESOLVED against it
+    (:func:`resolve_url_expr` — RFC 3986 merge + dot-segment removal),
+    the output gains a ``resolved_url`` column, and host/domain derive
+    from the RESOLVED link, so relative links land on the page's own
+    domain instead of ''.
 
     Composes with the existing graph algebra: ``html_links`` → filter
     absolute → group (src_domain, link_domain) edges →
@@ -1223,12 +1326,30 @@ def html_links(
         F.regexp_extract_all(F.col(html_col), F.lit(_HREF_DQ_RE), F.lit(1)),
         F.regexp_extract_all(F.col(html_col), F.lit(_HREF_SQ_RE), F.lit(1)),
     )
-    p = url_parts_exprs(F.col("link"))
+    if base_url_col is None:
+        p = url_parts_exprs(F.col("link"))
+        return (
+            df.select(F.col(id_col).alias("doc_id"), F.explode(links).alias("link"))
+            .select(
+                "doc_id",
+                "link",
+                p["host"].alias("link_host"),
+                p["registered_domain"].alias("link_domain"),
+            )
+        )
+    resolved = resolve_url_expr(F.col("__base"), F.col("link"))
+    p = url_parts_exprs(F.col("resolved_url"))
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(links).alias("link"))
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(base_url_col).alias("__base"),
+            F.explode(links).alias("link"),
+        )
+        .select("doc_id", "link", resolved.alias("resolved_url"))
         .select(
             "doc_id",
             "link",
+            "resolved_url",
             p["host"].alias("link_host"),
             p["registered_domain"].alias("link_domain"),
         )

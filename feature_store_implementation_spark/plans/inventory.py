@@ -8256,6 +8256,97 @@ def q_outlink_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q_resolve_links href templates by doc_id % 7: empty / absolute /
+# scheme-relative / root-relative / fragment / query / dotted-relative
+_HREF_TPLS = (
+    "",
+    "https://other.com/abs",
+    "//cdn.example.com/lib.js",
+    "/rooted/x",
+    "#frag2",
+    "?q=2&r=3",
+    "../img/./pic.png",
+)
+
+
+def _resolve_links_oracle() -> str:
+    from ..operators.text import (
+        _URL_AUTH_RE,
+        _URL_PORT_STRIP_RE,
+        _URL_SUFFIX2_RE,
+        _URL_SUFFIX3_RE,
+        _URL_USERINFO_RE,
+        resolve_url_sql,
+    )
+
+    host = (
+        f"lower(regexp_replace(regexp_replace(regexp_extract(resolved_url, "
+        f"'{_URL_AUTH_RE}', 1), '{_URL_USERINFO_RE}', ''), "
+        f"'{_URL_PORT_STRIP_RE}', ''))"
+    )
+    dom = (
+        f"coalesce(nullif(regexp_extract({host}, '{_URL_SUFFIX3_RE}', 1), ''), "
+        f"regexp_extract({host}, '{_URL_SUFFIX2_RE}', 1))"
+    )
+    cases = " ".join(
+        f"WHEN doc_id % 7 = {i} THEN '{h}'" for i, h in enumerate(_HREF_TPLS)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+        'https://w' || CAST(doc_id % 9 AS VARCHAR)
+          || '.example.co.uk/a/b/page.html?q=1#top' AS base,
+        CASE {cases} END AS link
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, link,
+             {resolve_url_sql('base', 'link')} AS resolved_url
+      FROM d
+    )
+    SELECT doc_id, link, resolved_url,
+           {host} AS link_host, {dom} AS link_domain
+    FROM r
+    """
+
+
+@query("q_resolve_links", _resolve_links_oracle)
+def q_resolve_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-URL resolution (operators/text.py resolve_url_expr, wired
+    through html_links(base_url_col=...)): each document's page carries
+    ONE anchor whose href cycles through the seven RFC 3986 reference
+    forms — empty, absolute, scheme-relative, root-relative, fragment,
+    query, and a dotted relative path ('../img/./pic.png' against
+    /a/b/page.html resolves to /a/img/pic.png) — resolved against the
+    page's own ccTLD base URL; host and registered domain derive from
+    the RESOLVED link (relative links land on the page's own
+    example.co.uk domain instead of ''). The oracle replays
+    resolve_url_sql — byte-identical patterns, literal-only replacements
+    (the $1-vs-\\1 dialect seam is avoided by construction). Plan:
+    map-only regexp/CASE chain + the one href explode; no UDF, no
+    shuffle, no join."""
+    from ..operators.text import html_links
+
+    d = load_table(spark, sf_dir, "documents")
+    href = None
+    for i, h in enumerate(_HREF_TPLS):
+        piece = F.lit(h)
+        href = (
+            piece
+            if href is None
+            else F.when(F.col("doc_id") % 7 == i, piece).otherwise(href)
+        )
+    page = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://w"), (F.col("doc_id") % 9).cast("string"),
+            F.lit(".example.co.uk/a/b/page.html?q=1#top"),
+        ).alias("base"),
+        F.concat(F.lit('<a href="'), href, F.lit('">x</a>')).alias("html"),
+    )
+    return html_links(page, "html", "doc_id", base_url_col="base")
+
+
 @query("q_quality_classifier", None)
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style learned quality filter (operators/classifier.py —

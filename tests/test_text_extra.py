@@ -298,3 +298,58 @@ def test_html_links_plan_is_map_only(spark):
     plan = html_links(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
     assert "Generate" in plan  # the one explode
+
+
+def test_resolve_url_rules(spark):
+    from feature_store_implementation_spark.operators.text import resolve_url_expr
+
+    base = "https://a.co.uk/d1/d2/page.html?q=1#top"
+    cases = [
+        (1, base, "", "https://a.co.uk/d1/d2/page.html?q=1"),
+        (2, base, "http://x.com/y", "http://x.com/y"),
+        (3, base, "//cdn.x.com/z", "https://cdn.x.com/z"),
+        (4, base, "/root/y", "https://a.co.uk/root/y"),
+        (5, base, "#f2", "https://a.co.uk/d1/d2/page.html?q=1#f2"),
+        (6, base, "?r=9", "https://a.co.uk/d1/d2/page.html?r=9"),
+        (7, base, "img.png", "https://a.co.uk/d1/d2/img.png"),
+        (8, base, "../up.png", "https://a.co.uk/d1/up.png"),
+        (9, base, "../../x/./y.png", "https://a.co.uk/x/y.png"),
+        (10, "https://bare.com", "p/q", "https://bare.com/p/q"),
+        (11, "not a url", "p", None),
+        # query content with '/../' is never dot-normalized
+        (12, base, "/a/b/../c?next=/x/../y", "https://a.co.uk/a/c?next=/x/../y"),
+    ]
+    df = spark.createDataFrame(
+        [(i, b, h) for i, b, h, _ in cases], "i long, base string, href string"
+    )
+    out = {
+        r["i"]: r["got"]
+        for r in df.select(
+            "i",
+            resolve_url_expr(
+                __import__("pyspark.sql.functions", fromlist=["col"]).col("base"),
+                __import__("pyspark.sql.functions", fromlist=["col"]).col("href"),
+            ).alias("got"),
+        ).collect()
+    }
+    for i, _, _, want in cases:
+        assert out[i] == want, (i, out[i], want)
+
+
+def test_html_links_resolved_against_base(spark):
+    """base_url_col: relative links land on the page's own domain —
+    the internal/external split becomes internal-vs-external DOMAINS."""
+    from feature_store_implementation_spark.operators.text import html_links
+
+    rows = [
+        (1, "https://news.site.co.uk/a/b.html",
+         '<a href="/top">t</a><a href=\'c.html\'>c</a>'
+         '<a href="https://other.org/x">o</a>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = {r["link"]: r for r in html_links(df, base_url_col="url").collect()}
+    assert out["/top"]["resolved_url"] == "https://news.site.co.uk/top"
+    assert out["/top"]["link_domain"] == "site.co.uk"
+    assert out["c.html"]["resolved_url"] == "https://news.site.co.uk/a/c.html"
+    assert out["c.html"]["link_domain"] == "site.co.uk"
+    assert out["https://other.org/x"]["link_domain"] == "other.org"
