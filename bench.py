@@ -263,9 +263,19 @@ def main() -> None:
                                "BENCH_DETAIL.json")
     # the COMMITTED prior round's extras (this file is overwritten below,
     # so read before): the drift-vs-noise reference for the min-of-3 rule
+    sf_token = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_now = float(sf_token) if sf_token.replace(".", "").isdigit() else sf_token
     try:
         with open(detail_path) as f:
-            prior_extras = json.load(f).get("extras") or {}
+            _prior_doc = json.load(f)
+        # priors are only a drift reference at the SAME scale factor — a
+        # detail file committed at another SF would mark every extra
+        # "regressed" (or mask every real regression) purely by scale
+        prior_extras = (
+            (_prior_doc.get("extras") or {})
+            if _prior_doc.get("sf") == sf_now
+            else {}
+        )
     except (OSError, ValueError):
         prior_extras = {}
     extra_timings = {name: run(name) for name in extras}
@@ -292,8 +302,7 @@ def main() -> None:
             extra_timings[name] = min(extra_timings[name], run(name))
             retimed3.append(name)
     total = round(sum(timings.values()), 3)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    sf_val = sf_now
     # The per-query detail (headline spreads + every extra) is too large
     # for the driver's stdout capture, which keeps only the LAST 2000
     # characters and json-parses the final line — BENCH_r08/r09 recorded

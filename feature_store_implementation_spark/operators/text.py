@@ -1140,6 +1140,15 @@ def url_parts(
     one whole-stage-codegen'd projection; no UDF, no shuffle, no join.
     The DuckDB oracle (q_url_parts) replays the identical patterns."""
     parts = url_parts_exprs(F.col(url_col))
+    if passthrough:
+        clash = sorted(set(df.columns) & set(parts))
+        if clash:
+            raise ValueError(
+                f"url_parts(passthrough=True): input already has column(s) "
+                f"{clash} that the output would duplicate — rename or drop "
+                "them first (duplicate names make every downstream "
+                "reference ambiguous)"
+            )
     head = list(df.columns) if passthrough else [F.col(id_col).alias("doc_id")]
     return df.select(*head, *(v.alias(k) for k, v in parts.items()))
 
@@ -1356,6 +1365,28 @@ def html_links(
     )
 
 
+def url_host_sql(col: str) -> str:
+    """DuckDB SQL fragment: the lowercased host of the URL expression
+    ``col`` — the INLINE twin of :func:`url_parts_exprs`'s host chain
+    (auth → strip userinfo → strip port → lower), for oracles that need
+    host/domain without the full url_parts_sql CTE. Single source: edits
+    to the regexes above flow into every oracle through here."""
+    return (
+        f"lower(regexp_replace(regexp_replace(regexp_extract({col}, "
+        f"'{_URL_AUTH_RE}', 1), '{_URL_USERINFO_RE}', ''), "
+        f"'{_URL_PORT_STRIP_RE}', ''))"
+    )
+
+
+def url_domain_sql(host_sql: str) -> str:
+    """DuckDB SQL fragment: registered domain of a host expression (the
+    public-suffix-snapshot rule of :func:`url_parts_exprs`)."""
+    return (
+        f"coalesce(nullif(regexp_extract({host_sql}, '{_URL_SUFFIX3_RE}', 1), ''), "
+        f"regexp_extract({host_sql}, '{_URL_SUFFIX2_RE}', 1))"
+    )
+
+
 def domain_filter(
     df: DataFrame,
     blocklist: DataFrame,
@@ -1470,8 +1501,17 @@ _HTML_ENTITY_TABLE: tuple[tuple[str, str], ...] = (
     ("&uuml;", "ü"),
     ("&szlig;", "ß"),
     ("&ntilde;", "ñ"),
-    ("&amp;", "&"),
 )
+# &amp; decodes via a SENTINEL bracketing the whole pass, not a table row:
+# '&amp;' is hidden as \x01 BEFORE the other entities decode and restored
+# to '&' AFTER the unknown-entity drop, so an ESCAPED entity survives as
+# its literal text ('Use &amp;lt; here' → 'Use &lt; here', the browser
+# rendering) instead of decoding to '&lt;' and then being deleted by the
+# drop pass (round-12 review: pages ABOUT html/code routinely carry
+# escaped entities, and the shared-program oracle could never catch the
+# loss because it replayed the same wrong order).
+_HTML_AMP = "&amp;"
+_HTML_AMP_SENTINEL = "\x01"
 _HTML_DROP_ENTITY = r"&[a-zA-Z][a-zA-Z0-9]{1,31};|&#[0-9]{1,7};|&#[xX][0-9a-fA-F]{1,6};"
 
 # whitespace → line segmentation: horizontal runs collapse to one space,
@@ -1492,9 +1532,11 @@ def html_extract_expr(col: Column) -> Column:
     x = col
     for pat, rep in _HTML_STRIP_STEPS:
         x = F.regexp_replace(x, pat, rep)
+    x = F.replace(x, F.lit(_HTML_AMP), F.lit(_HTML_AMP_SENTINEL))
     for lit, rep in _HTML_ENTITY_TABLE:
         x = F.replace(x, F.lit(lit), F.lit(rep))
     x = F.regexp_replace(x, _HTML_DROP_ENTITY, " ")
+    x = F.replace(x, F.lit(_HTML_AMP_SENTINEL), F.lit("&"))
     for pat, rep in _HTML_WS_STEPS:
         x = F.regexp_replace(x, pat, rep)
     return F.trim(x)
@@ -1521,9 +1563,11 @@ def html_extract_sql(expr: str) -> str:
     x = expr
     for pat, rep in _HTML_STRIP_STEPS:
         x = f"regexp_replace({x}, {_sql_str(pat)}, {_sql_str(rep)}, 'g')"
+    x = f"replace({x}, {_sql_str(_HTML_AMP)}, chr(1))"
     for lit, rep in _HTML_ENTITY_TABLE:
         x = f"replace({x}, {_sql_str(lit)}, {_sql_str(rep)})"
     x = f"regexp_replace({x}, {_sql_str(_HTML_DROP_ENTITY)}, ' ', 'g')"
+    x = f"replace({x}, chr(1), '&')"
     for pat, rep in _HTML_WS_STEPS:
         x = f"regexp_replace({x}, {_sql_str(pat)}, {_sql_str(rep)}, 'g')"
     return f"trim({x})"
@@ -1564,6 +1608,14 @@ def html_extract(
     n_lines = F.when(x == "", F.lit(0)).otherwise(
         F.size(F.split(x, r"\n"))
     ).cast("long")
+    if passthrough:
+        clash = sorted(set(df.columns) & {out_col, "n_lines", "n_chars"})
+        if clash:
+            raise ValueError(
+                f"html_extract(passthrough=True): input already has "
+                f"column(s) {clash} that the output would duplicate — "
+                "rename or drop them first, or pass a different out_col"
+            )
     head = list(df.columns) if passthrough else [F.col(id_col).alias("doc_id")]
     return df.select(
         *head,
@@ -1689,21 +1741,7 @@ def cross_entropy_score(
         F.sum("ct").alias("tt"), F.count(F.lit(1)).alias("vocab")
     )
     s = float(smoothing)
-    # empty-LM guard: a tokenless target corpus yields tt = NULL, which
-    # would propagate NULL cross-entropy to EVERY doc silently — a quality
-    # gate built on the score would then pass/drop everything according to
-    # its null-handling instead of erroring (ADVICE r11). raise_error is
-    # lazy (fires on first action), so the plan stays composable but the
-    # fault is loud.
-    tt_ok = F.when(
-        F.col("tt").isNull() | (F.col("tt") <= 0),
-        F.raise_error(
-            F.lit(
-                "cross_entropy_score: target corpus has no tokens — the "
-                "fitted LM is empty; fit on a non-empty clean corpus"
-            )
-        ).cast("long"),
-    ).otherwise(F.col("tt"))
+    tt_ok = _nonempty_lm_total("cross_entropy_score")
     denom = tt_ok + s * (F.col("vocab") + 1)
     lp = F.round(
         F.log((F.coalesce(F.col("ct"), F.lit(0)) + s) / denom), 8
@@ -1727,6 +1765,24 @@ def cross_entropy_score(
 
 
 _BOS = "\x02"  # sentence-start sentinel: the first token's bigram context
+
+
+def _nonempty_lm_total(fn_name: str) -> Column:
+    """The shared empty-target-LM guard of the cross-entropy scorers: a
+    tokenless target yields tt = NULL, which would propagate NULL scores
+    to EVERY doc silently — a gate built on the score would then
+    pass/drop everything according to its null-handling (ADVICE r11).
+    raise_error is lazy (fires on first action), so plans stay
+    composable but the fault is loud."""
+    return F.when(
+        F.col("tt").isNull() | (F.col("tt") <= 0),
+        F.raise_error(
+            F.lit(
+                f"{fn_name}: target corpus has no tokens — the fitted LM "
+                "is empty; fit on a non-empty clean corpus"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("tt"))
 
 
 def _bigram_pairs_col(toks: Column) -> Column:
@@ -1816,15 +1872,7 @@ def bigram_cross_entropy_score(
     # exactly once thanks to the BOS pad) — one source, no second scan
     lm = tpairs.groupBy("cur").agg(F.sum("c_uv").alias("c_v"))
     totals = lm.agg(F.sum("c_v").alias("tt"), F.count(F.lit(1)).alias("vocab"))
-    tt_ok = F.when(
-        F.col("tt").isNull() | (F.col("tt") <= 0),
-        F.raise_error(
-            F.lit(
-                "bigram_cross_entropy_score: target corpus has no tokens — "
-                "the fitted LM is empty; fit on a non-empty clean corpus"
-            )
-        ).cast("long"),
-    ).otherwise(F.col("tt"))
+    tt_ok = _nonempty_lm_total("bigram_cross_entropy_score")
     vfloor = s * (F.col("vocab") + 1)
     p_bi = (F.coalesce(F.col("c_uv"), F.lit(0)) + s) / (
         F.coalesce(F.col("c_u"), F.lit(0)) + vfloor

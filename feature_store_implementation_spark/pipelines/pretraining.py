@@ -176,7 +176,10 @@ def build_pretraining_corpus(
       semantic stage would silently re-drop what soft dedup kept.
       Duplicates still cannot straddle the split (they are near-dup
       pairs at any threshold). Weights are corpus-global → the build
-      refuses incremental updates, like dsir_select.
+      refuses incremental updates, like dsir_select. ``dedup_threshold``
+      is UNUSED under "soft" (no hard near-dup drop runs; only
+      ``split_threshold`` still matters, for the leakage split) and the
+      manifest records ``dedup_threshold: null`` accordingly.
     * **ce_filter** — optional CCNet-style quality gate (Wenzek et al.
       2020): fit a unigram LM on ``ce_target`` (the clean reference
       corpus) and keep documents whose per-token cross-entropy under it
@@ -495,7 +498,13 @@ def build_pretraining_corpus(
                 if quality == "model"
                 else None
             ),
-            "dedup_threshold": float(dedup_threshold),
+            # None under lexical="soft": NO hard near-dup drop ran, and
+            # recording the caller's threshold would claim one did (r12
+            # review — manifest readers audit the drop radius); soft
+            # builds refuse increments, so the update path never reads it
+            "dedup_threshold": (
+                float(dedup_threshold) if lexical == "drop" else None
+            ),
             "semantic": bool(semantic),
             "semantic_threshold": float(semantic_threshold),
             "decontaminate": eval_df is not None,

@@ -7783,7 +7783,18 @@ def q_pretrain_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("en").alias("lang"),
         )
     )
-    target = d.filter(F.col("lang") == "en").select("text").limit(100)
+    # md5-ranked BEFORE the limit: an unordered limit(100) is free to
+    # return a different 100 docs across Spark versions/partitionings,
+    # which would shift the fitted LM and the ce-gate survivor set —
+    # breaking this rows-only query's round-to-round determinism contract
+    # (r12 review; the train_text_classifier sampling rule)
+    target = (
+        d.filter(F.col("lang") == "en")
+        .select("doc_id", "text")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(100)
+        .select("text")
+    )
     tmp = tempfile.mkdtemp(prefix="q_pretrain_w_")
     try:
         m = build_pretraining_corpus(
@@ -8161,23 +8172,12 @@ def _outlink_graph_oracle() -> str:
     from ..operators.text import (
         _HREF_DQ_RE,
         _HREF_SQ_RE,
-        _URL_AUTH_RE,
-        _URL_PORT_STRIP_RE,
-        _URL_SUFFIX2_RE,
-        _URL_SUFFIX3_RE,
-        _URL_USERINFO_RE,
+        url_domain_sql,
+        url_host_sql,
     )
 
     def dom(col: str) -> str:
-        host = (
-            f"lower(regexp_replace(regexp_replace(regexp_extract({col}, "
-            f"'{_URL_AUTH_RE}', 1), '{_URL_USERINFO_RE}', ''), "
-            f"'{_URL_PORT_STRIP_RE}', ''))"
-        )
-        return (
-            f"coalesce(nullif(regexp_extract({host}, '{_URL_SUFFIX3_RE}', 1), ''), "
-            f"regexp_extract({host}, '{_URL_SUFFIX2_RE}', 1))"
-        )
+        return url_domain_sql(url_host_sql(col))
 
     dq = _HREF_DQ_RE.replace("'", "''")
     sq = _HREF_SQ_RE.replace("'", "''")
@@ -8270,24 +8270,10 @@ _HREF_TPLS = (
 
 
 def _resolve_links_oracle() -> str:
-    from ..operators.text import (
-        _URL_AUTH_RE,
-        _URL_PORT_STRIP_RE,
-        _URL_SUFFIX2_RE,
-        _URL_SUFFIX3_RE,
-        _URL_USERINFO_RE,
-        resolve_url_sql,
-    )
+    from ..operators.text import resolve_url_sql, url_domain_sql, url_host_sql
 
-    host = (
-        f"lower(regexp_replace(regexp_replace(regexp_extract(resolved_url, "
-        f"'{_URL_AUTH_RE}', 1), '{_URL_USERINFO_RE}', ''), "
-        f"'{_URL_PORT_STRIP_RE}', ''))"
-    )
-    dom = (
-        f"coalesce(nullif(regexp_extract({host}, '{_URL_SUFFIX3_RE}', 1), ''), "
-        f"regexp_extract({host}, '{_URL_SUFFIX2_RE}', 1))"
-    )
+    host = url_host_sql("resolved_url")
+    dom = url_domain_sql(host)
     cases = " ".join(
         f"WHEN doc_id % 7 = {i} THEN '{h}'" for i, h in enumerate(_HREF_TPLS)
     )

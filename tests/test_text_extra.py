@@ -353,3 +353,41 @@ def test_html_links_resolved_against_base(spark):
     assert out["c.html"]["resolved_url"] == "https://news.site.co.uk/a/c.html"
     assert out["c.html"]["link_domain"] == "site.co.uk"
     assert out["https://other.org/x"]["link_domain"] == "other.org"
+
+
+def test_html_extract_escaped_entities_survive(spark):
+    """'&amp;lt;' is an ESCAPED entity — a browser renders it as the
+    literal text '&lt;' (common on pages about HTML/code). The decode
+    order must not turn it into a real entity and then delete it
+    (round-12 review)."""
+    from feature_store_implementation_spark.operators.text import html_extract
+
+    rows = [
+        (1, "<p>Use &amp;lt; for less-than</p>"),
+        (2, "<p>Tom &amp; Jerry &lt;3 &unknownent; &#77;</p>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["extracted_text"] for r in html_extract(df).collect()}
+    assert out[1] == "Use &lt; for less-than"
+    # plain &amp; still decodes, real &lt; decodes, unknown drops
+    assert out[2] == "Tom & Jerry <3"
+
+
+def test_passthrough_collision_guards(spark):
+    import pytest as _pytest
+
+    from feature_store_implementation_spark.operators.text import (
+        html_extract,
+        url_parts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "https://a.com/x", "h")], "doc_id long, url string, host string"
+    )
+    with _pytest.raises(ValueError, match="host"):
+        url_parts(df, passthrough=True)
+    df2 = spark.createDataFrame(
+        [(1, "<p>x</p>", 5)], "doc_id long, text string, n_lines long"
+    )
+    with _pytest.raises(ValueError, match="n_lines"):
+        html_extract(df2, passthrough=True)

@@ -112,7 +112,11 @@ def maintenance_loop(spark, sf_dir: str, churn: int = 100, epochs: int = 3) -> d
         export_s = round(time.time() - t0, 3)
         epoch_s = []
         for e in range(epochs):
-            moved = src.limit(churn).select(
+            # pinned churn set: an unordered limit() may pick DIFFERENT
+            # rows between the delete_rows collect and the write below,
+            # deleting set A but writing set B — up to 2x the intended
+            # churn and duplicate rows, skewing the O(changed) exponent
+            moved = src.orderBy("entity_id").limit(churn).select(
                 "entity_id", F.concat(F.lit(f"e{e}:"), "value").alias("value")
             )
             fs.store.delete_rows(v.id, entity_ids=[r["entity_id"] for r in moved.select("entity_id").collect()])
