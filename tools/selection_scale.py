@@ -42,7 +42,12 @@ from feature_store_implementation_spark.operators.dedup import (  # noqa: E402
 from feature_store_implementation_spark.operators.sampling import (  # noqa: E402
     dsir_importance_weights,
 )
+from feature_store_implementation_spark.operators.classifier import (  # noqa: E402
+    classifier_scores,
+    train_text_classifier,
+)
 from feature_store_implementation_spark.operators.text import (  # noqa: E402
+    bigram_cross_entropy_score,
     cross_entropy_score,
 )
 from feature_store_implementation_spark.serving.vectors import FeatureStore  # noqa: E402
@@ -85,9 +90,31 @@ def selection_surfaces(spark, sf_dir: str) -> dict[str, float]:
         with cache_scope():
             soft_dedup_weights(docs).agg(F.count(F.lit(1))).collect()
 
+    def bigram():
+        with cache_scope():
+            bigram_cross_entropy_score(docs, target).agg(
+                F.count(F.lit(1))
+            ).collect()
+
+    # classifier: train ONCE outside the timed region (training is the
+    # bounded driver-side fit — its cost is sample_n-bound, not
+    # corpus-bound); what must scale is the distributed SCORING pass
+    model = train_text_classifier(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        n_buckets=1 << 14,
+        iters=30,
+        sample_n=1000,
+    )
+
+    def clf():
+        classifier_scores(docs, model).agg(F.count(F.lit(1))).collect()
+
     out["dsir_weights"] = _best(dsir)
     out["cross_entropy"] = _best(ce)
     out["soft_dedup"] = _best(soft)
+    out["bigram_cross_entropy"] = _best(bigram)
+    out["classifier_scores"] = _best(clf)
     return out
 
 
@@ -141,7 +168,13 @@ def main() -> None:
     spark = get_spark("selection-scale")
     b = selection_surfaces(spark, base)
     s = selection_surfaces(spark, scaled)
-    for surface in ("dsir_weights", "cross_entropy", "soft_dedup"):
+    for surface in (
+        "dsir_weights",
+        "cross_entropy",
+        "soft_dedup",
+        "bigram_cross_entropy",
+        "classifier_scores",
+    ):
         print(json.dumps({
             "metric": "selection_scale",
             "surface": surface,
