@@ -149,6 +149,7 @@ def build_pretraining_corpus(
     seed: int | str = 0,
     pack_budget: int = 512,
     dedup_index: bool = False,
+    target_tokens: int | None = None,
 ) -> dict:
     """Run the whole pretraining-data build and commit the sharded corpus
     plus its manifest at ``path``. Returns the manifest dict.
@@ -180,6 +181,17 @@ def build_pretraining_corpus(
       is UNUSED under "soft" (no hard near-dup drop runs; only
       ``split_threshold`` still matters, for the leakage split) and the
       manifest records ``dedup_threshold: null`` accordingly.
+    * **target_tokens** — optional token budget ("give me an N-token
+      corpus"): after every selection stage, the pool downsamples to
+      keep-rate target/pool-tokens via the portable md5-prefix rule
+      (8 hex chars, keyed on seed|id — deterministic, engine-portable,
+      append-stable; whitespace tokens, the engine's shared token rule).
+      The manifest records the hex THRESHOLD and increments replay it
+      verbatim: the budget pins the RATE at build time, so an updated
+      corpus grows proportionally instead of re-shrinking to N. A pool
+      already under budget passes through (threshold null). Runs before
+      soft-dedup weighting (it drops docs; soft cluster sizes count the
+      final pool).
     * **ce_filter** — optional CCNet-style quality gate (Wenzek et al.
       2020): fit a unigram LM on ``ce_target`` (the clean reference
       corpus) and keep documents whose per-token cross-entropy under it
@@ -394,11 +406,63 @@ def build_pretraining_corpus(
         curated = curated.localCheckpoint(eager=True)
         stage("mixture", curated.count())
 
+    # -- token-budget downsample (target_tokens) ---------------------------
+    # the "dial the corpus to N tokens" knob: keep-rate = target / pool
+    # tokens, realized as the portable md5-prefix membership rule (8 hex
+    # chars ≈ 1/4.3e9 granularity) keyed on (seed, id) — deterministic,
+    # engine-portable, append-stable. The HEX THRESHOLD (not the rate) is
+    # recorded in the manifest, and increments replay it verbatim, so an
+    # updated corpus GROWS at the pinned rate rather than re-shrinking to
+    # the original target (documented semantics: target_tokens pins the
+    # rate at build time). Runs BEFORE soft-dedup weighting — it is a
+    # drop stage, and soft cluster sizes must count the final pool.
+    budget_record: dict | None = None
+    if target_tokens is not None:
+        if int(target_tokens) <= 0:
+            raise ValueError("target_tokens must be positive")
+        from ..functions.textfns import tokens_col as _tokens_col
+
+        pool_tokens = int(
+            curated.agg(
+                F.sum(F.size(_tokens_col(F.col(text_col)))).alias("t")
+            ).first()["t"]
+            or 0
+        )
+        thr = None
+        if pool_tokens > int(target_tokens):
+            frac = float(target_tokens) / pool_tokens
+            thr = format(max(1, int(frac * 16**8)), "08x")
+            curated = curated.filter(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(f"budget:{seed}"),
+                            F.col(id_col).cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                )
+                < F.lit(thr)
+            ).localCheckpoint(eager=True)
+        got = curated.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size(_tokens_col(F.col(text_col)))).alias("t"),
+        ).first()
+        stage("token_budget", int(got["n"]))
+        budget_record = {
+            "target_tokens": int(target_tokens),
+            "pool_tokens": pool_tokens,
+            "achieved_tokens": int(got["t"] or 0),
+            "keep_rate_hex": thr,
+        }
+
     # -- SoftDeDup weighting (lexical="soft") ------------------------------
     # LAST selection-adjacent stage on purpose: cluster sizes are counted
-    # over the FINAL pool (after ce/dsir/mixture drops), so 1/size is the
-    # true surviving multiplicity — weighting before a drop stage would
-    # under-weight clusters that later lost members
+    # over the FINAL pool (after ce/dsir/mixture/token-budget drops), so
+    # 1/size is the true surviving multiplicity — weighting before a drop
+    # stage would under-weight clusters that later lost members
     soft_record: dict | None = None
     if lexical == "soft":
         from ..operators.dedup import soft_dedup_weights
@@ -513,6 +577,7 @@ def build_pretraining_corpus(
             "soft_dedup": soft_record,
             "ce_filter": ce_record,
             "dsir_select": select_record,
+            "token_budget": budget_record,
             "split_threshold": float(split_threshold),
             "split_fractions": {k: float(v) for k, v in split_fractions.items()},
             "n_shards": int(n_shards),
@@ -991,6 +1056,29 @@ def _update_corpus_locked(
             curated, rates, group_col=mix["col"], key_cols=[id_col]
         ).localCheckpoint(eager=True)
         stage("mixture", curated.count())
+
+    # -- token budget: replay the base build's pinned keep-rate -------------
+    # the manifest stores the HEX THRESHOLD, not the rate — the increment
+    # is filtered by the IDENTICAL md5 rule (same "budget:<seed>" key), so
+    # the corpus grows at the pinned rate instead of re-shrinking to the
+    # original target_tokens (the documented semantics at the build stage)
+    _tb = p.get("token_budget")
+    if _tb and _tb.get("keep_rate_hex"):
+        curated = curated.filter(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(f"budget:{p['seed']}"),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            )
+            < F.lit(_tb["keep_rate_hex"])
+        ).localCheckpoint(eager=True)
+        stage("token_budget", curated.count())
 
     # -- split, consistent with the base (see docstring step 4) -------------
     # ids travel as STRINGS through the split machinery (cluster labels mix

@@ -1666,3 +1666,89 @@ def test_pretraining_model_quality_gate_build_and_update(spark, tmp_path):
     by2 = {s["stage"]: s["n_docs"] for s in rec["stages"]}
     assert by2["ingest"] == 10
     assert by2["quality"] == 5  # increment gated under the frozen model
+
+
+def test_pretraining_token_budget_build_and_update(spark, tmp_path):
+    """target_tokens (round-12): the build downsamples to the token
+    budget via the portable md5 rule, records the hex threshold, an
+    over-budget pool shrinks to ~target, an under-budget target is a
+    no-op, and an increment replays the IDENTICAL threshold (rate
+    pinned, ids decided by the same md5 coin)."""
+    import hashlib
+    import json
+    import os
+
+    from feature_store_implementation_spark.pipelines.pretraining import (
+        update_pretraining_corpus,
+    )
+
+    # stopword-rich (passes the language/quality gates) with a per-doc
+    # pseudo-random word ORDER (shingle overlap ~0 -> no near-dup collapse)
+    vocab = (
+        "the and for with this that from have will been they which their "
+        "would there about could other more some when than then"
+    ).split()  # 23 words
+    import random as _random
+
+    def text_of(i):
+        rng = _random.Random(i)
+        return " ".join(rng.choice(vocab) for _ in range(40)) + f" d{i}"
+    docs = spark.createDataFrame(
+        [(i, text_of(i), "en") for i in range(200)],
+        "doc_id long, text string, lang string",
+    )
+    path = str(tmp_path / "tb")
+    m = _build(
+        spark, tmp_path, "tb",
+        docs_override=docs,
+        eval_df=None,
+        semantic=False,
+        mixture_alpha=None,
+        mixture_col=None,
+        dedup_index=True,
+        target_tokens=2000,  # pool = 200 docs x 41 tokens = 8200
+    )
+    by1 = {s["stage"]: s["n_docs"] for s in m["stages"]}
+    assert by1["lexical_dedup"] == 200  # fixture premise: nothing collapses
+    tb = m["params"]["token_budget"]
+    assert tb["pool_tokens"] == 200 * 41
+    thr = tb["keep_rate_hex"]
+    assert thr is not None
+    # achieved mass is the binomial realization of rate ~0.24 over 200 docs
+    assert 800 <= tb["achieved_tokens"] <= 3600
+    # the kept set is exactly the md5 rule's decision
+    kept = {
+        s["n_docs"] for s in m["stages"] if s["stage"] == "token_budget"
+    }.pop()
+    expect = sum(
+        1 for i in range(200)
+        if hashlib.md5(f"budget:42|{i}".encode()).hexdigest()[:8] < thr
+    )
+    assert kept == expect
+
+    # increment: same threshold replayed on new ids
+    inc = spark.createDataFrame(
+        [(1000 + i, text_of(500 + i), "en") for i in range(100)],
+        "doc_id long, text string, lang string",
+    )
+    rec = update_pretraining_corpus(inc, path)
+    by2 = {s["stage"]: s["n_docs"] for s in rec["stages"]}
+    expect_inc = sum(
+        1 for i in range(100)
+        if hashlib.md5(f"budget:42|{1000 + i}".encode()).hexdigest()[:8] < thr
+    )
+    assert by2["token_budget"] == expect_inc
+
+    # under-budget target: pass-through, null threshold
+    m2 = _build(
+        spark, tmp_path, "tb2",
+        docs_override=docs.limit(10),
+        eval_df=None,
+        semantic=False,
+        mixture_alpha=None,
+        mixture_col=None,
+        target_tokens=10_000_000,
+    )
+    tb2 = m2["params"]["token_budget"]
+    assert tb2["keep_rate_hex"] is None
+    assert tb2["achieved_tokens"] == tb2["pool_tokens"]
