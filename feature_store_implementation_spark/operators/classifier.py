@@ -49,8 +49,15 @@ def hashed_gram_counts(
     """(doc_id, bucket, k): per-occurrence hashed word-n-gram counts —
     the dsir_importance_weights featurizer (same grams, same md5[:8]
     bucket rule, so a model's buckets mean the same thing everywhere).
-    Map-side explode + one (doc,bucket) hash aggregation."""
-    toks = tokens_col(F.col(text_col))
+    Map-side explode + one (doc,bucket) hash aggregation.
+
+    Tokens are materialized behind their OWN projection boundary before
+    the n-gram transform: the transform lambda slices into its token
+    argument per element, HOF lambda bodies evaluate interpreted, and an
+    inline tokenizer there re-runs once per gram position — O(tokens²)
+    per doc (the minhash_signatures discipline; measured 8.2s → ~1s for
+    this featurizer at sf0.1)."""
+    toks = F.col("__toks")
     parts: list[Column] = []
     for n in ngram_ns:
         if n == 1:
@@ -73,7 +80,11 @@ def hashed_gram_counts(
         % int(n_buckets)
     ).alias("bucket")
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            tokens_col(F.col(text_col)).alias("__toks"),
+        )
+        .select("doc_id", F.explode(grams).alias("g"))
         .select("doc_id", bucket)
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("k"))

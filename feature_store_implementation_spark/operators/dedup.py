@@ -306,10 +306,19 @@ def minhash_signatures(
     how many min-hash branches read them — see :func:`_minhash_signature`
     on why inlining would be catastrophic under interpreted HOF
     evaluation."""
-    toks = tokens_col(F.col(text_col))
-    sh = word_ngrams_col(toks, n_shingle)
+    # tokens FIRST, behind their own projection boundary: word_ngrams_col's
+    # transform lambda slices into its token argument PER ELEMENT, and HOF
+    # lambda bodies evaluate interpreted — an inline split() there re-runs
+    # the whole tokenizer once per shingle position, O(tokens²) per doc
+    # (measured 4.4s → 0.4s at sf0.1 for this exact stage). The projected
+    # attribute is referenced >1 time by the shingle expression, so
+    # CollapseProject provably keeps the boundary.
     staged = _spread_small_input(df).select(
-        F.col(id_col).alias("doc_id"), sh.alias("__sh")
+        F.col(id_col).alias("doc_id"),
+        tokens_col(F.col(text_col)).alias("__toks"),
+    )
+    staged = staged.select(
+        "doc_id", word_ngrams_col(F.col("__toks"), n_shingle).alias("__sh")
     )
     staged = staged.select(
         "doc_id",
@@ -1408,11 +1417,14 @@ def ngram_jaccard_pairs(
             "stage='candidates' requires the shingle candidate route; "
             f"candidates={candidates!r} has no candidate stage"
         )
+    # tokens behind their own projection boundary first — word_ngrams_col's
+    # lambda slices its token argument per element and an inline tokenizer
+    # there re-runs per shingle position (the minhash_signatures fix)
     sh = _spread_small_input(df).select(
         F.col(id_col).alias("doc_id"),
         (F.col(block_col) if block_col else F.lit(1)).alias("block"),
-        word_ngrams_col(tokens_col(F.col(text_col)), n).alias("sh"),
-    )
+        tokens_col(F.col(text_col)).alias("__toks"),
+    ).select("doc_id", "block", word_ngrams_col(F.col("__toks"), n).alias("sh"))
     if candidates == "shingle":
         if threshold <= 0:
             raise ValueError("shingle candidates require threshold > 0")
@@ -1835,10 +1847,14 @@ def decontaminate(
     anywhere. Shingles are deduplicated within each document
     (word_ngrams_col), so n_shared counts distinct shared shingles."""
     def shingles(d: DataFrame) -> DataFrame:
-        toks = tokens_col(F.col(text_col))
+        # tokens projected first — word_ngrams_col's lambda re-evaluates an
+        # inline tokenizer per shingle position (the minhash_signatures fix)
         return d.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(word_ngrams_col(toks, n)).alias("shingle"),
+            tokens_col(F.col(text_col)).alias("__toks"),
+        ).select(
+            "doc_id",
+            F.explode(word_ngrams_col(F.col("__toks"), n)).alias("shingle"),
         )
 
     ev = shingles(eval_df).select("shingle").distinct()
@@ -1953,10 +1969,14 @@ def decontaminate_bloom(
     final per-doc count — same single shuffle as ``decontaminate``.
     """
     def shingles(d: DataFrame) -> DataFrame:
-        toks = tokens_col(F.col(text_col))
+        # tokens projected first — word_ngrams_col's lambda re-evaluates an
+        # inline tokenizer per shingle position (the minhash_signatures fix)
         return d.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(word_ngrams_col(toks, n)).alias("shingle"),
+            tokens_col(F.col(text_col)).alias("__toks"),
+        ).select(
+            "doc_id",
+            F.explode(word_ngrams_col(F.col("__toks"), n)).alias("shingle"),
         )
 
     # the eval shingle set feeds THREE jobs (auto-size count, bitset

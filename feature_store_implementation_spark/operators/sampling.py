@@ -573,8 +573,13 @@ def dsir_importance_weights(
                          "must give every bucket nonzero mass)")
     from ..functions.textfns import tokens_col
 
-    def grams(text: F.Column) -> F.Column:
-        toks = tokens_col(text)
+    def grams() -> F.Column:
+        # over the PROJECTED token attribute "__toks", never an inline
+        # tokenizer: the transform lambda slices its token argument per
+        # element, and HOF lambda bodies evaluate interpreted, so an inline
+        # split() there re-runs once per gram position — O(tokens²) per doc
+        # (the minhash_signatures projection-boundary discipline)
+        toks = F.col("__toks")
         parts = []
         for n in ngram_ns:
             if n == 1:
@@ -600,16 +605,25 @@ def dsir_importance_weights(
     ).alias("bucket")
 
     def feats(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias("doc_id"), F.explode(grams(F.col(text_col))).alias("g")
-        ).select("doc_id", bucket)
+        return (
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                tokens_col(F.col(text_col)).alias("__toks"),
+            )
+            .select("doc_id", F.explode(grams()).alias("g"))
+            .select("doc_id", bucket)
+        )
 
     def gram_buckets(df: DataFrame) -> DataFrame:
         # the target distribution needs only the gram column — the target
         # frame is NOT required to carry id_col (its ids were selected and
         # discarded pre-round-12, failing targets that carry only a text
         # column with an AnalysisException; ADVICE r11)
-        return df.select(F.explode(grams(F.col(text_col))).alias("g")).select(bucket)
+        return (
+            df.select(tokens_col(F.col(text_col)).alias("__toks"))
+            .select(F.explode(grams()).alias("g"))
+            .select(bucket)
+        )
 
     # Spark shares no subplans across DataFrame branches — without these
     # scope caches the (doc, bucket, k) frame's lineage (the corpus scan +

@@ -1852,10 +1852,20 @@ def bigram_cross_entropy_score(
     s = float(smoothing)
 
     def pairs_of(df: DataFrame, *extra: str) -> DataFrame:
-        toks = tokens_col(F.col(text_col))
-        return df.select(
-            *extra, F.explode(_bigram_pairs_col(toks)).alias("pr")
-        ).select(*extra, F.col("pr.prev").alias("prev"), F.col("pr.cur").alias("cur"))
+        # tokens behind their own projection boundary: _bigram_pairs_col's
+        # transform lambda calls element_at(toks, ·) per position, and HOF
+        # lambda bodies evaluate interpreted — an inline tokenizer there
+        # re-runs once per token, O(tokens²) per doc (the
+        # minhash_signatures projection-boundary discipline)
+        return (
+            df.select(*extra, tokens_col(F.col(text_col)).alias("__toks"))
+            .select(
+                *extra, F.explode(_bigram_pairs_col(F.col("__toks"))).alias("pr")
+            )
+            .select(
+                *extra, F.col("pr.prev").alias("prev"), F.col("pr.cur").alias("cur")
+            )
+        )
 
     per_doc = _cache_scoped(
         pairs_of(raw.select(F.col(id_col).alias("doc_id"), text_col), "doc_id")
