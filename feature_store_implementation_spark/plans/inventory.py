@@ -5986,27 +5986,44 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(part,supplier) aggregate — rank by (unit_cost, suppkey) within
     part and keep row 1 — which turns a correlated re-scan into a single
     shuffle. Unit cost is an exact-decimal-sums division, identical in both
-    engines."""
+    engines.
+
+    r12 optimization (guide §3.2, reduce the big side BEFORE its
+    shuffle): the part-band predicate broadcast-SEMI-filters lineitem
+    ahead of the (partkey, suppkey) aggregation, so the agg shuffle
+    carries only qualifying parts' rows instead of the whole fact table
+    — the per-group unit cost is independent across parts, so filtering
+    before ≡ joining after. The former post-agg join to `part` existed
+    only to produce the p_partkey column, whose value IS l_partkey under
+    the equi-join — aliased directly, one join removed."""
     li = load_table(spark, sf_dir, "lineitem")
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(
-            F.sum(dec("l_extendedprice")).cast("double")
-            / F.sum(dec("l_quantity")).cast("double"),
-            6,
-        ).alias("unit_cost")
-    )
     p = (
         load_table(spark, sf_dir, "part")
         .filter((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))
-        .select("p_partkey")
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    cost = (
+        li.join(F.broadcast(p), "l_partkey", "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice")).cast("double")
+                / F.sum(dec("l_quantity")).cast("double"),
+                6,
+            ).alias("unit_cost")
+        )
     )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     w = W.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
     best = (
-        cost.join(F.broadcast(p), cost.l_partkey == p.p_partkey)
-        .withColumn("rn", F.row_number().over(w))
+        cost.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey"),
+            "unit_cost",
+        )
     )
     return (
         best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)

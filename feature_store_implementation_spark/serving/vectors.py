@@ -483,9 +483,18 @@ class FeatureStore:
         out = m.withColumn(
             "shard", F.pmod(F.xxhash64("entity_id"), F.lit(int(n_shards)))
         )
+        # the exported row count rides the shard write itself as an
+        # Observation — through r11 it was a dedicated
+        # read.parquet(staging).count() job, i.e. one full re-scan of the
+        # snapshot just written (at 100 TB: a second pass over the whole
+        # export) purely to return a number the write already saw
+        from pyspark.sql import Observation as _Observation
+
+        _row_obs = _Observation()
         try:
             (
-                out.repartition(int(n_shards), "shard")
+                out.observe(_row_obs, F.count(F.lit(1)).alias("n"))
+                .repartition(int(n_shards), "shard")
                 .sortWithinPartitions("shard", "entity_id")
                 .write.partitionBy("shard")
                 .parquet(staging)
@@ -517,7 +526,13 @@ class FeatureStore:
                 f.flush()
                 _os.fsync(f.fileno())
             _os.replace(tmp, _os.path.join(staging, "_snapshot_meta.json"))
-            rows = self.spark.read.parquet(staging).count()
+            try:
+                rows = int(_row_obs.get["n"] or 0)
+            except Exception:
+                # tiny LocalRelation-folded plans can defeat observed-metrics
+                # conversion (the curate_corpus gate-obs caveat) — fall back
+                # to the pre-r12 count-back read, correctness over speed
+                rows = self.spark.read.parquet(staging).count()
             _os.rename(staging, final)  # atomic commit
         except BaseException as exc:
             # clean our OWN staging on ANY failure — Spark-side errors

@@ -1378,15 +1378,6 @@ class OfflineStore:
             src = self._read_files(affected).select(
                 *[f.name for f in _FILE_SCHEMA.fields]
             )
-            counts = src.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(match.cast("long")).alias("hit"),
-            ).collect()[0]
-            n_deleted = int(counts["hit"] or 0)
-            if n_deleted == 0:
-                return report  # range over-inclusion only — nothing to do
-            report["deleted_rows"] = n_deleted
-            report["rewritten_files"] = len(affected)
 
             # change-data sidecar (Delta CDF's _change_data analog): the
             # removed rows, so downstream incremental consumers can apply
@@ -1394,7 +1385,21 @@ class OfflineStore:
             # GDPR erasure) the PAYLOAD must not be retained anywhere —
             # the sidecar carries entity ids with a NULL value, which is
             # exactly what a downstream eraser needs and nothing more.
-            deleted_rows = src.filter(match)
+            # The total/hit counts ride THIS write as an Observation
+            # (above the match filter, so they see every affected row) —
+            # through r11 they were a dedicated agg job, a full extra scan
+            # of the affected files before the sidecar re-scanned them.
+            # The sidecar is staged first and renamed into place only when
+            # hit > 0, so the zero-match early-exit commits nothing, same
+            # as before.
+            from pyspark.sql import Observation as _Observation
+
+            _cnt_obs = _Observation()
+            deleted_rows = src.observe(
+                _cnt_obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(match.cast("long")).alias("hit"),
+            ).filter(match)
             if purge:
                 deleted_rows = deleted_rows.select(
                     "entity_id",
@@ -1404,6 +1409,22 @@ class OfflineStore:
             txn_cdc = uuid.uuid4().hex[:12]
             cdc_stage = os.path.join(self.path, ".staging", f"cdc-{txn_cdc}")
             deleted_rows.write.parquet(cdc_stage)
+            try:
+                _cnt = _cnt_obs.get
+                counts = {"n": int(_cnt["n"] or 0), "hit": int(_cnt["hit"] or 0)}
+            except Exception:
+                # folded-plan observed-metrics caveat — fall back to the
+                # pre-r12 dedicated agg (only ever on local relations)
+                counts = src.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(match.cast("long")).alias("hit"),
+                ).collect()[0]
+            n_deleted = int(counts["hit"] or 0)
+            if n_deleted == 0:
+                shutil.rmtree(cdc_stage, ignore_errors=True)
+                return report  # range over-inclusion only — nothing to do
+            report["deleted_rows"] = n_deleted
+            report["rewritten_files"] = len(affected)
             cdc_rel = f"_change_data/v{vid}/{txn_cdc}"
             os.makedirs(os.path.join(self.path, "_change_data", f"v{vid}"), exist_ok=True)
             os.rename(cdc_stage, os.path.join(self.path, cdc_rel))
