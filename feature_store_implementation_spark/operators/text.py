@@ -53,12 +53,18 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
-def _quality_parts(text: Column) -> tuple[Column, Column, Column]:
+def _quality_parts(text: Column, tokens: Column | None = None) -> tuple[Column, Column, Column]:
     """(length_score, punct_score, stop_score) sub-expressions shared by
     :func:`quality_score` (the operator) and :func:`quality_expr` (the
     inline-annotation form) — ONE definition, so the pipeline's inlined
-    gate and the oracle-checked operator can never drift."""
-    toks = tokens_col(text)
+    gate and the oracle-checked operator can never drift.
+
+    ``tokens``: a pre-projected token-array attribute. The sub-expressions
+    reference the token array more than once, and an inline tokenizer is
+    re-evaluated per reference (per ROW here — constant factor, unlike the
+    per-element HOF case); callers that can project the array first
+    (quality_score, curate_corpus) pass it to tokenize once."""
+    toks = tokens if tokens is not None else tokens_col(text)
     n_tokens = F.size(toks)
     n_chars = F.length(text)
     stop_ratio = _count_in(toks, EN_STOPWORDS).cast("double") / F.greatest(n_tokens, F.lit(1))
@@ -71,13 +77,13 @@ def _quality_parts(text: Column) -> tuple[Column, Column, Column]:
     return length_score, punct_score, stop_score
 
 
-def quality_expr(text: Column) -> Column:
+def quality_expr(text: Column, tokens: Column | None = None) -> Column:
     """The ``quality`` column of :func:`quality_score` as a row-local
     EXPRESSION, for callers annotating a corpus frame in place: a
     pipeline that joins a quality frame back on doc_id shuffles the whole
     corpus for a value computable in the scan (curate_corpus did exactly
     that through round 9 — two corpus-wide hash joins gone)."""
-    length_score, punct_score, stop_score = _quality_parts(text)
+    length_score, punct_score, stop_score = _quality_parts(text, tokens)
     return F.round(0.4 * length_score + 0.3 * punct_score + 0.3 * stop_score, 6)
 
 
@@ -86,9 +92,17 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     punctuation, healthy stopword density (the classic Gopher-style rules,
     reduced to oracle-expressible arithmetic)."""
     text = F.col(text_col)
-    length_score, punct_score, stop_score = _quality_parts(text)
+    # tokens projected once (the _quality_parts ``tokens`` knob) — the
+    # parts reference the array twice, re-tokenizing per reference inline
+    length_score, punct_score, stop_score = _quality_parts(
+        text, tokens=F.col("__toks")
+    )
     return df.select(
         F.col(id_col).alias("doc_id"),
+        F.col(text_col),
+        tokens_col(text).alias("__toks"),
+    ).select(
+        "doc_id",
         F.round(length_score, 6).alias("length_score"),
         F.round(stop_score, 6).alias("stopword_score"),
         F.round(
@@ -97,10 +111,11 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def _language_scores(text: Column) -> dict[str, Column]:
+def _language_scores(text: Column, tokens: Column | None = None) -> dict[str, Column]:
     """Per-language rounded marker-hit scores (shared single definition;
-    see :func:`_quality_parts`)."""
-    toks = tokens_col(text)
+    see :func:`_quality_parts` for the ``tokens`` pre-projection knob —
+    one _count_in per language each re-tokenizes inline otherwise)."""
+    toks = tokens if tokens is not None else tokens_col(text)
     n = F.greatest(F.size(toks), F.lit(1)).cast("double")
     return {
         lang: F.round(_count_in(toks, words).cast("double") / n, 6)
@@ -121,19 +136,22 @@ def _argmax_lang(scores: dict[str, Column]) -> Column:
     return F.when(best == 0, F.lit(None).cast("string")).otherwise(pred)
 
 
-def language_pred_expr(text: Column) -> Column:
+def language_pred_expr(text: Column, tokens: Column | None = None) -> Column:
     """``predicted_lang`` of :func:`language_id` as a row-local
     expression — the inline-annotation twin of :func:`quality_expr`."""
-    return _argmax_lang(_language_scores(text))
+    return _argmax_lang(_language_scores(text, tokens))
 
 
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Function-word-count language ID: score each candidate language by
     marker hits per token, pick the argmax (ties → language-code order).
     Scores ride along for calibration."""
-    scores = _language_scores(F.col(text_col))
+    scores = _language_scores(F.col(text_col), tokens=F.col("__toks"))
     scored = df.select(
         F.col(id_col).alias("doc_id"),
+        tokens_col(F.col(text_col)).alias("__toks"),
+    ).select(
+        "doc_id",
         *[scores[lang].alias(f"score_{lang}") for lang in sorted(scores)],
     )
     langs = sorted(scores)
@@ -932,9 +950,16 @@ def gopher_rules(
     compute.py:40-55); this extends the intake the way every published
     LLM-data pipeline (Gopher, RefinedWeb, FineWeb) does."""
     text = F.col(text_col)
-    words = tokens_col(text, lowercase=False)
-    words_lc = tokens_col(text)
-    lines = F.split(text, r"\n")
+    # token/line arrays are materialized behind their own projection
+    # boundary first (each referenced >1 time below, so CollapseProject
+    # keeps it): through r11 every reference to `words`/`words_lc`/`lines`
+    # re-ran its split() per row — ~6 tokenizer evaluations per document,
+    # and the stopword filter's lambda re-ran the lowercase split once PER
+    # STOPWORD (the minhash_signatures per-element discipline). One split
+    # each now; expressions below are unchanged, so the oracle hash is too.
+    words = F.col("__gr_words")
+    words_lc = F.col("__gr_words_lc")
+    lines = F.col("__gr_lines")
     n_words = F.size(words).cast("long")
     n_lines = F.greatest(F.size(lines), F.lit(1)).cast("long")
     word_chars = F.coalesce(
@@ -967,7 +992,13 @@ def gopher_rules(
     micro = F.lit(1_000_000).cast("long")
     nz_words = F.greatest(n_words, F.lit(1).cast("long"))
     lead = list(df.columns) if passthrough else [F.col(id_col).alias("doc_id")]
-    out = df.select(
+    staged = df.select(
+        "*",
+        tokens_col(text, lowercase=False).alias("__gr_words"),
+        tokens_col(text).alias("__gr_words_lc"),
+        F.split(text, r"\n").alias("__gr_lines"),
+    )
+    out = staged.select(
         *lead,
         n_words.alias("n_words"),
         word_chars.alias("__wc"),

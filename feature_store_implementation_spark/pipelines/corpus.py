@@ -36,6 +36,7 @@ from ..operators.dedup import (
     minhash_near_dup_pairs,
 )
 from ..operators.graph import connected_components
+from ..functions.textfns import tokens_col as _tokens_col
 from ..operators.sampling import deterministic_sample
 from ..operators.text import (
     language_pred_expr,
@@ -233,22 +234,45 @@ def curate_corpus(
     # doc_id: two corpus-wide hash-join shuffles for values computable in
     # the projection. quality_expr/language_pred_expr are the operators'
     # own expressions — one definition, no drift.)
+    # quality/language annotations tokenize from ONE projected token-array
+    # attribute (the text.py ``tokens`` knob): the score gate's quality +
+    # language expressions reference the token array ~7 times between
+    # them, and an inline tokens_col re-ran split() per reference per row
     if quality == "gopher":
         from ..operators.text import gopher_rules
 
-        annotated = gopher_rules(
-            docs.withColumnRenamed(id_col, "doc_id"),
-            text_col,
-            "doc_id",
-            passthrough=True,
-            **(quality_params or {}),
-        ).select("*", language_pred_expr(F.col(text_col)).alias("predicted_lang"))
+        annotated = (
+            gopher_rules(
+                docs.withColumnRenamed(id_col, "doc_id"),
+                text_col,
+                "doc_id",
+                passthrough=True,
+                **(quality_params or {}),
+            )
+            .select("*", _tokens_col(F.col(text_col)).alias("__toks"))
+            .select(
+                "*",
+                language_pred_expr(
+                    F.col(text_col), tokens=F.col("__toks")
+                ).alias("predicted_lang"),
+            )
+            .drop("__toks")
+        )
         q_pass = F.col("keep") == 1
     elif quality == "score":
-        annotated = docs.withColumnRenamed(id_col, "doc_id").select(
-            "*",
-            quality_expr(F.col(text_col)).alias("quality"),
-            language_pred_expr(F.col(text_col)).alias("predicted_lang"),
+        annotated = (
+            docs.withColumnRenamed(id_col, "doc_id")
+            .select("*", _tokens_col(F.col(text_col)).alias("__toks"))
+            .select(
+                "*",
+                quality_expr(F.col(text_col), tokens=F.col("__toks")).alias(
+                    "quality"
+                ),
+                language_pred_expr(
+                    F.col(text_col), tokens=F.col("__toks")
+                ).alias("predicted_lang"),
+            )
+            .drop("__toks")
         )
         q_pass = F.col("quality") >= min_quality
     elif quality == "model":
@@ -274,8 +298,16 @@ def curate_corpus(
         scores = classifier_scores(base, model, text_col, "doc_id").select(
             "doc_id", "quality_score"
         )
-        annotated = base.join(scores, "doc_id", "left").select(
-            "*", language_pred_expr(F.col(text_col)).alias("predicted_lang")
+        annotated = (
+            base.join(scores, "doc_id", "left")
+            .select("*", _tokens_col(F.col(text_col)).alias("__toks"))
+            .select(
+                "*",
+                language_pred_expr(
+                    F.col(text_col), tokens=F.col("__toks")
+                ).alias("predicted_lang"),
+            )
+            .drop("__toks")
         )
         q_pass = F.coalesce(F.col("quality_score"), F.lit(0.0)) >= thr
     else:

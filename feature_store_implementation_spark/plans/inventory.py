@@ -5269,6 +5269,8 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join + support count) is shared work with q_copurchase_pairs'
     shape; the triangle closure joins shuffle only the thresholded edge
     list."""
+    from ..operators.dedup import _cache_scoped
+
     items = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -5276,7 +5278,11 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = items.select("l_orderkey", F.col("l_partkey").alias("pa"))
     b = items.select("l_orderkey", F.col("l_partkey").alias("pb"))
-    edges = (
+    # scope-cached (r12): the edge frame feeds all THREE closure legs, and
+    # its differently-projected aliases defeat ReuseExchange — left lazy,
+    # the whole graph build (fact distinct + self-join + support agg) ran
+    # three times per query
+    edges = _cache_scoped(
         a.join(b, "l_orderkey")
         .filter(F.col("pa") < F.col("pb"))
         .groupBy("pa", "pb")
