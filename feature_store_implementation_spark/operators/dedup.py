@@ -795,6 +795,7 @@ def minhash_index_write(
     k: int = 32,
     bands: int = 8,
     overwrite: bool = False,
+    sigs: DataFrame | None = None,
 ) -> int:
     """Persist the corpus's MinHash state — (doc_id, shingles, signature)
     parquet plus a params sidecar. Crash-safe like the offline store: the
@@ -816,7 +817,17 @@ def minhash_index_write(
     unless ``overwrite=True``, which demotes the old index to an
     uncommitted leftover (marker removed first — readers racing the
     overwrite see either the old committed index or a retryable absent
-    one, never a half-rebuilt mix) and rebuilds."""
+    one, never a half-rebuilt mix) and rebuilds.
+
+    ``sigs`` — a precomputed :func:`minhash_signatures` frame for (a
+    superset of) ``df``; it is semi-joined down to exactly ``df``'s ids
+    before persisting. CALLER'S CONTRACT (same as
+    :func:`minhash_index_query`): the frame must have been built with
+    THIS call's ``n_shingle``/``k`` — the frame cannot carry its own
+    provenance. Skips the corpus's shingle+sign text scan: a composing
+    build whose dedup stage already signed the pool persists those
+    signatures instead of re-shingling every surviving byte (§6 avoid
+    recompute)."""
     import json
     import os
     import shutil
@@ -834,10 +845,15 @@ def minhash_index_write(
     _prepare_index_dir(sig_dir, marker, overwrite)
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex[:12]}")
     try:
-        sigs, n_rows = _content_sized(
+        sig_frame = (
             minhash_signatures(df, text_col, id_col, n_shingle, k)
+            if sigs is None
+            else sigs.join(
+                df.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi"
+            )
         )
-        sigs.write.parquet(staging)
+        sig_frame, n_rows = _content_sized(sig_frame)
+        sig_frame.write.parquet(staging)
         # the params.json marker below is explicitly fsynced — the data it
         # marks committed must be at least as durable (same discipline as
         # _append_index_segment): fsync the staged files and dir before
@@ -963,6 +979,7 @@ def minhash_index_append(
     text_col: str = "text",
     id_col: str = "doc_id",
     txn: str | None = None,
+    sigs: DataFrame | None = None,
 ) -> int:
     """Fold an increment INTO a persisted MinHash index — the maintenance
     half of the incremental-dedup loop (:func:`minhash_index_query` finds
@@ -978,7 +995,15 @@ def minhash_index_append(
     lost-update-free under concurrent appends. No doc_id uniqueness is
     enforced (same contract as the batch routes) — the intended flow
     appends only documents that passed the dedup gate. Returns the
-    appended row count."""
+    appended row count.
+
+    ``sigs`` — a precomputed :func:`minhash_signatures` frame for (a
+    superset of) the increment, semi-joined down to ``new_df``'s ids
+    before the append. CALLER'S CONTRACT (same as
+    :func:`minhash_index_query`): the frame must have been built with
+    this index's stored ``n_shingle``/``k`` — check ``params.json``
+    before passing. Skips the increment's re-shingle text scan when the
+    dedup pass that gated it already signed the same documents."""
     import json
     import os
 
@@ -990,9 +1015,14 @@ def minhash_index_append(
             "(string shingles); rebuild it with minhash_index_write(..., "
             "overwrite=True) before appending"
         )
-    sigs = minhash_signatures(
-        new_df, text_col, id_col, params["n_shingle"], params["k"]
-    )
+    if sigs is None:
+        sigs = minhash_signatures(
+            new_df, text_col, id_col, params["n_shingle"], params["k"]
+        )
+    else:
+        sigs = sigs.join(
+            new_df.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi"
+        )
     return _append_index_segment(sigs, path, txn)
 
 

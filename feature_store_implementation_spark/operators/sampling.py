@@ -335,6 +335,7 @@ def write_training_shards(
     n_shards: int,
     seed: int | str = 0,
     key_cols: list[str] | None = None,
+    extra_metrics: dict | None = None,
 ) -> dict:
     """Materialize :func:`shuffle_shards` as the dataloader layout: one
     parquet file per ``shard=N`` directory, rows pre-sorted by ``pos``
@@ -344,6 +345,24 @@ def write_training_shards(
     bytes so a loader can size epochs and detect truncation without
     listing/reading data files. Returns the manifest dict.
 
+    Per-shard row counts ride the write itself as ``Observation``
+    metrics (``n_shards`` conditional counts — the shard domain is known
+    up front): through r12 they were a dedicated
+    ``read.parquet(path).groupBy(shard).count()`` job, i.e. one full
+    re-scan of everything just written (at 100 TB a second pass over
+    the whole export) purely to recount rows the write already saw
+    (§6). The pre-r13 count-back read remains as the fallback when the
+    observed metrics don't materialize (folded-plan caveat).
+
+    ``extra_metrics`` — optional extra aggregate Columns (name →
+    expression over ``df``'s columns) observed on the SAME write; their
+    values are returned under the ``"observed"`` key of the result dict
+    (never written to ``_manifest.json`` — the sidecar's byte layout is
+    a loader contract). A composing pipeline uses this to ride its
+    content fingerprint on the export instead of paying one more full
+    pass per split. ``None`` values signal the fallback path was taken
+    and the caller must compute them itself.
+
     Scale shape: the single ``repartition(n_shards, shard)`` shuffle is
     the write's only wide stage; each shard lands in exactly one task's
     partition, so every ``shard=N`` dir holds one entity-ordered run —
@@ -352,13 +371,29 @@ def write_training_shards(
     import os
     import uuid
 
+    from pyspark.sql import Observation
+
+    from ..functions.obs import observed_metrics
+
     out = shuffle_shards(df, n_shards, seed=seed, key_cols=key_cols)
+    obs = Observation()
+    metrics = [
+        F.count(F.when(F.col("shard") == s, 1)).alias(f"s{s}")
+        for s in range(int(n_shards))
+    ] + [c.alias(name) for name, c in (extra_metrics or {}).items()]
     (
         # range- not hash-partitioned: contiguous int shard ids land one-
         # per-task (hash would collide ~1/e of tasks into double-shard
-        # stragglers and leave others empty)
+        # stragglers and leave others empty).
+        # observe() sits ABOVE the range exchange on purpose: the range
+        # boundary computation SAMPLES the exchange's child subtree in a
+        # separate pass, so a CollectMetrics below it evaluates twice —
+        # doubling every count and XOR-cancelling the fingerprint
+        # (caught by tests/test_sampling.py). Above the exchange the node
+        # runs exactly once, in the write pass, over the same rows.
         out.repartitionByRange(int(n_shards), "shard")
         .sortWithinPartitions("shard", "pos")
+        .observe(obs, *metrics)
         .write.partitionBy("shard")
         .parquet(path)
     )
@@ -369,17 +404,27 @@ def write_training_shards(
     has_data = any(
         name.startswith("shard=") for name in os.listdir(path)
     )
-    counts = (
-        {
-            int(r["shard"]): int(r["n"])
-            for r in spark.read.parquet(path)
-            .groupBy("shard")
-            .agg(F.count("*").alias("n"))
-            .collect()
+    observed = observed_metrics(obs)
+    if observed is not None:
+        counts = {
+            s: int(observed[f"s{s}"] or 0)
+            for s in range(int(n_shards))
+            if int(observed[f"s{s}"] or 0) > 0
         }
-        if has_data
-        else {}
-    )
+        extra_vals = {name: observed.get(name) for name in (extra_metrics or {})}
+    else:
+        counts = (
+            {
+                int(r["shard"]): int(r["n"])
+                for r in spark.read.parquet(path)
+                .groupBy("shard")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            if has_data
+            else {}
+        )
+        extra_vals = {name: None for name in (extra_metrics or {})}
     shards = {}
     for s, n in sorted(counts.items()):
         d = os.path.join(path, f"shard={s}")
@@ -401,6 +446,10 @@ def write_training_shards(
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(path, "_manifest.json"))
+    if extra_metrics:
+        # returned to the caller only — NEVER written to _manifest.json
+        # (the sidecar's byte layout is a loader contract)
+        return {**manifest, "observed": extra_vals}
     return manifest
 
 

@@ -943,7 +943,12 @@ def gopher_rules(
     shape: :func:`~..pipelines.corpus.curate_corpus`'s ``quality=
     "gopher"`` gate annotates in the scan itself instead of shuffling a
     (doc_id, keep) frame back onto the corpus. Input columns must not
-    collide with the signal names (``n_words`` … ``keep``).
+    collide with the signal names (``n_words`` … ``keep``) NOR with the
+    reserved staging names ``__gr_words``/``__gr_words_lc``/``__gr_lines``
+    (the token/line arrays are staged as real columns behind a projection
+    boundary — an input already carrying one of those names fails with a
+    duplicate/ambiguous-column AnalysisException; the same applies to
+    ``__toks`` in curate_corpus's passthrough frames).
 
     Reference parity note: the reference engine has no quality gating
     (its compute surface is generic pandas exec, reference

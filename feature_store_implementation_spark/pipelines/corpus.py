@@ -153,6 +153,12 @@ def curate_corpus(
     nothing (no tokens) fail the gate. ``clean_params`` /
     ``quality_params`` pass straight through to the operators.
 
+    Precondition: input columns must not collide with the reserved
+    staging names ``__toks`` (this pipeline's projected token array) or
+    gopher_rules' ``__gr_words``/``__gr_words_lc``/``__gr_lines`` under
+    ``quality="gopher"`` — a colliding name fails with a duplicate/
+    ambiguous-column AnalysisException.
+
     Precondition: ``id_col`` must be unique and non-null. Duplicate ids
     would fan out multiplicatively in the quality/language joins and, with
     ``strip_boilerplate``, be collapsed by ``line_dedup`` then re-expanded
@@ -465,6 +471,11 @@ def curate_corpus(
         n_after_semantic = deduped.count()
         _tick("semantic_dedup")
 
+    # survivor counts are only re-measured when a stage actually FILTERED:
+    # with eval_df/sample_fraction absent the frame is unchanged, and the
+    # pre-r13 unconditional .count() re-ran the whole survivor lineage
+    # (gated-cache anti-joins) twice more per call for numbers already in
+    # hand — two full survivor passes saved per curate in the common shape
     if eval_df is not None:
         contaminated = _cache_scoped(
             decontaminate(
@@ -478,29 +489,40 @@ def curate_corpus(
             ).select("doc_id")
         )
         deduped = deduped.join(contaminated, "doc_id", "left_anti")
-    n_after_decontamination = deduped.count()
+        n_after_decontamination = deduped.count()
+    else:
+        n_after_decontamination = (
+            n_after_semantic if n_after_semantic is not None else n_after_dedup
+        )
     _tick("decontaminate")
 
     out = deduped
     if sample_fraction is not None:
         out = deterministic_sample(out, ["doc_id"], sample_fraction)
-    n_output = out.count()
+        n_output = out.count()
+    else:
+        n_output = n_after_decontamination
     _tick("output")
+    from ..functions.obs import observed_metrics as _observed
+
     if clean is not None and n_after_clean is None:
-        try:
-            n_after_clean = int(_clean_obs.get["nc"] or 0)
-        except Exception:
+        _clean_m = _observed(_clean_obs)
+        if _clean_m is not None:
+            n_after_clean = int(_clean_m["nc"] or 0)
+        else:
             # folded LocalRelation inputs — same caveat as the gate obs
             n_after_clean = _clean_fallback.count()
     if n_after_quality is None:
         # the cache-fill action has long since run (every later stage
-        # counted survivors of the cached gate), so this get() returns
-        # the already-collected metrics without triggering a job
-        try:
-            _gate_rows = _gate_obs.get
+        # counted survivors of the cached gate), so this read returns
+        # the already-collected metrics without triggering a job; the
+        # wait is BOUNDED (ADVICE r12 — an unbounded get would hang
+        # forever on a metrics row that never materializes)
+        _gate_rows = _observed(_gate_obs)
+        if _gate_rows is not None:
             n_after_quality = int(_gate_rows["nq"] or 0)
             n_after_language = int(_gate_rows["nl"] or 0)
-        except Exception:
+        else:
             # tiny LOCAL inputs (createDataFrame test corpora) can fold
             # the plan into a LocalRelation whose observed-metrics row
             # PySpark's toPyRow cannot convert — fall back to the direct

@@ -91,6 +91,22 @@ def _fingerprint(df: DataFrame, id_col: str, text_col: str) -> str:
     return format(row["fp"] or 0, "015x")
 
 
+def _fingerprint_metric(id_col: str, text_col: str):
+    """:func:`_fingerprint`'s aggregate as ONE Column, so it can ride an
+    existing action (a shard write's Observation) instead of paying its
+    own full pass — same hash, same XOR, same value."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.col(text_col))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.bit_xor(h)
+
+
 #: per-stage wall seconds of the most recent build / incremental update in
 #: this process — diagnostic only (see the stage() hooks inside
 #: build_pretraining_corpus / update_pretraining_corpus; bench.py exports
@@ -271,6 +287,19 @@ def build_pretraining_corpus(
         _timings.append((name, round(now - _t_last[0], 3) if secs is None else secs))
         _t_last[0] = now
         stages.append({"stage": name, "n_docs": int(n)})
+        global LAST_BUILD_STAGE_SECONDS
+        LAST_BUILD_STAGE_SECONDS = list(_timings)
+
+    def tick(name: str) -> None:
+        # TIMING-ONLY attribution entry: lands in the stage_seconds
+        # diagnostic but NOT in the manifest's `stages` (whose rows are a
+        # replay-stable artifact contract) — added r13 so commit-side wall
+        # (shard export, index persist, pack stats) stops being
+        # unattributable (r12 verdict: ~11s of q_corpus_update wall was
+        # invisible to the stage table)
+        now = _time.monotonic()
+        _timings.append((name, round(now - _t_last[0], 3)))
+        _t_last[0] = now
         global LAST_BUILD_STAGE_SECONDS
         LAST_BUILD_STAGE_SECONDS = list(_timings)
 
@@ -496,8 +525,14 @@ def build_pretraining_corpus(
     split_df = leakage_safe_split(
         curated, split_fractions, pairs=soft_pairs, id_col=id_col
     ).localCheckpoint(eager=True)
+    tick("split_cluster")
 
     # -- shard export + per-split manifest ---------------------------------
+    # the content fingerprint rides each split's shard write as an
+    # Observation metric (write_training_shards extra_metrics) — through
+    # r12 _fingerprint() was a dedicated full pass over every split after
+    # its export (at 100 TB: re-reading the whole corpus once more, §6);
+    # the dedicated pass remains only as the folded-plan fallback
     splits: dict[str, dict] = {}
     train_df = None
     for name in split_fractions:
@@ -511,11 +546,17 @@ def build_pretraining_corpus(
             n_shards=k,
             seed=seed,
             key_cols=[id_col],
+            extra_metrics={"fp": _fingerprint_metric(id_col, text_col)},
         )
+        observed = shard_manifest.pop("observed", {})
         splits[name] = {
             "fraction": float(split_fractions[name]),
             "rows": shard_manifest["total_rows"],
-            "fingerprint": _fingerprint(part, id_col, text_col),
+            "fingerprint": (
+                format(int(observed["fp"]), "015x")
+                if observed.get("fp") is not None
+                else _fingerprint(part, id_col, text_col)
+            ),
             "shards": shard_manifest,
         }
     stage("split", sum(s["rows"] for s in splits.values()))
@@ -529,6 +570,7 @@ def build_pretraining_corpus(
         F.sum("n_tokens").alias("total_tokens"),
         F.count(F.lit(1)).alias("n_docs"),
     ).first()
+    tick("pack")
     total_tokens = int(tok["total_tokens"] or 0)
     pack_record = {
         "budget": int(pack_budget),
@@ -594,8 +636,29 @@ def build_pretraining_corpus(
         # map updates chain through; both land before the manifest commit
         # so a crashed build leaves no committed-but-indexless artifact
         all_splits = split_df.withColumnRenamed(id_col, "doc_id")
+        # the curate stage already shingled+signed the whole gated pool
+        # (rep.minhash_sigs, scope-cached): persist THOSE signatures,
+        # semi-joined to the survivors, instead of re-shingling every
+        # surviving byte of corpus text (§6 avoid recompute) — guarded on
+        # the params the frame was ACTUALLY built with matching the
+        # index's (the ADVICE-r10 no-hardcoded-defaults rule)
+        import inspect as _inspect
+
+        _wp = _inspect.signature(minhash_index_write).parameters
+        _idx_sigs = (
+            rep.minhash_sigs
+            if rep.minhash_sigs is not None
+            and rep.minhash_sig_params is not None
+            and tuple(rep.minhash_sig_params)
+            == (_wp["n_shingle"].default, _wp["k"].default)
+            else None
+        )
         minhash_index_write(
-            all_splits, os.path.join(path, "_dedup_index"), text_col, "doc_id"
+            all_splits,
+            os.path.join(path, "_dedup_index"),
+            text_col,
+            "doc_id",
+            sigs=_idx_sigs,
         )
         (
             # STRING-typed map: update revisions must union with this file
@@ -607,6 +670,7 @@ def build_pretraining_corpus(
                 "split",
             ).write.parquet(os.path.join(path, "_doc_splits", "r0000"))
         )
+        tick("dedup_index")
         manifest["dedup_index"] = {"path": "_dedup_index"}
         manifest["revisions"] = []
         manifest["next_revision"] = 1
@@ -632,7 +696,9 @@ def build_pretraining_corpus(
                 "path": "_semantic_index",
                 "n_cells": n_cells,
             }
+            tick("semantic_index")
     _commit_manifest(path, manifest)
+    tick("commit")
     return manifest
 
 
@@ -929,6 +995,15 @@ def _update_corpus_locked(
         global LAST_UPDATE_STAGE_SECONDS
         LAST_UPDATE_STAGE_SECONDS = list(_timings)
 
+    def tick(name: str) -> None:
+        # timing-only entry (never a manifest stage row) — commit-side
+        # wall attribution, same convention as the build's tick()
+        now = _time.monotonic()
+        _timings.append((name, round(now - _t_last[0], 3)))
+        _t_last[0] = now
+        global LAST_UPDATE_STAGE_SECONDS
+        LAST_UPDATE_STAGE_SECONDS = list(_timings)
+
     n_input = new_docs.count()
     stage("ingest", n_input)
 
@@ -1174,21 +1249,36 @@ def _update_corpus_locked(
         .drop("anchor_cluster", "anchor_split")
         .localCheckpoint(eager=True)
     )
-    n_overrides = final.filter("__overridden").count()
+    # ONE aggregation over the just-checkpointed frame replaces the
+    # pre-r13 cascade of passes (override count + split-stage count + one
+    # count per split to size shards): per-split rows and override hits
+    # in a single groupBy action (§1.2 — don't compute things twice)
+    _split_stats = {
+        r["split"]: (int(r["n"]), int(r["o"] or 0))
+        for r in final.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("__overridden").cast("long")).alias("o"),
+        )
+        .collect()
+    }
+    n_overrides = sum(o for _, o in _split_stats.values())
     final = final.drop("__overridden")
-    stage("split", final.count())
+    stage("split", sum(n for n, _ in _split_stats.values()))
 
     # -- commit: shards + doc-splits land, then ONE manifest rename ---------
+    # fingerprints ride the shard writes as Observation metrics (the
+    # build-side discipline); the dedicated pass is only the fallback
     splits_rec: dict[str, dict] = {}
     for name in fractions:
+        n_part = _split_stats.get(name, (0, 0))[0]
+        if n_part == 0:
+            continue
         part = (
             final.filter(F.col("split") == name)
             .drop("split", "cluster")
             .withColumn(id_col, F.col(id_col).cast(orig_id_type))
         )
-        n_part = part.count()
-        if n_part == 0:
-            continue
         # shards sized to the INCREMENT (one per ~250k survivors), not to
         # the base's n_shards — a daily batch should not fan into 8 micro-
         # shards; epoch-level re-sharding is compaction's job
@@ -1199,12 +1289,19 @@ def _update_corpus_locked(
             n_shards=k,
             seed=f"{p['seed']}/{rev}",
             key_cols=[id_col],
+            extra_metrics={"fp": _fingerprint_metric(id_col, text_col)},
         )
+        observed = shard_manifest.pop("observed", {})
         splits_rec[name] = {
             "rows": shard_manifest["total_rows"],
-            "fingerprint": _fingerprint(part, id_col, text_col),
+            "fingerprint": (
+                format(int(observed["fp"]), "015x")
+                if observed.get("fp") is not None
+                else _fingerprint(part, id_col, text_col)
+            ),
             "shards": shard_manifest,
         }
+    tick("shard_commit")
     if splits_rec:  # an all-dropped revision has no rows to map
         final.select(
             F.col(id_col).cast("string").alias("doc_id"), "cluster", "split"
@@ -1223,6 +1320,7 @@ def _update_corpus_locked(
     manifest.setdefault("revisions", []).append(record)
     manifest["next_revision"] = int(rev[1:]) + 1
     _commit_manifest(path, manifest)
+    tick("commit")
 
     # post-commit: tomorrow's increment checks against corpus + today
     # (a revision that committed nothing has nothing to index — and an
@@ -1237,6 +1335,10 @@ def _update_corpus_locked(
         text_col=text_col,
         id_col="doc_id",
         txn=rev,
+        # the curate pass already signed these documents with the index's
+        # params (the _sig_reuse guard above) — append THOSE signatures
+        # instead of re-shingling the increment's text (§6)
+        sigs=_sig_reuse,
     )
     if sem_idx is not None:
         from ..operators.similarity import ivf_index_append
@@ -1254,6 +1356,7 @@ def _update_corpus_locked(
             id_col="doc_id",
             txn=rev,
         )
+    tick("index_append")
     return record
 
 

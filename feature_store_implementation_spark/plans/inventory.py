@@ -7401,6 +7401,7 @@ def q_dedup_index_grow(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_index_append,
         minhash_index_query,
         minhash_index_write,
+        minhash_signatures,
     )
 
     d = load_table(spark, sf_dir, "documents")
@@ -7410,9 +7411,18 @@ def q_dedup_index_grow(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="q_mh_grow_")
     try:
         minhash_index_write(base, tmp)
-        day1_pairs = minhash_index_query(spark, day1, tmp, threshold=0.5)
+        # day 1 is both QUERIED and APPENDED: sign it once and hand the
+        # frame to both (sigs= caller's contract — the index was written
+        # 2 lines up with the same operator defaults), instead of the
+        # pre-r13 shape that shingled+signed the same day-1 text twice
+        day1_sigs = minhash_signatures(day1, "text", "doc_id").localCheckpoint(
+            eager=True
+        )
+        day1_pairs = minhash_index_query(
+            spark, day1, tmp, threshold=0.5, sigs=day1_sigs
+        )
         n_day1 = day1_pairs.count()
-        minhash_index_append(day1, tmp)
+        minhash_index_append(day1, tmp, sigs=day1_sigs)
         out = minhash_index_query(spark, day2, tmp, threshold=0.5).withColumn(
             "day1_pairs", F.lit(n_day1).cast("long")
         )

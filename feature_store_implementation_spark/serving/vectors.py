@@ -526,12 +526,16 @@ class FeatureStore:
                 f.flush()
                 _os.fsync(f.fileno())
             _os.replace(tmp, _os.path.join(staging, "_snapshot_meta.json"))
-            try:
-                rows = int(_row_obs.get["n"] or 0)
-            except Exception:
+            from ..functions.obs import observed_metrics as _observed
+
+            _row_m = _observed(_row_obs)
+            if _row_m is not None:
+                rows = int(_row_m["n"] or 0)
+            else:
                 # tiny LocalRelation-folded plans can defeat observed-metrics
-                # conversion (the curate_corpus gate-obs caveat) — fall back
-                # to the pre-r12 count-back read, correctness over speed
+                # conversion, and a never-materializing metrics row would
+                # hang an unbounded get (ADVICE r12) — fall back to the
+                # pre-r12 count-back read, correctness over speed
                 rows = self.spark.read.parquet(staging).count()
             _os.rename(staging, final)  # atomic commit
         except BaseException as exc:

@@ -1409,12 +1409,15 @@ class OfflineStore:
             txn_cdc = uuid.uuid4().hex[:12]
             cdc_stage = os.path.join(self.path, ".staging", f"cdc-{txn_cdc}")
             deleted_rows.write.parquet(cdc_stage)
-            try:
-                _cnt = _cnt_obs.get
+            from ..functions.obs import observed_metrics as _observed
+
+            _cnt = _observed(_cnt_obs)
+            if _cnt is not None:
                 counts = {"n": int(_cnt["n"] or 0), "hit": int(_cnt["hit"] or 0)}
-            except Exception:
-                # folded-plan observed-metrics caveat — fall back to the
-                # pre-r12 dedicated agg (only ever on local relations)
+            else:
+                # folded-plan observed-metrics caveat (or a metrics row
+                # that never materialized — the bounded wait, ADVICE r12)
+                # — fall back to the pre-r12 dedicated agg
                 counts = src.agg(
                     F.count(F.lit(1)).alias("n"),
                     F.sum(match.cast("long")).alias("hit"),

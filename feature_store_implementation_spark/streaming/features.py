@@ -556,7 +556,30 @@ def streaming_dedup_ingest(
         minhash_index_append,
         minhash_index_query,
         minhash_near_dup_pairs,
+        minhash_signatures,
     )
+
+    # Sign each micro-batch ONCE: through r12 every trigger shingled and
+    # signed its text three times (in-batch pair route, index query, index
+    # append — the same documents each time). The shared frame requires
+    # the index's stored (n_shingle, k) to match the in-batch pair route's
+    # defaults (the sigs= caller's contract) — they do for every index
+    # this module writes; a params mismatch falls back to per-stage
+    # signing, correctness over speed. Params are immutable for an index's
+    # lifetime, so one read at stream start suffices.
+    import inspect as _inspect
+    import json as _json
+
+    _pp = _inspect.signature(minhash_near_dup_pairs).parameters
+    try:
+        with open(os.path.join(index_path, "params.json")) as _pf:
+            _ip = _json.load(_pf)
+        _share_sigs = _ip.get("shingle_format") == "xxhash64-set" and (
+            _ip.get("n_shingle"),
+            _ip.get("k"),
+        ) == (_pp["n_shingle"].default, _pp["k"].default)
+    except (OSError, ValueError):
+        _ip, _share_sigs = None, False
 
     qid: list = []  # lazily read once the engine has written the metadata
 
@@ -585,8 +608,15 @@ def streaming_dedup_ingest(
         )
         if batch.isEmpty():
             return
+        sigs = (
+            minhash_signatures(
+                batch, text_col, id_col, _ip["n_shingle"], _ip["k"]
+            ).localCheckpoint(eager=True)
+            if _share_sigs
+            else None
+        )
         in_batch = minhash_near_dup_pairs(
-            batch, text_col, id_col, threshold=threshold
+            batch, text_col, id_col, threshold=threshold, sigs=sigs
         ).select(F.col("doc_id_b").alias(id_col)).distinct()
         fresh = batch.join(in_batch, id_col, "left_anti")
         # no self-row exclusion: the committed-txn short-circuit above
@@ -595,7 +625,13 @@ def streaming_dedup_ingest(
         # already-ingested document — dropping it is the gate working
         vs_corpus = (
             minhash_index_query(
-                batch.sparkSession, fresh, index_path, text_col, id_col, threshold
+                batch.sparkSession,
+                fresh,
+                index_path,
+                text_col,
+                id_col,
+                threshold,
+                sigs=sigs,
             )
             .select(F.col("new_id").alias(id_col))
             .distinct()
@@ -606,7 +642,9 @@ def streaming_dedup_ingest(
         survivors.write.mode("overwrite").parquet(
             os.path.join(out_path, f"stream={qid[0]}", f"ingest_batch={int(batch_id)}")
         )
-        minhash_index_append(survivors, index_path, text_col, id_col, txn=txn)
+        minhash_index_append(
+            survivors, index_path, text_col, id_col, txn=txn, sigs=sigs
+        )
 
     writer = docs.writeStream.foreachBatch(ingest).option(
         "checkpointLocation", checkpoint
