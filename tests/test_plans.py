@@ -324,3 +324,40 @@ def test_pq_rerank_broadcasts_survivors_no_cartesian(spark):
     assert "SortMergeJoin" not in plan
     adc = _plan(spark, "q_similarity_pq_adc")
     assert "CartesianProduct" not in adc
+
+
+def test_min_cost_supplier_semijoin_precedes_aggregation(spark):
+    """r12's Q2 rewrite (540035e): the part-band predicate semi-joins
+    lineitem BEFORE the (partkey, suppkey) aggregation, so the agg
+    shuffle carries only qualifying parts — the LeftSemi join must sit
+    BELOW the first HashAggregate in the tree (formatted explain prints
+    root-first, so the aggregate's line comes first), and the former
+    post-agg join back to `part` must not reappear."""
+    plan = _plan(spark, "q_min_cost_supplier")
+    assert "LeftSemi" in plan
+    first_agg = plan.index("HashAggregate")
+    first_semi = plan.index("LeftSemi")
+    assert first_agg < first_semi, (
+        "the part-band semi-join must be below (after, in root-first "
+        "order) the aggregation it pre-filters"
+    )
+
+
+def test_minhash_tokenizer_evaluates_once(spark):
+    """The token-projection discipline (a0242b0): the shingle pipeline
+    tokenizes each document exactly once behind a projection boundary.
+    An inline tokens expression re-runs split() per array element under
+    interpreted higher-order-function evaluation (O(tokens^2) per doc) —
+    pinned here as exactly one split( of the text column in the whole
+    signature plan."""
+    from feature_store_implementation_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from feature_store_implementation_spark.sources.tables import load_table
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    df = minhash_signatures(d, "text", "doc_id")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("split(") == 1
